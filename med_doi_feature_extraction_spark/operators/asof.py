@@ -1,0 +1,169 @@
+"""Point-in-time (as-of) join engine — the north-rule centerpiece.
+
+Semantics (fixed contract, FIXTURES.md F3): for each left row
+``(key, ts_left)`` attach the columns of the single right row with the
+same key and the greatest ``ts_right <= ts_left`` (backward as-of,
+latest-wins). Ties among right rows at the same ``ts_right`` break by
+``right_tiebreak`` DESC (deterministic). Left rows with no qualifying
+right row get nulls. Matches ``pandas.merge_asof(direction=
+'backward')`` and DuckDB ``ASOF JOIN``.
+
+Two independent builds (cross-checked against each other in tests):
+
+1. ``asof_join_window`` — pure DataFrame composition: tag + unionByName
+   + one Window per key ordered by (ts, side) + ``last(ignorenulls)``,
+   then keep left rows. No theta join, no O(n²): one shuffle on key,
+   one sort. This is the pure-SQL cross-check build (SURVEY.md J5a).
+
+2. ``asof_join_sorted`` — ``applyInPandas`` over hash buckets of keys
+   running a vectorized ``pd.merge_asof`` per bucket (SURVEY.md J5b).
+   Buckets (not raw keys) bound task count; optional ``salt_factor``
+   splits the LEFT side of hot buckets into sub-tasks and replicates
+   the right side per salt — output is invariant to the salt factor
+   (property-tested). AQE skew-join is the second line of defense for
+   the window build.
+
+At 100 TB: both builds shuffle each side exactly once on (bucket) /
+(key); the window build additionally sorts within partitions. Prefer
+build 2 when the right side is small relative to left (replication is
+cheap); build 1 when both sides are huge (no replication at all).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    right_tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Union-and-window backward as-of join (pure built-ins)."""
+    # Reduce right rows to latest-per-(key, ts) first so ties are
+    # resolved BEFORE the union (latest-wins, deterministic).
+    tb = [F.col(c).desc() for c in (right_tiebreak or [])]
+    w_tie = Window.partitionBy(on, right_ts).orderBy(*(tb or [F.lit(1)]))
+    right_dedup = (
+        right.withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    r = right_dedup.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    # Align schemas: left gets null right-value cols, right gets null
+    # left cols; allowMissingColumns handles both directions.
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so a
+    # right observation at exactly ts_left is visible (<= semantics).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumns(
+        {c: F.last(f"_r_{c}", ignorenulls=True).over(w) for c in value_cols}
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .drop("_ts", "_side", *[f"_r_{c}" for c in value_cols])
+    )
+
+
+def asof_join_sorted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    right_tiebreak: Sequence[str] | None = None,
+    num_buckets: int = 32,
+    salt_factor: int = 1,
+) -> DataFrame:
+    """Bucketed sort-merge as-of join via ``applyInPandas`` +
+    ``pd.merge_asof`` (vectorized; matches per-key reference semantics
+    exactly).
+
+    ``salt_factor > 1`` splits each bucket's LEFT rows into
+    ``salt_factor`` groups (hot-bucket mitigation) and replicates the
+    bucket's right rows into every group.
+    """
+    left_cols = left.columns
+    out_fields = [left.schema[c] for c in left_cols] + [
+        right.schema[c] for c in value_cols
+    ]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+
+    tb = list(right_tiebreak or [])
+    tb_extra = [c for c in tb if c not in {on, right_ts, *value_cols}]
+    bucket = F.pmod(F.xxhash64(F.col(on)), F.lit(num_buckets)).alias("_bucket")
+
+    l = left.select("*", bucket)
+    r = right.select(
+        on, right_ts, *tb_extra, *value_cols, bucket
+    )
+    if salt_factor > 1:
+        l = l.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(on), F.col(left_ts)), F.lit(salt_factor))
+        )
+        r = r.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+        )
+        group_keys = ["_bucket", "_salt"]
+    else:
+        group_keys = ["_bucket"]
+
+    l_tagged = l.withColumn("_is_left", F.lit(True))
+    r_tagged = r.withColumn("_is_left", F.lit(False))
+    both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # The union frame carries both sides' columns (nulls across);
+        # project each side back to its own columns first.
+        lp = pdf.loc[pdf["_is_left"], left_cols].copy()
+        rp = pdf.loc[~pdf["_is_left"], [on, right_ts] + tb_extra + list(value_cols)].copy()
+        if lp.empty:
+            return pd.DataFrame(columns=left_cols + list(value_cols))
+        if rp.empty:
+            out = lp[left_cols].copy()
+            for c in value_cols:
+                out[c] = None
+            return out
+        # Resolve right ties: latest-wins by (ts, tiebreak) — keep last
+        # after a stable sort ascending.
+        rp = rp.sort_values([right_ts] + tb, kind="stable")
+        rp = rp.drop_duplicates(subset=[on, right_ts], keep="last")
+        lp = lp.sort_values([left_ts], kind="stable")
+        rp = rp.sort_values([right_ts], kind="stable")
+        merged = pd.merge_asof(
+            lp,
+            rp[[on, right_ts] + list(value_cols)].rename(columns={right_ts: "_rts"}),
+            left_on=left_ts,
+            right_on="_rts",
+            by=on,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[left_cols + list(value_cols)]
+
+    result = both.groupBy(*group_keys).applyInPandas(merge_bucket, schema=out_schema)
+    return result

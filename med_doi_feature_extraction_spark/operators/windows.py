@@ -1,0 +1,193 @@
+"""Windowed feature-engineering operators: lag/lead, backfill,
+rolling aggregates, crawl-gap sessionization, latest-per-key dedupe.
+
+The reference has NO window functions (SURVEY.md §2.6) — these fill
+the north-rule capability gap. All operators are pure built-in Window
+expressions (JVM-side, whole-stage codegen; zero Python).
+
+Temporal-leakage contract: every feature here is a function of rows
+with ``ts <= current ts`` ONLY — except ``lead``-based columns, which
+are training labels and are named with a ``label_`` prefix so serving
+paths can drop them (SURVEY.md §7.3). Enforced by the deletion-
+invariance property test in tests/test_leakage.py.
+
+Determinism: all orderings are ``(ts, *tiebreak)``; callers must pass
+a tiebreak column when ts may repeat within an entity.
+
+Scale notes: Window.partitionBy(entity) shuffles once on the entity
+key; all window features share that single shuffle (one Sort + one
+Window node — verify with .explain()). Per-key ordering cannot be
+salted without breaking order semantics; hot entities are bounded by
+snapshots-per-url (≤ thousands), so a single task handles the largest
+key comfortably (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(ts: str, tiebreak: Sequence[str] | None) -> list[Column]:
+    return [F.col(ts).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+
+
+def entity_window(entity: str | Sequence[str], ts: str, tiebreak: Sequence[str] | None = None):
+    part = [entity] if isinstance(entity, str) else list(entity)
+    return Window.partitionBy(*part).orderBy(*_order_cols(ts, tiebreak))
+
+
+def with_lag_lead(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    cols: dict[str, str],
+    k: int = 1,
+    tiebreak: Sequence[str] | None = None,
+    include_lead: bool = False,
+) -> DataFrame:
+    """Add ``<alias>_lag{k}`` (and optional ``label_<alias>_lead{k}``)
+    plus ``<alias>_delta{k}`` for numeric cols.
+
+    ``cols``: mapping source column → output alias base.
+    """
+    w = entity_window(entity, ts, tiebreak)
+    out = {}
+    for src, alias in cols.items():
+        lagged = F.lag(src, k).over(w)
+        out[f"{alias}_lag{k}"] = lagged
+        out[f"{alias}_delta{k}"] = (F.col(src) - lagged).cast("double")
+        if include_lead:
+            # training-label only: uses FUTURE rows — never a serving feature
+            out[f"label_{alias}_lead{k}"] = F.lead(src, k).over(w)
+    return df.withColumns(out)
+
+
+def forward_fill(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    cols: Sequence[str],
+    tiebreak: Sequence[str] | None = None,
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Backfill operator: carry the last non-null observation with
+    ``ts' <= ts`` forward per entity (north-rule 'backfill')."""
+    w = entity_window(entity, ts, tiebreak).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumns(
+        {f"{c}{suffix}": F.last(c, ignorenulls=True).over(w) for c in cols}
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    gap_seconds: int,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Crawl-gap sessionization: a new session starts when the gap
+    from the previous snapshot exceeds ``gap_seconds`` (strictly).
+
+    Adds: ``gap_seconds`` (null on first row per entity),
+    ``session_id`` (1-based per entity), ``session_seq`` (1-based row
+    index within session), ``snap_rank`` (1-based row index within
+    entity).
+    """
+    w = entity_window(entity, ts, tiebreak)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ts_long = F.col(ts).cast("long")
+    gap = ts_long - F.lag(ts_long).over(w)
+    df = df.withColumns(
+        {
+            "gap_seconds": gap,
+            "snap_rank": F.row_number().over(w),
+            "_new_session": F.when(
+                gap.isNull() | (gap > gap_seconds), F.lit(1)
+            ).otherwise(F.lit(0)),
+        }
+    )
+    df = df.withColumn("session_id", F.sum("_new_session").over(wcum).cast("long"))
+    w_sess = entity_window([entity, "session_id"] if isinstance(entity, str) else [*entity, "session_id"], ts, tiebreak)
+    return df.withColumn("session_seq", F.row_number().over(w_sess)).drop("_new_session")
+
+
+def session_features(
+    df_sessionized: DataFrame,
+    entity: str,
+    ts: str,
+    value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-session aggregates over a ``sessionize`` output: one row per
+    (entity, session_id) with start/end/duration/n_events and
+    sum/mean of ``value_cols``."""
+    aggs = [
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (F.max(F.col(ts).cast("long")) - F.min(F.col(ts).cast("long"))).alias(
+            "duration_seconds"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    for c in value_cols:
+        aggs += [
+            F.round(F.sum(c), 6).alias(f"{c}_sum"),
+            F.round(F.avg(c), 6).alias(f"{c}_avg"),
+        ]
+    return df_sessionized.groupBy(entity, "session_id").agg(*aggs)
+
+
+def rolling(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    col: str,
+    n_rows: int | None = None,
+    range_seconds: int | None = None,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Trailing rolling aggregates (count/sum/avg) over either the
+    previous ``n_rows`` rows (inclusive of current) or a trailing time
+    range of ``range_seconds`` (inclusive). Exactly one must be set.
+
+    Row frames include the tiebreak ordering; range frames order by
+    epoch seconds only (range semantics are value-based).
+    """
+    if (n_rows is None) == (range_seconds is None):
+        raise ValueError("set exactly one of n_rows / range_seconds")
+    if n_rows is not None:
+        w = entity_window(entity, ts, tiebreak).rowsBetween(-(n_rows - 1), 0)
+        tag = f"r{n_rows}"
+    else:
+        w = (
+            Window.partitionBy(entity)
+            .orderBy(F.col(ts).cast("long"))
+            .rangeBetween(-range_seconds, 0)
+        )
+        tag = f"s{range_seconds}"
+    return df.withColumns(
+        {
+            f"{col}_cnt_{tag}": F.count(col).over(w),
+            f"{col}_sum_{tag}": F.round(F.sum(col).over(w), 6),
+            f"{col}_avg_{tag}": F.round(F.avg(col).over(w), 6),
+        }
+    )
+
+
+def dedupe_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keep the latest row per key (ties broken by tiebreak DESC then
+    arbitrary-but-deterministic). Classic top-1-per-group window."""
+    order = [F.col(ts).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

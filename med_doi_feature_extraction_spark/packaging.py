@@ -1,0 +1,45 @@
+"""spark-submit packaging: ship the engine package to executors.
+
+Pandas-UDF closures reference this package by module name, so every
+Python worker must be able to import it. On a real cluster that's
+``spark-submit --py-files <zip>``; ``ensure_package_on_workers`` does
+the equivalent programmatically (``SparkContext.addPyFile``) so any
+driver process — notebook, driver-contract harness, bench — works
+without external packaging steps.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_PKG_NAME = os.path.basename(_PKG_DIR)
+
+
+def build_package_zip(out_dir: str | None = None) -> str:
+    """Zip this package (sources only) for --py-files; returns path."""
+    import tempfile
+
+    out_dir = out_dir or tempfile.gettempdir()
+    zip_path = os.path.join(out_dir, f"{_PKG_NAME}.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            if "__pycache__" in root:
+                continue
+            for fn in sorted(files):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    _PKG_NAME, os.path.relpath(full, _PKG_DIR)
+                )
+                zf.write(full, rel)
+    return zip_path
+
+
+def ensure_package_on_workers(spark) -> str:  # noqa: ANN001
+    """Make the package importable in executor Python workers."""
+    zip_path = build_package_zip()
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path

@@ -1,0 +1,220 @@
+"""Seeded synthetic generator for the canonical ``pages`` table.
+
+Produces the input shape mandated by BASELINE.json ``input_hint``:
+
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+plus the as-of dimension ``dim_snapshots(domain, obs_ts, rank_score,
+category)`` (FIXTURES.md F1/F3). Fully deterministic per seed; the
+generator writes the ground-truth text FIRST and then wraps it in
+template HTML (headings/paragraphs/script/style/comments/entities/
+inline + malformed tags) such that ``kernels.html_text.extract_text``
+recovers the text byte-identically — that identity is asserted in
+tests, making the golden suite self-verifying.
+
+Skew: ``hot_domain_frac`` routes that fraction of URLs to a single
+domain for skew/salting tests (SURVEY.md §5.2.4).
+"""
+
+from __future__ import annotations
+
+import html as _html
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+
+from med_doi_feature_extraction_spark.kernels.html_text import extract_text
+
+_VOCAB = (
+    "the quick brown fox jumps over lazy dog data feature extract pipeline "
+    "spark shuffle partition window session crawl snapshot medical journal "
+    "abstract study patient trial result method analysis café naïve données "
+    "straße 中文 研究 résumé coöperate AT&T x<y alpha beta gamma delta"
+).split()
+
+_LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]
+_TLDS = ["com", "org", "net", "edu"]
+_CATEGORIES = ["news", "research", "blog", "reference", "forum"]
+
+_BASE_TS = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def domain_of_url(url: str) -> str:
+    """Python twin of the engine's ``F.parse_url(url, 'HOST')``."""
+    return url.split("://", 1)[1].split("/", 1)[0]
+
+
+def _make_doi(rng: np.random.Generator) -> str:
+    prefix = 1000 + int(rng.integers(0, 9000))
+    suffix = "".join(
+        rng.choice(list("abcdefghij0123456789"), size=8)
+    )
+    return f"10.{prefix}/{suffix}.{int(rng.integers(1, 99))}"
+
+
+def _make_text(rng: np.random.Generator) -> list[str]:
+    """Ground-truth text as a list of non-empty, space-normalized lines."""
+    lines = [" ".join(rng.choice(_VOCAB, size=int(rng.integers(3, 7))))]  # title
+    n_paras = int(rng.integers(2, 8))
+    for _ in range(n_paras):
+        words = list(rng.choice(_VOCAB, size=int(rng.integers(5, 30))))
+        for _ in range(int(rng.integers(0, 3))):
+            if rng.random() < 0.4:
+                words.insert(int(rng.integers(0, len(words))), _make_doi(rng))
+        lines.append(" ".join(words))
+    return lines
+
+
+def _wrap_html(lines: list[str], rng: np.random.Generator) -> bytes:
+    """Wrap ground-truth lines in template HTML whose extraction is
+    byte-identical to ``"\\n".join(lines)``."""
+    def esc(s: str) -> str:
+        return _html.escape(s)
+
+    def inline_mark(line: str) -> str:
+        words = line.split(" ")
+        i = int(rng.integers(0, len(words)))
+        tag = rng.choice(["b", "i", "em", "strong", "span"])
+        words[i] = f"<{tag}>{esc(words[i])}</{tag}>"
+        return " ".join(esc(w) if not w.startswith("<") else w for w in words)
+
+    parts = [
+        "<html><head>",
+        f"<title>{esc(lines[0])}</title>",
+        '<style>body { color: #333; } .x>.y { margin: 0; }</style>',
+        '<script type="text/javascript">var x = "<p>not text</p>"; if (x < 2) {}</script>',
+        "</head><body>",
+        "<!-- generator: synthetic page; this comment is not text -->",
+    ]
+    for j, line in enumerate(lines[1:], start=1):
+        block = rng.choice(["p", "p", "p", "div", "h2", "li", "blockquote"])
+        content = inline_mark(line) if rng.random() < 0.5 else esc(line)
+        parts.append(f"<{block}>{content}</{block}>")
+        if rng.random() < 0.15:
+            parts.append("</div>")  # stray close tag (malformed; extracts empty)
+        if rng.random() < 0.1:
+            parts.append("<b>")  # unclosed inline tag (malformed; no text)
+        if rng.random() < 0.2:
+            parts.append("<noscript>js disabled banner</noscript>")
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def generate_pages(
+    n_urls: int = 100,
+    seed: int = 42,
+    hot_domain_frac: float = 0.0,
+    max_snapshots: int = 20,
+    null_text_frac: float = 0.10,
+    null_lang_frac: float = 0.05,
+    session_gap_seconds: int = 3600,
+    validate: bool = False,
+) -> pd.DataFrame:
+    """Deterministic pages table (one row per (url, warc_ts) snapshot)."""
+    rng = np.random.default_rng(seed)
+    n_domains = max(4, n_urls // 10)
+    rows: list[dict] = []
+    for u in range(n_urls):
+        if hot_domain_frac > 0 and rng.random() < hot_domain_frac:
+            dom_i = 0
+        else:
+            # Zipf-ish: low domain ids more likely
+            dom_i = int(rng.zipf(1.5)) % n_domains
+        domain = f"site{dom_i}.example.{_TLDS[dom_i % len(_TLDS)]}"
+        url = f"https://{domain}/page/{u}"
+        n_snaps = int(rng.integers(1, max_snapshots + 1))
+        ts = _BASE_TS + timedelta(seconds=int(rng.integers(0, 86400)))
+        lang = rng.choice(_LANGS)
+        for s in range(n_snaps):
+            if s > 0:
+                # mixture of intra-session and session-breaking gaps
+                if rng.random() < 0.6:
+                    gap = int(rng.integers(60, session_gap_seconds // 2))
+                else:
+                    gap = int(rng.integers(session_gap_seconds * 2, session_gap_seconds * 48))
+                ts = ts + timedelta(seconds=gap)
+            lines = _make_text(rng)
+            text = "\n".join(lines)
+            html = _wrap_html(lines, rng)
+            if validate:
+                assert extract_text(html) == text, url
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": ts,
+                    "html": html,
+                    "text": None if rng.random() < null_text_frac else text,
+                    "lang": None if rng.random() < null_lang_frac else str(lang),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+    return df
+
+
+def generate_dim_snapshots(
+    pages: pd.DataFrame, seed: int = 43, obs_per_domain: int = 12
+) -> pd.DataFrame:
+    """As-of right side (FIXTURES.md F3): per-domain observations over
+    the pages time range, including exact-tie timestamps (obs_ts ==
+    some warc_ts) to pin the ``ts_right <= warc_ts`` latest-wins
+    semantics in tests."""
+    rng = np.random.default_rng(seed)
+    domains = sorted({domain_of_url(u) for u in pages["url"]})
+    t_lo = pages["warc_ts"].min()
+    t_hi = pages["warc_ts"].max()
+    span = max(1, int((t_hi - t_lo).total_seconds()))
+    rows = []
+    page_ts = pages["warc_ts"].tolist()
+    for d in domains:
+        for _ in range(obs_per_domain):
+            if rng.random() < 0.1:  # exact-tie injection
+                ts = page_ts[int(rng.integers(0, len(page_ts)))]
+            else:
+                ts = t_lo + timedelta(seconds=int(rng.integers(-3600, span + 3600)))
+            rows.append(
+                {
+                    "domain": d,
+                    "obs_ts": ts,
+                    "rank_score": round(float(rng.random()), 6),
+                    "category": str(rng.choice(_CATEGORIES)),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["domain", "obs_ts", "rank_score", "category"])
+    df["obs_ts"] = df["obs_ts"].astype("datetime64[us]")
+    return df
+
+
+def write_pages_parquet(
+    out_dir: str, n_urls: int, seed: int = 42, **kwargs
+) -> tuple[str, str]:
+    """Materialize pages + dim to parquet (for bench / large fixtures).
+
+    Generation is chunked by url-range so huge tables never sit fully
+    in one pandas frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    dim_path = os.path.join(out_dir, "dim_snapshots.parquet")
+    chunk = 2000
+    writer = None
+    all_chunks = []
+    for lo in range(0, n_urls, chunk):
+        n = min(chunk, n_urls - lo)
+        pdf = generate_pages(n_urls=n, seed=seed + lo, **kwargs)
+        pdf["url"] = pdf["url"].str.replace("/page/", f"/page/{lo}_", regex=False)
+        all_chunks.append(pdf[["url", "warc_ts"]])
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        if writer is None:
+            writer = pq.ParquetWriter(pages_path, table.schema)
+        writer.write_table(table)
+    if writer is not None:
+        writer.close()
+    sample = pd.concat(all_chunks, ignore_index=True)
+    dim = generate_dim_snapshots(sample, seed=seed + 1)
+    pq.write_table(pa.Table.from_pandas(dim, preserve_index=False), dim_path)
+    return pages_path, dim_path

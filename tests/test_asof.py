@@ -1,0 +1,145 @@
+"""As-of join: both builds vs pandas merge_asof oracle + invariances."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.asof import (
+    asof_join_sorted,
+    asof_join_window,
+)
+from med_doi_feature_extraction_spark.sources.pages import domain_of_url
+
+VALUE_COLS = ["rank_score", "category"]
+
+
+def _left(pages_pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pages_pdf[["url", "warc_ts"]].copy()
+    pdf["domain"] = pdf.url.map(domain_of_url)
+    return pdf
+
+
+def _oracle(pages_pdf: pd.DataFrame, dim_pdf: pd.DataFrame) -> pd.DataFrame:
+    lp = _left(pages_pdf).sort_values("warc_ts", kind="stable")
+    rp = dim_pdf.sort_values(["obs_ts", "rank_score", "category"], kind="stable")
+    rp = rp.drop_duplicates(subset=["domain", "obs_ts"], keep="last")
+    rp = rp.sort_values("obs_ts", kind="stable")
+    out = pd.merge_asof(
+        lp,
+        rp.rename(columns={"obs_ts": "_rts"}),
+        left_on="warc_ts",
+        right_on="_rts",
+        by="domain",
+        direction="backward",
+    )
+    return out.drop(columns=["_rts"]).sort_values(["url", "warc_ts"]).reset_index(drop=True)
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["url", "warc_ts"], kind="stable").reset_index(drop=True)
+
+
+def _check(got: pd.DataFrame, exp: pd.DataFrame) -> None:
+    got = _normalize(got)
+    assert len(got) == len(exp)
+    assert np.allclose(
+        got.rank_score.astype(float), exp.rank_score.astype(float), equal_nan=True
+    )
+    assert (got.category.fillna("∅") == exp.category.fillna("∅")).all()
+
+
+@pytest.fixture(scope="module")
+def left_df(spark, pages_pdf):
+    return spark.createDataFrame(_left(pages_pdf))
+
+
+def test_asof_window_build(spark, left_df, pages_pdf, dim_pdf, dim_df):
+    got = asof_join_window(
+        left_df, dim_df, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"],
+    ).toPandas()
+    _check(got, _oracle(pages_pdf, dim_pdf))
+
+
+def test_asof_sorted_build(spark, left_df, pages_pdf, dim_pdf, dim_df):
+    got = asof_join_sorted(
+        left_df, dim_df, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"], num_buckets=8,
+    ).toPandas()
+    _check(got, _oracle(pages_pdf, dim_pdf))
+
+
+def test_asof_builds_agree(spark, left_df, dim_df, pages_pdf, dim_pdf):
+    a = asof_join_window(
+        left_df, dim_df, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"],
+    ).toPandas()
+    b = asof_join_sorted(
+        left_df, dim_df, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"], num_buckets=8,
+    ).toPandas()
+    pd.testing.assert_frame_equal(_normalize(a), _normalize(b)[a.columns])
+
+
+@pytest.mark.parametrize("salt", [1, 4, 16])
+def test_asof_salt_invariance(spark, left_df, dim_df, pages_pdf, dim_pdf, salt):
+    got = asof_join_sorted(
+        left_df, dim_df, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"],
+        num_buckets=4, salt_factor=salt,
+    ).toPandas()
+    _check(got, _oracle(pages_pdf, dim_pdf))
+
+
+def test_asof_exact_tie_inclusive(spark):
+    """A right row at exactly ts_left IS visible (<= semantics), and
+    latest-wins among multiple right rows below."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "lts": pd.to_datetime(["2024-01-02"])})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a"],
+                "rts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+                "v": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    for fn in (asof_join_window, asof_join_sorted):
+        got = fn(left, right, "k", "lts", "rts", ["v"]).toPandas()
+        assert got.v.iloc[0] == 2.0, fn.__name__
+
+
+def test_asof_no_match_nulls(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "lts": pd.to_datetime(["2023-01-01"])})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"], "rts": pd.to_datetime(["2024-01-01"]), "v": [1.0]}
+        )
+    )
+    for fn in (asof_join_window, asof_join_sorted):
+        got = fn(left, right, "k", "lts", "rts", ["v"]).toPandas()
+        assert len(got) == 1 and pd.isna(got.v.iloc[0]), fn.__name__
+
+
+def test_asof_leakage(spark, left_df, dim_df, pages_pdf, dim_pdf):
+    """Deleting all dim rows with obs_ts > cutoff does not change the
+    joined values for left rows at ts <= cutoff."""
+    cutoff = pd.Timestamp(pages_pdf.warc_ts.quantile(0.5))
+    full = asof_join_window(
+        left_df, dim_df, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"],
+    ).filter(F.col("warc_ts") <= cutoff).toPandas()
+    trunc_dim = dim_df.filter(F.col("obs_ts") <= cutoff)
+    trunc = asof_join_window(
+        left_df.filter(F.col("warc_ts") <= cutoff),
+        trunc_dim, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"],
+    ).toPandas()
+    pd.testing.assert_frame_equal(_normalize(full), _normalize(trunc))

@@ -1,0 +1,188 @@
+"""Window operators vs a plain-pandas oracle on the pages table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.windows import (
+    dedupe_latest,
+    forward_fill,
+    rolling,
+    session_features,
+    sessionize,
+    with_lag_lead,
+)
+
+GAP = 3600
+
+
+def _prep(pages_pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pages_pdf.copy()
+    pdf["text_len"] = pdf.text.str.len().fillna(0).astype("int64")
+    return pdf.sort_values(["url", "warc_ts"], kind="stable").reset_index(drop=True)
+
+
+def _spark_base(spark, pages_pdf):
+    pdf = _prep(pages_pdf)
+    return spark.createDataFrame(pdf[["url", "warc_ts", "text_len", "lang"]])
+
+
+def test_lag_lead_delta(spark, pages_pdf):
+    sdf = _spark_base(spark, pages_pdf)
+    got = (
+        with_lag_lead(sdf, "url", "warc_ts", {"text_len": "text_len"}, include_lead=True)
+        .toPandas()
+        .sort_values(["url", "warc_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pdf = _prep(pages_pdf)
+    g = pdf.groupby("url", sort=False)["text_len"]
+    exp_lag = g.shift(1)
+    exp_lead = g.shift(-1)
+    assert np.allclose(got.text_len_lag1.astype(float), exp_lag, equal_nan=True)
+    assert np.allclose(got.label_text_len_lead1.astype(float), exp_lead, equal_nan=True)
+    assert np.allclose(
+        got.text_len_delta1.astype(float), pdf.text_len - exp_lag, equal_nan=True
+    )
+
+
+def test_forward_fill(spark, pages_pdf):
+    sdf = _spark_base(spark, pages_pdf)
+    got = (
+        forward_fill(sdf, "url", "warc_ts", ["lang"])
+        .toPandas()
+        .sort_values(["url", "warc_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pdf = _prep(pages_pdf)
+    exp = pdf.groupby("url", sort=False)["lang"].ffill()
+    assert (got.lang_ffill.fillna("∅") == exp.fillna("∅")).all()
+
+
+def _oracle_sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    prev = pdf.groupby("url", sort=False)["warc_ts"].shift(1)
+    gap = (pdf.warc_ts - prev).dt.total_seconds()
+    new = gap.isna() | (gap > GAP)
+    pdf["gap_seconds"] = gap
+    pdf["session_id"] = new.groupby(pdf.url, sort=False).cumsum().astype("int64")
+    pdf["snap_rank"] = pdf.groupby("url", sort=False).cumcount() + 1
+    pdf["session_seq"] = pdf.groupby(["url", "session_id"], sort=False).cumcount() + 1
+    return pdf
+
+
+def test_sessionize(spark, pages_pdf):
+    sdf = _spark_base(spark, pages_pdf)
+    got = (
+        sessionize(sdf, "url", "warc_ts", GAP)
+        .toPandas()
+        .sort_values(["url", "warc_ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = _oracle_sessionize(_prep(pages_pdf))
+    assert (got.session_id == exp.session_id).all()
+    assert (got.session_seq == exp.session_seq).all()
+    assert (got.snap_rank == exp.snap_rank).all()
+    assert np.allclose(
+        got.gap_seconds.astype(float), exp.gap_seconds.astype(float), equal_nan=True
+    )
+
+
+def test_sessionize_input_order_invariance(spark, pages_pdf):
+    """Permutation invariance: shuffled input gives identical sessions."""
+    pdf = _prep(pages_pdf)
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    a = (
+        sessionize(spark.createDataFrame(pdf), "url", "warc_ts", GAP)
+        .toPandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    )
+    b = (
+        sessionize(spark.createDataFrame(shuffled), "url", "warc_ts", GAP)
+        .toPandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    )
+    assert (a.session_id == b.session_id).all()
+
+
+def test_session_features(spark, pages_pdf):
+    sdf = _spark_base(spark, pages_pdf)
+    sess = sessionize(sdf, "url", "warc_ts", GAP)
+    feats = session_features(sess, "url", "warc_ts", ["text_len"]).toPandas()
+    exp = _oracle_sessionize(_prep(pages_pdf))
+    grp = exp.groupby(["url", "session_id"])
+    exp_agg = grp.agg(
+        n_events=("warc_ts", "size"), text_len_sum=("text_len", "sum")
+    ).reset_index()
+    merged = feats.merge(exp_agg, on=["url", "session_id"], suffixes=("", "_exp"))
+    assert len(merged) == len(exp_agg)
+    assert (merged.n_events == merged.n_events_exp).all()
+    assert np.allclose(merged.text_len_sum, merged.text_len_sum_exp)
+
+
+def test_rolling_rows(spark, pages_pdf):
+    sdf = _spark_base(spark, pages_pdf)
+    got = (
+        rolling(sdf, "url", "warc_ts", "text_len", n_rows=3)
+        .toPandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    )
+    pdf = _prep(pages_pdf)
+    r = pdf.groupby("url", sort=False)["text_len"].rolling(3, min_periods=1)
+    assert np.allclose(got.text_len_avg_r3, r.mean().reset_index(drop=True).round(6))
+    assert np.allclose(got.text_len_sum_r3, r.sum().reset_index(drop=True))
+
+
+def test_rolling_time_range(spark, pages_pdf):
+    sdf = _spark_base(spark, pages_pdf)
+    got = (
+        rolling(sdf, "url", "warc_ts", "text_len", range_seconds=7200)
+        .toPandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    )
+    pdf = _prep(pages_pdf)
+    ts = pdf.warc_ts.astype("int64") // 1_000_000
+    exp_cnt = []
+    for url, t in zip(pdf.url, ts):
+        m = (pdf.url == url) & (ts >= t - 7200) & (ts <= t)
+        exp_cnt.append(int(m.sum()))
+    assert (got.text_len_cnt_s7200 == np.array(exp_cnt)).all()
+
+
+def test_dedupe_latest(spark, pages_pdf):
+    sdf = _spark_base(spark, pages_pdf)
+    got = dedupe_latest(sdf, ["url"], "warc_ts").toPandas()
+    pdf = _prep(pages_pdf)
+    exp = pdf.groupby("url", sort=False).tail(1)
+    assert len(got) == pdf.url.nunique()
+    merged = got.merge(exp[["url", "warc_ts"]], on="url", suffixes=("", "_exp"))
+    assert (merged.warc_ts == merged.warc_ts_exp).all()
+
+
+def test_leakage_deletion_invariance(spark, pages_pdf):
+    """THE leakage test: for a cutoff url+ts, every serving feature is
+    unchanged when all strictly-future rows of that url are deleted."""
+    pdf = _prep(pages_pdf)
+    url = pdf.url.value_counts().idxmax()
+    rows = pdf[pdf.url == url]
+    cutoff = rows.warc_ts.iloc[len(rows) // 2]
+
+    def features(frame: pd.DataFrame) -> pd.DataFrame:
+        sdf = spark.createDataFrame(frame[["url", "warc_ts", "text_len", "lang"]])
+        out = sessionize(
+            forward_fill(
+                with_lag_lead(sdf, "url", "warc_ts", {"text_len": "text_len"}),
+                "url", "warc_ts", ["lang"],
+            ),
+            "url", "warc_ts", GAP,
+        )
+        return out.filter(
+            (F.col("url") == url) & (F.col("warc_ts") == cutoff)
+        ).toPandas()
+
+    full = features(pdf)
+    truncated = features(pdf[(pdf.url != url) | (pdf.warc_ts <= cutoff)])
+    assert len(full) == len(truncated) == 1
+    serving_cols = [c for c in full.columns if not c.startswith("label_")]
+    pd.testing.assert_frame_equal(
+        full[serving_cols].reset_index(drop=True),
+        truncated[serving_cols].reset_index(drop=True),
+    )
