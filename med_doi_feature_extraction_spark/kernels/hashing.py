@@ -124,4 +124,4 @@ def fingerprint64(texts: pd.Series) -> pd.Series:
 
 def hamming64(a: int, b: int) -> int:
     """Hamming distance between two 64-bit ints (signed-safe)."""
-    return int(bin((a ^ b) & ((1 << 64) - 1)).count("1"))
+    return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")

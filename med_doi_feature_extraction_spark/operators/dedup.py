@@ -1,0 +1,197 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five tiers, cheapest first:
+
+- exact: sha256(normalized text) group-by — one shuffle on the hash.
+- fingerprint: rolling-hash content identity (kernels.hashing).
+- minhash + LSH: shingle → minhash signature (numpy pandas UDF) →
+  band-hash → bucket self-join → candidate pairs → exact Jaccard
+  verify. The self-join is on (band, band_hash) so complexity is
+  per-bucket quadratic only within colliding buckets — the standard
+  scale path for near-dup at 10^12 docs.
+- simhash: 64-bit signature; candidates via 16-bit band blocking
+  (docs within Hamming distance d share ≥1 of 4 bands for d ≤ 3);
+  verified by exact Hamming distance.
+- n-gram Jaccard: exact token-set Jaccard on given candidate pairs
+  (JVM-side array ops; used standalone for small candidate sets or as
+  the verify stage of LSH).
+
+All signature computation is Arrow-batched numpy; all joins/gathers
+are built-in DataFrame ops so Catalyst/AQE own the physical plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from med_doi_feature_extraction_spark.kernels.hashing import (
+    minhash_signatures,
+    simhash64,
+)
+
+_sig_udf = F.pandas_udf(
+    lambda s: minhash_signatures(s), T.ArrayType(T.LongType())
+)
+_simhash_udf = F.pandas_udf(lambda s: simhash64(s), T.LongType())
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized text: (text_hash, keep_id,
+    dup_count). keep_id = min id (deterministic survivor)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), F.sha2(norm, 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def tokens_col(text_col: str) -> F.Column:
+    return F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+
+
+def jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_tokens: str = "tokens_a",
+    right_tokens: str = "tokens_b",
+) -> DataFrame:
+    """Exact token-set Jaccard for pre-paired rows (verify stage)."""
+    joined = left.join(right, on)
+    inter = F.size(F.array_intersect(left_tokens, right_tokens))
+    union = (
+        F.size(F.col(left_tokens)) + F.size(F.col(right_tokens)) - inter
+    )
+    return joined.withColumn(
+        "jaccard",
+        F.round(
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str, sig_col: str = "minhash_sig") -> DataFrame:
+    return df.withColumn(sig_col, _sig_udf(text_col))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Signature length = n_bands × rows_per_band (must equal the minhash
+    kernel's n_hashes=64 by default). Jaccard-threshold intuition:
+    16 bands × 4 rows ⇒ s-curve midpoint ≈ (1/16)^(1/4) ≈ 0.5.
+    """
+    sigs = with_minhash(df.select(id_col, text_col), text_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("minhash_sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    a = bands.withColumnsRenamed({id_col: "id_a"})
+    b = bands.withColumnsRenamed({id_col: "id_b"})
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Verified near-dup pairs: LSH candidates filtered by exact
+    token-set Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n_bands, rows_per_band)
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("toks"))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("tokens_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("tokens_b"))
+    verified = jaccard_pairs(cands.join(a, "id_a"), b, ["id_b"])
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
+    return df.withColumn(out, _simhash_udf(text_col))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit bands (pigeonhole:
+    Hamming ≤ 3 ⇒ at least one band identical), verify exact Hamming
+    distance ≤ max_hamming JVM-side via bit_count(xor)."""
+    sh = with_simhash(df.select(id_col, text_col), text_col)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "simhash", "bh.band", "bh.band_val")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

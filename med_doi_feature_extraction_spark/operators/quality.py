@@ -1,0 +1,60 @@
+"""Confidence / quality scoring and validity gating.
+
+Column-expression re-build of the reference's QualityService
+(``src/services/quality_service.py:20-58``): complexity bucketing
+(P10), weighted input-signal presence (P11), confidence blend + clamp
+(P12), and the validation predicate producing an errors array +
+``valid`` flag (P13). Everything stays in whole-stage codegen; the
+quarantine split (M5) is two filters over the same cached frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def complexity_score(text: Column) -> Column:
+    """Length-bucket complexity (quality_service.py:20-30 semantics:
+    0 → 0.2, <500 → 0.4, <1500 → 0.7, else 0.9)."""
+    n = F.coalesce(F.length(text), F.lit(0))
+    return (
+        F.when(n == 0, 0.2)
+        .when(n < 500, 0.4)
+        .when(n < 1500, 0.7)
+        .otherwise(0.9)
+    )
+
+
+def input_quality(signals: dict[str, float]) -> Column:
+    """Σ weight·present(col) / Σ weight over configured signal columns
+    (quality_service.py:32-47; weights from pipeline config)."""
+    total = sum(signals.values())
+    acc = F.lit(0.0)
+    for col_name, w in sorted(signals.items()):
+        present = F.col(col_name).isNotNull() & (
+            F.length(F.col(col_name).cast("string")) > 0
+        )
+        acc = acc + F.when(present, F.lit(float(w))).otherwise(F.lit(0.0))
+    return F.round(acc / F.lit(float(total)), 6)
+
+
+def blend_confidence(model_conf: Column, input_q: Column) -> Column:
+    """clamp(0.6·model + 0.4·input, 0, 1) (quality_service.py:48-50)."""
+    blended = 0.6 * model_conf + 0.4 * input_q
+    return F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), blended)), 6)
+
+
+def validate(conf: Column, min_threshold: float = 0.5) -> tuple[Column, Column]:
+    """(errors array, valid flag) — low_confidence is the only engine-
+    level error class (quality_service.py:52-58)."""
+    errors = F.when(
+        conf < min_threshold, F.array(F.lit("low_confidence"))
+    ).otherwise(F.array().cast("array<string>"))
+    return errors, F.size(errors) == 0
+
+
+def quarantine_split(df: DataFrame, valid_col: str = "valid") -> tuple[DataFrame, DataFrame]:
+    """(valid rows, quarantined rows) — failures never kill the job
+    (M5 semantics; mirrors the reference's failures_*.jsonl stream)."""
+    return df.filter(F.col(valid_col)), df.filter(~F.col(valid_col))

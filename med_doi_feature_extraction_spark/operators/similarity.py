@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small)
+  query set against the corpus; dot product / norms via built-in
+  higher-order array functions (zip_with + aggregate, JVM-side,
+  no Python). The correctness baseline.
+- ``lsh_topk``: random-hyperplane LSH bucketed ANN — the scale path.
+  Sign-bit bucketing via a seeded projection (numpy pandas UDF),
+  candidates restricted to same-bucket (multi-probe: exact bucket +
+  Hamming-1 neighbors), then exact cosine within candidates. Recall
+  < 1.0 by design; the bench reports recall@k vs brute force.
+- ``embedding_near_dup``: pairs with cosine ≥ threshold, blocked by
+  LSH bucket.
+
+At 10^12-doc scale the broadcast side must stay small (queries or
+centroids); the corpus is never collected or replicated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SIM_VERSION = "1.0.0"
+
+
+def _dot(a, b):  # Column helpers
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a, b):
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self-matches by id).
+
+    Output: (query_id, neighbor_id, cosine, rank). Query side is
+    broadcast — it must be small (typical: a probe/eval set).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+def _projection_udf(dim: int, n_bits: int, seed: int):
+    planes = np.random.default_rng(seed).standard_normal((dim, n_bits))
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, n_bits)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int32), index=vecs.index)
+
+    return bucket_of
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_bits: int = 8,
+    seed: int = 42,
+    out: str = "lsh_bucket",
+) -> DataFrame:
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    return df.withColumn(out, _projection_udf(dim, n_bits, seed)(vec_col))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket in at
+    least one of ``n_tables`` independent hash tables (multiprobe adds
+    Hamming-1 neighbor buckets on the query side). Same output schema
+    as ``cosine_topk`` → recall@k is directly measurable; recall rises
+    with n_tables at the cost of candidate volume."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    for t in range(n_tables):
+        c = with_lsh_bucket(c, "_cv", dim, n_bits, seed + t, out=f"_b{t}")
+        q = with_lsh_bucket(q, "_qv", dim, n_bits, seed + t, out=f"_b{t}")
+
+    def melt(df: DataFrame, probe: bool) -> DataFrame:
+        entries = []
+        for t in range(n_tables):
+            buckets = [F.col(f"_b{t}")]
+            if probe:
+                buckets += [
+                    F.col(f"_b{t}").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)
+                ]
+            entries += [
+                F.struct(F.lit(t).alias("tbl"), b.alias("bkt")) for b in buckets
+            ]
+        return df.withColumn("_tb", F.explode(F.array(*entries))).select(
+            *[col for col in df.columns if not col.startswith("_b")],
+            F.col("_tb.tbl").alias("_tbl"),
+            F.col("_tb.bkt").alias("_bkt"),
+        )
+
+    cands = (
+        melt(c.select("neighbor_id", *[f"_b{t}" for t in range(n_tables)]), False)
+        .join(
+            F.broadcast(
+                melt(q.select("query_id", *[f"_b{t}" for t in range(n_tables)]), multiprobe)
+            ),
+            ["_tbl", "_bkt"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(F.broadcast(q.select("query_id", "_qv")), "query_id")
+        .join(c.select("neighbor_id", "_cv"), "neighbor_id")
+        .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold, LSH-blocked so the
+    pairwise work is per-bucket, not global."""
+    b = with_lsh_bucket(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v", None, n_bits, seed,
+    )
+    a = b.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "lsh_bucket"
+    )
+    bb = b.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "lsh_bucket"
+    )
+    return (
+        a.join(bb, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate
+    search (both frames: query_id, neighbor_id)."""
+    hit = approx.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    total = exact.count()
+    return (hit.count() / total) if total else 1.0

