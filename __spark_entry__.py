@@ -1,38 +1,892 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship composite feature query on
+sf0.001. ``queries()`` exposes one callable per implemented operator
+family (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL. Column names/aliases are kept identical on both sides; float
+columns are rounded to 6 dp on both sides, and cross-row sums go
+through exact DECIMAL(18,2) arithmetic before the final double cast so
+the driver's value-hash comparison is deterministic.
+
+Implementations live in ``med_doi_feature_extraction_spark``; this
+module only wires them to the contract.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from med_doi_feature_extraction_spark.kernels import features as feat
+from med_doi_feature_extraction_spark.operators import dedup, similarity
+from med_doi_feature_extraction_spark.operators.asof import (
+    asof_join_sorted,
+    asof_join_window,
+)
+from med_doi_feature_extraction_spark.operators.normalize import build_lookup
+from med_doi_feature_extraction_spark.operators.quality import (
+    blend_confidence,
+    complexity_score,
+    input_quality,
+    validate,
+)
+from med_doi_feature_extraction_spark.operators.upsert import upsert
+from med_doi_feature_extraction_spark.operators.windows import (
+    dedupe_latest,
+    forward_fill,
+    rolling,
+    session_features,
+    sessionize,
+    with_lag_lead,
+)
+
+SESSION_GAP = 1800
+
+# single source of truth for the normalization query (P9)
+_CHOICES = ["click", "view", "purchase", "signup", "error"]
+_SYNONYMS = {"click": ["tap", "press"], "purchase": ["buy", "checkout"]}
+
+# quality-gate signal weights (P11)
+_SIGNALS = {"text": 0.6, "lang": 0.2, "source": 0.2}
+
+_DEC = "decimal(18,2)"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- events: windows
+
+def q_sessionize(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = sessionize(ev, "user_id", "ts", SESSION_GAP, tiebreak=["event_id"])
+    return out.select(
+        "user_id", "event_id", "ts", "gap_seconds",
+        F.col("snap_rank").cast("long").alias("snap_rank"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("session_seq").cast("long").alias("session_seq"),
+    )
+
+
+_SESSION_CTE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_seconds,
+         CAST(row_number() OVER w AS BIGINT) AS snap_rank
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *,
+         CAST(sum(CASE WHEN gap_seconds IS NULL OR gap_seconds > {SESSION_GAP}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+"""
+
+SQL_SESSIONIZE = _SESSION_CTE + """
+SELECT user_id, event_id, ts, gap_seconds, snap_rank, session_id,
+       CAST(row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS BIGINT) AS session_seq
+FROM s
+"""
+
+
+def q_lag_delta(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = with_lag_lead(
+        ev, "user_id", "ts", {"value": "value"}, tiebreak=["event_id"],
+        include_lead=True,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        "value_lag1",
+        F.round("value_delta1", 6).alias("value_delta1"),
+        "label_value_lead1",
+    )
+
+
+SQL_LAG_DELTA = """
+SELECT user_id, event_id, ts, value,
+       lag(value) OVER w AS value_lag1,
+       round(value - lag(value) OVER w, 6) AS value_delta1,
+       lead(value) OVER w AS label_value_lead1
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_ffill(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    # deterministic null injection: error rows have no usable value
+    ev = ev.withColumn(
+        "value_n",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    out = forward_fill(ev, "user_id", "ts", ["value_n"], tiebreak=["event_id"])
+    return out.select("user_id", "event_id", "ts", "value_n", "value_n_ffill")
+
+
+SQL_FFILL = """
+WITH n AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n
+  FROM events
+)
+SELECT user_id, event_id, ts, value_n,
+       last_value(value_n IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS value_n_ffill
+FROM n
+"""
+
+
+def q_rolling_rows(spark, sf_dir):
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", F.col("value").cast(_DEC).alias("v"))
+    )
+    out = rolling(ev, "user_id", "ts", "v", n_rows=5, tiebreak=["event_id"])
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.col("v_cnt_r5").cast("long").alias("cnt5"),
+        F.round(F.col("v_sum_r5").cast("double"), 6).alias("sum5"),
+        F.round(F.col("v_sum_r5").cast("double") / F.col("v_cnt_r5"), 6).alias("avg5"),
+    )
+
+
+SQL_ROLLING_ROWS = """
+WITH r AS (
+  SELECT user_id, event_id, ts,
+         CAST(count(*) OVER w AS BIGINT) AS cnt5,
+         sum(CAST(value AS DECIMAL(18,2))) OVER w AS s5
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts, cnt5,
+       round(CAST(s5 AS DOUBLE), 6) AS sum5,
+       round(CAST(s5 AS DOUBLE) / cnt5, 6) AS avg5
+FROM r
+"""
+
+
+def q_rolling_time(spark, sf_dir):
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", F.col("value").cast(_DEC).alias("v"))
+    )
+    out = rolling(ev, "user_id", "ts", "v", range_seconds=3600)
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.col("v_cnt_s3600").cast("long").alias("cnt1h"),
+        F.round(F.col("v_sum_s3600").cast("double"), 6).alias("sum1h"),
+    )
+
+
+SQL_ROLLING_TIME = """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT user_id, event_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS cnt1h,
+       round(CAST(sum(v) OVER w AS DOUBLE), 6) AS sum1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_dedupe_latest(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    return dedupe_latest(ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"])
+
+
+SQL_DEDUPE_LATEST = """
+SELECT user_id, event_type, event_id, ts, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_session_agg(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("value").cast(_DEC).alias("v")
+    )
+    sess = sessionize(ev, "user_id", "ts", SESSION_GAP, tiebreak=["event_id"])
+    out = session_features(sess, "user_id", "ts", [])
+    vsum = sess.groupBy("user_id", "session_id").agg(
+        F.round(F.sum("v").cast("double"), 6).alias("value_sum")
+    )
+    return (
+        out.join(vsum, ["user_id", "session_id"])
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "session_start", "session_end",
+            F.col("duration_seconds").cast("long").alias("duration_seconds"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "value_sum",
+        )
+    )
+
+
+SQL_SESSION_AGG = _SESSION_CTE + """
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(floor(epoch(max(ts))) AS BIGINT)
+         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_seconds,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 6) AS value_sum
+FROM (SELECT s.*, e.value AS v
+      FROM s JOIN events e USING (event_id))
+GROUP BY user_id, session_id
+"""
+
+
+def q_session_window(spark, sf_dir):
+    """Built-in session_window cross-check of the sessionizer
+    (SURVEY.md §2.9): gap-merged sessions in batch mode."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSION_WINDOW = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP} SECONDS
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP} SECONDS AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------- events: as-of
+
+def _asof_inputs(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("obs_ts"),
+            F.col("event_id").alias("obs_event_id"),
+            F.col("value").alias("signup_value"),
+        )
+    )
+    return ev, dim
+
+
+def q_asof_join(spark, sf_dir):
+    ev, dim = _asof_inputs(spark, sf_dir)
+    out = asof_join_window(
+        ev, dim, "user_id", "ts", "obs_ts", ["signup_value"],
+        right_tiebreak=["obs_event_id"],
+    )
+    return out.select("user_id", "event_id", "ts", "event_type", "value", "signup_value")
+
+
+def q_asof_join_sorted(spark, sf_dir):
+    ev, dim = _asof_inputs(spark, sf_dir)
+    out = asof_join_sorted(
+        ev, dim, "user_id", "ts", "obs_ts", ["signup_value"],
+        right_tiebreak=["obs_event_id"], num_buckets=16,
+    )
+    return out.select("user_id", "event_id", "ts", "event_type", "value", "signup_value")
+
+
+SQL_ASOF = """
+SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value, d.signup_value
+FROM events e LEFT JOIN LATERAL (
+  SELECT s.value AS signup_value
+  FROM events s
+  WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts
+  ORDER BY s.ts DESC, s.event_id DESC LIMIT 1
+) d ON true
+"""
+
+
+# ---------------------------------------------------------------- scan / json / misc
+
+def q_skip_limit(spark, sf_dir):
+    """S3: deterministic offset/limit under a total order."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    return ev.orderBy("event_id").offset(100).limit(50)
+
+
+SQL_SKIP_LIMIT = """
+SELECT event_id, ts, event_type FROM events ORDER BY event_id OFFSET 100 LIMIT 50
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """P5/P6: JSON pointer projection out of a string column."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """A3: bucketed distribution of a numeric column."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 6).alias("v_sum"),
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS v_sum
+FROM events GROUP BY 1
+"""
+
+
+def q_normalize_choices(spark, sf_dir):
+    """P9: canonical-choice + synonym normalization (broadcast map)."""
+    from med_doi_feature_extraction_spark.operators.normalize import normalize_column
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    lookup = build_lookup(_CHOICES, _SYNONYMS)
+    return ev.withColumn(
+        "event_type_norm", normalize_column(F.upper(F.col("event_type")), lookup)
+    )
+
+
+def _sql_normalize() -> str:
+    lookup = build_lookup(_CHOICES, _SYNONYMS)
+    whens = "\n".join(
+        f"         WHEN '{k}' THEN '{v}'" for k, v in sorted(lookup.items())
+    )
+    return f"""
+SELECT event_id, event_type,
+       CASE lower(trim(upper(event_type)))
+{whens}
+         ELSE upper(event_type) END AS event_type_norm
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- TPC-H relational
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 6).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 6).alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1).cast(_DEC) - disc)).cast("double"), 6).alias("sum_disc_price"),
+            F.round(
+                F.sum(price * (F.lit(1).cast(_DEC) - disc) * (F.lit(1).cast(_DEC) + tax)).cast("double"), 6
+            ).alias("sum_charge"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+    return out.withColumns(
+        {
+            "avg_qty": F.round(F.col("sum_qty") / F.col("count_order"), 6),
+            "avg_price": F.round(F.col("sum_base_price") / F.col("count_order"), 6),
+        }
+    )
+
+
+SQL_TPCH_Q1 = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_disc_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_charge,
+         CAST(count(*) AS BIGINT) AS count_order
+  FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT *, round(sum_qty / count_order, 6) AS avg_qty,
+       round(sum_base_price / count_order, 6) AS avg_price
+FROM a
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+FROM orders QUALIFY rk <= 3
+"""
+
+
+def q_upsert(spark, sf_dir):
+    """S9/J2: key-based upsert = anti-join + union."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    delta = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderpriority", F.lit("0-RETRY")
+    )
+    return upsert(orders, delta, ["o_orderkey"])
+
+
+SQL_UPSERT = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 97 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, '0-RETRY' AS o_orderpriority
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J3/P1: resume-style anti-join (customers with no high-value
+    orders — non-trivial on both sides at every SF)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(big, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+"""
+
+
+def q_broadcast_join_agg(spark, sf_dir):
+    """J1-style broadcast dimension join + aggregation."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 6
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------- documents: text
+
+def q_doc_tokens(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "n_chars",
+        feat.token_count_ws(F.col("text")).cast("long").alias("tok_ws"),
+        feat.token_count_bpe(F.col("text")).cast("long").alias("tok_bpe"),
+    )
+
+
+SQL_DOC_TOKENS = rf"""
+SELECT doc_id, n_chars,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS tok_ws,
+       CAST(len(regexp_extract_all(text, '{feat.TOKEN_REGEX.replace("'", "''")}')) AS BIGINT) AS tok_bpe
+FROM documents
+"""
+
+
+def q_doi_features(spark, sf_dir):
+    """Reference DOI feature map (P5/P8) over an augmented text column
+    (deterministic DOI injection so counts are non-trivial)."""
+    docs = _read(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" see 10.1234/ref."), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("text"))
+    docs = docs.withColumn("text2", aug)
+    return docs.select(
+        "doc_id",
+        feat.doi_count(F.col("text2")).cast("long").alias("doi_count"),
+        feat.doi_first(F.col("text2")).alias("doi_first"),
+    )
+
+
+SQL_DOI_FEATURES = rf"""
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' see 10.1234/ref.' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{feat.DOI_REGEX}')) AS BIGINT) AS doi_count,
+       CASE WHEN len(regexp_extract_all(text2, '{feat.DOI_REGEX}')) > 0
+            THEN regexp_extract_all(text2, '{feat.DOI_REGEX}')[1]
+            ELSE NULL END AS doi_first
+FROM a
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        feat.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(feat.LANG_MARKERS)
+    score_exprs = []
+    for lg in langs:
+        parts = " + ".join(
+            rf"len(regexp_extract_all(lower(text), '\b{w}\b'))"
+            for w in feat.LANG_MARKERS[lg]
+        )
+        score_exprs.append(f"       CAST({parts} AS INT) AS s_{lg}")
+    scores_sql = ",\n".join(score_exprs)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "'und'"
+    for lg in reversed(langs):
+        case = f"CASE WHEN best > 0 AND s_{lg} = best THEN '{lg}' ELSE {case} END"
+    return f"""
+WITH sc AS (
+  SELECT doc_id, lang,
+{scores_sql}
+  FROM documents
+), b AS (
+  SELECT *, {best} AS best FROM sc
+)
+SELECT doc_id, lang, {case} AS lang_pred FROM b
+"""
+
+
+def q_quality_gate(spark, sf_dir):
+    """P10-P13 chain: complexity, weighted input quality, blended
+    confidence, validity gate."""
+    docs = _read(spark, sf_dir, "documents")
+    docs = docs.withColumns(
+        {
+            "complexity": complexity_score(F.col("text")),
+            "input_q": input_quality(_SIGNALS),
+            "model_conf": F.round((F.col("doc_id") % 100) / 100.0, 6),
+        }
+    )
+    docs = docs.withColumn(
+        "conf", blend_confidence(F.col("model_conf"), F.col("input_q"))
+    )
+    errors, valid = validate(F.col("conf"), 0.5)
+    return docs.withColumns({"n_errors": F.size(errors).cast("long"), "valid": valid}).select(
+        "doc_id", "complexity", "input_q", "model_conf", "conf", "n_errors", "valid"
+    )
+
+
+def _sql_quality_gate() -> str:
+    total = sum(_SIGNALS.values())
+    terms = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL AND len(CAST({c} AS VARCHAR)) > 0 "
+        f"THEN {w!r} ELSE 0.0 END)"
+        for c, w in sorted(_SIGNALS.items())
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(len(text), 0) = 0 THEN 0.2
+              WHEN len(text) < 500 THEN 0.4
+              WHEN len(text) < 1500 THEN 0.7
+              ELSE 0.9 END AS complexity,
+         round(({terms}) / {total!r}, 6) AS input_q,
+         round((doc_id % 100) / 100.0, 6) AS model_conf
+  FROM documents
+), c AS (
+  SELECT *,
+         round(least(1.0, greatest(0.0, 0.6 * model_conf + 0.4 * input_q)), 6) AS conf
+  FROM q
+)
+SELECT doc_id, complexity, input_q, model_conf, conf,
+       CAST(CASE WHEN conf < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS n_errors,
+       conf >= 0.5 AS valid
+FROM c
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(docs, "doc_id", "text")
+    return out.select(
+        "text_hash",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+SQL_EXACT_DEDUP = r"""
+SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """N-gram (token-set) Jaccard on deterministic candidate pairs
+    (doc_id, doc_id+1) — the verify kernel of near-dup dedup."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), dedup.tokens_col("text").alias("toks"))
+    a = toks.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+        F.col("toks").alias("tokens_a"),
+    )
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tokens_b"))
+    out = dedup.jaccard_pairs(a, b, ["id_b"])
+    return out.select("id_a", "id_b", "jaccard")
+
+
+SQL_JACCARD_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# ---------------------------------------------------------------- embeddings
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+
+def q_embedding_near_dup_blocked(spark, sf_dir):
+    """Exact near-dup within label blocks (deterministic blocking —
+    the SQL-checkable sibling of the LSH-blocked variant)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label"
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(similarity.cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+"""
+
+
+# ---------------------------------------------------- rows-only (non-SQL-expressible)
+
+def q_minhash_neardup(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship composite on sf0.001: sessionized, forward-filled,
+    lagged, as-of-joined event features — the engine's window + PIT
+    stack in one plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev, dim = _asof_inputs(spark, sf_dir)
+    df = with_lag_lead(ev, "user_id", "ts", {"value": "value"}, tiebreak=["event_id"])
+    df = df.withColumn(
+        "value_n",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    df = forward_fill(df, "user_id", "ts", ["value_n"], tiebreak=["event_id"])
+    df = sessionize(df, "user_id", "ts", SESSION_GAP, tiebreak=["event_id"])
+    return asof_join_window(
+        df, dim, "user_id", "ts", "obs_ts", ["signup_value"],
+        right_tiebreak=["obs_event_id"],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "sessionize": q_sessionize,
+        "lag_delta": q_lag_delta,
+        "ffill": q_ffill,
+        "rolling_rows": q_rolling_rows,
+        "rolling_time": q_rolling_time,
+        "dedupe_latest": q_dedupe_latest,
+        "session_agg": q_session_agg,
+        "session_window": q_session_window,
+        "asof_join": q_asof_join,
+        "asof_join_sorted": q_asof_join_sorted,
+        "skip_limit": q_skip_limit,
+        "json_extract": q_json_extract,
+        "value_histogram": q_value_histogram,
+        "normalize_choices": q_normalize_choices,
+        "tpch_q1": q_tpch_q1,
+        "topk_per_group": q_topk_per_group,
+        "upsert": q_upsert,
+        "anti_join": q_anti_join,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "doc_tokens": q_doc_tokens,
+        "doi_features": q_doi_features,
+        "lang_id": q_lang_id,
+        "quality_gate": q_quality_gate,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup_blocked,
+        # non-SQL-expressible (driver records rows-only checks):
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sessionize": SQL_SESSIONIZE,
+        "lag_delta": SQL_LAG_DELTA,
+        "ffill": SQL_FFILL,
+        "rolling_rows": SQL_ROLLING_ROWS,
+        "rolling_time": SQL_ROLLING_TIME,
+        "dedupe_latest": SQL_DEDUPE_LATEST,
+        "session_agg": SQL_SESSION_AGG,
+        "session_window": SQL_SESSION_WINDOW,
+        "asof_join": SQL_ASOF,
+        "asof_join_sorted": SQL_ASOF,
+        "skip_limit": SQL_SKIP_LIMIT,
+        "json_extract": SQL_JSON_EXTRACT,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
+        "normalize_choices": _sql_normalize(),
+        "tpch_q1": SQL_TPCH_Q1,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "upsert": SQL_UPSERT,
+        "anti_join": SQL_ANTI_JOIN,
+        "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
+        "doc_tokens": SQL_DOC_TOKENS,
+        "doi_features": SQL_DOI_FEATURES,
+        "lang_id": _sql_lang_id(),
+        "quality_gate": _sql_quality_gate(),
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "embedding_near_dup": SQL_EMB_NEAR_DUP,
+    }

@@ -34,6 +34,12 @@ def _order_cols(ts: str, tiebreak: Sequence[str] | None) -> list[Column]:
     return [F.col(ts).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
 
 
+def _epoch_seconds(col: Column) -> Column:
+    """Seconds since epoch; handles TIMESTAMP_NTZ (cast via TIMESTAMP —
+    session TZ is pinned UTC so the value is preserved)."""
+    return col.cast("timestamp").cast("long")
+
+
 def entity_window(entity: str | Sequence[str], ts: str, tiebreak: Sequence[str] | None = None):
     part = [entity] if isinstance(entity, str) else list(entity)
     return Window.partitionBy(*part).orderBy(*_order_cols(ts, tiebreak))
@@ -98,7 +104,7 @@ def sessionize(
     """
     w = entity_window(entity, ts, tiebreak)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    ts_long = F.col(ts).cast("long")
+    ts_long = _epoch_seconds(F.col(ts))
     gap = ts_long - F.lag(ts_long).over(w)
     df = df.withColumns(
         {
@@ -126,7 +132,7 @@ def session_features(
     aggs = [
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
-        (F.max(F.col(ts).cast("long")) - F.min(F.col(ts).cast("long"))).alias(
+        (F.max(_epoch_seconds(F.col(ts))) - F.min(_epoch_seconds(F.col(ts)))).alias(
             "duration_seconds"
         ),
         F.count(F.lit(1)).alias("n_events"),
@@ -163,7 +169,7 @@ def rolling(
     else:
         w = (
             Window.partitionBy(entity)
-            .orderBy(F.col(ts).cast("long"))
+            .orderBy(_epoch_seconds(F.col(ts)))
             .rangeBetween(-range_seconds, 0)
         )
         tag = f"s{range_seconds}"
