@@ -1,0 +1,104 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timing uses the noop write sink so every column (including pandas-UDF
+outputs) is fully evaluated without driver collection or disk I/O.
+
+The flagship pages pipeline runs over a deterministic synthetic pages
+table sized to the SF tier (generated once into .bench_data/ and
+reused). Set SPARK_GRAFT_SCALING=1 to also run the N-vs-4N parallelism
+scaling probe (slow; normally run via tools/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+
+def _time_noop(df) -> float:
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 3)
+
+
+def _pages_dir(sf: float) -> str:
+    """Generate (once) the synthetic pages table for this SF tier.
+
+    Sizing: ~600k pages rows at SF=1 ⇒ n_urls ≈ 57k·sf (≈10.5
+    snapshots/url)."""
+    from med_doi_feature_extraction_spark.sources.pages import write_pages_parquet
+
+    out = Path(__file__).resolve().parent / ".bench_data" / f"sf{sf}"
+    marker = out / "_DONE"
+    if not marker.exists():
+        n_urls = max(200, int(57_000 * sf))
+        write_pages_parquet(str(out), n_urls=n_urls, seed=42)
+        marker.write_text("ok")
+    return str(out)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    import __spark_entry__ as entrymod
+    from med_doi_feature_extraction_spark.pipeline import FeatureConfig, page_features
+    from med_doi_feature_extraction_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    headline = [
+        "sessionize", "lag_delta", "ffill", "rolling_time", "session_agg",
+        "asof_join", "asof_join_sorted", "tpch_q1", "broadcast_join_agg",
+        "topk_per_group", "exact_dedup", "minhash_neardup", "simhash_pairs",
+        "cosine_topk", "lsh_topk", "quality_gate", "lang_id",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        timings[name] = _time_noop(qs[name](spark, sf_dir))
+
+    # flagship pages pipeline (the north-star workload): html→text UDF,
+    # regex features, window stack, as-of join, parquet write.
+    pdir = _pages_dir(sf)
+    pages = spark.read.parquet(f"{pdir}/pages.parquet")
+    dim = spark.read.parquet(f"{pdir}/dim_snapshots.parquet")
+    n_pages = pages.count()
+    t0 = time.time()
+    feats = page_features(pages, dim=dim, cfg=FeatureConfig(run_id="bench"))
+    feats.write.mode("overwrite").format("noop").save()
+    t_pages = round(time.time() - t0, 3)
+    timings["pages_pipeline"] = t_pages
+
+    result = {
+        "metric": "headline_suite_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages_rows": n_pages,
+        "pages_docs_per_sec": round(n_pages / t_pages, 1),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        from tools.scaling_bench import run_scaling
+
+        spark.stop()
+        result["scaling"] = run_scaling(pdir)
+        print(json.dumps(result))
+        return
+
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

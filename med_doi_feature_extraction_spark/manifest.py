@@ -107,6 +107,23 @@ class InjectedFailure(RuntimeError):
     """Test-only crash injection between chunks."""
 
 
+def _bucket_stats(out_dir: str, bucket: int) -> tuple[int, int]:
+    """(rows, bytes) for one bucket's partition dir, from parquet
+    footers + file sizes only (metadata read, no data scan)."""
+    import pyarrow.parquet as pq
+
+    bdir = os.path.join(out_dir, f"url_bucket={bucket}")
+    rows = 0
+    size = 0
+    if os.path.isdir(bdir):
+        for fn in os.listdir(bdir):
+            if fn.endswith(".parquet"):
+                path = os.path.join(bdir, fn)
+                rows += pq.ParquetFile(path).metadata.num_rows
+                size += os.path.getsize(path)
+    return rows, size
+
+
 def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
 
@@ -140,34 +157,26 @@ def run_partitioned(
     for chunk_id, chunk in enumerate(chunks):
         t_start = time.time()
         part = src.filter(F.col("url_bucket").isin(chunk))
-        feats = page_features(part.drop("url_bucket"), dim=dim, cfg=cfg)
-        feats = feats.withColumn("url_bucket", bucket_col(n_buckets))
+        # bucket-aligned execution: one repartition on url_bucket feeds
+        # the UDF stage, the window stage (clustering satisfied) AND
+        # the bucketed sink (≈1 file per bucket) — a single shuffle.
+        feats = page_features(part, dim=dim, cfg=cfg)
         (
             feats.write.mode("overwrite")
             .partitionBy("url_bucket")
             .parquet(out_dir)
         )
-        # Lineage metrics from the committed output (parquet footers
-        # make this a metadata-cheap scan; only 2 columns read).
-        stats = (
-            spark.read.parquet(out_dir)
-            .filter(F.col("url_bucket").isin(chunk))
-            .groupBy("url_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("rows_out"),
-                F.sum(F.octet_length("text_extracted")).alias("bytes_out"),
-            )
-            .collect()
-        )
-        by_bucket = {r["url_bucket"]: r for r in stats}
+        # Lineage metrics straight from the committed parquet footers
+        # (row counts) and file sizes — no second Spark job per chunk.
+        by_bucket = {b: _bucket_stats(out_dir, b) for b in chunk}
         t_end = time.time()
         records = [
             BucketRecord(
                 run_id=cfg.run_id,
                 chunk_id=chunk_id,
                 url_bucket=b,
-                rows_out=int(by_bucket[b]["rows_out"]) if b in by_bucket else 0,
-                bytes_out=int(by_bucket[b]["bytes_out"] or 0) if b in by_bucket else 0,
+                rows_out=by_bucket[b][0],
+                bytes_out=by_bucket[b][1],
                 t_start=t_start,
                 t_end=t_end,
                 kernel_version=PIPELINE_VERSION,

@@ -1,0 +1,178 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Treats image/audio/video as ``binary`` columns travelling next to a
+typed metadata struct, with decode / feature-extract / resize /
+frame-sample implemented as Arrow-batched ``mapInPandas`` operators.
+The Spark-side plumbing (schemas, batch shaping, partition sizing,
+null/corrupt handling) is real and tested; the codec calls themselves
+are STUBBED — the sandbox has no image/audio libraries — behind
+``decode_image``/``decode_audio`` which raise ``NotImplementedError``,
+with a deterministic fake (sha-seeded) used by default so pipelines
+and tests run end-to-end.
+
+Batch shaping matters at scale: media blobs are MBs, so operators
+re-batch by BYTES (``max_batch_bytes``), not row count, before
+yielding — an Arrow batch of 2k × 8 MB rows would otherwise OOM the
+Python worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+EMBED_DIM = 16
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """Real decoder hook (PIL/opencv). Not available in this
+    environment — swap in on a cluster with the codec libs installed."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - stub
+    raise NotImplementedError("audio codec not available in this environment")
+
+
+def fake_feature_vector(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature extractor:
+    sha256-seeded pseudo-embedding. Same payload → same vector on any
+    worker, so tests and oracles are stable."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "big")
+    rng = np.random.default_rng(seed)
+    return [round(float(x), 6) for x in rng.standard_normal(dim)]
+
+
+def _rebatch(
+    batches: Iterator[pd.DataFrame], payload_col: str, max_batch_bytes: int
+) -> Iterator[pd.DataFrame]:
+    """Split incoming Arrow batches so Σ payload bytes per yielded
+    frame stays under ``max_batch_bytes``."""
+    for pdf in batches:
+        sizes = pdf[payload_col].map(lambda b: 0 if b is None else len(b))
+        acc = 0
+        start = 0
+        for i, s in enumerate(sizes):
+            if acc + s > max_batch_bytes and i > start:
+                yield pdf.iloc[start:i]
+                start = i
+                acc = 0
+            acc += s
+        if start < len(pdf):
+            yield pdf.iloc[start:]
+
+
+def extract_media_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    max_batch_bytes: int = 64 * 1024 * 1024,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """media → (media_id, feature vector, payload_bytes, decode_error).
+
+    Corrupt/null payloads produce a ``decode_error`` string instead of
+    failing the job (quarantine pattern, SURVEY.md M5)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload_bytes", T.LongType(), True),
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
+            T.StructField("decode_error", T.StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _rebatch(batches, payload_col, max_batch_bytes):
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None or len(payload) == 0:
+                    rows.append((int(mid), 0, None, "empty_payload"))
+                    continue
+                try:
+                    if use_real_decoder:
+                        decode_image(bytes(payload))  # pragma: no cover
+                    vec = fake_feature_vector(bytes(payload))
+                    rows.append((int(mid), len(payload), vec, None))
+                except NotImplementedError as exc:
+                    rows.append((int(mid), len(payload), None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload_bytes", "features", "decode_error"]
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp
+    (duration from metadata; frame payload extraction stubbed as a
+    byte-slice fake). Exercises the explode/flatMap shape a real video
+    pipeline needs."""
+    n_frames = F.greatest(
+        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    frames = media.withColumn(
+        "frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1))
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
+        # fake frame payload: deterministic slice of the source bytes
+        F.substring(
+            F.col(payload_col).cast("string"), (F.col("frame_idx") % 16) + 1, 32
+        ).alias("frame_stub"),
+    )
+
+
+def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table for tests/bench (binary payloads of
+    varying size + metadata)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        size = int(rng.integers(100, 5000))
+        payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8)) if i % 13 else b""
+        rows.append(
+            {
+                "media_id": i,
+                "payload": payload,
+                "meta": {
+                    "mime": "image/fake" if i % 2 else "video/fake",
+                    "width": int(rng.integers(16, 512)),
+                    "height": int(rng.integers(16, 512)),
+                    "duration_ms": int(rng.integers(500, 10_000)),
+                },
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)

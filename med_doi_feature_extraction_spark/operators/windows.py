@@ -47,7 +47,7 @@ def entity_window(entity: str | Sequence[str], ts: str, tiebreak: Sequence[str] 
 
 def with_lag_lead(
     df: DataFrame,
-    entity: str,
+    entity: str | Sequence[str],
     ts: str,
     cols: dict[str, str],
     k: int = 1,
@@ -73,7 +73,7 @@ def with_lag_lead(
 
 def forward_fill(
     df: DataFrame,
-    entity: str,
+    entity: str | Sequence[str],
     ts: str,
     cols: Sequence[str],
     tiebreak: Sequence[str] | None = None,
@@ -89,7 +89,7 @@ def forward_fill(
 
 def sessionize(
     df: DataFrame,
-    entity: str,
+    entity: str | Sequence[str],
     ts: str,
     gap_seconds: int,
     tiebreak: Sequence[str] | None = None,
@@ -147,7 +147,7 @@ def session_features(
 
 def rolling(
     df: DataFrame,
-    entity: str,
+    entity: str | Sequence[str],
     ts: str,
     col: str,
     n_rows: int | None = None,
@@ -168,7 +168,7 @@ def rolling(
         tag = f"r{n_rows}"
     else:
         w = (
-            Window.partitionBy(entity)
+            Window.partitionBy(*( [entity] if isinstance(entity, str) else list(entity)))
             .orderBy(_epoch_seconds(F.col(ts)))
             .rangeBetween(-range_seconds, 0)
         )

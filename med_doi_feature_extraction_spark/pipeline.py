@@ -56,9 +56,14 @@ class FeatureConfig:
 _text_udf = F.pandas_udf(extract_text_series, T.StringType())
 
 
-def extract_stage(pages: DataFrame) -> DataFrame:
+def extract_stage(pages: DataFrame, bucket: str | None = None) -> DataFrame:
     """Scan-side stage: decode html → canonical text, regex feature
-    maps, then PRUNE the blob column."""
+    maps, then PRUNE the blob column.
+
+    Runs in the SCAN stage on purpose — html blobs never cross a
+    shuffle (at 100 TB, shuffling the raw payload is the dominant
+    cost; `spark.sql.files.maxPartitionBytes` is sized down in
+    session.py so blob scans still fan out across all cores)."""
     return (
         pages.withColumn("text_extracted", _text_udf("html"))
         .drop("html")
@@ -73,18 +78,26 @@ def extract_stage(pages: DataFrame) -> DataFrame:
     )
 
 
-def window_stage(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
-    """All per-url temporal features over ONE shuffle on url."""
+def window_stage(
+    df: DataFrame, cfg: FeatureConfig, bucket: str | None = None
+) -> DataFrame:
+    """All per-url temporal features over ONE shuffle — of the SLIM
+    post-extract columns (html already pruned).
+
+    With ``bucket`` set the window entity is (bucket, url) —
+    semantically identical to url (url determines bucket) — for
+    callers that pre-partitioned on the bucket."""
+    entity = [bucket, "url"] if bucket else "url"
     df = with_lag_lead(
-        df, "url", "warc_ts", {"text_len": "text_len"},
+        df, entity, "warc_ts", {"text_len": "text_len"},
         k=cfg.lag_k, include_lead=cfg.include_labels,
     )
-    df = forward_fill(df, "url", "warc_ts", ["lang"])
-    df = sessionize(df, "url", "warc_ts", cfg.session_gap_seconds)
+    df = forward_fill(df, entity, "warc_ts", ["lang"])
+    df = sessionize(df, entity, "warc_ts", cfg.session_gap_seconds)
     if cfg.rolling_rows:
         from med_doi_feature_extraction_spark.operators.windows import rolling
 
-        df = rolling(df, "url", "warc_ts", "text_len", n_rows=cfg.rolling_rows)
+        df = rolling(df, entity, "warc_ts", "text_len", n_rows=cfg.rolling_rows)
     return df
 
 
@@ -105,11 +118,27 @@ def page_features(
     cfg: FeatureConfig = FeatureConfig(),
 ) -> DataFrame:
     """Full flagship pipeline. ``dim`` (FIXTURES.md F3) is optional;
-    when present, point-in-time join on (domain, obs_ts <= warc_ts)."""
-    df = window_stage(extract_stage(pages), cfg)
+    when present, point-in-time join on (domain, obs_ts <= warc_ts).
+
+    Shuffle budget (the 100 TB concern — measured, see BASELINE.md):
+    1. html is decoded IN the scan stage and pruned — raw payload
+       never crosses a shuffle;
+    2. ONE full-width (post-extract) hash exchange on url feeds every
+       window feature (their clustering requirement is satisfied, so
+       Catalyst adds no further exchange);
+    3. the as-of join runs on a 3-column projection (url, warc_ts,
+       domain) — its union-window exchange moves ~1% of the bytes —
+       and rejoins co-partitioned on url (both sides HashPartitioning
+       (url, n) ⇒ sort-merge join without exchanging the wide side).
+    """
+    n = int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = extract_stage(pages).repartition(n, "url")
+    df = window_stage(df, cfg)
     if dim is not None:
-        df = asof_join_window(
-            df, dim, "domain", "warc_ts", "obs_ts",
+        slim = df.select("url", "warc_ts", "domain")
+        res = asof_join_window(
+            slim, dim, "domain", "warc_ts", "obs_ts",
             list(cfg.dim_value_cols), right_tiebreak=list(cfg.dim_tiebreak),
-        )
+        ).drop("domain").repartition(n, "url")
+        df = df.join(res, ["url", "warc_ts"], "left")
     return lineage_stage(df.drop("text"), cfg)

@@ -53,6 +53,9 @@ def get_spark(
             str(ARROW_MAX_RECORDS),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # blob-heavy scans: smaller splits keep the (CPU-bound) extract
+        # kernel parallel even when the table is a handful of files
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

@@ -53,10 +53,14 @@ def _make_doi(rng: np.random.Generator) -> str:
     return f"10.{prefix}/{suffix}.{int(rng.integers(1, 99))}"
 
 
-def _make_text(rng: np.random.Generator) -> list[str]:
-    """Ground-truth text as a list of non-empty, space-normalized lines."""
+def _make_text(rng: np.random.Generator, page_scale: int = 1) -> list[str]:
+    """Ground-truth text as a list of non-empty, space-normalized lines.
+
+    ``page_scale`` multiplies paragraph count — scale≈8 yields ~20 KB
+    HTML, the realistic Common-Crawl page size for bench/scaling runs
+    (default 1 keeps unit-test fixtures small)."""
     lines = [" ".join(rng.choice(_VOCAB, size=int(rng.integers(3, 7))))]  # title
-    n_paras = int(rng.integers(2, 8))
+    n_paras = int(rng.integers(2, 8)) * page_scale
     for _ in range(n_paras):
         words = list(rng.choice(_VOCAB, size=int(rng.integers(5, 30))))
         for _ in range(int(rng.integers(0, 3))):
@@ -110,6 +114,7 @@ def generate_pages(
     null_lang_frac: float = 0.05,
     session_gap_seconds: int = 3600,
     validate: bool = False,
+    page_scale: int = 1,
 ) -> pd.DataFrame:
     """Deterministic pages table (one row per (url, warc_ts) snapshot)."""
     rng = np.random.default_rng(seed)
@@ -134,7 +139,7 @@ def generate_pages(
                 else:
                     gap = int(rng.integers(session_gap_seconds * 2, session_gap_seconds * 48))
                 ts = ts + timedelta(seconds=gap)
-            lines = _make_text(rng)
+            lines = _make_text(rng, page_scale)
             text = "\n".join(lines)
             html = _wrap_html(lines, rng)
             if validate:
@@ -184,6 +189,62 @@ def generate_dim_snapshots(
     df = pd.DataFrame(rows, columns=["domain", "obs_ts", "rank_score", "category"])
     df["obs_ts"] = df["obs_ts"].astype("datetime64[us]")
     return df
+
+
+def generate_pages_spark(
+    spark,
+    out_dir: str,
+    n_urls: int,
+    seed: int = 42,
+    urls_per_task: int = 1000,
+    **gen_kwargs,
+) -> tuple[str, str]:
+    """Cluster-parallel generation of a large pages table: each task
+    runs the seeded generator for one url-range (deterministic per
+    (seed, range)), writing multi-file parquet ready for parallel
+    scans. This is how bench/scaling fixtures at realistic page sizes
+    are produced without a driver-side bottleneck."""
+    import os
+
+    from pyspark.sql import types as T
+
+    chunks = [
+        (lo, min(urls_per_task, n_urls - lo))
+        for lo in range(0, n_urls, urls_per_task)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+
+    def gen(iterator):
+        for pdf in iterator:
+            for lo, n in zip(pdf["lo"], pdf["n"]):
+                out = generate_pages(n_urls=int(n), seed=seed + int(lo), **gen_kwargs)
+                out["url"] = out["url"].str.replace(
+                    "/page/", f"/page/{int(lo)}_", regex=False
+                )
+                yield out
+
+    chunk_df = spark.createDataFrame(
+        pd.DataFrame(chunks, columns=["lo", "n"])
+    ).repartition(len(chunks))
+    pages = chunk_df.mapInPandas(gen, schema)
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    pages.write.mode("overwrite").parquet(pages_path)
+
+    sample = (
+        spark.read.parquet(pages_path).select("url", "warc_ts").toPandas()
+    )
+    dim = generate_dim_snapshots(sample, seed=seed + 1)
+    dim_path = os.path.join(out_dir, "dim_snapshots.parquet")
+    spark.createDataFrame(dim).coalesce(1).write.mode("overwrite").parquet(dim_path)
+    return pages_path, dim_path
 
 
 def write_pages_parquet(

@@ -1,0 +1,124 @@
+"""Scaling-efficiency probe: the same flagship pipeline at two
+parallelism levels on identical input — the sandbox proxy for N vs 4N
+executors (BASELINE.md bench protocol).
+
+Fairness: each run is CPU-affinity-pinned to exactly its core budget
+(``sched_setaffinity``), because plain local[N] lets Python UDF
+workers and JVM shuffle/GC threads overflow onto the machine's idle
+cores, silently overstating the small-N baseline.
+
+Input: a Common-Crawl-realistic pages table (~20 KB HTML/doc,
+``page_scale=8``) generated cluster-parallel on first use.
+
+throughput = output rows / wall sec (incl. parquet write + manifest
+commit); efficiency = (tput_4N / tput_N) / 4. Target ≥ 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CC_DIR = str(Path(__file__).resolve().parent.parent / ".bench_data" / "cc_scale")
+
+
+def ensure_cc_pages(n_urls: int = 60_000) -> str:
+    marker = Path(CC_DIR) / "_DONE"
+    if not marker.exists():
+        from med_doi_feature_extraction_spark.session import get_spark
+        from med_doi_feature_extraction_spark.sources.pages import (
+            generate_pages_spark,
+        )
+
+        spark = get_spark("gen_cc", master="local[32]", shuffle_partitions=32)
+        generate_pages_spark(
+            spark, CC_DIR, n_urls=n_urls, seed=42, page_scale=8
+        )
+        spark.stop()
+        marker.write_text("ok")
+    return CC_DIR
+
+
+def _measure(pages_dir: str, cores: int) -> dict:
+    """Runs inside a taskset-pinned subprocess (one fresh JVM per core
+    budget — a shared py4j gateway would keep the first run's thread
+    affinity)."""
+    from med_doi_feature_extraction_spark.manifest import run_partitioned
+    from med_doi_feature_extraction_spark.pipeline import FeatureConfig
+    from med_doi_feature_extraction_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    pages = spark.read.parquet(f"{pages_dir}/pages.parquet")
+    dim = spark.read.parquet(f"{pages_dir}/dim_snapshots.parquet")
+    # touch page cache + JIT once, untimed
+    pages.select("url").write.format("noop").mode("overwrite").save()
+    out = tempfile.mkdtemp(prefix=f"scaling{cores}_")
+    t0 = time.time()
+    records = run_partitioned(
+        spark,
+        pages,
+        f"{out}/features",
+        f"{out}/manifest",
+        dim=dim,
+        cfg=FeatureConfig(run_id=f"scaling-{cores}"),
+        n_buckets=64,
+        buckets_per_chunk=64,
+    )
+    wall = time.time() - t0
+    rows = sum(r.rows_out for r in records)
+    spark.stop()
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "cores": cores,
+        "wall_sec": round(wall, 2),
+        "rows": rows,
+        "docs_per_sec": round(rows / wall, 1),
+    }
+
+
+def _run_pinned(pages_dir: str, cores: int) -> dict:
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            "taskset", "-c", f"0-{cores - 1}",
+            sys.executable, os.path.abspath(__file__),
+            "--one", str(cores), pages_dir,
+        ],
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"scaling run failed (cores={cores}):\n{proc.stderr[-2000:]}")
+
+
+def run_scaling(pages_dir: str | None = None, low: int = 8, high: int = 32) -> dict:
+    pages_dir = pages_dir or ensure_cc_pages()
+    r_low = _run_pinned(pages_dir, low)
+    r_high = _run_pinned(pages_dir, high)
+    eff = (r_high["docs_per_sec"] / r_low["docs_per_sec"]) / (high / low)
+    return {
+        "low": r_low,
+        "high": r_high,
+        "efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+    }
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        print(json.dumps(_measure(sys.argv[3], int(sys.argv[2]))))
+    else:
+        print(json.dumps(run_scaling(), indent=2))
