@@ -148,9 +148,10 @@ def sample_frames(
         "media_id",
         "frame_idx",
         (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
-        # fake frame payload: deterministic slice of the source bytes
-        F.substring(
-            F.col(payload_col).cast("string"), (F.col("frame_idx") % 16) + 1, 32
+        # fake frame payload: deterministic hex of a byte-slice (hex,
+        # not a string cast — arbitrary bytes are not valid UTF-8)
+        F.hex(
+            F.substring(F.col(payload_col), (F.col("frame_idx") % 16) + 1, 16)
         ).alias("frame_stub"),
     )
 

@@ -116,9 +116,16 @@ def page_features(
     pages: DataFrame,
     dim: DataFrame | None = None,
     cfg: FeatureConfig = FeatureConfig(),
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Full flagship pipeline. ``dim`` (FIXTURES.md F3) is optional;
     when present, point-in-time join on (domain, obs_ts <= warc_ts).
+
+    ``pre_partitioned=True``: the input is a url-bucketed table
+    (Catalog.save_bucketed / Iceberg bucket transform) whose scan
+    already exposes HashPartitioning(url) — skip the repartition and
+    the whole window stack runs with ZERO exchanges (the production
+    layout at 10^12 docs; proven in tests/test_catalog.py).
 
     Shuffle budget (the 100 TB concern — measured, see BASELINE.md):
     1. html is decoded IN the scan stage and pruned — raw payload
@@ -132,13 +139,17 @@ def page_features(
        (url, n) ⇒ sort-merge join without exchanging the wide side).
     """
     n = int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    df = extract_stage(pages).repartition(n, "url")
+    df = extract_stage(pages)
+    if not pre_partitioned:
+        df = df.repartition(n, "url")
     df = window_stage(df, cfg)
     if dim is not None:
         slim = df.select("url", "warc_ts", "domain")
         res = asof_join_window(
             slim, dim, "domain", "warc_ts", "obs_ts",
             list(cfg.dim_value_cols), right_tiebreak=list(cfg.dim_tiebreak),
-        ).drop("domain").repartition(n, "url")
+        ).drop("domain")
+        if not pre_partitioned:
+            res = res.repartition(n, "url")
         df = df.join(res, ["url", "warc_ts"], "left")
     return lineage_stage(df.drop("text"), cfg)

@@ -1,0 +1,94 @@
+"""Thin table catalog: Iceberg when the runtime has the jars,
+partitioned/bucketed Parquet otherwise — one API either way.
+
+BASELINE.json mandates Iceberg-style tables; this sandbox image ships
+no Iceberg artifacts (verified: no iceberg/delta jars in the pyspark
+distribution), so the shim keeps the engine's storage calls behind a
+single seam. On a cluster with ``iceberg-spark-runtime`` on the
+classpath, ``use_iceberg=True`` switches writes to the v2 connector
+and MERGE-based upsert without touching operator code (SURVEY.md §7.3).
+
+Bucketing note (the zero-shuffle path): ``save_bucketed`` stores a
+table bucketed by url so downstream window/join stages read
+HashPartitioning(url, n_buckets) straight off the scan — no exchange
+at all for the flagship pipeline. This is the Parquet stand-in for
+Iceberg's bucket partition transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, use_iceberg: bool | None = None):
+        self.spark = spark
+        self.iceberg = (
+            iceberg_available(spark) if use_iceberg is None else use_iceberg
+        )
+
+    def save(self, df: DataFrame, name: str, path: str, partition_by: list[str] | None = None) -> None:
+        if self.iceberg:  # pragma: no cover - needs iceberg jars
+            writer = df.writeTo(name).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+
+    def save_bucketed(
+        self, df: DataFrame, name: str, n_buckets: int, bucket_cols: list[str],
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Bucketed managed table: later scans expose hash partitioning
+        on ``bucket_cols`` so per-key windows/joins need no exchange."""
+        w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.format("parquet").saveAsTable(name)
+
+    def load(self, name: str, path: str | None = None) -> DataFrame:
+        if self.iceberg:  # pragma: no cover
+            return self.spark.table(name)
+        if name in [t.name for t in self.spark.catalog.listTables()]:
+            return self.spark.table(name)
+        return self.spark.read.parquet(path)
+
+    def upsert(self, name: str, path: str, delta: DataFrame, keys: list[str]) -> None:
+        """MERGE INTO on Iceberg; anti-join + atomic rewrite on Parquet
+        (reference upsert semantics, output_handler.py:57-71)."""
+        if self.iceberg:  # pragma: no cover
+            delta.createOrReplaceTempView("_delta")
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO {name} t USING _delta s ON {cond} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        else:
+            from med_doi_feature_extraction_spark.operators.upsert import upsert
+
+            existing = self.spark.read.parquet(path)
+            merged = upsert(existing, delta, keys)
+            # write-then-swap for atomicity on plain parquet
+            tmp = path.rstrip("/") + "._staging"
+            merged.write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            shutil.rmtree(path)
+            shutil.move(tmp, path)

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): extractor totality, sessionize
+idempotence/permutation-invariance, minhash bounds (SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from med_doi_feature_extraction_spark.kernels.hashing import (
+    char_shingles,
+    minhash_signatures,
+    simhash64,
+)
+from med_doi_feature_extraction_spark.kernels.html_text import extract_text
+
+# constrained HTML-ish grammar: tags (balanced or not), entities,
+# text with unicode, comments, scripts
+_tag = st.sampled_from(
+    ["p", "div", "b", "i", "span", "h1", "li", "script", "style", "title"]
+)
+_chunk = st.one_of(
+    st.text(max_size=30),
+    _tag.map(lambda t: f"<{t}>"),
+    _tag.map(lambda t: f"</{t}>"),
+    st.sampled_from(["&amp;", "&lt;", "&#65;", "<!-- c -->", "<br/>", "<b", "</"]),
+)
+
+
+@given(st.lists(_chunk, max_size=30).map("".join))
+@settings(max_examples=200, deadline=None)
+def test_extractor_total_and_deterministic(html: str):
+    """Never throws on arbitrary tag soup; pure (same input → same
+    output); output never contains the block sentinel."""
+    a = extract_text(html)
+    b = extract_text(html)
+    assert a == b
+    assert a is None or "\x00" not in a
+    # bytes path agrees with str path for valid UTF-8
+    assert extract_text(html.encode("utf-8")) == a
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000_000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_sessionize_pandas_oracle_properties(rows):
+    """Oracle-level checks of sessionization algebra: session ids are
+    1..K contiguous per entity, non-decreasing in time, and a gap
+    > threshold always starts a new session. (The Spark operator is
+    pinned to this oracle in test_windows.py; hypothesis explores the
+    timestamp space here without a JVM round-trip per example.)"""
+    gap_s = 3600
+    pdf = pd.DataFrame(rows, columns=["e", "off"])
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf.off, unit="s")
+    pdf = pdf.sort_values(["e", "ts", "off"], kind="stable").reset_index(drop=True)
+    prev = pdf.groupby("e")["ts"].shift(1)
+    gap = (pdf.ts - prev).dt.total_seconds()
+    new = gap.isna() | (gap > gap_s)
+    sid = new.groupby(pdf.e).cumsum()
+    for e, grp in pdf.assign(sid=sid, gap=gap).groupby("e"):
+        ids = grp.sid.to_numpy()
+        assert ids[0] == 1
+        assert ((np.diff(ids) == 0) | (np.diff(ids) == 1)).all()
+        breaks = grp.gap.to_numpy()[1:] > gap_s
+        assert (np.diff(ids) == breaks.astype(int)).all()
+
+
+@given(st.text(min_size=0, max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_hash_kernels_total(text: str):
+    """Hashing kernels accept arbitrary unicode and return well-typed
+    values; signatures are deterministic."""
+    s = pd.Series([text, text])
+    sig = minhash_signatures(s, n_hashes=16)
+    assert sig[0] == sig[1]
+    assert len(sig[0]) == 16
+    assert all(0 <= v < (1 << 31) for v in sig[0])
+    sh = simhash64(s)
+    assert sh[0] == sh[1]
+    sh_int = int(sh[0])
+    assert -(1 << 63) <= sh_int < (1 << 63)
+
+
+@given(st.text(min_size=1, max_size=200), st.text(min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_minhash_identity_and_symmetry(a: str, b: str):
+    """Identical normalized texts → identical signatures; signature
+    agreement is symmetric."""
+    sa, sb = minhash_signatures(pd.Series([a, b]), n_hashes=32)
+    if set(char_shingles(a)) == set(char_shingles(b)):
+        assert sa == sb
+    agree_ab = sum(x == y for x, y in zip(sa, sb))
+    agree_ba = sum(x == y for x, y in zip(sb, sa))
+    assert agree_ab == agree_ba

@@ -29,14 +29,22 @@ from med_doi_feature_extraction_spark.streaming.sessions import (
 
 def test_streaming_sessions_match_batch(spark, tmp_path):
     """Streaming session_window over a parquet stream == the batch
-    session_window oracle on the same events."""
+    session_window oracle, for every session the watermark finalized.
+
+    Append mode only EMITS sessions whose window end is below the
+    final watermark (max event time − delay); sessions still pending
+    at end-of-stream stay in state. So the parity set is the batch
+    result filtered to finalized sessions — with a single ordered
+    source file the stream processes one batch and that set is
+    deterministic."""
+    delay_s = 7200
     src = str(tmp_path / "events_src")
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    events.write.parquet(src)
+    events.orderBy("ts").coalesce(1).write.parquet(src)
 
     streamed = run_stream_once(
         spark, src, events.schema,
-        lambda s: streaming_sessions(s, "user_id", "ts", 1800),
+        lambda s: streaming_sessions(s, "user_id", "ts", 1800, watermark=f"{delay_s} seconds"),
         query_name="sess_stream",
     ).toPandas()
 
@@ -51,10 +59,15 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         )
         .toPandas()
     )
+    max_ts = batch.session_end.max()
+    finalized = batch[
+        batch.session_end <= max_ts - pd.Timedelta(seconds=delay_s)
+    ]
+    assert len(finalized) > 0.5 * len(batch)
     key = ["user_id", "session_start"]
     pd.testing.assert_frame_equal(
         streamed.sort_values(key).reset_index(drop=True),
-        batch.sort_values(key).reset_index(drop=True),
+        finalized.sort_values(key).reset_index(drop=True),
     )
 
 
@@ -79,10 +92,11 @@ def test_media_features(spark):
     bad = out[out.decode_error.notna()]
     assert len(bad) > 0 and (bad.decode_error == "empty_payload").all()
     assert ok.features.map(len).eq(16).all()
-    # determinism: same payload bytes → same fake vector
-    mpdf = media.toPandas()
-    p0 = bytes(mpdf.payload[0])
-    assert list(ok[ok.media_id == 0].features.iloc[0]) == fake_feature_vector(p0)
+    # determinism: same payload bytes → same fake vector (media_id 0
+    # has an empty payload by construction; use 1)
+    mpdf = media.toPandas().set_index("media_id")
+    p1 = bytes(mpdf.payload[1])
+    assert list(ok[ok.media_id == 1].features.iloc[0]) == fake_feature_vector(p1)
 
 
 def test_frame_sampling(spark):
