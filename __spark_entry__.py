@@ -803,6 +803,24 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def q_pages_flagship(spark, sf_dir):
+    """The north-star pipeline on a seeded synthetic pages table:
+    HTML→text kernel (byte-identity tested in pytest), DOI features,
+    window stack, point-in-time dim join, lineage. Non-SQL-expressible
+    (pandas-UDF kernel) → rows-only driver check; full golden parity
+    lives in tests/."""
+    from med_doi_feature_extraction_spark.pipeline import FeatureConfig, page_features
+    from med_doi_feature_extraction_spark.sources.pages import (
+        generate_dim_snapshots,
+        generate_pages,
+    )
+
+    pdf = generate_pages(n_urls=120, seed=42)
+    pages = spark.createDataFrame(pdf)
+    dim = spark.createDataFrame(generate_dim_snapshots(pdf, seed=43))
+    return page_features(pages, dim=dim, cfg=FeatureConfig(run_id="contract"))
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -857,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "pages_flagship": q_pages_flagship,
     }
 
 

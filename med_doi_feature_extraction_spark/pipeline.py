@@ -133,18 +133,28 @@ def page_features(
     2. ONE full-width (post-extract) hash exchange on url feeds every
        window feature (their clustering requirement is satisfied, so
        Catalyst adds no further exchange);
-    3. the as-of join runs on a 3-column projection (url, warc_ts,
-       domain) — its union-window exchange moves ~1% of the bytes —
-       and rejoins co-partitioned on url (both sides HashPartitioning
-       (url, n) ⇒ sort-merge join without exchanging the wide side).
+    3. the as-of join runs on a 3-column projection taken from the RAW
+       source (url, warc_ts, parse_url(url)) — column pruning keeps
+       that scan narrow, no UDF, and crucially it is NOT a second
+       evaluation of the extract+window subtree (deriving it from the
+       window output made Spark recompute the whole expensive DAG
+       twice — measured via event logs); its union-window exchange
+       moves ~1% of the bytes, then it rejoins co-partitioned on url
+       (both sides HashPartitioning(url, n) ⇒ sort-merge join without
+       exchanging the wide side).
     """
     n = int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    df = extract_stage(pages)
+    # drop the stored ground-truth text BEFORE the exchange — it
+    # duplicates text_extracted byte-for-byte and would double the
+    # wide shuffle's payload
+    df = extract_stage(pages).drop("text")
     if not pre_partitioned:
         df = df.repartition(n, "url")
     df = window_stage(df, cfg)
     if dim is not None:
-        slim = df.select("url", "warc_ts", "domain")
+        slim = pages.select(
+            "url", "warc_ts", F.parse_url("url", F.lit("HOST")).alias("domain")
+        )
         res = asof_join_window(
             slim, dim, "domain", "warc_ts", "obs_ts",
             list(cfg.dim_value_cols), right_tiebreak=list(cfg.dim_tiebreak),

@@ -1,0 +1,97 @@
+"""Kernel cascade (M2/M3) and reference-pipeline compilation (F4)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.cascade import (
+    KernelTier,
+    cascade,
+    route_by_complexity,
+)
+from med_doi_feature_extraction_spark.plans.compile import (
+    FieldSpec,
+    RefPipelineSpec,
+    compile_reference_pipeline,
+    regex_doi_extractor,
+)
+
+
+def test_route_by_complexity(spark):
+    df = spark.createDataFrame(pd.DataFrame({"c": [0.1, 0.5, 0.79, 0.9]}))
+    out = df.withColumn("tier", route_by_complexity(F.col("c"))).toPandas()
+    assert list(out.tier) == ["nano", "mini", "mini", "full"]
+
+
+def test_cascade_early_stop(spark):
+    """Cheap tier settles easy rows; expensive tier only sees the rest;
+    unsolved rows keep last tier's output (quarantine-able)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": ["a", "b", "c"], "x": [10.0, 1.0, -5.0]})
+    )
+    cheap = KernelTier(
+        "cheap",
+        apply=lambda d: d.withColumn("y", F.col("x") * 2),
+        confidence=lambda d: F.when(F.col("x") > 5, 0.9).otherwise(0.2),
+    )
+    expensive = KernelTier(
+        "expensive",
+        apply=lambda d: d.withColumn("y", F.col("x") * 3),
+        confidence=lambda d: F.when(F.col("x") > 0, 0.8).otherwise(0.1),
+    )
+    out = cascade(df, [cheap, expensive], min_confidence=0.5, keys=["key"]).toPandas()
+    out = out.set_index("key")
+    assert out.loc["a"].kernel_used == "cheap" and out.loc["a"].y == 20
+    assert out.loc["b"].kernel_used == "expensive" and out.loc["b"].y == 3
+    # c fails both: carries last tier output + low confidence
+    assert out.loc["c"].kernel_used == "expensive"
+    assert out.loc["c"].kernel_confidence < 0.5
+
+
+def test_compile_reference_pipeline(spark):
+    """The reference's country/doi pipeline shape end-to-end: rename,
+    key coalesce+sanitize, extract, normalize with synonyms, score,
+    validate, quarantine."""
+    raw = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doi_raw": ["10.1234/a/b", None, "10.9/x"],
+                "Abstract": ["t " * 300, "see 10.5555/xyz.1 here", ""],
+                "Country Raw": [" usa ", "Deutschland", "Nowhere"],
+            }
+        )
+    )
+    spec = RefPipelineSpec(
+        name="country",
+        column_map={"Country Raw": "country_text", "doi_raw": "DOI"},
+        id_column="DOI",
+        fields={
+            "country": FieldSpec(
+                choices=["USA", "Germany"],
+                synonyms={"Germany": ["Deutschland"]},
+            )
+        },
+        input_signals={"Abstract": 0.7, "country_text": 0.3},
+        min_confidence_threshold=0.5,
+    )
+
+    def extractor(df):
+        return df.withColumn("extracted_country", F.col("country_text"))
+
+    valid, quarantined = compile_reference_pipeline(raw, spec, extractor)
+    v = valid.toPandas().set_index("key")
+    # row with null DOI dropped by require-key (reference S7)
+    assert len(v) + quarantined.count() == 2
+    assert "10.1234_a_b" in v.index  # key sanitized / -> _
+    assert v.loc["10.1234_a_b"].normalized_country == "USA"
+    assert v.loc["10.9_x"].normalized_country == "Nowhere"  # passthrough
+    assert (v.confidence >= 0.5).all()
+
+
+def test_regex_doi_extractor(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"DOI": ["k1", "k2"], "Abstract": ["see 10.1234/ab.1", "none"]})
+    )
+    out = regex_doi_extractor(["Abstract"])(df).toPandas()
+    assert list(out.extracted_doi) == ["10.1234/ab.1", None]
