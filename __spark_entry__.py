@@ -59,6 +59,14 @@ _DEC = "decimal(18,2)"
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may hand us its own session: make sure executor
+    # python workers can import the engine package (pandas-UDF
+    # closures reference it by name); idempotent per SparkContext.
+    from med_doi_feature_extraction_spark.packaging import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -809,12 +817,14 @@ def q_pages_flagship(spark, sf_dir):
     window stack, point-in-time dim join, lineage. Non-SQL-expressible
     (pandas-UDF kernel) → rows-only driver check; full golden parity
     lives in tests/."""
+    from med_doi_feature_extraction_spark.packaging import ensure_package_on_workers
     from med_doi_feature_extraction_spark.pipeline import FeatureConfig, page_features
     from med_doi_feature_extraction_spark.sources.pages import (
         generate_dim_snapshots,
         generate_pages,
     )
 
+    ensure_package_on_workers(spark)
     pdf = generate_pages(n_urls=120, seed=42)
     pages = spark.createDataFrame(pdf)
     dim = spark.createDataFrame(generate_dim_snapshots(pdf, seed=43))

@@ -38,8 +38,21 @@ def build_package_zip(out_dir: str | None = None) -> str:
     return zip_path
 
 
+_SHIPPED: set[str] = set()
+
+
 def ensure_package_on_workers(spark) -> str:  # noqa: ANN001
-    """Make the package importable in executor Python workers."""
+    """Make the package importable in executor Python workers.
+    Idempotent per SparkContext (safe to call from every query entry —
+    the driver contract may hand us a session we didn't build)."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    zip_path = os.path.join(
+        __import__("tempfile").gettempdir(), f"{_PKG_NAME}.zip"
+    )
+    if key in _SHIPPED:
+        return zip_path
     zip_path = build_package_zip()
-    spark.sparkContext.addPyFile(zip_path)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(key)
     return zip_path
