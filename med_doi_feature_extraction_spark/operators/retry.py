@@ -39,6 +39,43 @@ def route_retries(
     )
 
 
+def retry_failures(
+    failures: DataFrame,
+    input_df: DataFrame,
+    key: str,
+    retry_plan: dict[str, int],
+    kernel,  # Callable[[DataFrame], DataFrame]: adds result + valid cols
+    default_max_retries: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """The full reference ``retry`` command as one dataflow
+    (``src/cli/commands_post.py:32-175``): route by category → drop
+    exhausted rows → point-lookup input → re-run the kernel on the
+    joined rows → split (recovered, still_failing). ``still_failing``
+    carries ``retry_count + 1`` and is the new failures manifest
+    (anti-join rewrite semantics of commands_post.py:159-161);
+    exhausted and missing_input rows stay in it untouched."""
+    routed = route_retries(failures, retry_plan, default_max_retries)
+    eligible = attach_input(routed.filter(F.col("eligible")), input_df, key)
+    exhausted = routed.filter(~F.col("eligible"))
+
+    missing = eligible.filter(F.col("failure_category") == "missing_input")
+    runnable = eligible.filter(F.col("failure_category") != "missing_input")
+
+    rerun = kernel(runnable)
+    recovered = rerun.filter(F.col("valid"))
+    still = rerun.filter(~F.col("valid")).withColumn(
+        "retry_count", F.col("retry_count") + 1
+    )
+
+    fail_cols = failures.columns
+    new_failures = (
+        still.select(*fail_cols)
+        .unionByName(missing.select(*fail_cols))
+        .unionByName(exhausted.select(*fail_cols))
+    )
+    return recovered, new_failures
+
+
 def attach_input(
     failures: DataFrame, input_df: DataFrame, key: str
 ) -> DataFrame:

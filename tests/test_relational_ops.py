@@ -99,3 +99,42 @@ def test_retry_routing(spark):
     assert attached.loc["k4"].failure_category == "missing_input"
     assert attached.loc["k1"].failure_category == "parse"
     assert attached.loc["k1"].payload == "a"
+
+
+def test_retry_failures_end_to_end(spark):
+    """Full reference `retry` semantics: recovered rows leave the
+    failure manifest, still-failing rows bump retry_count, exhausted
+    and missing-input rows persist unchanged."""
+    from pyspark.sql import functions as F
+
+    from med_doi_feature_extraction_spark.operators.retry import retry_failures
+
+    failures = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["k1", "k2", "k3", "k9"],
+                "failure_category": ["parse", "parse", "timeout", "parse"],
+                "retry_count": [0, 0, 5, 0],
+            }
+        )
+    )
+    input_df = spark.createDataFrame(
+        pd.DataFrame({"key": ["k1", "k2", "k3"], "payload": [10, -1, 7]})
+    )
+
+    def kernel(df):
+        # succeeds on positive payloads
+        return df.withColumns(
+            {"result": F.col("payload") * 2, "valid": F.col("payload") > 0}
+        )
+
+    recovered, new_failures = retry_failures(
+        failures, input_df, "key", {"parse": 3, "timeout": 2}, kernel
+    )
+    rec = recovered.toPandas().set_index("key")
+    nf = new_failures.toPandas().set_index("key")
+    assert list(rec.index) == ["k1"] and rec.loc["k1"].result == 20
+    assert set(nf.index) == {"k2", "k3", "k9"}
+    assert nf.loc["k2"].retry_count == 1          # re-ran, still failing
+    assert nf.loc["k3"].retry_count == 5          # exhausted, untouched
+    assert nf.loc["k9"].failure_category == "missing_input"
