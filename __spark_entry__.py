@@ -811,6 +811,14 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def q_dedup_decisions(spark, sf_dir):
+    """Near-dup pairs → connected components → keep/remove decisions
+    (iterative min-label propagation; rows-only check)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+    return dedup.dedup_decisions(docs, "doc_id", pairs)
+
+
 def q_pages_flagship(spark, sf_dir):
     """The north-star pipeline on a seeded synthetic pages table:
     HTML→text kernel (byte-identity tested in pytest), DOI features,
@@ -885,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "dedup_decisions": q_dedup_decisions,
         "pages_flagship": q_pages_flagship,
     }
 

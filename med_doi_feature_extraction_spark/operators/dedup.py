@@ -195,3 +195,68 @@ def simhash_candidates(
     return pairs.filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs (id_a, id_b) →
+    (doc_id, cluster_id) with cluster_id = min doc id in the component.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup components are shallow —
+    dups of a page cluster around it). Each round is two shuffles on
+    ids; AQE handles the shrinking frontier. This is the operator that
+    turns pairwise candidates into keep/remove decisions at corpus
+    scale; not SQL-expressible (iteration), driver check is rows-only.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def dedup_decisions(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """(doc_id, cluster_id, keep): cluster survivors are the min id per
+    component; docs in no component keep themselves."""
+    clusters = dup_clusters(pairs)
+    out = df.select(F.col(id_col).alias("doc_id")).join(clusters, "doc_id", "left")
+    out = out.withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    return out.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))

@@ -117,3 +117,19 @@ def test_embedding_near_dup_self_consistency(spark, emb_df):
     aug = emb_df.unionByName(dup)
     pairs = similarity.embedding_near_dup(aug, threshold=0.99).toPandas()
     assert ((pairs.id_a == 0) & (pairs.id_b == 9999)).any()
+
+
+def test_dup_clusters_and_decisions(spark):
+    """Chained pairs form one component labeled by its min id; isolated
+    docs keep themselves."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 21]})
+    )
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 20, 21, 99]}))
+    out = dedup.dedup_decisions(docs, "doc_id", pairs).toPandas().set_index("doc_id")
+    assert out.loc[[1, 2, 3]].cluster_id.tolist() == [1, 1, 1]
+    assert out.loc[[10, 11]].cluster_id.tolist() == [10, 10]
+    assert out.loc[[20, 21]].cluster_id.tolist() == [20, 20]
+    assert out.loc[99].cluster_id == 99 and bool(out.loc[99].keep)
+    assert out.keep.sum() == 4  # 1, 10, 20, 99
+    # planted near-dups from the corpus fixture resolve to keep=min id
