@@ -141,3 +141,37 @@ def test_deep_merge_and_env():
         "k": "bar/x",
         "n": [""],
     }
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState per-row sessionization over a stream ==
+    the batch sessionize operator, including session_seq continuity."""
+    from med_doi_feature_extraction_spark.operators.windows import sessionize
+    from med_doi_feature_extraction_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    src = str(tmp_path / "stateful_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.orderBy("ts").coalesce(1).write.parquet(src)
+
+    streamed = run_stream_once(
+        spark, src, events.schema,
+        lambda s: sessionize_stateful(s, "user_id", "ts", 1800),
+        query_name="stateful_sess",
+    ).toPandas()
+
+    batch = (
+        sessionize(
+            events.withColumn("ts", F.col("ts").cast("timestamp")),
+            "user_id", "ts", 1800,
+        )
+        .select("user_id", "ts", "session_id", "session_seq", "snap_rank")
+        .toPandas()
+    )
+    key = ["user_id", "ts"]
+    streamed = streamed.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(streamed) == len(batch)
+    for col in ["session_id", "session_seq", "snap_rank"]:
+        assert (streamed[col].astype("int64") == batch[col].astype("int64")).all(), col
