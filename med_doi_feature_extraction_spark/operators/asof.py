@@ -59,14 +59,19 @@ def asof_join_window(
         .drop("_rn")
     )
 
+    # All value columns ride in ONE struct per right row, so a single
+    # last(ignorenulls) attaches the columns of the SAME best-matching
+    # right row — a right row with a legitimately-NULL value column
+    # stays the match (the struct itself is non-null) instead of that
+    # one column falling back to an older row.
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     r = right_dedup.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r_vals"),
     )
-    # Align schemas: left gets null right-value cols, right gets null
+    # Align schemas: left gets a null right-struct, right gets null
     # left cols; allowMissingColumns handles both directions.
     unioned = l.unionByName(r, allowMissingColumns=True)
 
@@ -77,12 +82,15 @@ def asof_join_window(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.withColumns(
-        {c: F.last(f"_r_{c}", ignorenulls=True).over(w) for c in value_cols}
+    filled = unioned.withColumn(
+        "_r_match", F.last("_r_vals", ignorenulls=True).over(w)
+    )
+    filled = filled.withColumns(
+        {c: F.col("_r_match")[c] for c in value_cols}
     )
     return (
         filled.filter(F.col("_side") == 1)
-        .drop("_ts", "_side", *[f"_r_{c}" for c in value_cols])
+        .drop("_ts", "_side", "_r_vals", "_r_match")
     )
 
 

@@ -200,6 +200,7 @@ def simhash_candidates(
 def dup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over near-dup pairs (id_a, id_b) →
     (doc_id, cluster_id) with cluster_id = min doc id in the component.
@@ -211,6 +212,12 @@ def dup_clusters(
     ids; AQE handles the shrinking frontier. This is the operator that
     turns pairwise candidates into keep/remove decisions at corpus
     scale; not SQL-expressible (iteration), driver check is rows-only.
+
+    Min-label propagation moves labels one hop per round, so a
+    component with diameter > max_iterations would come back silently
+    SPLIT — ``on_nonconverged`` controls the guard: "raise" (default)
+    or "warn". Near-dup components are shallow in practice; raise the
+    cap (or pre-contract with exact dedup) for pathological chains.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -222,6 +229,7 @@ def dup_clusters(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -247,7 +255,19 @@ def dup_clusters(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"dup_clusters did not converge within max_iterations="
+            f"{max_iterations}; a component with larger diameter would "
+            f"be returned split"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -81,10 +81,13 @@ def attach_input(
 ) -> DataFrame:
     """Broadcast point-lookup of each failure's input row; unmatched
     failures survive with ``failure_category = 'missing_input'``."""
-    joined = failures.join(F.broadcast(input_df), key, "left")
-    probe_col = [c for c in input_df.columns if c != key][0]
+    # explicit match flag: a probe data column would misfire when the
+    # matched input row legitimately has NULL there (or not exist at
+    # all when input_df is key-only)
+    tagged = input_df.withColumn("_matched", F.lit(True))
+    joined = failures.join(F.broadcast(tagged), key, "left")
     return joined.withColumn(
         "failure_category",
-        F.when(F.col(probe_col).isNull() & F.col(key).isNotNull(), F.lit("missing_input"))
+        F.when(F.col("_matched").isNull(), F.lit("missing_input"))
         .otherwise(F.col("failure_category")),
-    )
+    ).drop("_matched")

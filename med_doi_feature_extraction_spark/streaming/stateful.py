@@ -6,14 +6,27 @@ need the session id ON EVERY EVENT ROW (it's a feature). This operator
 keeps (last_ts, session_id, snap_rank) per entity in group state and
 assigns ids incrementally as microbatches arrive — the streaming twin
 of ``operators.windows.sessionize`` with identical semantics (new
-session when gap > threshold, strictly).
+session when gap > threshold, strictly; gaps compared on FLOORED epoch
+seconds exactly like the batch operator's ``_epoch_seconds``, so
+sub-second timestamps session identically in both modes).
 
-Caveats (inherent to the primitive, documented for operators):
-- rows must arrive in non-decreasing ts order per entity across
-  batches for ids to match the batch operator (use a watermark +
-  sorted sources, or accept per-batch-local ordering);
-- state size is O(entities); at 10^12-doc scale key the stream by
-  url-bucket shards and use state-store rocksdb on a real cluster.
+Two delivery modes:
+
+- ``buffer_late=False`` (default): rows are assigned ids immediately,
+  assuming non-decreasing ts per entity across batches (sorted source).
+  A row arriving after a later row has been processed gets a WRONG id —
+  this failure mode is pinned by a test.
+- ``buffer_late=True``: rows are held in group state until the event
+  watermark passes them, then finalized in ts order — out-of-order
+  arrival within the watermark yields exactly the batch ids (append
+  semantics: rows newer than the final watermark stay buffered, same
+  contract as ``session_window`` append mode). Uses EventTimeTimeout
+  so buffered rows flush on no-data microbatches as the watermark
+  advances.
+
+State size is O(entities) (+O(buffered rows) in buffered mode — bounded
+by rows-per-watermark-window); at 10^12-doc scale key the stream by
+url-bucket shards and use the rocksdb state store on a real cluster.
 """
 
 from __future__ import annotations
@@ -33,6 +46,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("session_id", T.LongType()),
         T.StructField("session_seq", T.LongType()),
         T.StructField("snap_rank", T.LongType()),
+        T.StructField("pending_ts_us", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -55,28 +69,54 @@ def sessionize_stateful(
     ts: str,
     gap_seconds: int,
     watermark: str = "1 hour",
+    buffer_late: bool = False,
 ) -> DataFrame:
     """Streaming per-row sessionization. Input may be a streaming or
-    batch DataFrame grouped by ``entity``."""
+    batch DataFrame grouped by ``entity`` (``buffer_late`` requires a
+    streaming input — it finalizes on watermark advance)."""
 
     def assign(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
-            last_ts_us, session_id, session_seq, snap_rank = state.get
+            last_ts_us, session_id, session_seq, snap_rank, pending = state.get
+            pending = list(pending or [])
         else:
             last_ts_us, session_id, session_seq, snap_rank = None, 0, 0, 0
+            pending = []
+
+        new_ts: list[int] = []
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                new_ts.extend(
+                    int(pd.Timestamp(t).value // 1000) for t in pdf[ts]
+                )
+
+        if buffer_late:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            pending = sorted(pending + new_ts)
+            ready = [t for t in pending if t <= wm_us]
+            pending = [t for t in pending if t > wm_us]
+        else:
+            ready = sorted(new_ts)
+
         out_rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts, kind="stable")
-            for t in pdf[ts]:
-                t_us = int(pd.Timestamp(t).value // 1000)
-                if last_ts_us is None or (t_us - last_ts_us) / 1_000_000 > gap_seconds:
-                    session_id += 1
-                    session_seq = 0
-                last_ts_us = t_us
-                session_seq += 1
-                snap_rank += 1
-                out_rows.append((key[0], t, session_id, session_seq, snap_rank))
-        state.update((last_ts_us, session_id, session_seq, snap_rank))
+        for t_us in ready:
+            t_s = t_us // 1_000_000
+            if last_ts_us is None or t_s - (last_ts_us // 1_000_000) > gap_seconds:
+                session_id += 1
+                session_seq = 0
+            last_ts_us = t_us
+            session_seq += 1
+            snap_rank += 1
+            out_rows.append(
+                (key[0], pd.Timestamp(t_us * 1000), session_id, session_seq, snap_rank)
+            )
+
+        state.update((last_ts_us, session_id, session_seq, snap_rank, pending))
+        if buffer_late and pending:
+            # re-arm: fire as soon as the watermark can finalize the
+            # earliest buffered row (must be strictly > current wm)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(min(pending) // 1000, wm_ms + 1))
         if out_rows:
             yield pd.DataFrame(
                 out_rows,
@@ -86,10 +126,15 @@ def sessionize_stateful(
     events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     if events.isStreaming:
         events = events.withWatermark(ts, watermark)
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if buffer_late
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy(entity).applyInPandasWithState(
         assign,
         _output_schema(entity, ts),
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
