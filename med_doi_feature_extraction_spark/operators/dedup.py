@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.sql import Window
+
 from med_doi_feature_extraction_spark.kernels.hashing import (
     minhash_signatures,
     simhash64,
@@ -37,6 +39,31 @@ _sig_udf = F.pandas_udf(
     lambda s: minhash_signatures(s), T.ArrayType(T.LongType())
 )
 _simhash_udf = F.pandas_udf(lambda s: simhash64(s), T.LongType())
+
+# Hot-band guard: an LSH bucket shared by B docs yields B² candidate
+# pairs in the self-join — one boilerplate band over 10^7 docs is
+# 10^14 pairs. Buckets above the cap are dropped: docs that big a
+# bucket clusters are either degenerate (empty/boilerplate shingles —
+# exactly what you don't want driving near-dup decisions) or still
+# pair up through their other, more selective bands.
+DEFAULT_MAX_BAND_BUCKET = 50_000
+
+
+def _cap_buckets(
+    bands: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop (band, hash) buckets with more than ``max_bucket`` members.
+
+    The count runs as a window over the SAME keys the self-join
+    shuffles on, so Catalyst reuses one exchange for cap + join."""
+    if max_bucket is None:
+        return bands
+    w = Window.partitionBy(*keys)
+    return (
+        bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -92,12 +119,15 @@ def minhash_lsh_candidates(
     text_col: str,
     n_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Signature length = n_bands × rows_per_band (must equal the minhash
     kernel's n_hashes=64 by default). Jaccard-threshold intuition:
     16 bands × 4 rows ⇒ s-curve midpoint ≈ (1/16)^(1/4) ≈ 0.5.
+    Buckets above ``max_bucket`` are dropped before the self-join
+    (see ``DEFAULT_MAX_BAND_BUCKET``).
     """
     sigs = with_minhash(df.select(id_col, text_col), text_col)
     bands = sigs.select(
@@ -119,6 +149,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+    bands = _cap_buckets(bands, ["band", "band_hash"], max_bucket)
     a = bands.withColumnsRenamed({id_col: "id_a"})
     b = bands.withColumnsRenamed({id_col: "id_b"})
     return (
@@ -136,10 +167,13 @@ def minhash_dedup(
     threshold: float = 0.7,
     n_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Verified near-dup pairs: LSH candidates filtered by exact
     token-set Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n_bands, rows_per_band)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n_bands, rows_per_band, max_bucket
+    )
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("toks"))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("tokens_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("tokens_b"))
@@ -154,11 +188,16 @@ def with_simhash(df: DataFrame, text_col: str, out: str = "simhash") -> DataFram
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 × 16-bit bands (pigeonhole:
     Hamming ≤ 3 ⇒ at least one band identical), verify exact Hamming
-    distance ≤ max_hamming JVM-side via bit_count(xor)."""
+    distance ≤ max_hamming JVM-side via bit_count(xor). Buckets above
+    ``max_bucket`` are dropped before the self-join."""
     sh = with_simhash(df.select(id_col, text_col), text_col)
     bands = sh.select(
         F.col(id_col),
@@ -177,6 +216,7 @@ def simhash_candidates(
             )
         ).alias("bh"),
     ).select(id_col, "simhash", "bh.band", "bh.band_val")
+    bands = _cap_buckets(bands, ["band", "band_val"], max_bucket)
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
     )

@@ -86,12 +86,23 @@ def cosine_topk(
     )
 
 
-def _projection_udf(dim: int, n_bits: int, seed: int):
-    planes = np.random.default_rng(seed).standard_normal((dim, n_bits))
+def _projection_udf(n_bits: int, seed: int, dim: int | None = None):
+    """Sign-bit random-hyperplane bucketing. The plane matrix is
+    generated lazily INSIDE the udf from the first Arrow batch's
+    vector width (deterministic per seed) — plan construction must
+    launch zero Spark jobs (no driver-side ``.first()`` scan)."""
+    state: dict = {}
 
     @F.pandas_udf(T.IntegerType())
     def bucket_of(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], index=vecs.index, dtype=np.int32)
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        planes = state.get("planes")
+        if planes is None or planes.shape[0] != mat.shape[1]:
+            d = dim if dim is not None else mat.shape[1]
+            planes = np.random.default_rng(seed).standard_normal((d, n_bits))
+            state["planes"] = planes
         bits = (mat @ planes) > 0  # (batch, n_bits)
         weights = (1 << np.arange(n_bits)).astype(np.int64)
         return pd.Series((bits @ weights).astype(np.int32), index=vecs.index)
@@ -107,9 +118,9 @@ def with_lsh_bucket(
     seed: int = 42,
     out: str = "lsh_bucket",
 ) -> DataFrame:
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    return df.withColumn(out, _projection_udf(dim, n_bits, seed)(vec_col))
+    """``dim`` is optional and only a cross-check: when None the udf
+    infers it from the data. Never runs a job at plan time."""
+    return df.withColumn(out, _projection_udf(n_bits, seed, dim)(vec_col))
 
 
 def lsh_topk(
@@ -128,7 +139,6 @@ def lsh_topk(
     Hamming-1 neighbor buckets on the query side). Same output schema
     as ``cosine_topk`` → recall@k is directly measurable; recall rises
     with n_tables at the cost of candidate volume."""
-    dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
@@ -136,8 +146,8 @@ def lsh_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     for t in range(n_tables):
-        c = with_lsh_bucket(c, "_cv", dim, n_bits, seed + t, out=f"_b{t}")
-        q = with_lsh_bucket(q, "_qv", dim, n_bits, seed + t, out=f"_b{t}")
+        c = with_lsh_bucket(c, "_cv", None, n_bits, seed + t, out=f"_b{t}")
+        q = with_lsh_bucket(q, "_qv", None, n_bits, seed + t, out=f"_b{t}")
 
     def melt(df: DataFrame, probe: bool) -> DataFrame:
         entries = []
@@ -192,13 +202,24 @@ def embedding_near_dup(
     threshold: float = 0.95,
     n_bits: int = 8,
     seed: int = 42,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold, LSH-blocked so the
-    pairwise work is per-bucket, not global."""
+    pairwise work is per-bucket, not global. Buckets larger than
+    ``max_bucket`` are dropped (quadratic bomb guard — a degenerate
+    bucket of zero/constant vectors at corpus scale would otherwise
+    dominate the join); at 10^12 docs raise n_bits instead of the cap."""
     b = with_lsh_bucket(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         "_v", None, n_bits, seed,
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("lsh_bucket")
+        b = (
+            b.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = b.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "lsh_bucket"
     )
