@@ -9,15 +9,21 @@ audit_service.py:34-53``):
   processed in chunks, each chunk one independent Spark job writing
   parquet partitioned by ``url_bucket``.
 - After a chunk commits, one manifest row per bucket (rows_out, bytes,
-  wall time, kernel version, status=done) is appended to a JSONL
-  manifest — the durable checkpoint.
+  wall time, kernel version, status=done) is persisted as a NEW
+  immutable JSONL file — the durable checkpoint. No append anywhere
+  (object stores don't support it); every flush is its own
+  ``manifest_{attempt}_{seq}.jsonl``.
 - Resume = anti-join pending buckets against the manifest's done set
   (the reference's per-key existence check, lifted to bucket
   granularity so it costs O(buckets), not O(rows)).
 - Idempotence: chunk writes use dynamic partition overwrite, so
   re-processing a bucket whose write partially completed before a
   crash simply replaces it — final output equals a clean run
-  (kill/resume test in tests/test_manifest.py).
+  (kill/resume test in tests/test_pipeline_manifest.py).
+- ALL filesystem access goes through the Hadoop FileSystem API
+  (``fsutil``), so the same code runs on local disk, HDFS and S3A;
+  per-bucket row counts come from an ``Observation`` attached to the
+  chunk's own write job (no second job, no parquet-footer reads).
 
 At cluster scale each chunk is a bounded-size job (straggler/ retry
 blast radius = one chunk), and the manifest doubles as the lineage /
@@ -27,14 +33,14 @@ throughput record the bench reads.
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from med_doi_feature_extraction_spark import fsutil
 from med_doi_feature_extraction_spark.pipeline import (
     PIPELINE_VERSION,
     FeatureConfig,
@@ -56,50 +62,45 @@ class BucketRecord:
 
 
 class CheckpointManifest:
-    """Append-only JSONL manifest (one file per run attempt, like the
-    reference's per-session ``events_*.jsonl`` streams)."""
+    """Immutable-file JSONL manifest (one file per flush, like the
+    reference's per-session ``events_*.jsonl`` streams but safe for
+    append-less object stores)."""
 
-    def __init__(self, manifest_dir: str) -> None:
-        self.dir = manifest_dir
-        os.makedirs(manifest_dir, exist_ok=True)
+    def __init__(self, spark: SparkSession, manifest_dir: str) -> None:
+        self.spark = spark
+        self.dir = manifest_dir.rstrip("/")
+        self._seq = 0
+        fsutil.mkdirs(spark, self.dir)
 
     def _files(self) -> list[str]:
         return sorted(
-            os.path.join(self.dir, f)
-            for f in os.listdir(self.dir)
-            if f.startswith("manifest_") and f.endswith(".jsonl")
+            path
+            for path, _ in fsutil.list_files(self.spark, self.dir)
+            if path.rsplit("/", 1)[-1].startswith("manifest_")
+            and path.endswith(".jsonl")
         )
 
     def done_buckets(self) -> set[int]:
         done: set[int] = set()
-        for path in self._files():
-            with open(path, encoding="utf-8") as fh:
-                for line in fh:
-                    try:
-                        rec = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue  # torn tail line from a crash — ignore
-                    if rec.get("status") == "done":
-                        done.add(int(rec["url_bucket"]))
+        for rec in self.records():
+            if rec.get("status") == "done":
+                done.add(int(rec["url_bucket"]))
         return done
 
     def append(self, attempt_id: str, records: list[BucketRecord]) -> None:
-        path = os.path.join(self.dir, f"manifest_{attempt_id}.jsonl")
-        with open(path, "a", encoding="utf-8") as fh:
-            for rec in records:
-                fh.write(json.dumps(asdict(rec)) + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
+        self._seq += 1
+        path = f"{self.dir}/manifest_{attempt_id}_{self._seq:04d}.jsonl"
+        body = "".join(json.dumps(asdict(rec)) + "\n" for rec in records)
+        fsutil.write_text(self.spark, path, body)
 
     def records(self) -> list[dict]:
         out = []
         for path in self._files():
-            with open(path, encoding="utf-8") as fh:
-                for line in fh:
-                    try:
-                        out.append(json.loads(line))
-                    except json.JSONDecodeError:
-                        continue
+            for line in fsutil.read_text(self.spark, path).splitlines():
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue  # torn tail line from a crash — ignore
         return out
 
 
@@ -107,21 +108,15 @@ class InjectedFailure(RuntimeError):
     """Test-only crash injection between chunks."""
 
 
-def _bucket_stats(out_dir: str, bucket: int) -> tuple[int, int]:
-    """(rows, bytes) for one bucket's partition dir, from parquet
-    footers + file sizes only (metadata read, no data scan)."""
-    import pyarrow.parquet as pq
-
-    bdir = os.path.join(out_dir, f"url_bucket={bucket}")
-    rows = 0
-    size = 0
-    if os.path.isdir(bdir):
-        for fn in os.listdir(bdir):
-            if fn.endswith(".parquet"):
-                path = os.path.join(bdir, fn)
-                rows += pq.ParquetFile(path).metadata.num_rows
-                size += os.path.getsize(path)
-    return rows, size
+def _bucket_bytes(spark: SparkSession, out_dir: str, bucket: int) -> int:
+    """Committed size of one bucket's partition dir — Hadoop FS
+    metadata listing only, works on any scheme."""
+    bdir = f"{out_dir.rstrip('/')}/url_bucket={bucket}"
+    return sum(
+        size
+        for path, size in fsutil.list_files(spark, bdir)
+        if path.endswith(".parquet")
+    )
 
 
 def bucket_col(n_buckets: int):
@@ -141,7 +136,7 @@ def run_partitioned(
 ) -> list[BucketRecord]:
     """Run the flagship pipeline resumably. Returns this attempt's
     manifest records (already persisted)."""
-    manifest = CheckpointManifest(manifest_dir)
+    manifest = CheckpointManifest(spark, manifest_dir)
     attempt_id = uuid.uuid4().hex[:12]
     done = manifest.done_buckets()
     pending = [b for b in range(n_buckets) if b not in done]
@@ -161,22 +156,31 @@ def run_partitioned(
         # the UDF stage, the window stage (clustering satisfied) AND
         # the bucketed sink (≈1 file per bucket) — a single shuffle.
         feats = page_features(part, dim=dim, cfg=cfg)
+        # per-bucket row counts piggyback on the write job itself
+        obs = Observation(f"chunk_{attempt_id}_{chunk_id}")
+        feats = feats.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("url_bucket") == b, 1).otherwise(0)
+                ).alias(f"rows_{b}")
+                for b in chunk
+            ],
+        )
         (
             feats.write.mode("overwrite")
             .partitionBy("url_bucket")
             .parquet(out_dir)
         )
-        # Lineage metrics straight from the committed parquet footers
-        # (row counts) and file sizes — no second Spark job per chunk.
-        by_bucket = {b: _bucket_stats(out_dir, b) for b in chunk}
+        rows_by_bucket = {b: int(obs.get[f"rows_{b}"] or 0) for b in chunk}
         t_end = time.time()
         records = [
             BucketRecord(
                 run_id=cfg.run_id,
                 chunk_id=chunk_id,
                 url_bucket=b,
-                rows_out=by_bucket[b][0],
-                bytes_out=by_bucket[b][1],
+                rows_out=rows_by_bucket[b],
+                bytes_out=_bucket_bytes(spark, out_dir, b),
                 t_start=t_start,
                 t_end=t_end,
                 kernel_version=PIPELINE_VERSION,

@@ -61,10 +61,20 @@ def cascade(
     tier's output with their (low) confidence — the caller's
     validity gate quarantines them (reference re-raises the last
     error, llm_service.py:96-100; here failure is data, not control
-    flow)."""
+    flow).
+
+    Escalation is a FILTER on the materialized tier output, not an
+    anti-join: each non-final tier's output is localCheckpoint'ed
+    (eager), so (a) tier N's kernel runs on exactly the unsettled
+    rows — never a recompute of tiers 1..N-1's upstream — and (b) no
+    extra shuffle per tier. ``keys`` identify rows for callers /
+    tests; the escalation itself no longer joins on them.
+    """
+    assert tiers, "cascade requires at least one tier"
     pending = df
     settled: DataFrame | None = None
     for i, tier in enumerate(tiers):
+        pending_cols = pending.columns
         applied = tier.apply(pending).withColumns(
             {
                 "kernel_used": F.lit(tier.name),
@@ -72,14 +82,17 @@ def cascade(
             }
         )
         is_last = i == len(tiers) - 1
-        ok = applied if is_last else applied.filter(
-            F.col("kernel_confidence") >= min_confidence
-        )
-        settled = ok if settled is None else settled.unionByName(ok)
         if is_last:
+            ok = applied
+            settled = ok if settled is None else settled.unionByName(ok)
             break
-        # escalate only unsettled rows (anti-join on keys)
-        pending = pending.join(
-            ok.select(*keys), list(keys), "left_anti"
-        )
+        # materialize once: the ok/escalate split below reads these
+        # blocks instead of re-running this tier's (and all upstream)
+        # kernels per downstream branch
+        applied = applied.localCheckpoint(eager=True)
+        ok = applied.filter(F.col("kernel_confidence") >= min_confidence)
+        settled = ok if settled is None else settled.unionByName(ok)
+        pending = applied.filter(
+            F.col("kernel_confidence") < min_confidence
+        ).select(*pending_cols)
     return settled

@@ -65,7 +65,8 @@ class Catalog:
     def load(self, name: str, path: str | None = None) -> DataFrame:
         if self.iceberg:  # pragma: no cover
             return self.spark.table(name)
-        if name in [t.name for t in self.spark.catalog.listTables()]:
+        # point lookup, not an O(catalog) listTables scan
+        if self.spark.catalog.tableExists(name):
             return self.spark.table(name)
         return self.spark.read.parquet(path)
 
@@ -83,12 +84,15 @@ class Catalog:
         else:
             from med_doi_feature_extraction_spark.operators.upsert import upsert
 
+            from med_doi_feature_extraction_spark import fsutil
+
             existing = self.spark.read.parquet(path)
             merged = upsert(existing, delta, keys)
-            # write-then-swap for atomicity on plain parquet
+            # write-then-swap via the Hadoop FileSystem API (one code
+            # path for local/HDFS/S3A; rename is atomic on HDFS,
+            # best-effort on object stores — same guarantee Spark's
+            # own committers give there)
             tmp = path.rstrip("/") + "._staging"
             merged.write.mode("overwrite").parquet(tmp)
-            import shutil
-
-            shutil.rmtree(path)
-            shutil.move(tmp, path)
+            fsutil.delete(self.spark, path, recursive=True)
+            fsutil.rename(self.spark, tmp, path)

@@ -95,3 +95,48 @@ def test_regex_doi_extractor(spark):
     )
     out = regex_doi_extractor(["Abstract"])(df).toPandas()
     assert list(out.extracted_doi) == ["10.1234/ab.1", None]
+
+
+def test_cascade_expensive_tier_runs_on_pending_only(spark):
+    """VERDICT r1 #6: the expensive kernel must be applied exactly to
+    the rows the cheap tier failed to settle — never re-run on the
+    full input — and the cheap kernel must not be recomputed when the
+    result is consumed (tier outputs are materialized between tiers)."""
+    sc = spark.sparkContext
+    cheap_calls = sc.accumulator(0)
+    exp_calls = sc.accumulator(0)
+    n = 1000
+
+    df = spark.range(n).withColumn("x", (F.col("id") % 10).cast("double"))
+
+    def counted(acc, factor):
+        def apply(d):
+            from pyspark.sql import types as T
+
+            def fn(it):
+                for pdf in it:
+                    acc.add(len(pdf))
+                    pdf = pdf.copy()
+                    pdf["y"] = pdf["x"] * factor
+                    yield pdf
+
+            schema = T.StructType(
+                d.schema.fields + [T.StructField("y", T.DoubleType())]
+            )
+            return d.mapInPandas(fn, schema)
+
+        return apply
+
+    cheap = KernelTier(
+        "cheap", apply=counted(cheap_calls, 2.0),
+        confidence=lambda d: F.when(F.col("x") >= 5, 0.9).otherwise(0.1),
+    )
+    expensive = KernelTier(
+        "expensive", apply=counted(exp_calls, 3.0),
+        confidence=lambda d: F.lit(0.8),
+    )
+    out = cascade(df, [cheap, expensive], min_confidence=0.5, keys=["id"])
+    assert out.count() == n
+    # x in {0..9}: half settle at the cheap tier, half escalate
+    assert cheap_calls.value == n
+    assert exp_calls.value == n // 2
