@@ -819,6 +819,118 @@ def q_dedup_decisions(spark, sf_dir):
     return dedup.dedup_decisions(docs, "doc_id", pairs)
 
 
+_FLAGSHIP_N_URLS = 120
+
+
+def _flagship_materialize(spark) -> tuple[str, str]:
+    """Materialize the flagship EXTRACT-stage output (the one genuinely
+    non-SQL-expressible step: the pandas-UDF html→text kernel) plus the
+    as-of dim to parquet, so the entire downstream window/as-of stack
+    can be oracle-checked in DuckDB against the same files (VERDICT r1
+    #1). Deterministic: seeded generator + versioned kernel in the
+    path."""
+    from med_doi_feature_extraction_spark.kernels.html_text import KERNEL_VERSION
+    from med_doi_feature_extraction_spark.packaging import ensure_package_on_workers
+    from med_doi_feature_extraction_spark.pipeline import extract_stage
+    from med_doi_feature_extraction_spark.sources.pages import (
+        generate_dim_snapshots,
+        generate_pages,
+    )
+
+    ensure_package_on_workers(spark)
+    base = f"/tmp/spark_graft_flagship_{KERNEL_VERSION.replace('/', '_')}"
+    ext_path = f"{base}/extract.parquet"
+    dim_path = f"{base}/dim.parquet"
+    pdf = generate_pages(n_urls=_FLAGSHIP_N_URLS, seed=42)
+    pages = spark.createDataFrame(pdf)
+    extract_stage(pages).drop("text").write.mode("overwrite").parquet(ext_path)
+    spark.createDataFrame(generate_dim_snapshots(pdf, seed=43)).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+    return ext_path, dim_path
+
+
+def q_pages_flagship_post(spark, sf_dir):
+    """North-star pipeline, oracle-checkable split: extract-stage
+    output materialized to parquet (see ``_flagship_materialize``),
+    then the FULL downstream feature stack — lag/delta, lang ffill,
+    crawl-gap sessionize, point-in-time dim as-of join — exactly as
+    ``pipeline.page_features`` composes it (same operators, same
+    config defaults)."""
+    from med_doi_feature_extraction_spark.pipeline import FeatureConfig, window_stage
+
+    ext_path, dim_path = _flagship_materialize(spark)
+    df = spark.read.parquet(ext_path)
+    feats = window_stage(df, FeatureConfig(run_id="contract"))
+    dim = spark.read.parquet(dim_path)
+    slim = df.select("url", "warc_ts", "domain")
+    res = asof_join_window(
+        slim, dim, "domain", "warc_ts", "obs_ts",
+        ["rank_score", "category"], right_tiebreak=["rank_score", "category"],
+    ).drop("domain")
+    out = feats.join(res, ["url", "warc_ts"], "left")
+    return out.select(
+        "url", "warc_ts", "lang", "domain",
+        F.col("text_len").cast("long").alias("text_len"),
+        F.col("doi_count").cast("long").alias("doi_count"),
+        "doi_first",
+        F.col("text_len_lag1").cast("long").alias("text_len_lag1"),
+        F.round("text_len_delta1", 6).alias("text_len_delta1"),
+        "lang_ffill",
+        F.col("gap_seconds").cast("long").alias("gap_seconds"),
+        F.col("snap_rank").cast("long").alias("snap_rank"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.round("rank_score", 6).alias("rank_score"),
+        "category",
+    )
+
+
+def _sql_pages_flagship_post() -> str:
+    from med_doi_feature_extraction_spark.kernels.html_text import KERNEL_VERSION
+
+    base = f"/tmp/spark_graft_flagship_{KERNEL_VERSION.replace('/', '_')}"
+    return f"""
+WITH e AS (SELECT * FROM read_parquet('{base}/extract.parquet/*.parquet')),
+d AS (SELECT * FROM read_parquet('{base}/dim.parquet/*.parquet')),
+g AS (
+  SELECT url, warc_ts, lang, domain,
+         CAST(text_len AS BIGINT) AS text_len,
+         CAST(doi_count AS BIGINT) AS doi_count,
+         doi_first,
+         CAST(lag(text_len) OVER w AS BIGINT) AS text_len_lag1,
+         round(CAST(text_len - lag(text_len) OVER w AS DOUBLE), 6) AS text_len_delta1,
+         last_value(lang IGNORE NULLS) OVER (
+           PARTITION BY url ORDER BY warc_ts ROWS UNBOUNDED PRECEDING) AS lang_ffill,
+         CAST(floor(epoch(warc_ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(warc_ts) OVER w)) AS BIGINT) AS gap_seconds,
+         CAST(row_number() OVER w AS BIGINT) AS snap_rank
+  FROM e WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+), s AS (
+  SELECT *,
+         CAST(sum(CASE WHEN gap_seconds IS NULL OR gap_seconds > 3600
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY url ORDER BY warc_ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), q AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY url, session_id
+                                 ORDER BY warc_ts) AS BIGINT) AS session_seq
+  FROM s
+)
+SELECT q.url, q.warc_ts, q.lang, q.domain, q.text_len, q.doi_count, q.doi_first,
+       q.text_len_lag1, q.text_len_delta1, q.lang_ffill, q.gap_seconds,
+       q.snap_rank, q.session_id, q.session_seq,
+       a.rank_score, a.category
+FROM q LEFT JOIN LATERAL (
+  SELECT round(d.rank_score, 6) AS rank_score, d.category
+  FROM d WHERE d.domain = q.domain AND d.obs_ts <= q.warc_ts
+  ORDER BY d.obs_ts DESC, d.rank_score DESC, d.category DESC LIMIT 1
+) a ON true
+"""
+
+
 def q_pages_flagship(spark, sf_dir):
     """The north-star pipeline on a seeded synthetic pages table:
     HTML→text kernel (byte-identity tested in pytest), DOI features,
@@ -889,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup_blocked,
+        "pages_flagship_post": q_pages_flagship_post,
         # non-SQL-expressible (driver records rows-only checks):
         "minhash_neardup": q_minhash_neardup,
         "simhash_pairs": q_simhash_pairs,
@@ -927,4 +1040,5 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
+        "pages_flagship_post": _sql_pages_flagship_post(),
     }
