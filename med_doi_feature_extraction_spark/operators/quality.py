@@ -54,6 +54,54 @@ def validate(conf: Column, min_threshold: float = 0.5) -> tuple[Column, Column]:
     return errors, F.size(errors) == 0
 
 
+def logprob_confidence(avg_logprob: Column) -> Column:
+    """P15: the reference's 4-segment piecewise logprob→confidence map
+    (``src/providers/openai_provider.py:185-220``) as one Column
+    expression. avg_prob = exp(mean token logprob); null logprobs →
+    the reference's 1.0 default."""
+    p = F.exp(avg_logprob)
+    conf = (
+        F.when(p >= 0.8, F.lit(0.85) + (p - 0.8) * 0.75)   # 0.85–1.0
+        .when(p >= 0.5, F.lit(0.65) + (p - 0.5) * 0.67)     # 0.65–0.85
+        .when(p >= 0.3, F.lit(0.45) + (p - 0.3) * 1.0)      # 0.45–0.65
+        .otherwise(p * 1.5)                                  # 0–0.45
+    )
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(0.0), conf))
+    return F.when(avg_logprob.isNull(), F.lit(1.0)).otherwise(clamped)
+
+
+def finish_penalty(finish_reason: Column) -> Column:
+    """P16: finish-reason penalty (openai_provider.py:168-183):
+    stop → 1.0, length → 0.7, content_filter → 0.3, other → 0.9."""
+    return (
+        F.when(finish_reason == "stop", F.lit(1.0))
+        .when(finish_reason == "length", F.lit(0.7))
+        .when(finish_reason == "content_filter", F.lit(0.3))
+        .otherwise(F.lit(0.9))
+    )
+
+
+def model_confidence(
+    avg_logprob: Column,
+    finish_reason: Column | None = None,
+    refusal: Column | None = None,
+    multiplier: float = 1.0,
+) -> Column:
+    """P15–P17 combined, exactly the reference's composition
+    (openai_provider.py:222-227): logprob_confidence × finish_penalty
+    × model multiplier, clamped to [0,1]; refusal short-circuits to
+    0.0 (P17)."""
+    base = logprob_confidence(avg_logprob)
+    if finish_reason is not None:
+        base = base * finish_penalty(finish_reason)
+    adjusted = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), base * F.lit(float(multiplier)))
+    )
+    if refusal is not None:
+        adjusted = F.when(refusal, F.lit(0.0)).otherwise(adjusted)
+    return F.round(adjusted, 6)
+
+
 def quarantine_split(df: DataFrame, valid_col: str = "valid") -> tuple[DataFrame, DataFrame]:
     """(valid rows, quarantined rows) — failures never kill the job
     (M5 semantics; mirrors the reference's failures_*.jsonl stream)."""

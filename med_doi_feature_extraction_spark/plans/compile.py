@@ -36,6 +36,12 @@ class FieldSpec(BaseModel):
     model_config = ConfigDict(frozen=True)
     choices: list[str] = Field(default_factory=list)
     synonyms: dict[str, list[str]] = Field(default_factory=dict)
+    # deterministic extraction spec (the CLI's stand-in for the
+    # reference's LLM call): copy a column, or first regex match
+    # across regex_cols
+    source: str | None = None
+    regex: str | None = None
+    regex_cols: list[str] = Field(default_factory=list)
 
 
 class RefPipelineSpec(BaseModel):
@@ -51,6 +57,9 @@ class RefPipelineSpec(BaseModel):
     complexity_column: str = "Abstract"
     min_confidence_threshold: float = 0.5
     require_key: bool = True
+    # retry routing (reference config retry_plan[category] → max_retries)
+    retry_plan: dict[str, int] = Field(default_factory=dict)
+    default_max_retries: int = 1
 
 
 def coalesce_key(df: DataFrame, id_column: str) -> DataFrame:
@@ -61,24 +70,25 @@ def coalesce_key(df: DataFrame, id_column: str) -> DataFrame:
     return df.withColumn("key", F.regexp_replace(key, r"[/\\]", "_"))
 
 
-def compile_reference_pipeline(
+def apply_reference_chain(
     df: DataFrame,
     spec: RefPipelineSpec,
     extractor: Callable[[DataFrame], DataFrame],
     model_confidence: F.Column | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (valid, quarantined).
+    shape_input: bool = True,
+) -> DataFrame:
+    """The full reference record chain as ONE frame with ``valid`` /
+    ``errors`` / ``confidence`` columns (used directly by the CLI's
+    retry kernel; ``compile_reference_pipeline`` splits it).
 
-    ``extractor`` adds one ``extracted_<field>`` column per spec field
-    (the deterministic stand-in for the reference's LLM call).
-    ``model_confidence`` defaults to 1.0 (pure-regex kernels are
-    trusted; plug in a scoring column for fuzzier kernels).
-    """
-    if spec.column_map:
-        df = df.withColumnsRenamed(spec.column_map)
-    df = coalesce_key(df, spec.id_column)
-    if spec.require_key:
-        df = df.filter(F.col("key").isNotNull() & (F.length("key") > 0))
+    ``shape_input=False`` skips rename/key-coalesce (for rows already
+    shaped, e.g. failures re-joined to their input)."""
+    if shape_input:
+        if spec.column_map:
+            df = df.withColumnsRenamed(spec.column_map)
+        df = coalesce_key(df, spec.id_column)
+        if spec.require_key:
+            df = df.filter(F.col("key").isNotNull() & (F.length("key") > 0))
 
     df = extractor(df)
 
@@ -107,7 +117,23 @@ def compile_reference_pipeline(
     mc = model_confidence if model_confidence is not None else F.lit(1.0)
     df = df.withColumn("confidence", blend_confidence(mc, F.col("input_quality")))
     errors, valid = validate(F.col("confidence"), spec.min_confidence_threshold)
-    df = df.withColumns({"errors": errors, "valid": valid})
+    return df.withColumns({"errors": errors, "valid": valid})
+
+
+def compile_reference_pipeline(
+    df: DataFrame,
+    spec: RefPipelineSpec,
+    extractor: Callable[[DataFrame], DataFrame],
+    model_confidence: F.Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (valid, quarantined).
+
+    ``extractor`` adds one ``extracted_<field>`` column per spec field
+    (the deterministic stand-in for the reference's LLM call).
+    ``model_confidence`` defaults to 1.0 (pure-regex kernels are
+    trusted; plug in a scoring column for fuzzier kernels).
+    """
+    df = apply_reference_chain(df, spec, extractor, model_confidence)
     return df.filter(F.col("valid")), df.filter(~F.col("valid"))
 
 

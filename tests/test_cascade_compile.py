@@ -140,3 +140,60 @@ def test_cascade_expensive_tier_runs_on_pending_only(spark):
     # x in {0..9}: half settle at the cheap tier, half escalate
     assert cheap_calls.value == n
     assert exp_calls.value == n // 2
+
+
+def test_model_confidence_matches_reference_math(spark):
+    """Column P15-P17 == a direct python port of the reference's
+    _calculate_confidence (openai_provider.py:146-227)."""
+    import math
+
+    from med_doi_feature_extraction_spark.operators.quality import (
+        model_confidence,
+    )
+
+    def ref_conf(avg_logprob, finish_reason, refusal, multiplier=0.95):
+        if refusal:
+            return 0.0
+        if finish_reason == "length":
+            fp = 0.7
+        elif finish_reason == "content_filter":
+            fp = 0.3
+        elif finish_reason == "stop":
+            fp = 1.0
+        else:
+            fp = 0.9
+        lc = 1.0
+        if avg_logprob is not None:
+            p = math.exp(avg_logprob)
+            if p >= 0.8:
+                lc = 0.85 + (p - 0.8) * 0.75
+            elif p >= 0.5:
+                lc = 0.65 + (p - 0.5) * 0.67
+            elif p >= 0.3:
+                lc = 0.45 + (p - 0.3) * 1.0
+            else:
+                lc = p * 1.5
+            lc = min(max(lc, 0.0), 1.0)
+        return round(min(max(lc * fp * multiplier, 0.0), 1.0), 6)
+
+    rows = []
+    for i, lp in enumerate(
+        [None, -0.01, -0.1, -0.223, -0.5, -0.69, -0.7, -1.2, -2.5, -5.0]
+    ):
+        for j, fr in enumerate(["stop", "length", "content_filter", "weird"]):
+            rows.append(
+                {"i": len(rows), "lp": lp, "fr": fr, "refusal": (i + j) % 7 == 0}
+            )
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.withColumn(
+            "conf",
+            model_confidence(F.col("lp"), F.col("fr"), F.col("refusal"), 0.95),
+        )
+        .toPandas()
+        .set_index("i")
+    )
+    for _, r in pdf.iterrows():
+        exp = ref_conf(r.lp if pd.notna(r.lp) else None, r.fr, r.refusal)
+        assert abs(got.loc[r.i, "conf"] - exp) < 1e-9, (r.lp, r.fr, r.refusal)

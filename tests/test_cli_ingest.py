@@ -1,0 +1,149 @@
+"""CSV ingestion source + CLI surface (run/test/retry/validate)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.__main__ import main as cli_main
+from med_doi_feature_extraction_spark.sources.ingest import read_input
+
+CONFIG = "config/pipelines/doi_extract.yaml"
+
+
+@pytest.fixture(scope="module")
+def csv_fixture(tmp_path_factory):
+    """Reference-shaped input CSV: quoted multiline abstracts, missing
+    abstracts (→ low confidence), a row with no key (dropped)."""
+    tmp = tmp_path_factory.mktemp("cli")
+    rows = []
+    for i in range(40):
+        has_abs = i % 4 != 0  # 25% low-quality rows
+        rows.append(
+            {
+                "doi_raw": f"10.1{i:03d}/key.{i}",
+                "abstract_text": (
+                    f'Line one of record {i}.\n"Quoted" see 10.9999/ref.{i} end. '
+                    + "filler words " * 60
+                    if has_abs
+                    else ""
+                ),
+                "country_text": ["usa", "Deutschland", "France", "Nowhere"][i % 4],
+            }
+        )
+    rows.append({"doi_raw": None, "abstract_text": "orphan", "country_text": "usa"})
+    pdf = pd.DataFrame(rows)
+    path = str(tmp / "input.csv")
+    pdf.to_csv(path, index=False)
+    # "fixed" input for retry: every abstract filled
+    fixed = pdf.copy()
+    fixed["abstract_text"] = fixed["abstract_text"].where(
+        fixed["abstract_text"].astype(str).str.len() > 0,
+        "Recovered abstract content. " + "more words " * 80,
+    )
+    fixed_path = str(tmp / "input_fixed.csv")
+    fixed.to_csv(fixed_path, index=False)
+    return {"tmp": tmp, "input": path, "fixed": fixed_path, "pdf": pdf}
+
+
+def test_read_input_csv_shapes_rows(spark, csv_fixture):
+    df = read_input(
+        spark,
+        csv_fixture["input"],
+        column_map={"doi_raw": "DOI"},
+        id_column="DOI",
+        require_key=True,
+    )
+    pdf = df.toPandas()
+    assert len(pdf) == 40  # null-key row dropped
+    assert (pdf.key.str.contains("_")).all()  # '/' sanitized to '_'
+    # multiline quoted fields survive the csv parse
+    assert pdf.abstract_text.str.contains("\n").any()
+    # all-string parity with the reference's dtype=str read
+    assert dict(df.dtypes)["abstract_text"] == "string"
+
+
+def test_read_input_skip_limit(spark, csv_fixture):
+    df = read_input(
+        spark, csv_fixture["input"], column_map={"doi_raw": "DOI"},
+        id_column="DOI", require_key=True, skip=10, limit=5, order_by=["key"],
+    )
+    keys = [r.key for r in df.collect()]
+    assert len(keys) == 5
+    all_keys = sorted(
+        r.key
+        for r in read_input(
+            spark, csv_fixture["input"], column_map={"doi_raw": "DOI"},
+            id_column="DOI", require_key=True,
+        ).collect()
+    )
+    assert keys == all_keys[10:15]
+    with pytest.raises(ValueError, match="order_by"):
+        read_input(spark, csv_fixture["input"], skip=1)
+
+
+def test_cli_run_retry_validate_roundtrip(spark, csv_fixture, capsys):
+    tmp = csv_fixture["tmp"]
+    out = str(tmp / "results")
+    fails = str(tmp / "failures")
+
+    res = cli_main(
+        [
+            "run", "--config", CONFIG, "--input", csv_fixture["input"],
+            "--output", out, "--failures", fails,
+        ]
+    )
+    assert res["total"] == 40
+    assert res["failed"] == 10  # the 25% empty-abstract rows
+    assert res["succeeded"] == 30
+
+    results = spark.read.parquet(out)
+    assert results.count() == 30
+    got = results.toPandas()
+    assert (got.normalized_country.isin(["USA", "Germany", "France", "Nowhere"])).all()
+    assert got.extracted_doi.notna().all()  # regex found the planted DOIs
+
+    failures = spark.read.parquet(fails)
+    assert failures.count() == 10
+    assert set(failures.toPandas().failure_category) == {"low_confidence"}
+
+    # retry against the FIXED input recovers everything eligible
+    rec_out = str(tmp / "recovered")
+    res2 = cli_main(
+        [
+            "retry", "--config", CONFIG, "--failures", fails,
+            "--input", csv_fixture["fixed"], "--output", rec_out,
+        ]
+    )
+    assert res2["retried"] == 10
+    assert res2["recovered"] == 10
+    assert res2["remaining"] == 0
+    assert spark.read.parquet(rec_out).count() == 10
+    # failures manifest rewritten in place
+    assert spark.read.parquet(fails).count() == 0
+
+    # validate report over the finished results
+    rep = cli_main(["validate", "--config", CONFIG, "--input", out])
+    assert rep["total"] == 30
+    assert rep["low"] == 0 and rep["high"] + rep["medium"] == 30
+    assert rep["coverage"]["normalized_doi"]["pct"] == 100.0
+    assert rep["coverage"]["normalized_country"]["count"] == 30
+    # stdout is machine-readable JSON lines
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    for line in lines:
+        json.loads(line)
+
+
+def test_cli_test_dry_run(spark, csv_fixture):
+    res = cli_main(
+        [
+            "test", "--config", CONFIG, "--input", csv_fixture["input"],
+            "--limit", "8",
+        ]
+    )
+    assert res["total"] == 8
+    assert 1 <= len(res["sample"]) <= 5
+    assert "confidence" in res["sample"][0]
