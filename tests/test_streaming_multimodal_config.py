@@ -175,3 +175,66 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     assert len(streamed) == len(batch)
     for col in ["session_id", "session_seq", "snap_rank"]:
         assert (streamed[col].astype("int64") == batch[col].astype("int64")).all(), col
+
+
+def test_stateful_sessionize_out_of_order(spark, tmp_path):
+    """VERDICT r1 #9: with buffer_late=True, rows arriving out of order
+    across microbatches (but within the watermark) get exactly the
+    batch operator's session ids; without buffering, the same source
+    provably mis-sessions (the documented failure mode)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from med_doi_feature_extraction_spark.operators.windows import sessionize
+    from med_doi_feature_extraction_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda offs, uid=1: pd.DataFrame(
+        {"user_id": uid, "ts": [base + pd.Timedelta(seconds=s) for s in offs]}
+    ).astype({"ts": "datetime64[us]"})
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    # f2 delivers ts=100 AFTER f1 already delivered ts=5000
+    batches = [mk([0, 5000]), mk([100, 5100]), mk([100000], uid=99)]
+    for i, pdf in enumerate(batches):
+        p = str(src / f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    schema = spark.createDataFrame(batches[0]).schema
+
+    def run(buffered: bool, name: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = sessionize_stateful(
+            stream, "user_id", "ts", 1800,
+            watermark="1000 seconds", buffer_late=buffered,
+        )
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name} WHERE user_id = 1").toPandas()
+
+    got = run(True, "ooo_buffered").sort_values("ts").reset_index(drop=True)
+    expected = (
+        sessionize(spark.createDataFrame(mk([0, 100, 5000, 5100])),
+                   "user_id", "ts", 1800)
+        .select("user_id", "ts", "session_id", "session_seq", "snap_rank")
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) == 4, f"expected all 4 rows finalized, got {len(got)}"
+    for col in ["session_id", "session_seq", "snap_rank"]:
+        assert got[col].astype("int64").tolist() == expected[col].astype("int64").tolist(), col
+
+    # without buffering the late row is mis-sessioned
+    naive = run(False, "ooo_naive").sort_values("ts").reset_index(drop=True)
+    assert naive.session_id.astype("int64").tolist() != expected.session_id.astype(
+        "int64"
+    ).tolist()
