@@ -41,29 +41,64 @@ _sig_udf = F.pandas_udf(
 _simhash_udf = F.pandas_udf(lambda s: simhash64(s), T.LongType())
 
 # Hot-band guard: an LSH bucket shared by B docs yields B² candidate
-# pairs in the self-join — one boilerplate band over 10^7 docs is
-# 10^14 pairs. Buckets above the cap are dropped: docs that big a
-# bucket clusters are either degenerate (empty/boilerplate shingles —
-# exactly what you don't want driving near-dup decisions) or still
-# pair up through their other, more selective bands.
+# pairs — one boilerplate band over 10^7 docs is 10^14 pairs. Buckets
+# above the cap are dropped: docs that big a bucket clusters are
+# either degenerate (empty/boilerplate shingles — exactly what you
+# don't want driving near-dup decisions) or still pair up through
+# their other, more selective bands.
 DEFAULT_MAX_BAND_BUCKET = 50_000
 
 
-def _cap_buckets(
-    bands: DataFrame, keys: list[str], max_bucket: int | None
+def _bucket_pairs(
+    bands: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+    payload: str,
 ) -> DataFrame:
-    """Drop (band, hash) buckets with more than ``max_bucket`` members.
+    """Bucketed pair generation WITHOUT a self-join: ONE exchange
+    (groupBy the band keys) → collect the bucket's members → drop
+    buckets above ``max_bucket`` (the cap is a free ``size()`` test on
+    the collected array, not a second shuffle) → expand (i < j)
+    combinations JVM-side with higher-order array functions. Compared
+    to the classic ``a.join(b, keys)`` self-join this halves the
+    exchanges AND evaluates the upstream signature UDF once instead of
+    twice. Per-bucket work stays quadratic — that's the LSH contract —
+    but bounded by the cap.
 
-    The count runs as a window over the SAME keys the self-join
-    shuffles on, so Catalyst reuses one exchange for cap + join."""
-    if max_bucket is None:
-        return bands
-    w = Window.partitionBy(*keys)
-    return (
-        bands.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bn") <= max_bucket)
-        .drop("_bn")
+    ``payload``: struct column name carried per member (must contain
+    ``id``); the output columns are ``a``/``b`` structs of it.
+    """
+    grouped = bands.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(payload)).alias("_members")
     )
+    grouped = grouped.filter(F.size("_members") >= 2)
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("_members") <= max_bucket)
+    members = F.col("_members")
+    combos = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(combos).alias("_p")).select(
+        F.col("_p.a").alias("a"), F.col("_p.b").alias("b")
+    )
+
+
+def _spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Ensure enough input partitions that the signature UDF fans out
+    across the cluster: a small single-file parquet scan arrives as 1
+    partition and would run the Arrow kernel single-threaded. At
+    corpus scale the scan already has thousands of partitions and this
+    is a no-op (plan-time check only — no job)."""
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() * min_factor <= n_shuffle:
+        return df.repartition(n_shuffle)
+    return df
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -126,12 +161,12 @@ def minhash_lsh_candidates(
     Signature length = n_bands × rows_per_band (must equal the minhash
     kernel's n_hashes=64 by default). Jaccard-threshold intuition:
     16 bands × 4 rows ⇒ s-curve midpoint ≈ (1/16)^(1/4) ≈ 0.5.
-    Buckets above ``max_bucket`` are dropped before the self-join
+    Buckets above ``max_bucket`` are dropped before pair expansion
     (see ``DEFAULT_MAX_BAND_BUCKET``).
     """
-    sigs = with_minhash(df.select(id_col, text_col), text_col)
+    sigs = with_minhash(_spread(df.select(id_col, text_col)), text_col)
     bands = sigs.select(
-        F.col(id_col),
+        F.struct(F.col(id_col).alias("id")).alias("m"),
         F.explode(
             F.array(
                 *[
@@ -148,14 +183,13 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
-    bands = _cap_buckets(bands, ["band", "band_hash"], max_bucket)
-    a = bands.withColumnsRenamed({id_col: "id_a"})
-    b = bands.withColumnsRenamed({id_col: "id_b"})
+    ).select("m", "bh.band", "bh.band_hash")
+    pairs = _bucket_pairs(bands, ["band", "band_hash"], max_bucket, "m")
     return (
-        a.join(b, ["band", "band_hash"])
+        pairs.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -174,7 +208,7 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n_bands, rows_per_band, max_bucket
     )
-    toks = df.select(F.col(id_col), tokens_col(text_col).alias("toks"))
+    toks = _spread(df.select(F.col(id_col), tokens_col(text_col).alias("toks")))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("tokens_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("tokens_b"))
     verified = jaccard_pairs(cands.join(a, "id_a"), b, ["id_b"])
@@ -198,10 +232,11 @@ def simhash_candidates(
     Hamming ≤ 3 ⇒ at least one band identical), verify exact Hamming
     distance ≤ max_hamming JVM-side via bit_count(xor). Buckets above
     ``max_bucket`` are dropped before the self-join."""
-    sh = with_simhash(df.select(id_col, text_col), text_col)
+    sh = with_simhash(_spread(df.select(id_col, text_col)), text_col)
     bands = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
+        F.struct(
+            F.col(id_col).alias("id"), F.col("simhash").alias("sh")
+        ).alias("m"),
         F.explode(
             F.array(
                 *[
@@ -215,26 +250,19 @@ def simhash_candidates(
                 ]
             )
         ).alias("bh"),
-    ).select(id_col, "simhash", "bh.band", "bh.band_val")
-    bands = _cap_buckets(bands, ["band", "band_val"], max_bucket)
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
-    )
+    ).select("m", "bh.band", "bh.band_val")
     pairs = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        _bucket_pairs(bands, ["band", "band_val"], max_bucket, "m")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
-    )
+    return pairs
 
 
 def dup_clusters(
