@@ -378,6 +378,40 @@ FROM events
 """
 
 
+def q_render_template(spark, sf_dir):
+    """P2 + P22: templated string projection (plan-time compiled
+    concat) and truncating preview over events (reference
+    prompt_builder.py:27-40, helpers.py:432-438)."""
+    from med_doi_feature_extraction_spark.operators.template import (
+        preview,
+        render_template,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props")
+    tpl = "user={{ user_id }} did {event_type} props={{ props }} [run={{ run_id }}]"
+    rendered = render_template(tpl, variables={"run_id": "r42"})
+    return ev.select(
+        "event_id",
+        rendered.alias("prompt"),
+        preview(rendered, 40).alias("prompt_preview"),
+    )
+
+
+SQL_RENDER_TEMPLATE = """
+WITH r AS (
+  SELECT event_id,
+         trim('user=' || CAST(user_id AS VARCHAR) || ' did ' ||
+              coalesce(event_type, '') || ' props=' ||
+              coalesce(props, '') || ' [run=r42]') AS prompt
+  FROM events
+)
+SELECT event_id, prompt,
+       CASE WHEN len(prompt) > 40 THEN substr(prompt, 1, 40) || '...'
+            ELSE prompt END AS prompt_preview
+FROM r
+"""
+
+
 def q_value_histogram(spark, sf_dir):
     """A3: bucketed distribution of a numeric column."""
     ev = _read(spark, sf_dir, "events")
@@ -1043,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_sorted": q_asof_join_sorted,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
+        "render_template": q_render_template,
         "value_histogram": q_value_histogram,
         "normalize_choices": q_normalize_choices,
         "tpch_q1": q_tpch_q1,
@@ -1083,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_sorted": SQL_ASOF,
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,
+        "render_template": SQL_RENDER_TEMPLATE,
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "normalize_choices": _sql_normalize(),
         "tpch_q1": SQL_TPCH_Q1,

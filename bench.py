@@ -62,6 +62,16 @@ def main() -> None:
         "cosine_topk", "lsh_topk", "quality_gate", "lang_id",
     ]
     qs = entrymod.queries()
+    # untimed warm-up: start the Python UDF workers + ship the package
+    # zip once, so per-query timings measure steady-state operator cost
+    # (on a long-lived cluster the workers are reused), not one-time
+    # session bring-up. Same treatment for every query.
+    from med_doi_feature_extraction_spark.operators.dedup import with_minhash
+
+    with_minhash(
+        spark.createDataFrame([("w", "warm up text")], ["id", "text"]), "text"
+    ).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name in headline:
         timings[name] = _time_noop(qs[name](spark, sf_dir))
