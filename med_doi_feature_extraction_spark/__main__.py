@@ -234,6 +234,43 @@ def cmd_validate(args) -> dict:
     return report
 
 
+def cmd_pages(args) -> dict:
+    """Flagship resumable pages→features pipeline (same engine path as
+    tools/run_pipeline.py; see manifest.run_partitioned)."""
+    from med_doi_feature_extraction_spark.manifest import run_partitioned
+    from med_doi_feature_extraction_spark.pipeline import FeatureConfig
+    from med_doi_feature_extraction_spark.plans.config import (
+        load_pipeline_spec,
+        to_feature_config,
+    )
+    from med_doi_feature_extraction_spark.session import get_spark
+
+    if args.config:
+        spec = load_pipeline_spec(args.config, overrides={"run_id": args.run_id})
+        cfg = to_feature_config(spec)
+        n_buckets = spec.execution.n_buckets
+        chunk = spec.execution.buckets_per_chunk
+    else:
+        cfg = FeatureConfig(run_id=args.run_id)
+        n_buckets, chunk = args.n_buckets, args.n_buckets
+    spark = get_spark(f"pages_{args.run_id}", master=args.master)
+    pages = spark.read.parquet(args.input)
+    dim = spark.read.parquet(args.dim) if args.dim else None
+    records = run_partitioned(
+        spark, pages, args.output, args.manifest,
+        dim=dim, cfg=cfg, n_buckets=n_buckets, buckets_per_chunk=chunk,
+    )
+    return {
+        "command": "pages",
+        "run_id": args.run_id,
+        "buckets_processed": len(records),
+        "rows_out": sum(r.rows_out for r in records),
+        "bytes_out": sum(r.bytes_out for r in records),
+        "output": args.output,
+        "manifest": args.manifest,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="med_doi_feature_extraction_spark")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -274,6 +311,17 @@ def build_parser() -> argparse.ArgumentParser:
     retry.add_argument("--failures-out", default=None)
     retry.add_argument("--out-format", default="parquet", choices=["parquet", "csv"])
     retry.set_defaults(fn=cmd_retry)
+
+    pages = sub.add_parser("pages", help="flagship resumable pages pipeline")
+    pages.add_argument("--config", default=None)
+    pages.add_argument("--master", default=None)
+    pages.add_argument("--input", required=True)
+    pages.add_argument("--dim", default=None)
+    pages.add_argument("--output", required=True)
+    pages.add_argument("--manifest", required=True)
+    pages.add_argument("--run-id", default="cli-pages")
+    pages.add_argument("--n-buckets", type=int, default=64)
+    pages.set_defaults(fn=cmd_pages)
 
     val = sub.add_parser("validate", help="quality + coverage report")
     common(val)

@@ -147,3 +147,38 @@ def test_cli_test_dry_run(spark, csv_fixture):
     assert res["total"] == 8
     assert 1 <= len(res["sample"]) <= 5
     assert "confidence" in res["sample"][0]
+
+
+def test_cli_pages_subcommand(spark, tmp_path):
+    from med_doi_feature_extraction_spark.sources.pages import (
+        generate_dim_snapshots,
+        generate_pages,
+    )
+
+    pdf = generate_pages(n_urls=40, seed=7)
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "pages"))
+    spark.createDataFrame(generate_dim_snapshots(pdf, seed=8)).write.parquet(
+        str(tmp_path / "dim")
+    )
+    res = cli_main(
+        [
+            "pages", "--input", str(tmp_path / "pages"),
+            "--dim", str(tmp_path / "dim"),
+            "--output", str(tmp_path / "feat"),
+            "--manifest", str(tmp_path / "mf"),
+            "--n-buckets", "4",
+        ]
+    )
+    assert res["rows_out"] == len(pdf)
+    assert spark.read.parquet(str(tmp_path / "feat")).count() == len(pdf)
+    # resumable: a second invocation is a no-op
+    res2 = cli_main(
+        [
+            "pages", "--input", str(tmp_path / "pages"),
+            "--dim", str(tmp_path / "dim"),
+            "--output", str(tmp_path / "feat"),
+            "--manifest", str(tmp_path / "mf"),
+            "--n-buckets", "4",
+        ]
+    )
+    assert res2["buckets_processed"] == 0
