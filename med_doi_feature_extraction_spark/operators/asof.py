@@ -48,38 +48,45 @@ def asof_join_window(
     value_cols: Sequence[str],
     right_tiebreak: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Union-and-window backward as-of join (pure built-ins)."""
-    # Reduce right rows to latest-per-(key, ts) first so ties are
-    # resolved BEFORE the union (latest-wins, deterministic).
-    tb = [F.col(c).desc() for c in (right_tiebreak or [])]
-    w_tie = Window.partitionBy(on, right_ts).orderBy(*(tb or [F.lit(1)]))
-    right_dedup = (
-        right.withColumn("_rn", F.row_number().over(w_tie))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    """Union-and-window backward as-of join (pure built-ins).
 
-    # All value columns ride in ONE struct per right row, so a single
-    # last(ignorenulls) attaches the columns of the SAME best-matching
-    # right row — a right row with a legitimately-NULL value column
-    # stays the match (the struct itself is non-null) instead of that
-    # one column falling back to an older row.
+    ONE exchange total: right-side ties at equal ``ts_right`` are
+    resolved inside the same window pass by appending the tiebreak
+    columns (ascending) to the sort order — ``last(ignorenulls)``
+    then picks the max-tiebreak right row, so no pre-dedup
+    ``Window.partitionBy(on, right_ts)`` exchange of the right side
+    is needed.
+
+    All value columns ride in ONE struct per right row, so a single
+    ``last(ignorenulls)`` attaches the columns of the SAME
+    best-matching right row — a right row with a legitimately-NULL
+    value column stays the match (the struct itself is non-null)
+    instead of that one column falling back to an older row.
+    """
+    tb = list(right_tiebreak or [])
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    r = right_dedup.select(
+    r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_r_vals"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
     )
-    # Align schemas: left gets a null right-struct, right gets null
-    # left cols; allowMissingColumns handles both directions.
+    # Align schemas: left gets a null right-struct (and null tiebreak
+    # sort columns, inert for side-1 rows); right gets null left cols.
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so a
-    # right observation at exactly ts_left is visible (<= semantics).
+    # right observation at exactly ts_left is visible (<= semantics);
+    # among right rows at equal ts the max tiebreak sorts LAST and
+    # wins the last() below.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_side").asc(),
+            *[F.col(f"_tb{i}").asc() for i in range(len(tb))],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.withColumn(
@@ -90,7 +97,8 @@ def asof_join_window(
     )
     return (
         filled.filter(F.col("_side") == 1)
-        .drop("_ts", "_side", "_r_vals", "_r_match")
+        .drop("_ts", "_side", "_r_vals", "_r_match",
+              *[f"_tb{i}" for i in range(len(tb))])
     )
 
 
