@@ -238,3 +238,55 @@ def test_stateful_sessionize_out_of_order(spark, tmp_path):
     assert naive.session_id.astype("int64").tolist() != expected.session_id.astype(
         "int64"
     ).tolist()
+
+
+def test_stream_page_features_parity(spark, tmp_path):
+    """Streaming flagship path: extract parity is byte-exact vs the
+    batch stage; stateful session ids match the batch sessionizer for
+    every row the watermark finalized."""
+    from med_doi_feature_extraction_spark.operators.windows import sessionize
+    from med_doi_feature_extraction_spark.pipeline import extract_stage
+    from med_doi_feature_extraction_spark.sources.pages import generate_pages
+    from med_doi_feature_extraction_spark.streaming.pipeline import (
+        stream_extract,
+        stream_page_features,
+    )
+
+    pdf = generate_pages(n_urls=30, seed=21)
+    src = str(tmp_path / "pages_src")
+    pages = spark.createDataFrame(pdf)
+    pages.orderBy("warc_ts").coalesce(1).write.parquet(src)
+
+    # stateless extract parity (byte-exact text + doi features)
+    streamed_ext = run_stream_once(
+        spark, src, pages.schema, stream_extract, query_name="pages_ext"
+    ).toPandas()
+    batch_ext = extract_stage(pages).drop("text").toPandas()
+    key = ["url", "warc_ts"]
+    a = streamed_ext.sort_values(key).reset_index(drop=True)
+    b = batch_ext.sort_values(key).reset_index(drop=True)
+    assert (a.text_extracted == b.text_extracted).all()
+    assert (a.doi_count == b.doi_count).all()
+    assert "html" not in a.columns
+
+    # stateful sessionization parity on finalized rows
+    streamed_sess = run_stream_once(
+        spark, src, pages.schema,
+        lambda s: stream_page_features(s, gap_seconds=3600, watermark="0 seconds"),
+        query_name="pages_sess",
+    ).toPandas()
+    batch_sess = (
+        sessionize(
+            pages.withColumn("url_id", F.xxhash64("url")),
+            "url_id", "warc_ts", 3600,
+        )
+        .select("url_id", "warc_ts", "session_id", "session_seq", "snap_rank")
+        .toPandas()
+    )
+    assert len(streamed_sess) > 0
+    merged = streamed_sess.merge(
+        batch_sess, on=["url_id", "warc_ts"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(streamed_sess)  # every emitted row matches a batch row
+    for col in ["session_id", "session_seq", "snap_rank"]:
+        assert (merged[f"{col}_s"] == merged[f"{col}_b"]).all(), col
