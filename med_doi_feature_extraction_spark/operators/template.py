@@ -50,7 +50,11 @@ def render_template(
         parts.append(F.lit(template[pos:]))
     if not parts:
         return F.lit("")
-    return F.trim(F.concat(*parts))
+    # python-str.strip-style trim of ASCII whitespace (F.trim strips
+    # spaces only; the reference's .strip() strips \t\n\r\f\v too)
+    return F.regexp_replace(
+        F.concat(*parts), r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$", ""
+    )
 
 
 def preview(col: Column | str, max_chars: int = 100, ellipsis: str = "...") -> Column:

@@ -98,3 +98,72 @@ def test_minhash_identity_and_symmetry(a: str, b: str):
     agree_ab = sum(x == y for x, y in zip(sa, sb))
     agree_ba = sum(x == y for x, y in zip(sb, sa))
     assert agree_ab == agree_ba
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=120)), min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_fingerprint64_batch_matches_scalar_oracle(texts):
+    """Batch-vectorized fingerprint == per-doc python Horner oracle of
+    the same dual-M31 polynomial (bases 131/137), incl. null handling
+    and normalization equivalence."""
+    from med_doi_feature_extraction_spark.kernels.hashing import fingerprint64
+
+    M31 = (1 << 31) - 1
+
+    def oracle(t):
+        if t is None:
+            return None
+        norm = " ".join(str(t).split()).lower()
+        if len(norm) < 1:
+            norm = "_"
+        raw = norm.encode("utf-8")
+        h = []
+        for base in (131, 137):
+            acc = 0
+            for byte in raw:
+                acc = (acc * base + byte) % M31
+            h.append(acc)
+        return (h[0] << 32) | h[1]
+
+    got = fingerprint64(pd.Series(texts, dtype=object))
+    for t, g in zip(texts, got):
+        exp = oracle(t)
+        assert (g is None and exp is None) or int(g) == exp, repr(t)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet=st.characters(blacklist_characters="{}"), max_size=12),
+            st.sampled_from(["{{ a }}", "{b}", "{{c}}", "{{ run }}", "{{a}}{b}"]),
+        ),
+        max_size=8,
+    ).map("".join)
+)
+@settings(max_examples=60, deadline=None)
+def test_render_template_matches_format_oracle(spark, tpl):
+    """Compiled-concat template == python str.format/jinja-style
+    substitution with record precedence for row columns."""
+
+    from med_doi_feature_extraction_spark.operators.template import (
+        _PLACEHOLDER_RE,
+    )
+
+    row = {"a": "A1", "b": 7, "c": None}
+    variables = {"run": "r9"}
+
+    def oracle():
+        def sub(m):
+            name = m.group(1) or m.group(2)
+            if name in variables:
+                return str(variables[name])
+            v = row.get(name, "")
+            return "" if v is None else str(v)
+
+        return _PLACEHOLDER_RE.sub(sub, tpl).strip(" \t\n\r\f\x0b")
+
+    from med_doi_feature_extraction_spark.operators.template import render_template
+
+    df = spark.createDataFrame(pd.DataFrame([row]))
+    got = df.select(render_template(tpl, variables).alias("s")).collect()[0].s
+    assert got == oracle(), repr(tpl)
