@@ -68,6 +68,34 @@ def write_text(
         stream.close()
 
 
+def parquet_rows_and_bytes(spark: SparkSession, dir_str: str) -> tuple[int, int]:
+    """(row_count, byte_size) of all parquet files directly under
+    ``dir_str`` — footer metadata only via the JVM parquet-hadoop
+    reader, no Spark job, any filesystem scheme. (Measured: attaching
+    an Observation with per-bucket conditional sums to the write job
+    instead costs ~interpreted-expression-per-row-per-bucket in
+    CollectMetrics — a >40% wall hit on a 7.7M-row chunk.)"""
+    fs, jpath, jvm = _jfs(spark, dir_str)
+    conf = spark._jsc.hadoopConfiguration()
+    rows = 0
+    size = 0
+    if not fs.exists(jpath):
+        return 0, 0
+    for st in fs.listStatus(jpath):
+        if not st.isFile() or not st.getPath().getName().endswith(".parquet"):
+            continue
+        size += int(st.getLen())
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+            st, conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            rows += int(reader.getRecordCount())
+        finally:
+            reader.close()
+    return rows, size
+
+
 def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
     fs, jpath, _ = _jfs(spark, path_str)
     return bool(fs.delete(jpath, recursive))

@@ -22,8 +22,9 @@ audit_service.py:34-53``):
   (kill/resume test in tests/test_pipeline_manifest.py).
 - ALL filesystem access goes through the Hadoop FileSystem API
   (``fsutil``), so the same code runs on local disk, HDFS and S3A;
-  per-bucket row counts come from an ``Observation`` attached to the
-  chunk's own write job (no second job, no parquet-footer reads).
+  per-bucket row counts + bytes come from the committed parquet
+  FOOTERS via the JVM parquet-hadoop reader (metadata-only, no second
+  Spark job, scheme-agnostic).
 
 At cluster scale each chunk is a bounded-size job (straggler/ retry
 blast radius = one chunk), and the manifest doubles as the lineage /
@@ -37,7 +38,7 @@ import time
 import uuid
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from med_doi_feature_extraction_spark import fsutil
@@ -108,15 +109,12 @@ class InjectedFailure(RuntimeError):
     """Test-only crash injection between chunks."""
 
 
-def _bucket_bytes(spark: SparkSession, out_dir: str, bucket: int) -> int:
-    """Committed size of one bucket's partition dir — Hadoop FS
-    metadata listing only, works on any scheme."""
+def _bucket_stats(spark: SparkSession, out_dir: str, bucket: int) -> tuple[int, int]:
+    """(rows, bytes) of one bucket's committed partition dir — parquet
+    footers + FS listing via the Hadoop FileSystem API (metadata only,
+    any scheme, no Spark job)."""
     bdir = f"{out_dir.rstrip('/')}/url_bucket={bucket}"
-    return sum(
-        size
-        for path, size in fsutil.list_files(spark, bdir)
-        if path.endswith(".parquet")
-    )
+    return fsutil.parquet_rows_and_bytes(spark, bdir)
 
 
 def bucket_col(n_buckets: int):
@@ -156,31 +154,22 @@ def run_partitioned(
         # the UDF stage, the window stage (clustering satisfied) AND
         # the bucketed sink (≈1 file per bucket) — a single shuffle.
         feats = page_features(part, dim=dim, cfg=cfg)
-        # per-bucket row counts piggyback on the write job itself
-        obs = Observation(f"chunk_{attempt_id}_{chunk_id}")
-        feats = feats.observe(
-            obs,
-            *[
-                F.sum(
-                    F.when(F.col("url_bucket") == b, 1).otherwise(0)
-                ).alias(f"rows_{b}")
-                for b in chunk
-            ],
-        )
         (
             feats.write.mode("overwrite")
             .partitionBy("url_bucket")
             .parquet(out_dir)
         )
-        rows_by_bucket = {b: int(obs.get[f"rows_{b}"] or 0) for b in chunk}
+        # lineage metrics straight from the committed parquet footers
+        # (rows) + FS sizes — metadata-only, no second Spark job
+        by_bucket = {b: _bucket_stats(spark, out_dir, b) for b in chunk}
         t_end = time.time()
         records = [
             BucketRecord(
                 run_id=cfg.run_id,
                 chunk_id=chunk_id,
                 url_bucket=b,
-                rows_out=rows_by_bucket[b],
-                bytes_out=_bucket_bytes(spark, out_dir, b),
+                rows_out=by_bucket[b][0],
+                bytes_out=by_bucket[b][1],
                 t_start=t_start,
                 t_end=t_end,
                 kernel_version=PIPELINE_VERSION,

