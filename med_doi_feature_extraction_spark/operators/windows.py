@@ -9,7 +9,7 @@ Temporal-leakage contract: every feature here is a function of rows
 with ``ts <= current ts`` ONLY — except ``lead``-based columns, which
 are training labels and are named with a ``label_`` prefix so serving
 paths can drop them (SURVEY.md §7.3). Enforced by the deletion-
-invariance property test in tests/test_leakage.py.
+invariance property test in tests/test_windows.py (test_leakage_deletion_invariance).
 
 Determinism: all orderings are ``(ts, *tiebreak)``; callers must pass
 a tiebreak column when ts may repeat within an entity.
