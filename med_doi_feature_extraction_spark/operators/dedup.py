@@ -273,19 +273,20 @@ def dup_clusters(
     """Connected components over near-dup pairs (id_a, id_b) →
     (doc_id, cluster_id) with cluster_id = min doc id in the component.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup components are shallow —
-    dups of a page cluster around it). Each round is two shuffles on
-    ids; AQE handles the shrinking frontier. This is the operator that
+    Min-label propagation WITH pointer jumping: each round every node
+    adopts the smallest label among itself and its neighbors, then
+    shortcuts to its label's label (path halving) — label distance
+    roughly doubles per round, so convergence is O(log diameter)
+    rounds instead of O(diameter) (a 1,000-link near-dup chain
+    converges in ~10 rounds). Each round is three shuffles on ids;
+    AQE handles the shrinking frontier. This is the operator that
     turns pairwise candidates into keep/remove decisions at corpus
     scale; not SQL-expressible (iteration), driver check is rows-only.
 
-    Min-label propagation moves labels one hop per round, so a
-    component with diameter > max_iterations would come back silently
+    A component whose convergence still exceeds max_iterations (would
+    need diameter ≳ 2^max_iterations) must not come back silently
     SPLIT — ``on_nonconverged`` controls the guard: "raise" (default)
-    or "warn". Near-dup components are shallow in practice; raise the
-    cap (or pre-contract with exact dedup) for pathological chains.
+    or "warn".
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -310,6 +311,20 @@ def dup_clusters(
                 "id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jump (path halving): label ← label's label, so the
+        # min label travels 2^k hops after k rounds, not k
+        parent = updated.select(
+            F.col("id").alias("cluster_id"), F.col("cluster_id").alias("_cc2")
+        )
+        updated = (
+            updated.join(parent, "cluster_id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_cc2"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
         )

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import shutil
 import sys
 import uuid
 from pathlib import Path
@@ -60,10 +59,11 @@ def main() -> None:
         cfg = FeatureConfig(run_id=run_id)
         n_buckets, chunk = 64, 64
 
-    if args.no_resume:
-        shutil.rmtree(args.manifest, ignore_errors=True)
-
     spark = get_spark(f"pages_features_{run_id}", master=args.master)
+    if args.no_resume:
+        from med_doi_feature_extraction_spark import fsutil
+
+        fsutil.delete(spark, args.manifest, recursive=True)
     audit = SessionAudit(run_id)
     pages = spark.read.parquet(args.input)
     dim = spark.read.parquet(args.dim) if args.dim else None
