@@ -32,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 _BD = Path(__file__).resolve().parent.parent / ".bench_data"
 CC_DIR = str(_BD / "cc_scale")
 SCALE_DIR = str(_BD / "sf12.8")
+SCALE2_DIR = str(_BD / "sf25.6")
 
 
 def ensure_cc_pages(n_urls: int = 60_000) -> str:
@@ -53,38 +54,42 @@ def ensure_cc_pages(n_urls: int = 60_000) -> str:
     return CC_DIR
 
 
-def ensure_scale_pages() -> str:
+def ensure_scale_pages(replication: int = 32) -> str:
     """7.74M rows of ~2.5 KB pages: the sf0.4 seeded table replicated
     32× with salted (distinct) urls — deterministic, multi-file.
+    ``replication=64`` builds the 15.5M-row sf25.6 variant (headline
+    round-2 fixture: the fixed per-job slice — stage barriers, task
+    startup, commit — amortizes further; see BASELINE.md).
 
     Sizing matters: at ~2M rows the job is ~40 s at 16 cores and the
     fixed driver-serial slice (planning, partition-overwrite commit,
     manifest) caps measured efficiency near 0.7; at 7.7M rows the same
     pipeline measures ≥0.8 because the serial slice amortizes — the
     regime a real 100 TB chunk always operates in."""
-    marker = Path(SCALE_DIR) / "_DONE"
+    scale_dir = SCALE2_DIR if replication == 64 else SCALE_DIR
+    marker = Path(scale_dir) / "_DONE"
     if not marker.exists():
         from bench import _pages_dir
         from med_doi_feature_extraction_spark.session import get_spark
         from pyspark.sql import functions as F
 
         base = _pages_dir(0.4)
-        spark = get_spark("gen_scale", master="local[32]", shuffle_partitions=64)
+        spark = get_spark("gen_scale", master="local[32]", shuffle_partitions=128)
         pages = (
             spark.read.parquet(f"{base}/pages.parquet")
-            .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(31))))
+            .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(replication - 1))))
             .withColumn("url", F.concat("url", F.lit("?r="), F.col("_rep")))
             .drop("_rep")
         )
-        pages.repartition(128).write.mode("overwrite").parquet(
-            f"{SCALE_DIR}/pages.parquet"
+        pages.repartition(4 * replication).write.mode("overwrite").parquet(
+            f"{scale_dir}/pages.parquet"
         )
         spark.read.parquet(f"{base}/dim_snapshots.parquet").write.mode(
             "overwrite"
-        ).parquet(f"{SCALE_DIR}/dim_snapshots.parquet")
+        ).parquet(f"{scale_dir}/dim_snapshots.parquet")
         spark.stop()
-        Path(SCALE_DIR, "_DONE").write_text("ok")
-    return SCALE_DIR
+        Path(scale_dir, "_DONE").write_text("ok")
+    return scale_dir
 
 
 def _measure(pages_dir: str, cores: int) -> dict:
@@ -161,7 +166,7 @@ def run_scaling(
     """best-of-``repeats`` per side (each repeat a fresh pinned JVM).
     At the default 7.7M-row input one run per side is ~10 min total
     and run-to-run spread is <±5%; raise repeats for small inputs."""
-    pages_dir = pages_dir or ensure_scale_pages()
+    pages_dir = pages_dir or ensure_scale_pages(replication=64)
     lows = [_run_pinned(pages_dir, low) for _ in range(repeats)]
     highs = [_run_pinned(pages_dir, high) for _ in range(repeats)]
     r_low = min(lows, key=lambda r: r["wall_sec"])
