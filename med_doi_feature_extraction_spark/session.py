@@ -57,7 +57,7 @@ def get_spark(
         # kernel parallel even when the table is a handful of files
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
