@@ -831,6 +831,222 @@ FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
 
+# ------------------------------------------------------- retry / routing / compile
+
+_RETRY_PLAN = {"timeout": 3, "rate_limit": 2}  # parse_error → default 1
+
+# deterministic failures manifest derived from orders (status F):
+# category from orderkey mod 3, retry_count from mod 4, every 10th key
+# shifted out of customer range to exercise missing_input.
+_FAILURES_SQL = """
+  SELECT o_orderkey AS failure_id,
+         o_custkey + CASE WHEN o_orderkey % 10 = 0 THEN 9000000 ELSE 0 END
+           AS c_custkey,
+         CASE o_orderkey % 3 WHEN 0 THEN 'timeout' WHEN 1 THEN 'parse_error'
+              ELSE 'rate_limit' END AS failure_category,
+         CAST(o_orderkey % 4 AS INT) AS retry_count
+  FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def _synth_failures(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    m3 = F.col("o_orderkey") % 3
+    cat = (
+        F.when(m3 == 0, F.lit("timeout"))
+        .when(m3 == 1, F.lit("parse_error"))
+        .otherwise(F.lit("rate_limit"))
+    )
+    shift = F.when(F.col("o_orderkey") % 10 == 0, F.lit(9_000_000)).otherwise(F.lit(0))
+    return o.select(
+        F.col("o_orderkey").alias("failure_id"),
+        (F.col("o_custkey") + shift).alias("c_custkey"),
+        cat.alias("failure_category"),
+        (F.col("o_orderkey") % 4).cast("int").alias("retry_count"),
+    )
+
+
+def q_retry_route(spark, sf_dir):
+    """J4 + A6: category→max_retries map routing plus the retry
+    summary aggregation (reference commands_post.py retry_plan
+    lookup + summary table)."""
+    from med_doi_feature_extraction_spark.operators.retry import route_retries
+
+    routed = route_retries(
+        _synth_failures(spark, sf_dir), _RETRY_PLAN, default_max_retries=1
+    )
+    return routed.groupBy("failure_category").agg(
+        F.count(F.lit(1)).cast("long").alias("n_failures"),
+        F.sum(F.col("eligible").cast("long")).alias("n_eligible"),
+        F.max("max_retries").cast("long").alias("max_retries"),
+    )
+
+
+SQL_RETRY_ROUTE = f"""
+WITH f AS ({_FAILURES_SQL}),
+r AS (
+  SELECT *, CASE failure_category WHEN 'timeout' THEN 3
+                 WHEN 'rate_limit' THEN 2 ELSE 1 END AS max_retries
+  FROM f
+)
+SELECT failure_category,
+       CAST(count(*) AS BIGINT) AS n_failures,
+       CAST(sum(CASE WHEN retry_count < max_retries THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_eligible,
+       CAST(max(max_retries) AS BIGINT) AS max_retries
+FROM r GROUP BY failure_category
+"""
+
+
+def q_retry_attach(spark, sf_dir):
+    """J1: broadcast point-lookup of each failure's input row;
+    unmatched rows reclassified missing_input (commands_post.py:135-139)."""
+    from med_doi_feature_extraction_spark.operators.retry import attach_input
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    out = attach_input(_synth_failures(spark, sf_dir), cust, "c_custkey")
+    return out.select(
+        "failure_id",
+        "c_custkey",
+        "failure_category",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+
+
+SQL_RETRY_ATTACH = f"""
+WITH f AS ({_FAILURES_SQL})
+SELECT f.failure_id, f.c_custkey,
+       CASE WHEN c.c_custkey IS NULL THEN 'missing_input'
+            ELSE f.failure_category END AS failure_category,
+       CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       round(c.c_acctbal, 2) AS c_acctbal
+FROM f LEFT JOIN customer c ON f.c_custkey = c.c_custkey
+"""
+
+
+def q_route_complexity(spark, sf_dir):
+    """M2: static model routing by complexity score (reference
+    llm_service.py:51-74 length buckets → nano/mini/full)."""
+    from med_doi_feature_extraction_spark.operators.cascade import (
+        route_by_complexity,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    cx = complexity_score(F.col("text"))
+    return docs.select(
+        "doc_id", cx.alias("complexity"), route_by_complexity(cx).alias("model_tier")
+    )
+
+
+SQL_ROUTE_COMPLEXITY = """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(length(text), 0) = 0 THEN 0.2
+              WHEN length(text) < 500 THEN 0.4
+              WHEN length(text) < 1500 THEN 0.7
+              ELSE 0.9 END AS complexity
+  FROM documents
+)
+SELECT doc_id, complexity,
+       CASE WHEN complexity < 0.5 THEN 'nano'
+            WHEN complexity < 0.8 THEN 'mini'
+            ELSE 'full' END AS model_tier
+FROM c
+"""
+
+_CHAIN_CHOICES = ["en", "de", "fr", "es"]
+_CHAIN_SYNONYMS = {"en": ["eng", "english"]}
+
+
+def _chain_inputs(docs):
+    """Deterministic presence gaps + a synonym-hitting value so the
+    compiled chain's coverage/validate paths all fire."""
+    did = F.col("doc_id")
+    return docs.withColumns(
+        {
+            "text": F.when(did % 13 == 0, F.lit(None)).otherwise(F.col("text")),
+            "lang": F.when(did % 11 == 0, F.lit(" ENG "))
+            .when(did % 7 == 0, F.lit(None))
+            .otherwise(F.col("lang")),
+        }
+    )
+
+
+def q_compile_chain(spark, sf_dir):
+    """S4–S7 + P9–P13 as ONE compiled plan: rename → key coalesce /
+    sanitize → required-key filter → extract → choice-normalize →
+    complexity → input-quality → confidence blend → validate
+    (reference engine.py:91-168 record chain)."""
+    from med_doi_feature_extraction_spark.plans.compile import (
+        FieldSpec,
+        RefPipelineSpec,
+        apply_reference_chain,
+    )
+
+    spec = RefPipelineSpec(
+        column_map={"doc_id": "DOI"},
+        fields={
+            "lang": FieldSpec(choices=_CHAIN_CHOICES, synonyms=_CHAIN_SYNONYMS)
+        },
+        input_signals=dict(_SIGNALS),
+        complexity_column="text",
+        min_confidence_threshold=0.9,
+    )
+    docs = _chain_inputs(_read(spark, sf_dir, "documents"))
+    out = apply_reference_chain(
+        docs,
+        spec,
+        extractor=lambda d: d.withColumn("extracted_lang", F.col("lang")),
+    )
+    return out.select(
+        "key", "normalized_lang", "complexity", "input_quality",
+        "confidence", "valid",
+    )
+
+
+def _sql_compile_chain() -> str:
+    lookup = build_lookup(_CHAIN_CHOICES, _CHAIN_SYNONYMS)
+    whens = "\n".join(
+        f"           WHEN '{k}' THEN '{v}'" for k, v in sorted(lookup.items())
+    )
+    return rf"""
+WITH m AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+         CASE WHEN doc_id % 11 = 0 THEN ' ENG '
+              WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+         source, doc_id
+  FROM documents
+), k AS (
+  SELECT *, regexp_replace(CAST(doc_id AS VARCHAR), '[/\\]', '_', 'g') AS key
+  FROM m
+), q AS (
+  SELECT key,
+         coalesce(CASE lower(trim(lang))
+{whens}
+           END, lang) AS normalized_lang,
+         CASE WHEN coalesce(length(text), 0) = 0 THEN 0.2
+              WHEN length(text) < 500 THEN 0.4
+              WHEN length(text) < 1500 THEN 0.7
+              ELSE 0.9 END AS complexity,
+         round((CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 0.6 ELSE 0.0 END
+              + CASE WHEN lang IS NOT NULL AND length(lang) > 0 THEN 0.2 ELSE 0.0 END
+              + CASE WHEN source IS NOT NULL AND length(source) > 0 THEN 0.2 ELSE 0.0 END)
+              / 1.0, 6) AS input_quality
+  FROM k
+  WHERE key IS NOT NULL AND length(key) > 0
+)
+SELECT key, normalized_lang, complexity, input_quality,
+       round(least(1.0, greatest(0.0, 0.6 * 1.0 + 0.4 * input_quality)), 6)
+         AS confidence,
+       round(least(1.0, greatest(0.0, 0.6 * 1.0 + 0.4 * input_quality)), 6) >= 0.9
+         AS valid
+FROM q
+"""
+
+
 # ---------------------------------------------------------------- embeddings
 
 def q_cosine_topk(spark, sf_dir):
@@ -1090,6 +1306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_gate": q_quality_gate,
         "model_confidence": q_model_confidence,
+        "retry_route": q_retry_route,
+        "retry_attach": q_retry_attach,
+        "route_complexity": q_route_complexity,
+        "compile_chain": q_compile_chain,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
@@ -1131,6 +1351,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "quality_gate": _sql_quality_gate(),
         "model_confidence": SQL_MODEL_CONFIDENCE,
+        "retry_route": SQL_RETRY_ROUTE,
+        "retry_attach": SQL_RETRY_ATTACH,
+        "route_complexity": SQL_ROUTE_COMPLEXITY,
+        "compile_chain": _sql_compile_chain(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "cosine_topk": SQL_COSINE_TOPK,
