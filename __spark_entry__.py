@@ -1047,6 +1047,85 @@ FROM q
 """
 
 
+def q_validate_report(spark, sf_dir):
+    """A3–A5 composed: the reference ``validate`` command's post-hoc
+    quality report (confidence distribution + per-field coverage,
+    commands_post.py:179-256) as ONE aggregation over the compiled
+    chain's output."""
+    from med_doi_feature_extraction_spark.operators.report import (
+        validate_report_agg,
+    )
+
+    return validate_report_agg(
+        q_compile_chain(spark, sf_dir), ["normalized_lang"]
+    )
+
+
+def _sql_validate_report() -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS total,
+       round(CAST(sum(CAST(confidence AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_confidence,
+       CAST(sum(CASE WHEN confidence >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS high,
+       CAST(sum(CASE WHEN confidence >= 0.5 AND confidence < 0.7
+                THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+       CAST(sum(CASE WHEN confidence < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS low,
+       CAST(sum(CASE WHEN normalized_lang IS NOT NULL
+                      AND length(normalized_lang) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS cov_normalized_lang
+FROM ({_sql_compile_chain()}) chain
+"""
+
+
+def q_cost_model(spark, sf_dir):
+    """P14 + A7: per-record cost arithmetic (tokens/1M × routed tier
+    price, reference cli/helpers.py:343-377) aggregated per tier;
+    DECIMAL sum so the cross-row total is order-independent."""
+    from med_doi_feature_extraction_spark.audit import record_cost
+    from med_doi_feature_extraction_spark.operators.cascade import (
+        route_by_complexity,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    tier = route_by_complexity(complexity_score(F.col("text")))
+    cost = record_cost(tier, F.lit(1000.0), F.lit(200.0))
+    return (
+        docs.select(tier.alias("model_tier"), cost.alias("_c"))
+        .groupBy("model_tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.round(
+                F.sum(F.col("_c").cast("decimal(18,10)")).cast("double"), 8
+            ).alias("cost_usd"),
+        )
+    )
+
+
+SQL_COST_MODEL = """
+WITH c AS (
+  SELECT CASE WHEN cx < 0.5 THEN 'nano' WHEN cx < 0.8 THEN 'mini'
+              ELSE 'full' END AS model_tier
+  FROM (
+    SELECT CASE WHEN coalesce(length(text), 0) = 0 THEN 0.2
+                WHEN length(text) < 500 THEN 0.4
+                WHEN length(text) < 1500 THEN 0.7
+                ELSE 0.9 END AS cx
+    FROM documents)
+), p AS (
+  SELECT model_tier,
+         (1000.0 / 1000000.0) * CASE model_tier WHEN 'nano' THEN 0.05
+              WHEN 'mini' THEN 0.25 ELSE 1.25 END
+       + (200.0 / 1000000.0) * CASE model_tier WHEN 'nano' THEN 0.40
+              WHEN 'mini' THEN 2.00 ELSE 10.00 END AS cost
+  FROM c
+)
+SELECT model_tier,
+       CAST(count(*) AS BIGINT) AS n_records,
+       round(CAST(sum(CAST(cost AS DECIMAL(18,10))) AS DOUBLE), 8) AS cost_usd
+FROM p GROUP BY model_tier
+"""
+
+
 # ---------------------------------------------------------------- embeddings
 
 def q_cosine_topk(spark, sf_dir):
@@ -1116,6 +1195,24 @@ def q_simhash_pairs(spark, sf_dir):
 def q_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (seeded spherical k-means quantizer + nprobe
+    cell search). Rows-only: the iterative kmeans index build is not
+    SQL-expressible; recall@k vs cosine_topk is pinned in pytest."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, nprobe=4
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """64-bit rolling-hash fingerprint dedup (rows-only: the custom
+    dual polynomial hash is not SQL-reproducible; grouping-count
+    parity with sha256 exact_dedup is pinned in pytest)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(docs, "doc_id", "text")
 
 
 def q_dedup_decisions(spark, sf_dir):
@@ -1310,6 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_attach": q_retry_attach,
         "route_complexity": q_route_complexity,
         "compile_chain": q_compile_chain,
+        "validate_report": q_validate_report,
+        "cost_model": q_cost_model,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
@@ -1319,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "doc_fingerprint": q_doc_fingerprint,
         "dedup_decisions": q_dedup_decisions,
         "pages_flagship": q_pages_flagship,
     }
@@ -1355,6 +1456,8 @@ def oracle_sql() -> dict[str, str]:
         "retry_attach": SQL_RETRY_ATTACH,
         "route_complexity": SQL_ROUTE_COMPLEXITY,
         "compile_chain": _sql_compile_chain(),
+        "validate_report": _sql_validate_report(),
+        "cost_model": SQL_COST_MODEL,
         "exact_dedup": SQL_EXACT_DEDUP,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "cosine_topk": SQL_COSINE_TOPK,

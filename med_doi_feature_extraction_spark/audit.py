@@ -20,6 +20,43 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+# P14/A7: the reference's model price table (config/settings.base.yaml:
+# 22-48) — (input, output) USD per 1M tokens per routed tier.
+MODEL_PRICES: dict[str, tuple[float, float]] = {
+    "nano": (0.05, 0.40),
+    "mini": (0.25, 2.00),
+    "full": (1.25, 10.00),
+}
+
+
+def record_cost(
+    tier: F.Column | str,
+    tokens_in: F.Column,
+    tokens_out: F.Column,
+    prices: dict[str, tuple[float, float]] | None = None,
+) -> F.Column:
+    """Per-record USD cost (reference cli/helpers.py:343-377):
+    tokens/1M × the routed tier's price, input + output. Pure Column
+    arithmetic — composes with ``route_by_complexity`` and the audit
+    observer's ``cost_col``."""
+    prices = prices or MODEL_PRICES
+    tier = F.col(tier) if isinstance(tier, str) else tier
+    in_p: F.Column | None = None
+    out_p: F.Column | None = None
+    for name, (pi, po) in sorted(prices.items()):
+        in_p = (
+            F.when(tier == name, F.lit(pi))
+            if in_p is None
+            else in_p.when(tier == name, F.lit(pi))
+        )
+        out_p = (
+            F.when(tier == name, F.lit(po))
+            if out_p is None
+            else out_p.when(tier == name, F.lit(po))
+        )
+    return (tokens_in / F.lit(1e6)) * in_p + (tokens_out / F.lit(1e6)) * out_p
+
+
 @dataclass
 class SessionSummary:
     session_id: str

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 from pyspark.sql import Window
 
 from med_doi_feature_extraction_spark.kernels.hashing import (
+    fingerprint64,
     minhash_signatures,
     simhash64,
 )
@@ -39,6 +40,7 @@ _sig_udf = F.pandas_udf(
     lambda s: minhash_signatures(s), T.ArrayType(T.LongType())
 )
 _simhash_udf = F.pandas_udf(lambda s: simhash64(s), T.LongType())
+_fp_udf = F.pandas_udf(lambda s: fingerprint64(s), T.LongType())
 
 # Hot-band guard: an LSH bucket shared by B docs yields B² candidate
 # pairs — one boilerplate band over 10^7 docs is 10^14 pairs. Buckets
@@ -108,6 +110,32 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         df.select(F.col(id_col), F.sha2(norm, 256).alias("text_hash"))
         .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str, out: str = "fingerprint"
+) -> DataFrame:
+    """64-bit document fingerprint (dual polynomial rolling hash over
+    normalized text — kernels.hashing.fingerprint64): cheap content
+    identity for dedup keys and lineage."""
+    return df.withColumn(out, _fp_udf(text_col))
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``exact_dedup``'s cheap cousin: an 8-byte fingerprint key
+    instead of a 64-char sha256 hex string — ~8× smaller shuffle key
+    at the same grouping semantics (the fingerprint normalization
+    additionally trims leading/trailing whitespace; collision odds
+    ~2⁻⁶⁴ per pair, fine for dedup grouping — keep sha256 where
+    auditability of the key matters)."""
+    return (
+        with_fingerprint(_spread(df.select(id_col, text_col)), text_col)
+        .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("dup_count"),

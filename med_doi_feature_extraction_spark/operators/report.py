@@ -18,6 +18,38 @@ HIGH_CONF = 0.7
 LOW_CONF = 0.5
 
 
+def validate_report_agg(
+    df: DataFrame,
+    field_cols: list[str],
+    conf_col: str = "confidence",
+) -> DataFrame:
+    """The report as a ONE-ROW aggregate frame (the SQL-expressible
+    core of ``validate_report``; exposed separately so the driver's
+    DuckDB oracle can check it). Confidence sums go through exact
+    DECIMAL so the cross-row average is order-independent."""
+    conf = F.col(conf_col)
+    total = F.count(F.lit(1))
+    sum_conf = F.sum(conf.cast("decimal(18,6)"))
+    aggs = [
+        total.cast("long").alias("total"),
+        F.round(sum_conf.cast("double") / total, 6).alias("avg_confidence"),
+        F.sum(F.when(conf >= HIGH_CONF, 1).otherwise(0))
+        .cast("long").alias("high"),
+        F.sum(
+            F.when((conf >= LOW_CONF) & (conf < HIGH_CONF), 1).otherwise(0)
+        ).cast("long").alias("medium"),
+        F.sum(F.when(conf < LOW_CONF, 1).otherwise(0)).cast("long").alias("low"),
+    ]
+    for c in field_cols:
+        present = F.col(c).isNotNull() & (
+            F.length(F.col(c).cast("string")) > 0
+        )
+        aggs.append(
+            F.sum(F.when(present, 1).otherwise(0)).cast("long").alias(f"cov_{c}")
+        )
+    return df.agg(*aggs)
+
+
 def validate_report(
     df: DataFrame,
     field_cols: list[str],
@@ -25,22 +57,7 @@ def validate_report(
 ) -> dict:
     """One-pass quality report: {total, avg_confidence, high/medium/
     low counts, coverage: {field: {count, pct}}}."""
-    conf = F.col(conf_col)
-    aggs = [
-        F.count(F.lit(1)).alias("total"),
-        F.round(F.avg(conf), 6).alias("avg_confidence"),
-        F.sum(F.when(conf >= HIGH_CONF, 1).otherwise(0)).alias("high"),
-        F.sum(
-            F.when((conf >= LOW_CONF) & (conf < HIGH_CONF), 1).otherwise(0)
-        ).alias("medium"),
-        F.sum(F.when(conf < LOW_CONF, 1).otherwise(0)).alias("low"),
-    ]
-    for c in field_cols:
-        present = F.col(c).isNotNull() & (
-            F.length(F.col(c).cast("string")) > 0
-        )
-        aggs.append(F.sum(F.when(present, 1).otherwise(0)).alias(f"cov_{c}"))
-    row = df.agg(*aggs).collect()[0].asDict()
+    row = validate_report_agg(df, field_cols, conf_col).collect()[0].asDict()
     total = int(row["total"] or 0)
 
     def pct(n: int) -> float:

@@ -9,6 +9,11 @@
   candidates restricted to same-bucket (multi-probe: exact bucket +
   Hamming-1 neighbors), then exact cosine within candidates. Recall
   < 1.0 by design; the bench reports recall@k vs brute force.
+- ``ivf_topk``: IVF-bucketed ANN — the second scale path. A seeded
+  spherical k-means coarse quantizer (bounded driver-side sample)
+  assigns every corpus vector to its nearest centroid's cell; queries
+  probe their ``nprobe`` nearest cells. Index build (one bounded job)
+  is explicitly split from query planning (zero jobs).
 - ``embedding_near_dup``: pairs with cosine ≥ threshold, blocked by
   LSH bucket.
 
@@ -233,6 +238,137 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .distinct()
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 64,
+    n_iters: int = 5,
+    sample_size: int = 20_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer — the index-BUILD step (runs ONE bounded
+    Spark job by design; this is an explicit action like writing an
+    index, not plan construction — query-side ``ivf_topk`` with
+    pre-trained centroids launches zero jobs at plan time).
+
+    Deterministic: sample = first ``sample_size`` rows by ``id_col``
+    order, then seeded spherical k-means (Lloyd on L2-normalized
+    vectors — argmax cosine) in numpy on the driver. The sample stays
+    bounded no matter the corpus size; centroids (K×dim float64) ship
+    to executors inside the assignment UDF closure."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.stack(rows["_v"].to_numpy()).astype(np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(Xn))
+    cent = Xn[rng.choice(len(Xn), size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = (Xn @ cent.T).argmax(axis=1)
+        for j in range(k):
+            pts = Xn[assign == j]
+            if len(pts):
+                m = pts.mean(axis=0)
+                cent[j] = m / max(float(np.linalg.norm(m)), 1e-12)
+    return cent
+
+
+def _ivf_cells_udf(centroids: np.ndarray, nprobe: int):
+    """vec → top-``nprobe`` nearest centroid ids (cosine, stable ties
+    by centroid id). Centroids ride the UDF closure — broadcast once
+    per worker, no per-row Python."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_of(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], index=vecs.index, dtype=object)
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent.T  # (batch, K)
+        p = min(nprobe, sims.shape[1])
+        # argsort (not argpartition): deterministic ascending-id tie
+        # order; K is small so the full sort is cheap
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype(np.int32)
+        return pd.Series(list(top), index=vecs.index, dtype=object)
+
+    return cells_of
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its single nearest centroid (the IVF
+    posting-list key — at corpus scale this is the partition/bucket
+    column of the materialized index table)."""
+    return df.withColumn(
+        out, F.element_at(_ivf_cells_udf(centroids, 1)(vec_col), 1)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's cell; each query probes its ``nprobe`` nearest cells and
+    scores exact cosine only against those cells' members. Same output
+    schema as ``cosine_topk``/``lsh_topk`` → recall@k directly
+    measurable; recall rises with nprobe (and falls with n_centroids)
+    at the cost of candidate volume ≈ corpus × nprobe / n_centroids.
+
+    No distinct() is needed on candidates: a corpus row has exactly
+    one cell and a query's probed cells are distinct, so each
+    (query, neighbor) pair arises at most once. Pass pre-trained
+    ``centroids`` to keep plan construction job-free (the index-build
+    split); with None, ``train_ivf_centroids`` runs its one bounded
+    sample job here."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, id_col, n_centroids, seed=seed
+        )
+    c = with_ivf_cell(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        centroids, "_cv", out="_cell",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_cells", _ivf_cells_udf(centroids, nprobe)("_qv"))
+    q_probed = q.select(
+        "query_id", "_qv", F.explode("_cells").alias("_cell")
+    )
+    scored = (
+        c.join(F.broadcast(q_probed), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
     )
 
 

@@ -39,6 +39,15 @@ def test_exact_dedup(spark, docs_df, docs_pdf):
     assert len(dup) == 1 and dup.keep_id.iloc[0] == 0
 
 
+def test_fingerprint_dedup_matches_exact_grouping(spark, docs_df):
+    """The 64-bit fingerprint key groups identically to sha256 on
+    normalized text (same survivor ids, same dup-count multiset)."""
+    fp = dedup.fingerprint_dedup(docs_df, "doc_id", "text").toPandas()
+    ex = dedup.exact_dedup(docs_df, "doc_id", "text").toPandas()
+    assert sorted(fp.keep_id) == sorted(ex.keep_id)
+    assert sorted(fp.dup_count) == sorted(ex.dup_count)
+
+
 def test_minhash_dedup_finds_planted_pairs(spark, docs_df):
     pairs = dedup.minhash_dedup(docs_df, "doc_id", "text", threshold=0.5).toPandas()
     found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
@@ -107,6 +116,51 @@ def test_lsh_topk_recall(spark, emb_df):
     approx = similarity.lsh_topk(emb_df, queries, k=5, n_bits=6)
     rec = similarity.recall_at_k(approx, exact)
     assert rec >= 0.5, f"recall@5 too low: {rec}"
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb_df, queries, k=5)
+    cent = similarity.train_ivf_centroids(emb_df, n_centroids=8, seed=7)
+    approx = similarity.ivf_topk(
+        emb_df, queries, k=5, nprobe=3, centroids=cent
+    )
+    rec = similarity.recall_at_k(approx, exact)
+    assert rec >= 0.5, f"IVF recall@5 too low: {rec}"
+    # deterministic: same seed → identical result set
+    cent2 = similarity.train_ivf_centroids(emb_df, n_centroids=8, seed=7)
+    approx2 = similarity.ivf_topk(
+        emb_df, queries, k=5, nprobe=3, centroids=cent2
+    )
+    assert approx.exceptAll(approx2).count() == 0
+    assert approx2.exceptAll(approx).count() == 0
+    # probing ALL cells ≡ exact search (IVF soundness bound)
+    full = similarity.ivf_topk(
+        emb_df, queries, k=5, nprobe=8, centroids=cent
+    )
+    assert similarity.recall_at_k(full, exact) == 1.0
+
+
+def test_ivf_plan_construction_launches_no_jobs(spark, emb_df):
+    """With pre-trained centroids the query plan must not trigger a
+    driver-side action (index build vs query planning split)."""
+    from unittest.mock import patch
+    from pyspark.sql import DataFrame
+
+    cent = similarity.train_ivf_centroids(emb_df, n_centroids=8, seed=7)
+
+    def boom(*a, **k):
+        raise AssertionError("driver action during plan construction")
+
+    with patch.object(DataFrame, "first", boom), patch.object(
+        DataFrame, "head", boom
+    ), patch.object(DataFrame, "collect", boom), patch.object(
+        DataFrame, "count", boom
+    ), patch.object(DataFrame, "toPandas", boom):
+        plan = similarity.ivf_topk(
+            emb_df, emb_df.filter(F.col("vec_id") < 4), k=3, centroids=cent
+        )
+    assert plan.count() > 0
 
 
 def test_embedding_near_dup_self_consistency(spark, emb_df):
