@@ -311,9 +311,16 @@ def with_ivf_cell(
 ) -> DataFrame:
     """Assign each vector to its single nearest centroid (the IVF
     posting-list key — at corpus scale this is the partition/bucket
-    column of the materialized index table)."""
+    column of the materialized index table).
+
+    The coalesce to -1 (a cell id that can never be probed) makes the
+    column NON-NULLABLE: without it, joining on the cell makes
+    Catalyst push an ``isnotnull(cell)`` filter below the projection
+    and the plan evaluates the assignment UDF TWICE (once for the
+    filter, once for the value)."""
+    cells = _ivf_cells_udf(centroids, 1)(vec_col)
     return df.withColumn(
-        out, F.element_at(_ivf_cells_udf(centroids, 1)(vec_col), 1)
+        out, F.coalesce(F.element_at(cells, 1), F.lit(-1))
     )
 
 
@@ -352,8 +359,14 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("_cells", _ivf_cells_udf(centroids, nprobe)("_qv"))
+    # explode_OUTER: a plain explode makes Catalyst infer
+    # ``size(_cells) > 0 AND isnotnull(_cells)`` and push it below the
+    # projection — evaluating the probe UDF twice. The outer variant
+    # infers nothing; null rows (never produced for valid embeddings)
+    # are dropped by the join's own isnotnull(_cell) filter, which
+    # sits ABOVE the Generate and costs nothing.
     q_probed = q.select(
-        "query_id", "_qv", F.explode("_cells").alias("_cell")
+        "query_id", "_qv", F.explode_outer("_cells").alias("_cell")
     )
     scored = (
         c.join(F.broadcast(q_probed), "_cell")
