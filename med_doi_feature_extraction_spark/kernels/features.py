@@ -71,12 +71,21 @@ def _word_count(text: Column, word: str) -> Column:
     return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
 
 
+def _words_count(text: Column, words: list[str]) -> Column:
+    """Total hits of ANY of ``words`` in ONE regex scan. Equal to the
+    sum of per-word counts (each \\b-delimited token matches exactly
+    one alternation branch), but one pass over the text instead of
+    len(words) passes — the scalar surface runs over every document,
+    so scan count is the hot-path cost."""
+    import re as _re
+
+    pat = r"\b(?:" + "|".join(_re.escape(w) for w in words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
 def lang_marker_score(text: Column, lang: str) -> Column:
     """Number of marker-word hits for ``lang`` in ``text``."""
-    score = F.lit(0)
-    for w in LANG_MARKERS[lang]:
-        score = score + _word_count(text, w)
-    return score.cast("int")
+    return _words_count(text, LANG_MARKERS[lang]).cast("int")
 
 
 def lang_id(text: Column) -> Column:
@@ -93,9 +102,12 @@ def lang_id(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are punctuation/symbols."""
+    """Fraction of characters that are punctuation/symbols.
+
+    regexp_count instead of length(regexp_replace(...)): counting
+    matches avoids materializing a stripped copy of every document."""
     n = F.length(text)
-    n_punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+    n_punct = F.regexp_count(text, F.lit(r"\p{Punct}"))
     return F.when(n > 0, n_punct.cast("double") / n.cast("double")).otherwise(
         F.lit(0.0)
     )
@@ -104,9 +116,7 @@ def punct_ratio(text: Column) -> Column:
 def stopword_ratio(text: Column) -> Column:
     """Fraction of whitespace tokens that are (English) stopwords."""
     n = token_count_ws(text)
-    hits = F.lit(0)
-    for w in sorted(set(_STOPWORDS)):
-        hits = hits + _word_count(text, w)
+    hits = _words_count(text, sorted(set(_STOPWORDS)))
     return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(
         F.lit(0.0)
     )

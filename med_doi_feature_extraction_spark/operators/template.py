@@ -32,6 +32,16 @@ def render_template(
     null_as: str = "",
 ) -> Column:
     """Compile a ``{{ var }}`` / ``{var}`` template into one Column."""
+    try:
+        template.encode("utf-8")
+    except UnicodeEncodeError as exc:
+        # lone surrogates cannot cross the py4j UTF-8 transport as a
+        # literal — fail at compile time with an actionable message
+        # instead of an opaque Py4JError mid-plan (hypothesis-found)
+        raise ValueError(
+            "template is not UTF-8 encodable (lone surrogate?): "
+            f"{template!r}"
+        ) from exc
     variables = variables or {}
     parts: list[Column] = []
     pos = 0

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -134,7 +135,14 @@ def test_fingerprint64_batch_matches_scalar_oracle(texts):
 @given(
     st.lists(
         st.one_of(
-            st.text(alphabet=st.characters(blacklist_characters="{}"), max_size=12),
+            # no lone surrogates (category Cs): not UTF-8 encodable,
+            # render_template rejects them explicitly (tested below)
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="{}", blacklist_categories=("Cs",)
+                ),
+                max_size=12,
+            ),
             st.sampled_from(["{{ a }}", "{b}", "{{c}}", "{{ run }}", "{{a}}{b}"]),
         ),
         max_size=8,
@@ -167,3 +175,14 @@ def test_render_template_matches_format_oracle(spark, tpl):
     df = spark.createDataFrame(pd.DataFrame([row]))
     got = df.select(render_template(tpl, variables).alias("s")).collect()[0].s
     assert got == oracle(), repr(tpl)
+
+
+def test_render_template_rejects_lone_surrogate(spark):
+    """A lone surrogate cannot cross the py4j UTF-8 transport; the
+    compiler must raise a clear ValueError, not an opaque Py4JError."""
+    from med_doi_feature_extraction_spark.operators.template import (
+        render_template,
+    )
+
+    with pytest.raises(ValueError, match="UTF-8"):
+        render_template("\ud800")
