@@ -50,6 +50,9 @@ class FeatureConfig:
     dim_value_cols: tuple[str, ...] = ("rank_score", "category")
     dim_tiebreak: tuple[str, ...] = ("rank_score", "category")
     run_id: str = "adhoc"
+    #: window features on SLIM rows + shuffled-hash rejoin of the
+    #: text payload — skips sorting the wide rows (see page_features)
+    slim_window: bool = False
     extra: dict = field(default_factory=dict, compare=False)
 
 
@@ -148,9 +151,40 @@ def page_features(
     # duplicates text_extracted byte-for-byte and would double the
     # wide shuffle's payload
     df = extract_stage(pages).drop("text")
-    if not pre_partitioned:
-        df = df.repartition(n, "url")
-    df = window_stage(df, cfg)
+    if cfg.slim_window and not pre_partitioned:
+        # Alternative plan shape for bandwidth-bound clusters: the
+        # window sort only needs the slim feature columns, but the
+        # default plan sorts the FULL rows (text payload included) —
+        # at ~2.5 KB/row that sort is the stage that degrades first
+        # when memory bandwidth, not CPU, is the binding resource.
+        # Here the windows run over slim rows (~100 B/row sort) and
+        # the text payload is re-attached by a SHUFFLED-HASH join on
+        # (url, warc_ts): the wide side still crosses its one
+        # exchange (unavoidable — output must co-locate) but is never
+        # sorted. Trade-off: the slim side is hash-built per
+        # partition (rows_per_partition × ~100 B memory), so size
+        # shuffle_partitions accordingly; with SMJ fallback the plan
+        # degenerates to two wide sorts — keep the hint.
+        #
+        # MEASURED (7.7M rows, 8 pinned cores, tmpfs shuffle): this
+        # variant ran 562 s vs 397-416 s for the default — the extra
+        # slim exchange + 7.7M hash probes cost MORE than the wide
+        # sort saves on that box. Kept opt-in (value-parity pinned in
+        # tests) for clusters where the bandwidth:CPU ratio differs;
+        # the default plan stays the sorted one.
+        slim = window_stage(
+            df.drop("text_extracted").repartition(n, "url"), cfg
+        )
+        wide = df.select("url", "warc_ts", "text_extracted").repartition(
+            n, "url"
+        )
+        # hint on the SLIM side: the hinted relation becomes the hash
+        # BUILD side — the wide text rows must stream, never build
+        df = wide.join(slim.hint("shuffle_hash"), ["url", "warc_ts"])
+    else:
+        if not pre_partitioned:
+            df = df.repartition(n, "url")
+        df = window_stage(df, cfg)
     if dim is not None:
         slim = pages.select(
             "url", "warc_ts", F.parse_url("url", F.lit("HOST")).alias("domain")

@@ -111,6 +111,9 @@ def _measure(pages_dir: str, cores: int) -> dict:
         shuffle_partitions=cores,
         extra_conf={"spark.local.dir": f"/dev/shm/spark_scaling_{cores}"},
     )
+    cfg_kwargs = {}
+    if os.environ.get("SPARK_GRAFT_SLIM_WINDOW"):
+        cfg_kwargs["slim_window"] = True
     pages = spark.read.parquet(f"{pages_dir}/pages.parquet")
     dim = spark.read.parquet(f"{pages_dir}/dim_snapshots.parquet")
     # full-table warmup (html included): page cache + JIT, untimed
@@ -123,7 +126,7 @@ def _measure(pages_dir: str, cores: int) -> dict:
         f"{out}/features",
         f"{out}/manifest",
         dim=dim,
-        cfg=FeatureConfig(run_id=f"scaling-{cores}"),
+        cfg=FeatureConfig(run_id=f"scaling-{cores}", **cfg_kwargs),
         n_buckets=64,
         buckets_per_chunk=64,
     )
