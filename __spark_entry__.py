@@ -796,7 +796,7 @@ def q_exact_dedup(spark, sf_dir):
 
 
 SQL_EXACT_DEDUP = r"""
-SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_hash,
+SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
        CAST(min(doc_id) AS BIGINT) AS keep_id,
        CAST(count(*) AS BIGINT) AS dup_count
 FROM documents
@@ -1126,6 +1126,90 @@ FROM p GROUP BY model_tier
 """
 
 
+_TRANSPARENCY_TEMPLATE = "extract doi features from: {{ text }}"
+
+
+def q_transparency(spark, sf_dir):
+    """Per-row transparency struct (VERDICT r2 #5; reference
+    ``src/models.py:34-42`` ExtractionResult.transparency) over
+    documents, flattened for the hash compare: kernel/config/template
+    identity + routed tier + estimated cost — pure Column algebra
+    composed from P3 sha2, M2 routing and the P14 cost model."""
+    from med_doi_feature_extraction_spark.operators.cascade import (
+        route_by_complexity,
+    )
+    from med_doi_feature_extraction_spark.pipeline import (
+        FeatureConfig,
+        transparency_struct,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    tier = route_by_complexity(complexity_score(F.col("text")))
+    n = F.coalesce(F.length("text"), F.lit(0))
+    t = transparency_struct(
+        FeatureConfig(run_id="contract"), tier, n / F.lit(4.0), F.lit(0.0),
+        template=_TRANSPARENCY_TEMPLATE,
+    )
+    return docs.select("doc_id", t.alias("_t")).select(
+        "doc_id",
+        F.col("_t.kernel_version").alias("kernel_version"),
+        F.col("_t.config_hash").alias("config_hash"),
+        F.col("_t.template_hash").alias("template_hash"),
+        F.col("_t.tier_used").alias("tier_used"),
+        F.col("_t.est_cost").alias("est_cost"),
+    )
+
+
+def _sql_transparency() -> str:
+    import dataclasses
+    import hashlib
+    import json
+
+    from med_doi_feature_extraction_spark.audit import MODEL_PRICES
+    from med_doi_feature_extraction_spark.pipeline import (
+        PIPELINE_VERSION,
+        FeatureConfig,
+    )
+
+    cfg_json = json.dumps(
+        dataclasses.asdict(FeatureConfig(run_id="contract")),
+        sort_keys=True,
+        default=str,
+    )
+    config_hash = hashlib.sha256(cfg_json.encode()).hexdigest()
+    template_hash = hashlib.sha256(_TRANSPARENCY_TEMPLATE.encode()).hexdigest()
+    in_case = " ".join(
+        f"WHEN '{k}' THEN {v[0]}" for k, v in sorted(MODEL_PRICES.items())
+    )
+    out_case = " ".join(
+        f"WHEN '{k}' THEN {v[1]}" for k, v in sorted(MODEL_PRICES.items())
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(length(text), 0) = 0 THEN 0.2
+              WHEN length(text) < 500 THEN 0.4
+              WHEN length(text) < 1500 THEN 0.7
+              ELSE 0.9 END AS cx,
+         coalesce(length(text), 0) AS n
+  FROM documents
+), t AS (
+  SELECT doc_id, n,
+         CASE WHEN cx < 0.5 THEN 'nano' WHEN cx < 0.8 THEN 'mini'
+              ELSE 'full' END AS tier
+  FROM c
+)
+SELECT doc_id,
+       '{PIPELINE_VERSION}' AS kernel_version,
+       '{config_hash}' AS config_hash,
+       '{template_hash}' AS template_hash,
+       tier AS tier_used,
+       round((n / 4.0) / 1000000.0 * (CASE tier {in_case} END)
+             + (0.0 / 1000000.0) * (CASE tier {out_case} END), 8) AS est_cost
+FROM t
+"""
+
+
 # ---------------------------------------------------------------- embeddings
 
 def q_cosine_topk(spark, sf_dir):
@@ -1180,39 +1264,267 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
-# ---------------------------------------------------- rows-only (non-SQL-expressible)
+# ------------------------------- dedup/ANN: materialize-then-SQL oracle splits
+#
+# VERDICT r2 #2/#3: the signature/assignment kernels (minhash numpy,
+# simhash crc32, fingerprint polynomial hash, LSH projections, IVF
+# k-means) are not SQL-reproducible — but everything DOWNSTREAM of
+# them is plain relational algebra. Same pattern as the flagship's
+# ``pages_flagship_post`` split: each query materializes the kernel
+# output to a fixed parquet path (overwritten per call, deterministic
+# per sf_dir + kernel version), then BOTH the Spark query and the
+# DuckDB oracle compute band expansion / bucket pairing / verify /
+# rank from those files. The kernels themselves stay pytest-pinned.
+
+_MINHASH_THRESHOLD = 0.5
+_SIMHASH_MAX_HAMMING = 8
+
+
+def _dedup_base() -> str:
+    from med_doi_feature_extraction_spark.kernels.hashing import HASHING_VERSION
+
+    return f"/tmp/spark_graft_dedup_{HASHING_VERSION.replace('.', '_')}"
+
+
+def _ann_base() -> str:
+    return f"/tmp/spark_graft_ann_{similarity.SIM_VERSION.replace('.', '_')}"
+
 
 def q_minhash_neardup(spark, sf_dir):
+    """MinHash near-dup, oracle split: signatures+bands+token sets to
+    parquet (the numpy kernel stage), then bucket pairing + exact
+    Jaccard verify — the operator's own downstream code over the
+    materialized seam (dedup.candidate_pairs / jaccard_pairs)."""
+    base = _dedup_base()
     docs = _read(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
-
-
-def q_simhash_pairs(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    return dedup.simhash_candidates(docs, "doc_id", "text", max_hamming=8)
-
-
-def q_lsh_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
-
-
-def q_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN (seeded spherical k-means quantizer + nprobe
-    cell search). Rows-only: the iterative kmeans index build is not
-    SQL-expressible; recall@k vs cosine_topk is pinned in pytest."""
-    emb = _read(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, nprobe=4
+    sigs = dedup.with_minhash(docs.select("doc_id", "text"), "text")
+    dedup.minhash_bands(sigs, "doc_id").write.mode("overwrite").parquet(
+        f"{base}/mh_bands.parquet"
+    )
+    docs.select("doc_id", dedup.tokens_col("text").alias("toks")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/mh_toks.parquet")
+    bands = spark.read.parquet(f"{base}/mh_bands.parquet")
+    cands = dedup.candidate_pairs(bands, "doc_id", ["band", "band_hash"])
+    toks = spark.read.parquet(f"{base}/mh_toks.parquet")
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("tokens_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tokens_b"))
+    verified = dedup.jaccard_pairs(cands.join(a, "id_a"), b, ["id_b"])
+    return verified.filter(F.col("jaccard") >= _MINHASH_THRESHOLD).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
-def q_doc_fingerprint(spark, sf_dir):
-    """64-bit rolling-hash fingerprint dedup (rows-only: the custom
-    dual polynomial hash is not SQL-reproducible; grouping-count
-    parity with sha256 exact_dedup is pinned in pytest)."""
+def _sql_minhash_neardup() -> str:
+    base = _dedup_base()
+    cap = dedup.DEFAULT_MAX_BAND_BUCKET
+    return f"""
+WITH b AS (SELECT * FROM read_parquet('{base}/mh_bands.parquet/*.parquet')),
+ok AS (
+  SELECT band, band_hash FROM b GROUP BY band, band_hash
+  HAVING count(*) BETWEEN 2 AND {cap}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM b x
+  JOIN ok USING (band, band_hash)
+  JOIN b y ON x.band = y.band AND x.band_hash = y.band_hash
+          AND x.doc_id < y.doc_id
+),
+t AS (SELECT * FROM read_parquet('{base}/mh_toks.parquet/*.parquet')),
+j AS (
+  SELECT id_a, id_b,
+         CASE WHEN (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) > 0
+              THEN round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                   / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6)
+              ELSE 0.0 END AS jaccard
+  FROM cand JOIN t ta ON ta.doc_id = cand.id_a
+            JOIN t tb ON tb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {_MINHASH_THRESHOLD}
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup, oracle split: 64-bit signatures to parquet
+    (the crc32 kernel stage), then band blocking + bucket pairing +
+    exact Hamming verify via the operator's own downstream code."""
+    base = _dedup_base()
     docs = _read(spark, sf_dir, "documents")
-    return dedup.fingerprint_dedup(docs, "doc_id", "text")
+    dedup.with_simhash(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "simhash"
+    ).write.mode("overwrite").parquet(f"{base}/simhash.parquet")
+    sigs = spark.read.parquet(f"{base}/simhash.parquet")
+    out = dedup.simhash_pairs_from_sigs(
+        sigs, "doc_id", "simhash", max_hamming=_SIMHASH_MAX_HAMMING
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    base = _dedup_base()
+    cap = dedup.DEFAULT_MAX_BAND_BUCKET
+    return f"""
+WITH s AS (SELECT * FROM read_parquet('{base}/simhash.parquet/*.parquet')),
+b AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (16 * band)) & 65535 AS band_val
+  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+ok AS (
+  SELECT band, band_val FROM b GROUP BY band, band_val
+  HAVING count(*) BETWEEN 2 AND {cap}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM b x
+  JOIN ok USING (band, band_val)
+  JOIN b y ON x.band = y.band AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Fingerprint dedup, oracle split: the 64-bit dual-polynomial
+    fingerprints to parquet (numpy kernel stage), then the grouping —
+    survivor + dup count — from the materialized column."""
+    base = _dedup_base()
+    docs = _read(spark, sf_dir, "documents")
+    dedup.with_fingerprint(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "fingerprint"
+    ).write.mode("overwrite").parquet(f"{base}/fingerprint.parquet")
+    fp = spark.read.parquet(f"{base}/fingerprint.parquet")
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("dup_count"),
+    )
+
+
+def _sql_doc_fingerprint() -> str:
+    base = _dedup_base()
+    return f"""
+SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM read_parquet('{base}/fingerprint.parquet/*.parquet')
+GROUP BY fingerprint
+"""
+
+
+_LSH_N_BITS = 8
+_LSH_N_TABLES = 8
+
+
+def q_lsh_topk(spark, sf_dir):
+    """LSH ANN, oracle split: per-table sign-bit buckets to parquet
+    (the seeded-projection UDF stage), then multiprobe candidate join
+    + exact-cosine rank via the operator's own downstream code
+    (similarity.lsh_topk_from_buckets)."""
+    base = _ann_base()
+    emb = _read(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    for t in range(_LSH_N_TABLES):
+        c = similarity.with_lsh_bucket(c, "_cv", None, _LSH_N_BITS, 42 + t, out=f"_b{t}")
+        q = similarity.with_lsh_bucket(q, "_qv", None, _LSH_N_BITS, 42 + t, out=f"_b{t}")
+    c.write.mode("overwrite").parquet(f"{base}/lsh_corpus.parquet")
+    q.write.mode("overwrite").parquet(f"{base}/lsh_query.parquet")
+    out = similarity.lsh_topk_from_buckets(
+        spark.read.parquet(f"{base}/lsh_corpus.parquet"),
+        spark.read.parquet(f"{base}/lsh_query.parquet"),
+        k=5, n_bits=_LSH_N_BITS, n_tables=_LSH_N_TABLES,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_lsh_topk() -> str:
+    base = _ann_base()
+    # multiprobe candidate predicate: corpus bucket within Hamming ≤ 1
+    # of the query's bucket in ≥ 1 table (= exact bucket ∪ one-bit
+    # probes — identical to the melt+join expansion)
+    probe = " OR ".join(
+        f"bit_count(xor(c._b{t}, q._b{t})) <= 1" for t in range(_LSH_N_TABLES)
+    )
+    return f"""
+WITH c AS (SELECT * FROM read_parquet('{base}/lsh_corpus.parquet/*.parquet')),
+q AS (SELECT * FROM read_parquet('{base}/lsh_query.parquet/*.parquet')),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_cosine_similarity(q._qv::DOUBLE[], c._cv::DOUBLE[]) AS cos
+  FROM q CROSS JOIN c
+  WHERE c.neighbor_id <> q.query_id AND ({probe})
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN, oracle split: corpus cell assignments + query probe
+    lists to parquet (the k-means quantizer stage — seeded, one
+    bounded sample job), then cell join + exact-cosine rank via the
+    operator's own downstream code (similarity.ivf_topk_from_cells)."""
+    base = _ann_base()
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = similarity.train_ivf_centroids(emb, n_centroids=16)
+    similarity.with_ivf_cell(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+        ),
+        cent, "_cv", out="_cell",
+    ).write.mode("overwrite").parquet(f"{base}/ivf_corpus.parquet")
+    similarity.with_ivf_probes(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        ),
+        cent, nprobe=4, vec_col="_qv", out="_cells",
+    ).write.mode("overwrite").parquet(f"{base}/ivf_query.parquet")
+    qp = spark.read.parquet(f"{base}/ivf_query.parquet").select(
+        "query_id", "_qv", F.explode_outer("_cells").alias("_cell")
+    )
+    out = similarity.ivf_topk_from_cells(
+        spark.read.parquet(f"{base}/ivf_corpus.parquet"), qp, k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_ivf_topk() -> str:
+    base = _ann_base()
+    return f"""
+WITH c AS (SELECT * FROM read_parquet('{base}/ivf_corpus.parquet/*.parquet')),
+qp AS (
+  SELECT query_id, _qv, unnest(_cells) AS _cell
+  FROM read_parquet('{base}/ivf_query.parquet/*.parquet')
+),
+s AS (
+  SELECT qp.query_id, c.neighbor_id,
+         list_cosine_similarity(qp._qv::DOUBLE[], c._cv::DOUBLE[]) AS cos
+  FROM qp JOIN c ON c._cell = qp._cell
+  WHERE c.neighbor_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+
+# ---------------------------------------------------- rows-only (non-SQL-expressible)
 
 
 def q_dedup_decisions(spark, sf_dir):
@@ -1414,12 +1726,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup_blocked,
         "pages_flagship_post": q_pages_flagship_post,
-        # non-SQL-expressible (driver records rows-only checks):
+        "transparency": q_transparency,
+        # materialize-then-SQL oracle splits (kernel → parquet seam →
+        # relational downstream checked by DuckDB):
         "minhash_neardup": q_minhash_neardup,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
+        # non-SQL-expressible (driver records rows-only checks):
         "dedup_decisions": q_dedup_decisions,
         "pages_flagship": q_pages_flagship,
     }
@@ -1463,4 +1778,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "pages_flagship_post": _sql_pages_flagship_post(),
+        "transparency": _sql_transparency(),
+        "minhash_neardup": _sql_minhash_neardup(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "lsh_topk": _sql_lsh_topk(),
+        "ivf_topk": _sql_ivf_topk(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
     }

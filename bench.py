@@ -94,9 +94,35 @@ def main() -> None:
     )
     with_minhash(warm, "text").write.mode("overwrite").format("noop").save()
 
+    # The dedup/ANN contract queries materialize a parquet seam at
+    # plan-construction time so DuckDB can oracle their downstream
+    # halves (r3) — timing those would exclude the signature kernels.
+    # The bench keeps measuring the END-TO-END operators (same work as
+    # BENCH_r01/r02) by building them directly:
+    from med_doi_feature_extraction_spark.operators import dedup, similarity
+
+    def _docs(s):
+        return s.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(s):
+        return s.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    direct = {
+        "minhash_neardup": lambda s, d: dedup.minhash_dedup(
+            _docs(s), "doc_id", "text", threshold=0.5
+        ),
+        "simhash_pairs": lambda s, d: dedup.simhash_candidates(
+            _docs(s), "doc_id", "text", max_hamming=8
+        ),
+        "lsh_topk": lambda s, d: similarity.lsh_topk(
+            _emb(s), _emb(s).filter(F.col("vec_id") < 8), k=5
+        ),
+    }
+
     timings: dict[str, float] = {}
     for name in headline:
-        timings[name] = _time_noop(qs[name](spark, sf_dir))
+        build = direct.get(name, qs[name])
+        timings[name] = _time_noop(build(spark, sf_dir))
 
     # flagship pages pipeline (the north-star workload): html→text UDF,
     # regex features, window stack, as-of join, parquet write.

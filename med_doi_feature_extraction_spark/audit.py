@@ -38,7 +38,11 @@ def record_cost(
     """Per-record USD cost (reference cli/helpers.py:343-377):
     tokens/1M × the routed tier's price, input + output. Pure Column
     arithmetic — composes with ``route_by_complexity`` and the audit
-    observer's ``cost_col``."""
+    observer's ``cost_col``.
+
+    A tier value absent from the price table (including NULL) RAISES at
+    execution time instead of yielding a NULL cost that ``sum()`` would
+    silently skip — cost totals must fail loudly, never undercount."""
     prices = prices or MODEL_PRICES
     tier = F.col(tier) if isinstance(tier, str) else tier
     in_p: F.Column | None = None
@@ -54,6 +58,14 @@ def record_cost(
             if out_p is None
             else out_p.when(tier == name, F.lit(po))
         )
+    unknown = F.raise_error(
+        F.concat(
+            F.lit("record_cost: tier not in price table: "),
+            F.coalesce(tier.cast("string"), F.lit("NULL")),
+        )
+    ).cast("double")
+    in_p = in_p.otherwise(unknown)
+    out_p = out_p.otherwise(unknown)
     return (tokens_in / F.lit(1e6)) * in_p + (tokens_out / F.lit(1e6)) * out_p
 
 

@@ -76,19 +76,52 @@ def _bucket_pairs(
     grouped = grouped.filter(F.size("_members") >= 2)
     if max_bucket is not None:
         grouped = grouped.filter(F.size("_members") <= max_bucket)
-    members = F.col("_members")
-    combos = F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + 2, F.size(members)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    # STREAMED two-stage expansion: posexplode each member first, then
+    # explode that member's suffix slice. Per-row state stays O(B) —
+    # one member plus one suffix array — so a cap-sized bucket streams
+    # its C(B,2) pairs through two pipelined Generate operators. (The
+    # previous single-stage flatten/transform built the entire combos
+    # array — ~1.25e9 structs at the 50k default cap — inside ONE row
+    # before exploding: a guaranteed task OOM at exactly the bucket
+    # size the cap declares acceptable.)
+    exploded = grouped.select(
+        "_members", F.posexplode("_members").alias("_i", "_a")
     )
-    return grouped.select(F.explode(combos).alias("_p")).select(
-        F.col("_p.a").alias("a"), F.col("_p.b").alias("b")
+    return exploded.select(
+        F.col("_a").alias("a"),
+        F.explode(
+            F.slice("_members", F.col("_i") + 2, F.size("_members"))
+        ).alias("b"),
     )
+
+
+def candidate_pairs(
+    banded: DataFrame,
+    id_col: str,
+    keys: list[str],
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a flat banded frame
+    (id + band key columns) — the engine-agnostic bucket-pairing stage
+    shared by minhash and simhash (and SQL-reproducible: group by the
+    band keys, pair within buckets). ``carry`` columns ride the member
+    struct and come back as ``<col>_a``/``<col>_b`` (e.g. the simhash
+    value for the Hamming verify — avoids re-joining the signature
+    table)."""
+    carry = carry or []
+    member = F.struct(
+        F.col(id_col).alias("id"), *[F.col(c).alias(c) for c in carry]
+    )
+    bands = banded.select(member.alias("m"), *keys)
+    pairs = _bucket_pairs(bands, keys, max_bucket, "m")
+    out = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+    )
+    return out.filter(F.col("id_a") < F.col("id_b")).distinct()
 
 
 def _spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
@@ -105,8 +138,12 @@ def _spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per distinct normalized text: (text_hash, keep_id,
-    dup_count). keep_id = min id (deterministic survivor)."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    dup_count). keep_id = min id (deterministic survivor).
+
+    Normalization = trim + collapse whitespace + lowercase — identical
+    to ``fingerprint64``'s, so the two tiers group exactly the same
+    texts (pinned by the fingerprint/exact parity test)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return (
         df.select(F.col(id_col), F.sha2(norm, 256).alias("text_hash"))
         .groupBy("text_hash")
@@ -129,10 +166,10 @@ def with_fingerprint(
 def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``exact_dedup``'s cheap cousin: an 8-byte fingerprint key
     instead of a 64-char sha256 hex string — ~8× smaller shuffle key
-    at the same grouping semantics (the fingerprint normalization
-    additionally trims leading/trailing whitespace; collision odds
-    ~2⁻⁶⁴ per pair, fine for dedup grouping — keep sha256 where
-    auditability of the key matters)."""
+    at identical grouping semantics (both normalize trim + collapse
+    whitespace + lowercase; collision odds ~2⁻⁶⁴ per pair, fine for
+    dedup grouping — keep sha256 where auditability of the key
+    matters)."""
     return (
         with_fingerprint(_spread(df.select(id_col, text_col)), text_col)
         .groupBy("fingerprint")
@@ -176,6 +213,38 @@ def with_minhash(df: DataFrame, text_col: str, sig_col: str = "minhash_sig") -> 
     return df.withColumn(sig_col, _sig_udf(text_col))
 
 
+def minhash_bands(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """Flat banded frame (id, band, band_hash) from minhash signatures.
+    band_hash = murmur3 of the band's signature rows. This is the
+    SQL-checkable seam: once materialized, everything downstream
+    (bucket pairing, Jaccard verify) is plain relational algebra."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at(sig_col, b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -193,33 +262,8 @@ def minhash_lsh_candidates(
     (see ``DEFAULT_MAX_BAND_BUCKET``).
     """
     sigs = with_minhash(_spread(df.select(id_col, text_col)), text_col)
-    bands = sigs.select(
-        F.struct(F.col(id_col).alias("id")).alias("m"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.element_at("minhash_sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("m", "bh.band", "bh.band_hash")
-    pairs = _bucket_pairs(bands, ["band", "band_hash"], max_bucket, "m")
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    bands = minhash_bands(sigs, id_col, n_bands, rows_per_band)
+    return candidate_pairs(bands, id_col, ["band", "band_hash"], max_bucket)
 
 
 def minhash_dedup(
@@ -249,28 +293,22 @@ def with_simhash(df: DataFrame, text_col: str, out: str = "simhash") -> DataFram
     return df.withColumn(out, _simhash_udf(text_col))
 
 
-def simhash_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 3,
-    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+def simhash_bands(
+    sigs: DataFrame, id_col: str, sig_col: str = "simhash"
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 × 16-bit bands (pigeonhole:
-    Hamming ≤ 3 ⇒ at least one band identical), verify exact Hamming
-    distance ≤ max_hamming JVM-side via bit_count(xor). Buckets above
-    ``max_bucket`` are dropped before the self-join."""
-    sh = with_simhash(_spread(df.select(id_col, text_col)), text_col)
-    bands = sh.select(
-        F.struct(
-            F.col(id_col).alias("id"), F.col("simhash").alias("sh")
-        ).alias("m"),
+    """Flat banded frame (id, simhash, band, band_val): 4 × 16-bit
+    bands of the 64-bit signature (pigeonhole: Hamming ≤ 3 ⇒ at least
+    one band identical). SQL-reproducible: band_val is plain shift+mask
+    two's-complement arithmetic."""
+    return sigs.select(
+        F.col(id_col),
+        F.col(sig_col).alias("simhash"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
+                        F.shiftrightunsigned(sig_col, 16 * i)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("band_val"),
                     )
@@ -278,19 +316,46 @@ def simhash_candidates(
                 ]
             )
         ).alias("bh"),
-    ).select("m", "bh.band", "bh.band_val")
-    pairs = (
-        _bucket_pairs(bands, ["band", "band_val"], max_bucket, "m")
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    ).select(id_col, "simhash", "bh.band", "bh.band_val")
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Band → bucket-pair → exact-Hamming verify, starting from an
+    already-signed frame (the oracle-checkable downstream half). The
+    signature rides the member struct (8 bytes per band row) so the
+    verify needs no re-join against the signature table."""
+    bands = simhash_bands(sigs, id_col, sig_col)
+    pairs = candidate_pairs(
+        bands, id_col, ["band", "band_val"], max_bucket, carry=["simhash"]
     )
-    return pairs
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit bands, verify
+    exact Hamming distance ≤ max_hamming JVM-side via bit_count(xor).
+    Buckets above ``max_bucket`` are dropped before pair expansion."""
+    sh = with_simhash(_spread(df.select(id_col, text_col)), text_col)
+    return simhash_pairs_from_sigs(sh, id_col, "simhash", max_hamming, max_bucket)
 
 
 def dup_clusters(

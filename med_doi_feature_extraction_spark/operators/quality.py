@@ -14,16 +14,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def complexity_score(text: Column) -> Column:
-    """Length-bucket complexity (quality_service.py:20-30 semantics:
-    0 → 0.2, <500 → 0.4, <1500 → 0.7, else 0.9)."""
-    n = F.coalesce(F.length(text), F.lit(0))
+def complexity_from_len(n: Column) -> Column:
+    """Length-bucket complexity from an already-computed length column
+    (0 → 0.2, <500 → 0.4, <1500 → 0.7, else 0.9) — lets post-extract
+    stages that pruned the text (keeping only text_len) route without
+    re-materializing the payload."""
+    n = F.coalesce(n, F.lit(0))
     return (
         F.when(n == 0, 0.2)
         .when(n < 500, 0.4)
         .when(n < 1500, 0.7)
         .otherwise(0.9)
     )
+
+
+def complexity_score(text: Column) -> Column:
+    """Length-bucket complexity (quality_service.py:20-30 semantics)."""
+    return complexity_from_len(F.length(text))
 
 
 def input_quality(signals: dict[str, float]) -> Column:

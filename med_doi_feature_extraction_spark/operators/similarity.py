@@ -128,31 +128,36 @@ def with_lsh_bucket(
     return df.withColumn(out, _projection_udf(n_bits, seed, dim)(vec_col))
 
 
-def lsh_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail: rank candidates on unrounded cosine (deterministic
+    neighbor_id tiebreak), keep top-k, round for output."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+def lsh_topk_from_buckets(
+    c: DataFrame,
+    q: DataFrame,
     k: int = 5,
     n_bits: int = 8,
     n_tables: int = 8,
-    seed: int = 42,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket in at
-    least one of ``n_tables`` independent hash tables (multiprobe adds
-    Hamming-1 neighbor buckets on the query side). Same output schema
-    as ``cosine_topk`` → recall@k is directly measurable; recall rises
-    with n_tables at the cost of candidate volume."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    for t in range(n_tables):
-        c = with_lsh_bucket(c, "_cv", None, n_bits, seed + t, out=f"_b{t}")
-        q = with_lsh_bucket(q, "_qv", None, n_bits, seed + t, out=f"_b{t}")
+    """Candidate join + exact-cosine rank from ALREADY-bucketed frames:
+    ``c`` = (neighbor_id, _cv, _b0.._b{n_tables-1}), ``q`` likewise
+    with query_id/_qv. This is the oracle-checkable downstream half —
+    a candidate is any corpus row whose bucket is within Hamming ≤ 1
+    of the query's bucket in ≥ 1 table (multiprobe) or identical
+    (exact) — and the scale half of ``lsh_topk``, which assigns the
+    buckets and delegates here."""
 
     def melt(df: DataFrame, probe: bool) -> DataFrame:
         entries = []
@@ -188,16 +193,35 @@ def lsh_topk(
         .join(c.select("neighbor_id", "_cv"), "neighbor_id")
         .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    return _rank_topk(scored, k)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket in at
+    least one of ``n_tables`` independent hash tables (multiprobe adds
+    Hamming-1 neighbor buckets on the query side). Same output schema
+    as ``cosine_topk`` → recall@k is directly measurable; recall rises
+    with n_tables at the cost of candidate volume."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
+    for t in range(n_tables):
+        c = with_lsh_bucket(c, "_cv", None, n_bits, seed + t, out=f"_b{t}")
+        q = with_lsh_bucket(q, "_qv", None, n_bits, seed + t, out=f"_b{t}")
+    return lsh_topk_from_buckets(c, q, k, n_bits, n_tables, multiprobe)
 
 
 def embedding_near_dup(
@@ -255,16 +279,21 @@ def train_ivf_centroids(
     index, not plan construction — query-side ``ivf_topk`` with
     pre-trained centroids launches zero jobs at plan time).
 
-    Deterministic: sample = first ``sample_size`` rows by ``id_col``
-    order, then seeded spherical k-means (Lloyd on L2-normalized
-    vectors — argmax cosine) in numpy on the driver. The sample stays
-    bounded no matter the corpus size; centroids (K×dim float64) ship
-    to executors inside the assignment UDF closure."""
+    Sample = plain ``limit(sample_size)`` over (id, vec): Spark's
+    incremental GlobalLimit reads only as many partitions as needed —
+    NOT a full-corpus TakeOrdered scan (the previous ``orderBy(id).
+    limit(n)`` touched every partition of a 10^12-row table to find
+    the globally-first n ids). Deterministic per table layout (limit
+    drains partitions in order); the sampled rows are then sorted by
+    id driver-side so k-means sees an order-stable matrix, and the
+    k-means itself is seeded. The sample stays bounded no matter the
+    corpus size; centroids (K×dim float64) ship to executors inside
+    the assignment UDF closure."""
     rows = (
-        corpus.select(F.col(vec_col).alias("_v"))
-        .orderBy(F.col(id_col))
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .limit(sample_size)
         .toPandas()
+        .sort_values("_id", kind="stable")
     )
     X = np.stack(rows["_v"].to_numpy()).astype(np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -324,6 +353,19 @@ def with_ivf_cell(
     )
 
 
+def with_ivf_probes(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    vec_col: str = "embedding",
+    out: str = "_cells",
+) -> DataFrame:
+    """Assign each (query) vector its top-``nprobe`` nearest centroid
+    cells as an array column — the query-side half of the IVF index,
+    materializable next to ``with_ivf_cell``'s corpus assignments."""
+    return df.withColumn(out, _ivf_cells_udf(centroids, nprobe)(vec_col))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -334,6 +376,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest
     centroid's cell; each query probes its ``nprobe`` nearest cells and
@@ -347,7 +390,14 @@ def ivf_topk(
     (query, neighbor) pair arises at most once. Pass pre-trained
     ``centroids`` to keep plan construction job-free (the index-build
     split); with None, ``train_ivf_centroids`` runs its one bounded
-    sample job here."""
+    sample job here.
+
+    ``broadcast_queries``: the exploded query side is queries × nprobe
+    rows, each carrying the full embedding — the right side to
+    broadcast for a probe/eval set, but a LARGE query frame (e.g.
+    corpus-vs-corpus all-pairs ANN) would blow the broadcast threshold:
+    pass False there and let AQE pick the join strategy on the shuffled
+    cell key."""
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, vec_col, id_col, n_centroids, seed=seed
@@ -368,21 +418,28 @@ def ivf_topk(
     q_probed = q.select(
         "query_id", "_qv", F.explode_outer("_cells").alias("_cell")
     )
+    return ivf_topk_from_cells(c, q_probed, k, broadcast_queries)
+
+
+def ivf_topk_from_cells(
+    c: DataFrame,
+    q_probed: DataFrame,
+    k: int = 5,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Cell join + exact-cosine rank from ALREADY-assigned frames:
+    ``c`` = (neighbor_id, _cv, _cell), ``q_probed`` = (query_id, _qv,
+    _cell) with one row per probed cell. The oracle-checkable
+    downstream half of ``ivf_topk`` (the assignment UDFs are
+    pytest-pinned; everything from here on is relational)."""
+    if broadcast_queries:
+        q_probed = F.broadcast(q_probed)
     scored = (
-        c.join(F.broadcast(q_probed), "_cell")
+        c.join(q_probed, "_cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:

@@ -104,6 +104,63 @@ def window_stage(
     return df
 
 
+def transparency_struct(
+    cfg: FeatureConfig,
+    tier,
+    tokens_in,
+    tokens_out,
+    template: str = "",
+):
+    """Per-row transparency struct mirroring the reference's
+    ``ExtractionResult.transparency`` (reference ``src/models.py:
+    34-42``: provider/model, token counts, cost, prompt hash): which
+    kernel + config + template produced this row, the routed tier and
+    its estimated cost. Pure Column algebra composed from existing
+    pieces — P3 sha2, M2 routing, P14 cost model."""
+    import dataclasses
+    import json
+
+    from med_doi_feature_extraction_spark.audit import record_cost
+
+    cfg_dict = dataclasses.asdict(cfg)
+    # hash the SEMANTIC config only: physical-plan knobs (slim_window)
+    # and free-form extras don't change the produced values, and two
+    # value-identical runs must share a config_hash (pinned by the
+    # slim-window parity test)
+    cfg_dict.pop("slim_window", None)
+    cfg_dict.pop("extra", None)
+    cfg_json = json.dumps(cfg_dict, sort_keys=True, default=str)
+    return F.struct(
+        F.lit(PIPELINE_VERSION).alias("kernel_version"),
+        F.sha2(F.lit(cfg_json), 256).alias("config_hash"),
+        F.sha2(F.lit(template), 256).alias("template_hash"),
+        tier.alias("tier_used"),
+        F.round(record_cost(tier, tokens_in, tokens_out), 8).alias("est_cost"),
+    )
+
+
+def transparency_stage(
+    df: DataFrame, cfg: FeatureConfig, text_len_col: str = "text_len"
+) -> DataFrame:
+    """Flagship wiring of ``transparency_struct``: tier routed from the
+    length-bucket complexity of the extracted text, input tokens
+    estimated at text_len/4 chars-per-token, output tokens 0 (feature
+    extraction is input-dominated)."""
+    from med_doi_feature_extraction_spark.operators.cascade import (
+        route_by_complexity,
+    )
+    from med_doi_feature_extraction_spark.operators.quality import (
+        complexity_from_len,
+    )
+
+    n = F.coalesce(F.col(text_len_col), F.lit(0))
+    tier = route_by_complexity(complexity_from_len(n))
+    return df.withColumn(
+        "transparency",
+        transparency_struct(cfg, tier, n / F.lit(4.0), F.lit(0.0)),
+    )
+
+
 def lineage_stage(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
     return df.withColumn(
         "lineage",
@@ -146,6 +203,15 @@ def page_features(
        (both sides HashPartitioning(url, n) ⇒ sort-merge join without
        exchanging the wide side).
     """
+    if cfg.slim_window and pre_partitioned:
+        # the slim plan exists to avoid a sort the bucketed layout
+        # already avoids — silently ignoring the flag would hide a
+        # misconfiguration, so refuse loudly
+        raise ValueError(
+            "slim_window has no effect on a pre-partitioned (bucketed) "
+            "input — its window stack already runs without an exchange; "
+            "unset one of the two"
+        )
     n = int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # drop the stored ground-truth text BEFORE the exchange — it
     # duplicates text_extracted byte-for-byte and would double the
@@ -172,6 +238,11 @@ def page_features(
         # sort saves on that box. Kept opt-in (value-parity pinned in
         # tests) for clusters where the bandwidth:CPU ratio differs;
         # the default plan stays the sorted one.
+        #
+        # PRECONDITION: (url, warc_ts) uniquely identifies a page row
+        # (the crawl-snapshot grain — guaranteed by the generator and
+        # by any dedup'd crawl table). The inner rejoin below would
+        # multiply duplicate keys; the default plan would not.
         slim = window_stage(
             df.drop("text_extracted").repartition(n, "url"), cfg
         )
@@ -196,4 +267,4 @@ def page_features(
         if not pre_partitioned:
             res = res.repartition(n, "url")
         df = df.join(res, ["url", "warc_ts"], "left")
-    return lineage_stage(df.drop("text"), cfg)
+    return lineage_stage(transparency_stage(df.drop("text"), cfg), cfg)

@@ -86,8 +86,10 @@ def sessionize_stateful(
         new_ts: list[int] = []
         if not state.hasTimedOut:
             for pdf in pdf_iter:
+                # one vectorized ns→µs conversion per batch (floor
+                # division matches pd.Timestamp(t).value // 1000)
                 new_ts.extend(
-                    int(pd.Timestamp(t).value // 1000) for t in pdf[ts]
+                    (pdf[ts].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000).tolist()
                 )
 
         if buffer_late:
@@ -98,6 +100,10 @@ def sessionize_stateful(
         else:
             ready = sorted(new_ts)
 
+        # the state transitions themselves are inherently sequential
+        # per entity (each row's session depends on the previous one);
+        # only plain ints flow through the loop — timestamp object
+        # construction happens vectorized below
         out_rows = []
         for t_us in ready:
             t_s = t_us // 1_000_000
@@ -107,9 +113,7 @@ def sessionize_stateful(
             last_ts_us = t_us
             session_seq += 1
             snap_rank += 1
-            out_rows.append(
-                (key[0], pd.Timestamp(t_us * 1000), session_id, session_seq, snap_rank)
-            )
+            out_rows.append((t_us, session_id, session_seq, snap_rank))
 
         state.update((last_ts_us, session_id, session_seq, snap_rank, pending))
         if buffer_late and pending:
@@ -118,9 +122,18 @@ def sessionize_stateful(
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(min(pending) // 1000, wm_ms + 1))
         if out_rows:
-            yield pd.DataFrame(
+            cols = pd.DataFrame(
                 out_rows,
-                columns=[entity, ts, "session_id", "session_seq", "snap_rank"],
+                columns=["_us", "session_id", "session_seq", "snap_rank"],
+            )
+            yield pd.DataFrame(
+                {
+                    entity: key[0],
+                    ts: pd.to_datetime(cols["_us"], unit="us"),
+                    "session_id": cols["session_id"],
+                    "session_seq": cols["session_seq"],
+                    "snap_rank": cols["snap_rank"],
+                }
             )
 
     events = events.withColumn(ts, F.col(ts).cast("timestamp"))

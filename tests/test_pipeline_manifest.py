@@ -17,7 +17,7 @@ EXPECTED_COLS = {
     "url", "warc_ts", "lang", "text_extracted", "text_len", "doi_count",
     "doi_first", "domain", "text_len_lag1", "text_len_delta1", "lang_ffill",
     "gap_seconds", "snap_rank", "session_id", "session_seq",
-    "rank_score", "category", "lineage",
+    "rank_score", "category", "lineage", "transparency",
 }
 
 
@@ -40,6 +40,15 @@ def _run(spark, pages_df, dim_df, tmp, **kw):
         dim=dim_df, cfg=FeatureConfig(run_id="resume-test"),
         n_buckets=8, buckets_per_chunk=3, **kw,
     )
+
+
+def test_slim_window_with_pre_partitioned_raises(spark, pages_df):
+    """ADVICE r2: slim_window was silently ignored on bucketed inputs —
+    the conflict must refuse loudly."""
+    with pytest.raises(ValueError, match="slim_window"):
+        page_features(
+            pages_df, cfg=FeatureConfig(slim_window=True), pre_partitioned=True
+        )
 
 
 def test_kill_and_resume_equals_clean_run(spark, pages_df, dim_df, tmp_path):
