@@ -1135,6 +1135,7 @@ def q_transparency(spark, sf_dir):
     documents, flattened for the hash compare: kernel/config/template
     identity + routed tier + estimated cost — pure Column algebra
     composed from P3 sha2, M2 routing and the P14 cost model."""
+    from med_doi_feature_extraction_spark.audit import record_cost
     from med_doi_feature_extraction_spark.operators.cascade import (
         route_by_complexity,
     )
@@ -1147,7 +1148,8 @@ def q_transparency(spark, sf_dir):
     tier = route_by_complexity(complexity_score(F.col("text")))
     n = F.coalesce(F.length("text"), F.lit(0))
     t = transparency_struct(
-        FeatureConfig(run_id="contract"), tier, n / F.lit(4.0), F.lit(0.0),
+        FeatureConfig(run_id="contract"), tier,
+        record_cost(tier, n / F.lit(4.0), F.lit(0.0)),
         template=_TRANSPARENCY_TEMPLATE,
     )
     return docs.select("doc_id", t.alias("_t")).select(
@@ -1161,21 +1163,16 @@ def q_transparency(spark, sf_dir):
 
 
 def _sql_transparency() -> str:
-    import dataclasses
     import hashlib
-    import json
 
     from med_doi_feature_extraction_spark.audit import MODEL_PRICES
     from med_doi_feature_extraction_spark.pipeline import (
         PIPELINE_VERSION,
         FeatureConfig,
+        semantic_config_json,
     )
 
-    cfg_json = json.dumps(
-        dataclasses.asdict(FeatureConfig(run_id="contract")),
-        sort_keys=True,
-        default=str,
-    )
+    cfg_json = semantic_config_json(FeatureConfig(run_id="contract"))
     config_hash = hashlib.sha256(cfg_json.encode()).hexdigest()
     template_hash = hashlib.sha256(_TRANSPARENCY_TEMPLATE.encode()).hexdigest()
     in_case = " ".join(

@@ -33,7 +33,13 @@ def _time_noop(df, max_runs: int = 5) -> float:
     state, and host CPU steal. A long-lived cluster runs these loops
     compiled billions of times, so steady state is the honest number:
     rerun while the time is still improving by >15%, min of all runs,
-    capped at ``max_runs``."""
+    capped at ``max_runs``.
+
+    ``SPARK_GRAFT_SINGLE_SHOT=1`` forces one run per query (the
+    BENCH_r01 protocol) — used to decompose cross-round deltas into
+    methodology vs code on identical binaries (ADVICE r2)."""
+    if os.environ.get("SPARK_GRAFT_SINGLE_SHOT"):
+        max_runs = 1
     best = float("inf")
     for i in range(max_runs):
         t0 = time.time()

@@ -69,6 +69,13 @@ def _bucket_pairs(
 
     ``payload``: struct column name carried per member (must contain
     ``id``); the output columns are ``a``/``b`` structs of it.
+
+    Residual skew bound: a cap-sized bucket's C(B,2) pairs are emitted
+    by ONE task (Generate output can't be split mid-row-group), but
+    that's ~15 s of whole-stage-codegen at the 50k default cap
+    (measured: 1.25e9 pairs) with O(B) memory — an acceptable
+    straggler; the shuffle of those pairs into the downstream
+    distinct/verify IS distributed across reducers.
     """
     grouped = bands.groupBy(*keys).agg(
         F.sort_array(F.collect_list(payload)).alias("_members")

@@ -104,11 +104,26 @@ def window_stage(
     return df
 
 
+def semantic_config_json(cfg: FeatureConfig) -> str:
+    """Canonical JSON of the SEMANTIC config only: physical-plan knobs
+    (slim_window) and free-form extras don't change the produced
+    values, and two value-identical runs must share a config_hash
+    (pinned by the slim-window parity test). Single source of truth
+    for the transparency hash — the DuckDB oracle derives its expected
+    literal from this same function."""
+    import dataclasses
+    import json
+
+    cfg_dict = dataclasses.asdict(cfg)
+    cfg_dict.pop("slim_window", None)
+    cfg_dict.pop("extra", None)
+    return json.dumps(cfg_dict, sort_keys=True, default=str)
+
+
 def transparency_struct(
     cfg: FeatureConfig,
     tier,
-    tokens_in,
-    tokens_out,
+    est_cost,
     template: str = "",
 ):
     """Per-row transparency struct mirroring the reference's
@@ -116,27 +131,21 @@ def transparency_struct(
     34-42``: provider/model, token counts, cost, prompt hash): which
     kernel + config + template produced this row, the routed tier and
     its estimated cost. Pure Column algebra composed from existing
-    pieces — P3 sha2, M2 routing, P14 cost model."""
-    import dataclasses
-    import json
-
-    from med_doi_feature_extraction_spark.audit import record_cost
-
-    cfg_dict = dataclasses.asdict(cfg)
-    # hash the SEMANTIC config only: physical-plan knobs (slim_window)
-    # and free-form extras don't change the produced values, and two
-    # value-identical runs must share a config_hash (pinned by the
-    # slim-window parity test)
-    cfg_dict.pop("slim_window", None)
-    cfg_dict.pop("extra", None)
-    cfg_json = json.dumps(cfg_dict, sort_keys=True, default=str)
+    pieces — P3 sha2, M2 routing, P14 cost model (pass
+    ``audit.record_cost(...)`` or a pre-resolved chain as
+    ``est_cost``). The sha2 calls constant-fold to literals."""
+    cfg_json = semantic_config_json(cfg)
     return F.struct(
         F.lit(PIPELINE_VERSION).alias("kernel_version"),
         F.sha2(F.lit(cfg_json), 256).alias("config_hash"),
         F.sha2(F.lit(template), 256).alias("template_hash"),
         tier.alias("tier_used"),
-        F.round(record_cost(tier, tokens_in, tokens_out), 8).alias("est_cost"),
+        F.round(est_cost, 8).alias("est_cost"),
     )
+
+
+_TIER_THRESHOLDS = (0.5, 0.8)
+_TIER_NAMES = ("nano", "mini", "full")
 
 
 def transparency_stage(
@@ -145,7 +154,18 @@ def transparency_stage(
     """Flagship wiring of ``transparency_struct``: tier routed from the
     length-bucket complexity of the extracted text, input tokens
     estimated at text_len/4 chars-per-token, output tokens 0 (feature
-    extraction is input-dominated)."""
+    extraction is input-dominated).
+
+    The tier→price resolution happens at PLAN TIME (the routing table
+    and the price table are both Python constants here, validated
+    against each other below — unknown-tier fails at plan
+    construction, before any job). Substituting the generic
+    ``record_cost`` when-chain — with its per-branch copies of the
+    complexity chain and runtime raise_error guard — into this hot
+    projection measurably bloated the codegen'd join+project stage
+    (~0.5 s / 10% of flagship wall at sf0.1); the flat three-branch
+    chain below produces identical values."""
+    from med_doi_feature_extraction_spark.audit import MODEL_PRICES
     from med_doi_feature_extraction_spark.operators.cascade import (
         route_by_complexity,
     )
@@ -153,11 +173,24 @@ def transparency_stage(
         complexity_from_len,
     )
 
+    missing = set(_TIER_NAMES) - set(MODEL_PRICES)
+    if missing:
+        raise ValueError(
+            f"transparency_stage: routed tiers missing from price table: {missing}"
+        )
     n = F.coalesce(F.col(text_len_col), F.lit(0))
-    tier = route_by_complexity(complexity_from_len(n))
+    cx = complexity_from_len(n)
+    tier = route_by_complexity(cx, _TIER_THRESHOLDS, _TIER_NAMES)
+    # same branch structure as route_by_complexity, resolved to the
+    # tier's input price (tokens_out = 0: no output-price term)
+    in_price = F.when(cx < _TIER_THRESHOLDS[0], F.lit(MODEL_PRICES["nano"][0])).when(
+        cx < _TIER_THRESHOLDS[1], F.lit(MODEL_PRICES["mini"][0])
+    ).otherwise(F.lit(MODEL_PRICES["full"][0]))
+    est_cost = ((n / F.lit(4.0)) / F.lit(1e6)) * in_price + (
+        F.lit(0.0) / F.lit(1e6)
+    ) * F.lit(0.0)
     return df.withColumn(
-        "transparency",
-        transparency_struct(cfg, tier, n / F.lit(4.0), F.lit(0.0)),
+        "transparency", transparency_struct(cfg, tier, est_cost)
     )
 
 
