@@ -1525,11 +1525,48 @@ FROM s QUALIFY rank <= 5
 
 
 def q_dedup_decisions(spark, sf_dir):
-    """Near-dup pairs → connected components → keep/remove decisions
-    (iterative min-label propagation; rows-only check)."""
+    """Near-dup pairs → connected components → keep/remove decisions.
+    Oracle split: the verified pair set (itself oracle-checked as
+    ``minhash_neardup``) is materialized to parquet; Spark resolves
+    components with the distributed min-label-propagation operator
+    (pointer jumping, ``dedup.dup_clusters``) while DuckDB resolves
+    the SAME pairs with a recursive-CTE transitive closure — two
+    independent CC algorithms agreeing on labels. (The recursive
+    closure is O(component²) rows — fine at oracle scale, not the
+    10^12-doc path.)"""
+    base = _dedup_base()
     docs = _read(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
-    return dedup.dedup_decisions(docs, "doc_id", pairs)
+    pairs.select("id_a", "id_b").write.mode("overwrite").parquet(
+        f"{base}/cc_pairs.parquet"
+    )
+    return dedup.dedup_decisions(
+        docs, "doc_id", spark.read.parquet(f"{base}/cc_pairs.parquet")
+    )
+
+
+def _sql_dedup_decisions() -> str:
+    base = _dedup_base()
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT id_a AS a, id_b AS b
+  FROM read_parquet('{base}/cc_pairs.parquet/*.parquet')
+  UNION
+  SELECT id_b, id_a FROM read_parquet('{base}/cc_pairs.parquet/*.parquet')
+),
+reach(s, d) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d
+),
+lab AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN lab l USING (doc_id)
+"""
 
 
 _FLAGSHIP_N_URLS = 120
@@ -1731,8 +1768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
-        # non-SQL-expressible (driver records rows-only checks):
         "dedup_decisions": q_dedup_decisions,
+        # non-SQL-expressible (rows-only; its downstream is the
+        # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
     }
 
@@ -1781,4 +1819,5 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _sql_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
         "doc_fingerprint": _sql_doc_fingerprint(),
+        "dedup_decisions": _sql_dedup_decisions(),
     }

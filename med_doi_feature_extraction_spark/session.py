@@ -54,8 +54,15 @@ def get_spark(
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # blob-heavy scans: smaller splits keep the (CPU-bound) extract
-        # kernel parallel even when the table is a handful of files
+        # kernel parallel even when the table is a handful of files.
+        # openCostInBytes matters too: Spark's maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/core)), so
+        # the default 4 MB floor capped a single 27 MB file at 7
+        # splits — 7 of 32 cores running the extract kernel (measured).
+        # 1 MB floors the split size only for small tables; multi-file
+        # 100 TB scans are governed by maxPartitionBytes as before.
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
