@@ -44,13 +44,28 @@ _SHIPPED: set[str] = set()
 def ensure_package_on_workers(spark) -> str:  # noqa: ANN001
     """Make the package importable in executor Python workers.
     Idempotent per SparkContext (safe to call from every query entry —
-    the driver contract may hand us a session we didn't build)."""
+    the driver contract may hand us a session we didn't build).
+
+    No-ops when the package is ALREADY distributed — running from a
+    ``spark-submit --py-files`` zip, or a same-named zip already
+    registered on the context. Re-adding would make Spark reject the
+    freshly-built zip as "exists and does not match contents" (byte
+    differences are expected: zip timestamps), killing real
+    spark-submit runs — pinned by tests/test_spark_submit.py."""
+    zip_name = f"{_PKG_NAME}.zip"
+    if f"{os.sep}{zip_name}{os.sep}" in _PKG_DIR or _PKG_DIR.endswith(zip_name):
+        # imported from a --py-files zip: already on every node
+        return _PKG_DIR
     sc = spark.sparkContext
     key = sc.applicationId
     zip_path = os.path.join(
-        __import__("tempfile").gettempdir(), f"{_PKG_NAME}.zip"
+        __import__("tempfile").gettempdir(), zip_name
     )
     if key in _SHIPPED:
+        return zip_path
+    if any(f.endswith(zip_name) for f in getattr(sc, "_python_includes", [])):
+        # same-named zip registered via --py-files / an earlier addPyFile
+        _SHIPPED.add(key)
         return zip_path
     zip_path = build_package_zip()
     sc.addPyFile(zip_path)
