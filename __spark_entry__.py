@@ -831,6 +831,41 @@ FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-BIGRAM Jaccard on the same deterministic candidate pairs —
+    the n-gram generalization of the verify kernel (dedup.ngrams_col:
+    aligned slices zipped JVM-side, no UDF)."""
+    docs = _read(spark, sf_dir, "documents")
+    g = docs.select(F.col("doc_id"), dedup.ngrams_col("text", 2).alias("grams"))
+    a = g.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+        F.col("grams").alias("tokens_a"),
+    )
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("tokens_b"))
+    out = dedup.jaccard_pairs(a, b, ["id_b"])
+    return out.select("id_a", "id_b", "jaccard")
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+                                      i -> toks[i] || ' ' || toks[i+1])) AS grams
+  FROM tk
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CASE WHEN (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) > 0
+            THEN round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+            ELSE 0.0 END AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
 # ------------------------------------------------------- retry / routing / compile
 
 _RETRY_PLAN = {"timeout": 3, "rate_limit": 2}  # parse_error → default 1
@@ -1757,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_model": q_cost_model,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup_blocked,
         "pages_flagship_post": q_pages_flagship_post,
@@ -1810,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
         "cost_model": SQL_COST_MODEL,
         "exact_dedup": SQL_EXACT_DEDUP,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_near_dup": SQL_EMB_NEAR_DUP,
         "pages_flagship_post": _sql_pages_flagship_post(),

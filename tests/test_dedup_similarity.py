@@ -73,6 +73,32 @@ def test_minhash_estimates_jaccard():
     assert abs(est - true_j) < 0.15
 
 
+def test_ngrams_col_matches_python(spark):
+    """Word n-gram sets (n=1,2,3) equal the plain-python oracle,
+    including single-word and empty-text edges."""
+    texts = [
+        "the quick brown fox jumps",
+        "one",
+        "",
+        "  spaced   out   words  ",
+        "a b a b a",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for n in (1, 2, 3):
+        got = (
+            df.select("doc_id", dedup.ngrams_col("text", n).alias("g"))
+            .toPandas().set_index("doc_id").g
+        )
+        for i, t in enumerate(texts):
+            toks = t.lower().strip().split()
+            expected = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+            if not toks and n == 1:
+                expected = {""}  # split('') yields [''] on both paths
+            assert set(got[i]) == expected, (n, i)
+
+
 def test_simhash_near_dup(spark, docs_df, docs_pdf):
     sh = simhash64(docs_pdf.set_index("doc_id").text)
     assert hamming64(sh.loc[0], sh.loc[100]) == 0
