@@ -253,7 +253,15 @@ def write_pages_parquet(
     """Materialize pages + dim to parquet (for bench / large fixtures).
 
     Generation is chunked by url-range so huge tables never sit fully
-    in one pandas frame."""
+    in one pandas frame.
+
+    Row groups are capped at 2,000 rows (~2-5 MB of html): Spark can
+    only assign a file SPLIT to a task if a row group starts inside
+    it, so pyarrow's default batching (which produced 3 × ~20k-row
+    groups for the 60k-row sf0.1 table) silently capped the CPU-bound
+    extract stage at 3-way parallelism no matter how many byte-range
+    splits or cores existed. Real crawl tables (many files, 64-128 MB
+    row groups) don't hit this; single-file local fixtures do."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     import os
@@ -272,7 +280,7 @@ def write_pages_parquet(
         table = pa.Table.from_pandas(pdf, preserve_index=False)
         if writer is None:
             writer = pq.ParquetWriter(pages_path, table.schema)
-        writer.write_table(table)
+        writer.write_table(table, row_group_size=2000)
     if writer is not None:
         writer.close()
     sample = pd.concat(all_chunks, ignore_index=True)
