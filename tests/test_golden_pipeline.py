@@ -93,6 +93,25 @@ def test_flagship_matches_pandas_oracle(spark, pages_pdf, dim_pdf, pages_df, dim
     assert got.lineage.notna().all()
 
 
+def test_fixture_writer_row_group_layout(tmp_path):
+    """Regression guard for the 3-worker parallelism bug: the fixture
+    writer must emit bounded row groups (Spark can only assign a file
+    split to a task if a row group starts inside it)."""
+    import pyarrow.parquet as pq
+
+    from med_doi_feature_extraction_spark.sources.pages import (
+        write_pages_parquet,
+    )
+
+    pages_path, _ = write_pages_parquet(str(tmp_path), n_urls=600, seed=7)
+    f = pq.ParquetFile(pages_path)
+    assert f.metadata.num_rows > 4000
+    assert f.num_row_groups >= f.metadata.num_rows // 2000
+    assert max(
+        f.metadata.row_group(i).num_rows for i in range(f.num_row_groups)
+    ) <= 2000
+
+
 def test_flagship_row_count_is_input_keys(spark, pages_df, dim_df, pages_pdf):
     out = page_features(pages_df, dim=dim_df, cfg=FeatureConfig())
     assert out.count() == len(pages_pdf)
