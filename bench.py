@@ -140,6 +140,29 @@ def main() -> None:
     t_pages = _time_noop(feats)
     timings["pages_pipeline"] = t_pages
 
+    # production-layout variant: extract ONCE, materialize bucketed by
+    # url (catalog.save_bucketed / Iceberg bucket transform), then run
+    # the window/as-of stack off the bucketed scan with zero window
+    # exchanges. The bucketed extract write is untimed setup — at
+    # 10^12 docs it is the one-time ingest pass. (Bucketing the RAW
+    # table and keeping the UDF in-plan does NOT help: the pandas-UDF
+    # node drops partitioning — measured no faster than default.)
+    from med_doi_feature_extraction_spark.pipeline import (
+        extract_stage,
+        features_from_extracted,
+    )
+    from med_doi_feature_extraction_spark.sources.catalog import Catalog
+
+    Catalog(spark).save_bucketed(
+        extract_stage(pages).drop("text"),
+        "bench_extract_bucketed", 32, ["url"], sort_cols=["url", "warc_ts"],
+    )
+    feats_b = features_from_extracted(
+        spark.table("bench_extract_bucketed"), dim=dim,
+        cfg=FeatureConfig(run_id="bench"), pre_partitioned=True,
+    )
+    timings["windows_asof_bucketed"] = _time_noop(feats_b)
+
     result = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),

@@ -205,6 +205,40 @@ def lineage_stage(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
     )
 
 
+def features_from_extracted(
+    df: DataFrame,
+    dim: DataFrame | None = None,
+    cfg: FeatureConfig = FeatureConfig(),
+    pre_partitioned: bool = False,
+) -> DataFrame:
+    """Window + point-in-time + transparency + lineage over an
+    ALREADY-extracted (html-free) pages table — the downstream half of
+    ``page_features`` for pipelines that materialize the extract stage
+    (the production shape at 10^12 docs: extract once, write bucketed
+    by url, run feature passes off the bucketed table).
+
+    With ``pre_partitioned=True`` on a url-bucketed table the whole
+    window stack runs with ZERO exchanges (asserted in
+    tests/test_catalog.py): bucketing pays off only at a MATERIALIZED
+    boundary because the pandas-UDF extract node cannot propagate
+    partitioning — running the UDF in-plan over a bucketed scan still
+    costs the window exchange (measured: the in-plan bucketed variant
+    is no faster than the default plan)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = df if pre_partitioned else df.repartition(n, "url")
+    feats = window_stage(base, cfg)
+    if dim is not None:
+        slim = df.select("url", "warc_ts", "domain")
+        res = asof_join_window(
+            slim, dim, "domain", "warc_ts", "obs_ts",
+            list(cfg.dim_value_cols), right_tiebreak=list(cfg.dim_tiebreak),
+        ).drop("domain")
+        if not pre_partitioned:
+            res = res.repartition(n, "url")
+        feats = feats.join(res, ["url", "warc_ts"], "left")
+    return lineage_stage(transparency_stage(feats, cfg), cfg)
+
+
 def page_features(
     pages: DataFrame,
     dim: DataFrame | None = None,

@@ -50,6 +50,37 @@ def test_iceberg_roundtrip_when_jars_present(spark, tmp_path):
     assert out == {"a": 1, "b": 20, "c": 30}
 
 
+def test_features_from_extracted_bucketed_zero_exchange(spark, pages_pdf):
+    """Production shape: extract materialized bucketed by url → the
+    ENTIRE window/feature stack (lag, ffill, sessionize, transparency)
+    runs without a single Exchange, and values match the in-plan
+    flagship exactly."""
+    from med_doi_feature_extraction_spark.pipeline import (
+        FeatureConfig,
+        extract_stage,
+        features_from_extracted,
+        page_features,
+    )
+
+    cat = Catalog(spark)
+    pages = spark.createDataFrame(pages_pdf)
+    ext = extract_stage(pages).drop("text")
+    cat.save_bucketed(ext, "ext_bucketed_test", 4, ["url"], sort_cols=["url", "warc_ts"])
+    try:
+        t = spark.table("ext_bucketed_test")
+        out = features_from_extracted(
+            t, cfg=FeatureConfig(run_id="t"), pre_partitioned=True
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        base = page_features(pages, cfg=FeatureConfig(run_id="t"))
+        cols = sorted(set(base.columns) - {"lineage"})
+        assert out.select(*cols).exceptAll(base.select(*cols)).count() == 0
+        assert base.select(*cols).exceptAll(out.select(*cols)).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_bucketed_test")
+
+
 def test_bucketed_scan_avoids_exchange(spark, pages_pdf, tmp_path):
     """The zero-shuffle path: a url-bucketed table feeds a per-url
     window without any Exchange in the physical plan."""
