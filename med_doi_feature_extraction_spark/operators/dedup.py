@@ -22,13 +22,9 @@ are built-in DataFrame ops so Catalyst/AQE own the physical plan.
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from pyspark.sql import Window
 
 from med_doi_feature_extraction_spark.kernels.hashing import (
     fingerprint64,
