@@ -1736,6 +1736,345 @@ def q_pages_flagship(spark, sf_dir):
     return page_features(pages, dim=dim, cfg=FeatureConfig(run_id="contract"))
 
 
+# ------------------------------------- curation: decontam / repetition /
+# sampling / urls / corpus stats (scale-native additions, round 3)
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: documents vs a deterministic eval
+    subset (doc_id % 97 == 0), shared distinct 3-grams."""
+    from med_doi_feature_extraction_spark.operators.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = decontaminate(docs, bench, "doc_id", "text", n=3, min_hits=2)
+    return out.select(
+        "doc_id",
+        F.col("total_ngrams").cast("long").alias("total_ngrams"),
+        F.col("contaminated_ngrams").cast("long").alias("contaminated_ngrams"),
+        "contamination_frac",
+        "contaminated",
+    )
+
+
+SQL_DECONTAM = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+), gset AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS grams
+  FROM tk
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM gset
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, count(*) AS c FROM g JOIN bench USING (gram) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.grams) AS BIGINT) AS total_ngrams,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+       CASE WHEN len(t.grams) > 0
+            THEN round(CAST(coalesce(h.c, 0) AS DOUBLE) / len(t.grams), 6)
+            ELSE 0.0 END AS contamination_frac,
+       coalesce(h.c, 0) >= 2 AS contaminated
+FROM gset t LEFT JOIN hits h ON h.doc_id = t.doc_id
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition fractions; token-level units (the
+    fixture text has no newlines — delim is configurable)."""
+    from med_doi_feature_extraction_spark.operators.repetition import (
+        repetition_features,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_features(docs, "text", delim=r"\s+").select(
+        "doc_id", "dup_unit_frac", "dup_unit_char_frac"
+    )
+
+
+SQL_REPETITION = r"""
+WITH u AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\s+'), x -> trim(x)),
+                     x -> len(x) > 0) AS units
+  FROM documents
+), c AS (
+  SELECT doc_id, units,
+         coalesce(list_sum(list_transform(units, x -> len(x))), 0) AS total_chars,
+         coalesce(list_sum(list_transform(list_distinct(units), x -> len(x))), 0) AS dist_chars
+  FROM u
+)
+SELECT doc_id,
+       CASE WHEN len(units) > 0
+            THEN round(CAST(len(units) - len(list_distinct(units)) AS DOUBLE) / len(units), 6)
+            ELSE 0.0 END AS dup_unit_frac,
+       CASE WHEN total_chars > 0
+            THEN round(CAST(total_chars - dist_chars AS DOUBLE) / total_chars, 6)
+            ELSE 0.0 END AS dup_unit_char_frac
+FROM c
+"""
+
+
+def q_top_ngram(spark, sf_dir):
+    """Most frequent bigram per document + char coverage."""
+    from med_doi_feature_extraction_spark.operators.repetition import top_ngram_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    out = top_ngram_stats(docs, "doc_id", "text", n=2)
+    return out.select(
+        "doc_id", "top_ngram",
+        F.col("gram_count").cast("long").alias("gram_count"),
+        "top_ngram_char_frac",
+    )
+
+
+SQL_TOP_NGRAM = r"""
+WITH tk AS (
+  SELECT doc_id, length(lower(trim(text))) AS tc,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, tc,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                               i -> toks[i]||' '||toks[i+1])) AS gram
+  FROM tk
+), c AS (
+  SELECT doc_id, tc, gram, count(*) AS gram_count FROM g GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY gram_count DESC, gram ASC) AS rn
+  FROM c
+)
+SELECT doc_id, gram AS top_ngram, CAST(gram_count AS BIGINT) AS gram_count,
+       CASE WHEN tc > 0
+            THEN round(CAST(gram_count * length(gram) AS DOUBLE) / tc, 6)
+            ELSE 0.0 END AS top_ngram_char_frac
+FROM r WHERE rn = 1
+"""
+
+
+_STRATA_RATES = {"en": 0.25, "de": 1.0, "zh": 0.5}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling (sha256 key hash — the
+    engine-portable uniform, identical expression in the oracle)."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", _STRATA_RATES, default_rate=0.1, salt="r3"
+    ).select("doc_id", "lang")
+
+
+def _sql_stratified_sample() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "r3")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRATA_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {u} < CASE lang {cases} ELSE 0.1 END
+"""
+
+
+def q_train_eval_split(spark, sf_dir):
+    """Stable held-out split: same key ⇒ same side on every engine."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        train_eval_split,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return train_eval_split(docs, "doc_id", eval_frac=0.05).select(
+        "doc_id", "split"
+    )
+
+
+def _sql_train_eval_split() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "split")
+    return f"""
+SELECT doc_id, CASE WHEN {u} < 0.05 THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def _synth_urls(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ck = (F.col("o_custkey") % 50).cast("string")
+    tld = (F.col("o_custkey") % 7).cast("string")
+    ok = F.col("o_orderkey")
+    base = F.concat(
+        F.lit("HTTPS://WWW.Shop"), ck, F.lit(".Example"), tld, F.lit(".COM")
+    )
+    url = (
+        F.when(ok % 5 == 0, F.concat(base, F.lit("/")))
+        .when(
+            ok % 5 == 1,
+            F.concat(base, F.lit("/cat/"), (ok % 13).cast("string"), F.lit("/")),
+        )
+        .when(
+            ok % 5 == 2,
+            F.concat(base, F.lit(":443/item/"), (ok % 7).cast("string")),
+        )
+        .when(
+            ok % 5 == 3,
+            F.concat(
+                base, F.lit("/p?id="), (ok % 11).cast("string"),
+                F.lit("&ref=home#top"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("http://shop"), ck, F.lit(".example"), tld, F.lit(".com")))
+    )
+    return o.withColumn("url", url)
+
+
+_SQL_SYNTH_URL = """
+  SELECT o_orderkey,
+         CASE o_orderkey % 5
+           WHEN 0 THEN base || '/'
+           WHEN 1 THEN base || '/cat/' || CAST(o_orderkey % 13 AS VARCHAR) || '/'
+           WHEN 2 THEN base || ':443/item/' || CAST(o_orderkey % 7 AS VARCHAR)
+           WHEN 3 THEN base || '/p?id=' || CAST(o_orderkey % 11 AS VARCHAR) || '&ref=home#top'
+           ELSE 'http://shop' || CAST(o_custkey % 50 AS VARCHAR)
+                || '.example' || CAST(o_custkey % 7 AS VARCHAR) || '.com'
+         END AS url
+  FROM (SELECT o_orderkey, o_custkey,
+               'HTTPS://WWW.Shop' || CAST(o_custkey % 50 AS VARCHAR)
+               || '.Example' || CAST(o_custkey % 7 AS VARCHAR) || '.COM' AS base
+        FROM orders)
+"""
+
+
+def q_url_features(spark, sf_dir):
+    """URL canonicalization + crawl features over deterministic
+    synthesized URLs (testdata has no url column)."""
+    from med_doi_feature_extraction_spark.operators.urls import url_features
+
+    out = url_features(_synth_urls(spark, sf_dir), "url")
+    return out.select(
+        "o_orderkey", "url", "canonical_url", "host", "domain",
+        F.col("path_depth").cast("long").alias("path_depth"),
+        F.col("query_params").cast("long").alias("query_params"),
+    )
+
+
+SQL_URL_FEATURES = rf"""
+WITH urls AS ({_SQL_SYNTH_URL}),
+feat AS (
+  SELECT o_orderkey, url,
+         regexp_replace(url, '#.*$', '') AS defrag,
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                        ':(80|443)$', '') AS host,
+         regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM urls
+)
+SELECT o_orderkey, url,
+       regexp_replace(
+         regexp_replace(lower(regexp_extract(defrag, '^([a-zA-Z]+://[^/?#]*)', 1)),
+                        ':(80|443)$', '')
+           || regexp_replace(defrag, '^[a-zA-Z]+://[^/?#]*', ''),
+         '(^[a-z]+://[^/?#]+/[^?#]*?)/(\?|$)', '\1\2') AS canonical_url,
+       host,
+       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+       CAST(len(list_filter(string_split(path, '/'), s -> len(s) > 0)) AS BIGINT) AS path_depth,
+       CAST(CASE WHEN len(q) = 0 THEN 0 ELSE len(string_split(q, '&')) END AS BIGINT) AS query_params
+FROM feat
+"""
+
+
+def q_hot_domains(spark, sf_dir):
+    """Skew census: pages per registrable domain above a floor."""
+    from med_doi_feature_extraction_spark.operators.urls import hot_domains
+
+    return hot_domains(_synth_urls(spark, sf_dir), "url", min_pages=10).select(
+        "domain", F.col("n_pages").cast("long").alias("n_pages")
+    )
+
+
+SQL_HOT_DOMAINS = rf"""
+WITH urls AS ({_SQL_SYNTH_URL})
+SELECT regexp_extract(
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                        ':(80|443)$', ''),
+         '([^.]+\.[^.]+)$', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM urls GROUP BY 1 HAVING count(*) >= 10
+"""
+
+
+def q_token_df(spark, sf_dir):
+    """Corpus document frequency (min_df=2) — the vocabulary-stats
+    aggregation with map-side partial combine."""
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        document_frequency,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = document_frequency(docs, "doc_id", "text", min_df=2)
+    return out.select("token", F.col("df").cast("long").alias("df"))
+
+
+SQL_TOKEN_DF = r"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df
+FROM t GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 tokens per doc by smoothed tf·idf."""
+    from med_doi_feature_extraction_spark.operators.corpus_stats import tfidf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, "doc_id", "text", k=3, min_df=2)
+    return out.select(
+        "doc_id", "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+    )
+
+
+SQL_TFIDF_TOPK = r"""
+WITH n AS (
+  SELECT count(*) AS n_docs FROM documents
+), tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok WHERE len(token) > 0 GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         round(tf.tf * ln(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / (dfreq.df + 1)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM r WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1805,6 +2144,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_decisions": q_dedup_decisions,
+        # curation surface (round 3): decontamination, repetition
+        # quality, deterministic sampling, url features, corpus stats
+        "decontam": q_decontam,
+        "repetition": q_repetition,
+        "top_ngram": q_top_ngram,
+        "stratified_sample": q_stratified_sample,
+        "train_eval_split": q_train_eval_split,
+        "url_features": q_url_features,
+        "hot_domains": q_hot_domains,
+        "token_df": q_token_df,
+        "tfidf_topk": q_tfidf_topk,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -1857,4 +2207,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _sql_ivf_topk(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_decisions": _sql_dedup_decisions(),
+        "decontam": SQL_DECONTAM,
+        "repetition": SQL_REPETITION,
+        "top_ngram": SQL_TOP_NGRAM,
+        "stratified_sample": _sql_stratified_sample(),
+        "train_eval_split": _sql_train_eval_split(),
+        "url_features": SQL_URL_FEATURES,
+        "hot_domains": SQL_HOT_DOMAINS,
+        "token_df": SQL_TOKEN_DF,
+        "tfidf_topk": SQL_TFIDF_TOPK,
     }

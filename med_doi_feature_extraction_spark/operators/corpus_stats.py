@@ -1,0 +1,89 @@
+"""Corpus-level token statistics: document frequency, IDF, per-doc
+TF-IDF top-k terms.
+
+The corpus-wide half of the text-analysis surface (per-doc scalars
+live in ``kernels/features.py``): vocabulary statistics need a
+global aggregation over 10^12 documents, so the plan shape is the
+whole design:
+
+- ``document_frequency``: explode DISTINCT tokens per doc →
+  groupBy(token) count. ONE exchange, with map-side partial
+  aggregation doing the heavy lifting (a token appearing in 10^9
+  docs arrives at its reducer as ~n_partitions partial counts, not
+  10^9 rows). Natural-language token frequency is Zipfian — the
+  textbook skewed key — and partial aggregation is precisely the
+  standard fix, so no salting is needed here.
+- ``tfidf_topk``: per-doc term frequency (keys prefixed by doc id —
+  no hot keys) joined against the df table on token. The df table
+  at web scale is ~vocabulary-sized (millions, not trillions) —
+  far below the corpus but above blind-broadcast comfort; the join
+  is left to AQE, which broadcast-converts it when the (filtered)
+  df side fits. ``min_df`` prunes hapax noise BEFORE the join,
+  shrinking the build side by ~half (Zipf: ~50% of vocabulary
+  occurs once).
+
+IDF uses the smoothed form ln((N+1)/(df+1)) — deterministic, no
+zero-division, SQL-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.dedup import tokens_col
+
+
+def document_frequency(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """(token, df) — number of documents containing each token."""
+    toks = df.select(F.explode(tokens_col(text_col)).alias("token"))
+    out = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k tokens per document by tf·idf (ties → token asc).
+
+    ``n_docs``: pass the known corpus size to keep planning job-free;
+    None computes it (one count job — fine interactively, pass it in
+    inside pipelines). Returns (id, token, tf, df, tfidf) with tfidf
+    rounded to 6 dp for cross-engine comparability.
+    """
+    if n_docs is None:
+        n_docs = docs.count()
+    # per-doc term frequency: doc-id-prefixed keys, no skew
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = document_frequency(docs, id_col, text_col, min_df=min_df)
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1).cast("double"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf")
+    )

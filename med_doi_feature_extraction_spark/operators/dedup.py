@@ -189,15 +189,15 @@ def tokens_col(text_col: str) -> F.Column:
     )
 
 
-def ngrams_col(text_col: str, n: int = 2) -> F.Column:
-    """Distinct word n-gram strings of normalized text — the n-gram
-    generalization of ``tokens_col`` for Jaccard verify (n=1 ≡
-    tokens_col). Pure JVM higher-order array ops: n aligned slices of
-    the token array zipped into gram strings — no UDF, whole-stage
+def ngrams_all_col(text_col: str, n: int = 2) -> F.Column:
+    """ALL word n-gram strings of normalized text, in document order
+    (duplicates kept — frequency-carrying variant for repetition
+    stats). Pure JVM higher-order array ops: n aligned slices of the
+    token array zipped into gram strings — no UDF, whole-stage
     codegen, linear in document length."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     if n == 1:
-        return F.array_distinct(toks)
+        return toks
     width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.slice(toks, 1, width)
     for i in range(1, n):
@@ -206,7 +206,14 @@ def ngrams_col(text_col: str, n: int = 2) -> F.Column:
             F.slice(toks, i + 1, width),
             lambda x, y: F.concat_ws(" ", x, y),
         )
-    return F.array_distinct(grams)
+    return grams
+
+
+def ngrams_col(text_col: str, n: int = 2) -> F.Column:
+    """Distinct word n-gram strings of normalized text — the n-gram
+    generalization of ``tokens_col`` for Jaccard verify (n=1 ≡
+    tokens_col)."""
+    return F.array_distinct(ngrams_all_col(text_col, n))
 
 
 def jaccard_pairs(

@@ -1,0 +1,94 @@
+"""Deterministic hash-based sampling for corpus curation.
+
+Reproducible sampling is a first-class corpus operation: language
+rebalancing (down-sample the head language before training),
+held-out split carving, and debug subsets must give the SAME rows on
+every run, on any cluster size, with no RNG state — so membership is
+a pure function of the row key:
+
+    u(key) = int(sha256(key || "|" || salt)[:8 hex]) / 2^32  ∈ [0,1)
+    keep ⇔ u(key) < rate
+
+sha256 (not murmur/xxhash) because the exact bit pattern is
+reproducible in ANY engine — the DuckDB oracle runs the identical
+expression, which is what makes these operators hash-for-hash
+checkable. Per-row cost is one short sha2 over the key (not the
+payload); it rides the scan stage, needs no shuffle, and is
+partitioning-independent — the scale-safe property that
+``df.sample()`` (seed × partition-layout dependent) does not give.
+
+Salting: different ``salt`` values give independent samples; a fixed
+salt makes the sample stable across reruns and appends (new rows
+join the sample iff their key hashes in — exactly the semantics a
+resumable 10^12-doc ingest needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_U32 = float(2**32)
+
+
+def hash_uniform(key_col: str | F.Column, salt: str = "") -> F.Column:
+    """Deterministic uniform [0,1) from a row key (see module doc)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    tagged = F.concat(key.cast("string"), F.lit("|" + salt))
+    bucket = F.conv(F.substring(F.sha2(tagged, 256), 1, 8), 16, 10)
+    return bucket.cast("double") / F.lit(_U32)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose key hashes under ``rate``. Deterministic,
+    layout-independent, append-stable."""
+    return df.filter(hash_uniform(key_col, salt) < F.lit(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. language rebalancing:
+    ``{"en": 0.3, "de": 1.0}``). Strata absent from ``rates`` get
+    ``default_rate``. The rate map is a plan-time literal — no join,
+    no shuffle; the filter rides the scan."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(
+            rate
+        )
+    return df.filter(hash_uniform(key_col, salt) < rate)
+
+
+def train_eval_split(
+    df: DataFrame,
+    key_col: str,
+    eval_frac: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ("eval" under ``eval_frac``, else
+    "train"). Same key ⇒ same side, forever and on every engine —
+    the property that keeps a held-out set leak-free across
+    incremental corpus builds."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_uniform(key_col, salt) < F.lit(eval_frac), F.lit("eval")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def oracle_uniform_sql(key_expr: str, salt: str = "") -> str:
+    """The DuckDB expression computing the same uniform — kept next
+    to the Spark implementation so the two can't drift."""
+    return (
+        f"CAST(('0x' || substr(sha256({key_expr} || '|{salt}'), 1, 8))"
+        f"::UBIGINT AS DOUBLE) / 4294967296.0"
+    )

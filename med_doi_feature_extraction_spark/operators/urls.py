@@ -1,0 +1,105 @@
+"""URL canonicalization and crawl-graph features.
+
+A Common-Crawl-style corpus keys everything on ``url`` (the
+reference keys on DOI — ``src/models.py`` ``record_id``; the url is
+the web-corpus analogue of that coalesced key). Near-identical URLs
+(scheme/case/fragment/trailing-slash variants) fragment what is one
+logical page across snapshots, so a canonical form is the join/dedup
+key, and host/path shape features feed quality and skew handling
+(hot-domain detection).
+
+All pure Column regexp/string algebra — no UDF, rides the scan, and
+each expression is mirrored 1:1 in the DuckDB oracle (plain
+regexp_extract / regexp_replace), so the whole surface is
+hash-checkable. ``F.parse_url`` is deliberately NOT used: its
+java.net semantics aren't reproducible outside the JVM, and a
+canonical key that only one engine can recompute is a bad corpus
+key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-zA-Z]+://([^/?#]+)"
+_PATH_RE = r"^[a-zA-Z]+://[^/?#]*(/[^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_host(url: F.Column) -> F.Column:
+    """Lower-cased host (authority) part, default port stripped."""
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.regexp_replace(host, r":(80|443)$", "")
+
+
+def url_domain(host: F.Column) -> F.Column:
+    """Registrable-domain approximation: last two labels of the host
+    (``a.b.example.com`` → ``example.com``). A public-suffix list
+    would refine multi-label TLDs; two labels is the deterministic,
+    dependency-free baseline."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_path(url: F.Column) -> F.Column:
+    return F.regexp_extract(url, _PATH_RE, 1)
+
+
+def url_path_depth(url: F.Column) -> F.Column:
+    """Number of non-empty path segments."""
+    path = url_path(url)
+    seg = F.filter(
+        F.split(path, "/"), lambda s: F.length(s) > 0
+    )
+    return F.size(seg)
+
+
+def url_query_param_count(url: F.Column) -> F.Column:
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    return F.when(F.length(q) == 0, F.lit(0)).otherwise(
+        F.size(F.split(q, "&"))
+    )
+
+
+def canonical_url(url: F.Column) -> F.Column:
+    """Canonical join/dedup key: lower scheme+host, default port and
+    fragment stripped, trailing slash trimmed (but a bare-host URL
+    keeps its root ``/``), query kept byte-exact (param reordering is
+    site semantics, not ours to normalize)."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    # lower the scheme://host prefix only
+    prefix = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z]+://[^/?#]*", "")
+    prefix = F.regexp_replace(prefix, r":(80|443)$", "")
+    joined = F.concat(prefix, rest)
+    # trailing slash on a path (not on the bare authority)
+    return F.regexp_replace(joined, r"(^[a-z]+://[^/?#]+/[^?#]*?)/(\?|$)", r"$1$2")
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add canonical_url/host/domain/path_depth/query_params columns."""
+    u = F.col(url_col)
+    host = url_host(u)
+    return df.withColumns(
+        {
+            "canonical_url": canonical_url(u),
+            "host": host,
+            "domain": url_domain(host),
+            "path_depth": url_path_depth(u),
+            "query_params": url_query_param_count(u),
+        }
+    )
+
+
+def hot_domains(
+    df: DataFrame, url_col: str = "url", min_pages: int = 1000
+) -> DataFrame:
+    """(domain, n_pages) for domains above ``min_pages`` — the skew
+    census that feeds salting decisions (BASELINE north rule:
+    hot-domain skew handled explicitly). One hash-agg exchange."""
+    return (
+        df.select(url_domain(url_host(F.col(url_col))).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .filter(F.col("n_pages") >= min_pages)
+    )

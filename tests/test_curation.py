@@ -1,0 +1,231 @@
+"""Curation-surface operators: decontamination, repetition quality,
+deterministic sampling, url features, corpus stats.
+
+Each operator also has a DuckDB-oracled contract query in
+``__spark_entry__`` — these tests pin the semantic edge cases the
+hash compare can't localize (planted overlaps, boundary texts,
+determinism across layouts)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.corpus_stats import (
+    document_frequency,
+    tfidf_topk,
+)
+from med_doi_feature_extraction_spark.operators.decontam import decontaminate
+from med_doi_feature_extraction_spark.operators.repetition import (
+    repetition_features,
+    top_ngram_stats,
+)
+from med_doi_feature_extraction_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_eval_split,
+)
+from med_doi_feature_extraction_spark.operators.urls import (
+    hot_domains,
+    url_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over a sleeping cat", "en"),
+        (2, "completely different words here entirely unique tokens", "en"),
+        (3, "der schnelle braune fuchs springt sehr hoch heute", "de"),
+        (4, "nav nav nav nav nav nav nav nav", "en"),  # repetition bomb
+        (5, "", "en"),
+        (6, "single", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"]).cache()
+
+
+# ------------------------------------------------------------- decontam
+
+def test_decontam_planted_overlap(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = decontaminate(
+        docs, bench, "doc_id", "text", n=3, min_hits=1
+    ).orderBy("doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # bench doc is 100% contaminated against itself
+    assert rows[0]["contamination_frac"] == 1.0 and rows[0]["contaminated"]
+    # doc 1 shares exactly the 3-grams of the common prefix
+    # "the quick brown fox jumps over": 4 trigrams
+    assert rows[1]["contaminated_ngrams"] == 4
+    assert rows[1]["contaminated"]
+    # disjoint doc is clean but still present (left join)
+    assert rows[2]["contaminated_ngrams"] == 0 and not rows[2]["contaminated"]
+    # short/empty docs: no n-grams, frac 0
+    assert rows[5]["total_ngrams"] == 0
+    assert rows[5]["contamination_frac"] == 0.0
+    assert rows[6]["total_ngrams"] == 0
+    # every corpus doc appears exactly once
+    assert out.count() == docs.count()
+
+
+def test_decontam_hashed_path_matches_broadcast(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 2 == 0)
+    a = decontaminate(docs, bench, "doc_id", "text", n=2).orderBy("doc_id")
+    b = decontaminate(
+        docs, bench, "doc_id", "text", n=2, broadcast_bench=False
+    ).orderBy("doc_id")
+    assert [r.asDict() for r in a.collect()] == [
+        r.asDict() for r in b.collect()
+    ]
+
+
+def test_decontam_min_hits_threshold(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = decontaminate(docs, bench, "doc_id", "text", n=3, min_hits=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert not rows[1]["contaminated"]  # 4 hits < 5
+    assert rows[0]["contaminated"]
+
+
+# ------------------------------------------------------------ repetition
+
+def test_repetition_fractions(spark, docs):
+    out = repetition_features(docs, "text", delim=r"\s+")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 4: 8 units, 1 distinct → 7/8 dup, same by chars (equal lens)
+    assert rows[4]["dup_unit_frac"] == pytest.approx(7 / 8, abs=1e-6)
+    assert rows[4]["dup_unit_char_frac"] == pytest.approx(7 / 8, abs=1e-6)
+    # doc 0: 9 tokens, "the" twice → 1/9 dup; char frac = 3/35
+    assert rows[0]["dup_unit_frac"] == pytest.approx(1 / 9, abs=1e-6)
+    assert rows[0]["dup_unit_char_frac"] == pytest.approx(
+        3 / 35, abs=1e-6
+    )
+    # empty text → 0.0, not null/zero-division
+    assert rows[5]["dup_unit_frac"] == 0.0
+    assert rows[5]["dup_unit_char_frac"] == 0.0
+    # fully-unique doc → 0.0
+    assert rows[2]["dup_unit_frac"] == 0.0
+
+
+def test_top_ngram_stats(spark, docs):
+    out = top_ngram_stats(docs, "doc_id", "text", n=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[4]["top_ngram"] == "nav nav"
+    assert rows[4]["gram_count"] == 7
+    # ties in doc 0 (all bigrams once) break lexicographically
+    assert rows[0]["gram_count"] == 1
+    assert rows[0]["top_ngram"] == "brown fox"
+    # docs with < n tokens are omitted
+    assert 5 not in rows and 6 not in rows
+
+
+# -------------------------------------------------------------- sampling
+
+def _py_uniform(key: str, salt: str) -> float:
+    h = hashlib.sha256(f"{key}|{salt}".encode()).hexdigest()[:8]
+    return int(h, 16) / 2**32
+
+
+def test_hash_sample_matches_reference_hash(spark, docs):
+    kept = {
+        r["doc_id"]
+        for r in hash_sample(docs, "doc_id", 0.5, salt="s").collect()
+    }
+    expected = {
+        i for i in range(7) if _py_uniform(str(i), "s") < 0.5
+    }
+    assert kept == expected
+
+
+def test_hash_sample_layout_independent(spark, docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.4).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.4).collect()
+    }
+    assert a == b
+
+
+def test_stratified_rates_and_default(spark, docs):
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0}, default_rate=0.0
+    )
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"}  # de stratum fully dropped
+    assert out.count() == 6
+
+
+def test_train_eval_split_stable_and_total(spark, docs):
+    out = train_eval_split(docs, "doc_id", eval_frac=0.5)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 7
+    for i, s in got.items():
+        want = "eval" if _py_uniform(str(i), "split") < 0.5 else "train"
+        assert s == want
+
+
+# ------------------------------------------------------------------ urls
+
+def test_url_features_canonicalization(spark):
+    rows = [
+        (1, "HTTPS://WWW.Shop1.Example.COM/"),
+        (2, "https://www.shop1.example.com/cat/3/"),
+        (3, "https://host.example.com:443/item/9"),
+        (4, "http://h.example.com/p?id=5&ref=home#top"),
+        (5, "http://plain.example.com"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {r["id"]: r for r in url_features(df).collect()}
+    assert got[1]["canonical_url"] == "https://www.shop1.example.com/"
+    assert got[1]["host"] == "www.shop1.example.com"
+    assert got[1]["domain"] == "example.com"
+    assert got[1]["path_depth"] == 0
+    assert got[2]["canonical_url"] == "https://www.shop1.example.com/cat/3"
+    assert got[2]["path_depth"] == 2
+    assert got[3]["canonical_url"] == "https://host.example.com/item/9"
+    assert got[3]["host"] == "host.example.com"
+    assert got[4]["canonical_url"] == "http://h.example.com/p?id=5&ref=home"
+    assert got[4]["query_params"] == 2
+    assert got[5]["canonical_url"] == "http://plain.example.com"
+    assert got[5]["path_depth"] == 0 and got[5]["query_params"] == 0
+
+
+def test_hot_domains_census(spark):
+    rows = [(i, f"https://sub{i % 2}.big.com/x") for i in range(20)] + [
+        (100, "https://small.com/y")
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {r["domain"]: r["n_pages"] for r in hot_domains(df, min_pages=5).collect()}
+    assert got == {"big.com": 20}
+
+
+# ----------------------------------------------------------- corpus stats
+
+def test_document_frequency(spark, docs):
+    out = {r["token"]: r["df"] for r in
+           document_frequency(docs, "doc_id", "text").collect()}
+    assert out["the"] == 2  # docs 0 and 1 (distinct per doc)
+    assert out["fox"] == 2
+    assert out["nav"] == 1
+    filtered = document_frequency(docs, "doc_id", "text", min_df=2)
+    assert {r["token"] for r in filtered.collect()} >= {"the", "fox"}
+    assert "nav" not in {r["token"] for r in filtered.collect()}
+
+
+def test_tfidf_topk_ranks_distinctive_tokens(spark, docs):
+    out = tfidf_topk(docs, "doc_id", "text", k=2, min_df=1, n_docs=7)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc with tokens appears, ≤ k rows each
+    assert all(len(v) <= 2 for v in per_doc.values())
+    # doc 4's 'nav' (tf=7, rare) dominates
+    assert per_doc[4][0]["token"] == "nav"
+    assert per_doc[4][0]["tf"] == 8
+    # doc 0: tf=2 'the' (idf ln(8/3)) outranks tf=1 rare tokens
+    # (ln(8/2)); the tf=1 df=1 tie breaks lexicographically → 'dog'
+    toks0 = [r["token"] for r in sorted(per_doc[0], key=lambda r: (-r["tfidf"], r["token"]))]
+    assert toks0 == ["the", "dog"]
