@@ -2075,6 +2075,77 @@ FROM r WHERE rn <= 3
 """
 
 
+def q_pii(spark, sf_dir):
+    """PII detect + redact over deterministically augmented text
+    (fixture corpus is PII-free; injection pattern mirrors
+    q_doi_features)."""
+    from med_doi_feature_extraction_spark.operators.pii import pii_features
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" contact bob"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call 415-555-"), (1000 + did % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" from 192.168."), (did % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    out = pii_features(docs.withColumn("t", aug), "t")
+    return out.select(
+        "doc_id",
+        F.col("email_count").cast("long").alias("email_count"),
+        F.col("ip_count").cast("long").alias("ip_count"),
+        F.col("phone_count").cast("long").alias("phone_count"),
+        F.col("pii_count").cast("long").alias("pii_count"),
+        "text_redacted",
+    )
+
+
+def _sql_pii() -> str:
+    from med_doi_feature_extraction_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    return rf"""
+WITH a AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' call 415-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS email_count,
+  CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS ip_count,
+  CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS phone_count,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}'))
+       + len(regexp_extract_all(t, '{IPV4_RE}'))
+       + len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS pii_count,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{IPV4_RE}', '<IP>', 'g'),
+      '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+FROM a
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2155,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_domains": q_hot_domains,
         "token_df": q_token_df,
         "tfidf_topk": q_tfidf_topk,
+        "pii": q_pii,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -2216,4 +2288,5 @@ def oracle_sql() -> dict[str, str]:
         "hot_domains": SQL_HOT_DOMAINS,
         "token_df": SQL_TOKEN_DF,
         "tfidf_topk": SQL_TFIDF_TOPK,
+        "pii": _sql_pii(),
     }

@@ -1,0 +1,66 @@
+"""PII detection and redaction for training-corpus curation.
+
+Pattern-based detection of the three high-volume PII classes in web
+text — email addresses, phone numbers, IPv4 addresses — as pure
+Column regexp algebra: counts for filtering/reporting, and a
+redacted text column with typed placeholders for the keep-but-clean
+path. No UDF, rides the scan stage, whole-stage codegen.
+
+The regexes are deliberately written in the Java∩RE2 common subset
+(no backrefs, no lookaround) so the DuckDB oracle runs the identical
+patterns — detection is engine-portable, like the sampling hash.
+Pattern-based PII detection is a recall floor, not a guarantee;
+anything beyond (names, addresses, NER) needs a model pass and slots
+in as another mapInPandas kernel.
+
+Redaction order is fixed (email → ip → phone): emails can contain
+digit runs and IPv4s are digit-dot sequences, so the more specific
+patterns must consume their text before the phone pattern scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+_REDACTIONS = [
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_counts(text: F.Column) -> dict[str, F.Column]:
+    return {
+        "email_count": F.regexp_count(text, F.lit(EMAIL_RE)),
+        "ip_count": F.regexp_count(text, F.lit(IPV4_RE)),
+        "phone_count": F.regexp_count(text, F.lit(PHONE_RE)),
+    }
+
+
+def redact(text: F.Column) -> F.Column:
+    out = text
+    for pattern, token in _REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_features(
+    df: DataFrame, text_col: str, redacted_col: str | None = "text_redacted"
+) -> DataFrame:
+    """Add email/ip/phone counts, a total, and (unless
+    ``redacted_col=None``) the redacted text."""
+    text = F.col(text_col)
+    counts = pii_counts(text)
+    out = df.withColumns(counts)
+    out = out.withColumn(
+        "pii_count",
+        sum(F.col(c) for c in counts).cast("int"),
+    )
+    if redacted_col:
+        out = out.withColumn(redacted_col, redact(text))
+    return out

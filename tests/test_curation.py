@@ -202,6 +202,41 @@ def test_hot_domains_census(spark):
     assert got == {"big.com": 20}
 
 
+# ------------------------------------------------------------------- pii
+
+def test_pii_detection_and_redaction(spark):
+    from med_doi_feature_extraction_spark.operators.pii import pii_features
+
+    rows = [
+        (1, "reach me at alice.smith+spam@mail.example.org today"),
+        (2, "server 10.0.0.1 and backup 192.168.1.254 are down"),
+        (3, "call +1 415-555-1234 or 020 7946 0958 now"),
+        (4, "no pii here at all"),
+        (5, "bob@x.io from 127.0.0.1 dial 415-555-9876"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r for r in pii_features(df, "text").collect()}
+    assert got[1]["email_count"] == 1 and got[1]["pii_count"] == 1
+    assert "<EMAIL>" in got[1]["text_redacted"]
+    assert "alice" not in got[1]["text_redacted"]
+    assert got[2]["ip_count"] == 2
+    assert got[2]["text_redacted"].count("<IP>") == 2
+    assert got[3]["phone_count"] == 2
+    assert got[3]["text_redacted"].count("<PHONE>") == 2
+    assert got[4]["pii_count"] == 0
+    assert got[4]["text_redacted"] == "no pii here at all"
+    assert got[5]["email_count"] == 1 and got[5]["ip_count"] == 1
+    assert got[5]["phone_count"] == 1 and got[5]["pii_count"] == 3
+
+
+def test_pii_redaction_order_ip_not_eaten_by_phone(spark):
+    from med_doi_feature_extraction_spark.operators.pii import pii_features
+
+    df = spark.createDataFrame([(1, "ip 1.2.3.4 tel 123456789")], ["id", "text"])
+    r = pii_features(df, "text").first()
+    assert r["text_redacted"] == "ip <IP> tel <PHONE>"
+
+
 # ----------------------------------------------------------- corpus stats
 
 def test_document_frequency(spark, docs):
