@@ -1978,14 +1978,16 @@ feat AS (
          regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
                         ':(80|443)$', '') AS host,
          regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) AS path,
-         regexp_extract(url, '\?([^#]*)', 1) AS q
+         regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1) AS q
   FROM urls
 )
 SELECT o_orderkey, url,
        regexp_replace(
-         regexp_replace(lower(regexp_extract(defrag, '^([a-zA-Z]+://[^/?#]*)', 1)),
-                        ':(80|443)$', '')
-           || regexp_replace(defrag, '^[a-zA-Z]+://[^/?#]*', ''),
+         regexp_replace(
+           regexp_replace(lower(regexp_extract(defrag, '^([a-zA-Z]+://[^/?#]*)', 1)),
+                          ':(80|443)$', '')
+             || regexp_replace(defrag, '^[a-zA-Z]+://[^/?#]*', ''),
+           '(^[a-z]+://[^/?#]+)(\?|$)', '\1/\2'),
          '(^[a-z]+://[^/?#]+/[^?#]*?)/(\?|$)', '\1\2') AS canonical_url,
        host,
        regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
@@ -2023,7 +2025,7 @@ def q_token_df(spark, sf_dir):
     )
 
     docs = _read(spark, sf_dir, "documents")
-    out = document_frequency(docs, "doc_id", "text", min_df=2)
+    out = document_frequency(docs, "text", min_df=2)
     return out.select("token", F.col("df").cast("long").alias("df"))
 
 
@@ -2131,18 +2133,24 @@ WITH a AS (
               ELSE '' END AS t
   FROM documents
 )
+, b AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM a
+), c AS (
+  SELECT doc_id, t, t1,
+         regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+  FROM b
+)
 SELECT doc_id,
   CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS email_count,
-  CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT) AS ip_count,
-  CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS phone_count,
+  CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS ip_count,
+  CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS phone_count,
   CAST(len(regexp_extract_all(t, '{EMAIL_RE}'))
-       + len(regexp_extract_all(t, '{IPV4_RE}'))
-       + len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS pii_count,
-  regexp_replace(regexp_replace(regexp_replace(t,
-      '{EMAIL_RE}', '<EMAIL>', 'g'),
-      '{IPV4_RE}', '<IP>', 'g'),
-      '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
-FROM a
+       + len(regexp_extract_all(t1, '{IPV4_RE}'))
+       + len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS pii_count,
+  regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+FROM c
 """
 
 

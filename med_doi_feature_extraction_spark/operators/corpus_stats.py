@@ -31,13 +31,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from med_doi_feature_extraction_spark.operators.dedup import tokens_col
+from med_doi_feature_extraction_spark.operators.dedup import (
+    ngrams_all_col,
+    tokens_col,
+)
 
 
 def document_frequency(
-    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+    df: DataFrame, text_col: str, min_df: int = 1
 ) -> DataFrame:
-    """(token, df) — number of documents containing each token."""
+    """(token, df) — number of documents containing each token
+    (per-doc distinctness comes from ``tokens_col``'s
+    ``array_distinct``; no id column is needed)."""
     toks = df.select(F.explode(tokens_col(text_col)).alias("token"))
     out = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
@@ -62,19 +67,20 @@ def tfidf_topk(
     """
     if n_docs is None:
         n_docs = docs.count()
-    # per-doc term frequency: doc-id-prefixed keys, no skew
+    # per-doc term frequency: doc-id-prefixed keys, no skew.
+    # tokenization = ngrams_all_col(n=1): the ONE normalization shared
+    # with the dedup tier and document_frequency — tf and df must
+    # never drift apart or the join silently misses tokens
     tf = (
         docs.select(
             F.col(id_col),
-            F.explode(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            ).alias("token"),
+            F.explode(ngrams_all_col(text_col, 1)).alias("token"),
         )
         .filter(F.length("token") > 0)
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = document_frequency(docs, id_col, text_col, min_df=min_df)
+    dfreq = document_frequency(docs, text_col, min_df=min_df)
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1).cast("double"))
     scored = tf.join(dfreq, "token").withColumn(
         "tfidf", F.round(F.col("tf") * idf, 6)

@@ -3,25 +3,28 @@ overlaps an evaluation/benchmark set by shared word n-grams.
 
 The standard pre-training hygiene pass (the reference pipeline has no
 analogue — this is a scale-native addition alongside dedup): a corpus
-document is *contaminated* when it shares at least ``min_hits``
-distinct n-grams with ANY benchmark document. Reported per doc:
-distinct contaminated n-grams, total distinct n-grams, and the
-contamination fraction, so the caller can threshold either count or
-fraction.
+document is *contaminated* when at least ``min_hits`` of its distinct
+n-grams appear anywhere in the benchmark set (the union of all
+benchmark documents' n-grams — not per-benchmark-doc overlap).
+Reported per doc: distinct contaminated n-grams, total distinct
+n-grams, and the contamination fraction, so the caller can threshold
+either count or fraction.
 
-Scale shape (10^12-doc corpus vs kB-MB benchmark suites):
+Scale shape (10^12-doc corpus vs kB-MB benchmark suites): ONE pass
+over the corpus — scan → generate distinct grams (JVM higher-order
+funcs, no UDF) → ``explode_outer`` (gram-less docs keep a null-gram
+row, so every doc survives to the report) → left join against the
+**broadcast** benchmark gram set with a hit marker → ONE
+groupBy(doc_id) counting grams and hits together. The corpus is
+scanned once, its gram stream never shuffles, and the only exchange
+is the final per-doc count aggregation, which AQE sizes.
 
-- The benchmark n-gram set is the SMALL side — built once
-  (explode + distinct) and **broadcast**, so the corpus side never
-  shuffles: scan → generate grams (JVM higher-order funcs, no UDF)
-  → explode → broadcast-hash semi-ish join → partial-aggregated
-  groupBy(doc_id). The only exchange is the final per-doc count
-  aggregation, which AQE sizes.
-- When the benchmark side is too big to broadcast
-  (``broadcast_bench=False``), both sides join on an 8-byte
-  ``xxhash64`` of the gram instead of the gram string — same
-  semantics (collisions ~2⁻⁶⁴ per pair), ~10-30× smaller shuffle
-  payload than raw 13-gram strings.
+When the benchmark side is too big to broadcast
+(``broadcast_bench=False``), both sides join on an 8-byte
+``xxhash64`` of the gram instead of the gram string — same semantics
+(collisions ~2⁻⁶⁴ per pair), ~10-30× smaller shuffle payload than
+raw 13-gram strings; the join becomes the one shuffle of the corpus
+gram stream.
 
 N-gram construction is shared with the dedup tier (``dedup.
 ngrams_col``): lowercase, whitespace-split, distinct n-grams —
@@ -69,7 +72,7 @@ def decontaminate(
 
     Returns (``id_col``, total_ngrams, contaminated_ngrams,
     contamination_frac, contaminated) — one row per corpus document,
-    including clean ones (left join; clean docs count 0). Distinct
+    including clean and gram-less (empty/NULL text) ones. Distinct
     n-grams per doc, so a gram repeated inside one document counts
     once.
 
@@ -80,27 +83,34 @@ def decontaminate(
     and shuffle on the 8-byte key instead of the string.
     """
     bt = bench_text_col or text_col
-    grams = doc_ngrams(corpus, id_col, text_col, n)
+    # explode_outer keeps a null-gram row for docs with no n-grams
+    # (short or NULL text) — they must appear in the report with
+    # total 0, not vanish or need a second corpus scan to recover
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode_outer(ngrams_col(text_col, n)).alias("gram"),
+    )
     probe = bench_ngram_set(bench, bt, n)
     if broadcast_bench:
-        hits = grams.join(F.broadcast(probe), "gram")
+        probe = F.broadcast(probe.withColumn("_hit", F.lit(1)))
+        joined = grams.join(probe, "gram", "left")
     else:
-        grams = grams.withColumn("gram", F.xxhash64("gram"))
-        probe = probe.select(F.xxhash64("gram").alias("gram")).distinct()
-        hits = grams.join(probe, "gram")
-    per_doc_hits = hits.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("contaminated_ngrams")
-    )
-    totals = corpus.select(
-        F.col(id_col),
-        F.size(ngrams_col(text_col, n)).alias("total_ngrams"),
-    )
-    out = totals.join(per_doc_hits, id_col, "left").select(
-        id_col,
-        "total_ngrams",
-        F.coalesce("contaminated_ngrams", F.lit(0)).alias(
-            "contaminated_ngrams"
-        ),
+        # xxhash64(NULL) returns the seed, not NULL — preserve the
+        # null-gram marker rows explicitly or empty docs would count
+        # one phantom gram
+        grams = grams.withColumn(
+            "gram",
+            F.when(F.col("gram").isNotNull(), F.xxhash64("gram")),
+        )
+        probe = (
+            probe.select(F.xxhash64("gram").alias("gram"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        joined = grams.join(probe, "gram", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count("gram").alias("total_ngrams"),
+        F.count("_hit").alias("contaminated_ngrams"),
     )
     frac = F.when(
         F.col("total_ngrams") > 0,

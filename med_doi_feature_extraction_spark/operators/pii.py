@@ -35,10 +35,18 @@ _REDACTIONS = [
 
 
 def pii_counts(text: F.Column) -> dict[str, F.Column]:
+    """Counts follow the SAME sequential-consumption order as
+    ``redact``: emails are counted on the raw text, IPs on the
+    email-redacted text, phones on the email+IP-redacted text. A span
+    inside an already-matched class (the digit run of an email local
+    part, say) therefore counts ONCE — counts always agree with the
+    number of placeholders redaction emits."""
+    t1 = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
     return {
         "email_count": F.regexp_count(text, F.lit(EMAIL_RE)),
-        "ip_count": F.regexp_count(text, F.lit(IPV4_RE)),
-        "phone_count": F.regexp_count(text, F.lit(PHONE_RE)),
+        "ip_count": F.regexp_count(t1, F.lit(IPV4_RE)),
+        "phone_count": F.regexp_count(t2, F.lit(PHONE_RE)),
     }
 
 

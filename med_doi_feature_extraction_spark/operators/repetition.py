@@ -31,8 +31,15 @@ from pyspark.sql import functions as F
 from med_doi_feature_extraction_spark.operators.dedup import ngrams_all_col
 
 
+DEFAULT_LINE_DELIM = r"\r?\n"
+
+
 def _units(text_col: str, delim: str) -> F.Column:
-    """Non-empty trimmed units of the text split on ``delim``."""
+    """Non-empty trimmed units of the text split on ``delim``. The
+    default delimiter eats the ``\\r`` of CRLF line endings — split on
+    ``\\n`` alone and every Windows/web line keeps a trailing ``\\r``
+    that F.trim (spaces only) won't remove, so identical lines would
+    never match."""
     split = F.split(F.col(text_col), delim)
     trimmed = F.transform(split, lambda u: F.trim(u))
     return F.filter(trimmed, lambda u: F.length(u) > 0)
@@ -44,7 +51,7 @@ def _chars(units: F.Column) -> F.Column:
     )
 
 
-def dup_unit_fraction(text_col: str, delim: str = r"\n") -> F.Column:
+def dup_unit_fraction(text_col: str, delim: str = DEFAULT_LINE_DELIM) -> F.Column:
     """Fraction of units that are repeat occurrences (occurrences
     beyond each unit's first). 0.0 for texts with no units."""
     units = _units(text_col, delim)
@@ -55,7 +62,7 @@ def dup_unit_fraction(text_col: str, delim: str = r"\n") -> F.Column:
     ).otherwise(F.lit(0.0))
 
 
-def dup_unit_char_fraction(text_col: str, delim: str = r"\n") -> F.Column:
+def dup_unit_char_fraction(text_col: str, delim: str = DEFAULT_LINE_DELIM) -> F.Column:
     """Fraction of unit characters inside repeat occurrences
     (total unit chars minus chars of one copy of each distinct
     unit, over total unit chars)."""
@@ -71,7 +78,7 @@ def dup_unit_char_fraction(text_col: str, delim: str = r"\n") -> F.Column:
 
 
 def repetition_features(
-    df: DataFrame, text_col: str, delim: str = r"\n"
+    df: DataFrame, text_col: str, delim: str = DEFAULT_LINE_DELIM
 ) -> DataFrame:
     """Add ``dup_unit_frac`` / ``dup_unit_char_frac`` columns. With
     the default delimiter these are the dup-line Gopher rules; pass

@@ -32,9 +32,17 @@ _U32 = float(2**32)
 
 
 def hash_uniform(key_col: str | F.Column, salt: str = "") -> F.Column:
-    """Deterministic uniform [0,1) from a row key (see module doc)."""
+    """Deterministic uniform [0,1) from a row key (see module doc).
+
+    NULL keys hash as the empty string rather than propagating NULL:
+    a NULL-valued uniform would make ``filter(u < rate)`` silently
+    drop null-keyed rows even at rate 1.0 while the split operator
+    kept them — all operators here must agree on every row, so null
+    keys get one deterministic (shared) hash value instead."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    tagged = F.concat(key.cast("string"), F.lit("|" + salt))
+    tagged = F.concat(
+        F.coalesce(key.cast("string"), F.lit("")), F.lit("|" + salt)
+    )
     bucket = F.conv(F.substring(F.sha2(tagged, 256), 1, 8), 16, 10)
     return bucket.cast("double") / F.lit(_U32)
 
@@ -89,6 +97,6 @@ def oracle_uniform_sql(key_expr: str, salt: str = "") -> str:
     """The DuckDB expression computing the same uniform — kept next
     to the Spark implementation so the two can't drift."""
     return (
-        f"CAST(('0x' || substr(sha256({key_expr} || '|{salt}'), 1, 8))"
+        f"CAST(('0x' || substr(sha256(coalesce({key_expr}, '') || '|{salt}'), 1, 8))"
         f"::UBIGINT AS DOUBLE) / 4294967296.0"
     )

@@ -55,7 +55,9 @@ def url_path_depth(url: F.Column) -> F.Column:
 
 
 def url_query_param_count(url: F.Column) -> F.Column:
-    q = F.regexp_extract(url, _QUERY_RE, 1)
+    # strip the fragment FIRST: a '?' inside the fragment
+    # ("/#/route?tab=1") is not a query component (RFC 3986 §3.4/3.5)
+    q = F.regexp_extract(F.regexp_replace(url, r"#.*$", ""), _QUERY_RE, 1)
     return F.when(F.length(q) == 0, F.lit(0)).otherwise(
         F.size(F.split(q, "&"))
     )
@@ -63,15 +65,18 @@ def url_query_param_count(url: F.Column) -> F.Column:
 
 def canonical_url(url: F.Column) -> F.Column:
     """Canonical join/dedup key: lower scheme+host, default port and
-    fragment stripped, trailing slash trimmed (but a bare-host URL
-    keeps its root ``/``), query kept byte-exact (param reordering is
-    site semantics, not ours to normalize)."""
+    fragment stripped, empty path normalized to ``/`` (RFC 3986 §6.2.3:
+    ``http://a.com`` ≡ ``http://a.com/`` — the homepage must be ONE
+    key), trailing slash trimmed on deeper paths, query kept byte-exact
+    (param reordering is site semantics, not ours to normalize)."""
     u = F.regexp_replace(url, r"#.*$", "")  # fragment
     # lower the scheme://host prefix only
     prefix = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/?#]*)", 1))
     rest = F.regexp_replace(u, r"^[a-zA-Z]+://[^/?#]*", "")
     prefix = F.regexp_replace(prefix, r":(80|443)$", "")
     joined = F.concat(prefix, rest)
+    # empty path → "/" (before the query if one follows the authority)
+    joined = F.regexp_replace(joined, r"(^[a-z]+://[^/?#]+)(\?|$)", r"$1/$2")
     # trailing slash on a path (not on the bare authority)
     return F.regexp_replace(joined, r"(^[a-z]+://[^/?#]+/[^?#]*?)/(\?|$)", r"$1$2")
 

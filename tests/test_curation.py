@@ -110,6 +110,35 @@ def test_repetition_fractions(spark, docs):
     assert rows[2]["dup_unit_frac"] == 0.0
 
 
+def test_repetition_crlf_lines(spark):
+    """CRLF and LF line endings must sessionize lines identically —
+    the default delimiter eats the \\r."""
+    df = spark.createDataFrame(
+        [(1, "nav\r\nnav\r\nnav"), (2, "nav\nnav\nnav")], ["id", "text"]
+    )
+    got = {r["id"]: r for r in repetition_features(df, "text").collect()}
+    assert got[1]["dup_unit_frac"] == got[2]["dup_unit_frac"]
+    assert got[1]["dup_unit_frac"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_decontam_null_text_reports_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "shared text here"), (2, None)], ["doc_id", "text"]
+    )
+    bench = df.filter(F.col("doc_id") == 1)
+    for bcast in (True, False):
+        got = {
+            r["doc_id"]: r
+            for r in decontaminate(
+                df, bench, "doc_id", "text", n=2, broadcast_bench=bcast
+            ).collect()
+        }
+        assert got[2]["total_ngrams"] == 0, bcast
+        assert got[2]["contaminated_ngrams"] == 0
+        assert got[2]["contamination_frac"] == 0.0
+        assert not got[2]["contaminated"]
+
+
 def test_top_ngram_stats(spark, docs):
     out = top_ngram_stats(docs, "doc_id", "text", n=2)
     rows = {r["doc_id"]: r for r in out.collect()}
@@ -167,6 +196,22 @@ def test_train_eval_split_stable_and_total(spark, docs):
         assert s == want
 
 
+def test_sampling_null_keys_kept_consistently(spark):
+    """NULL keys must neither vanish from samples nor disagree
+    between hash_sample and train_eval_split."""
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("k1", "c")], ["key", "v"]
+    )
+    kept = hash_sample(df, "key", 1.0)
+    assert kept.count() == 3  # rate 1.0 keeps everything, nulls too
+    u_null = _py_uniform("", "")
+    at_rate = {r["v"] for r in hash_sample(df, "key", u_null + 1e-9).collect()}
+    assert {"a", "b"} <= at_rate  # both nulls on the same side
+    split = {r["v"]: r["split"] for r in
+             train_eval_split(df, "key", eval_frac=u_null + 1e-9, salt="").collect()}
+    assert split["a"] == split["b"] == "eval"
+
+
 # ------------------------------------------------------------------ urls
 
 def test_url_features_canonicalization(spark):
@@ -189,8 +234,27 @@ def test_url_features_canonicalization(spark):
     assert got[3]["host"] == "host.example.com"
     assert got[4]["canonical_url"] == "http://h.example.com/p?id=5&ref=home"
     assert got[4]["query_params"] == 2
-    assert got[5]["canonical_url"] == "http://plain.example.com"
+    # RFC 3986 6.2.3: empty path ≡ "/" — homepage is ONE key
+    assert got[5]["canonical_url"] == "http://plain.example.com/"
     assert got[5]["path_depth"] == 0 and got[5]["query_params"] == 0
+
+
+def test_url_fragment_query_and_bare_authority(spark):
+    rows = [
+        (1, "http://a.example.com/#/route?tab=1&x=2"),  # '?' in fragment
+        (2, "http://a.example.com"),
+        (3, "http://a.example.com/"),
+        (4, "http://a.example.com?x=1"),  # query on empty path
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {r["id"]: r for r in url_features(df).collect()}
+    # fragment '?' is NOT a query component
+    assert got[1]["query_params"] == 0
+    assert got[1]["canonical_url"] == "http://a.example.com/"
+    # bare authority and explicit root collapse to one key
+    assert got[2]["canonical_url"] == got[3]["canonical_url"] == "http://a.example.com/"
+    assert got[4]["canonical_url"] == "http://a.example.com/?x=1"
+    assert got[4]["query_params"] == 1
 
 
 def test_hot_domains_census(spark):
@@ -237,15 +301,28 @@ def test_pii_redaction_order_ip_not_eaten_by_phone(spark):
     assert r["text_redacted"] == "ip <IP> tel <PHONE>"
 
 
+def test_pii_counts_agree_with_redaction_on_nested_spans(spark):
+    from med_doi_feature_extraction_spark.operators.pii import pii_features
+
+    # the email's digit local part would match PHONE_RE on raw text;
+    # sequential counting must see it consumed by the email pass
+    df = spark.createDataFrame([(1, "reach 123456789@example.com")], ["id", "text"])
+    r = pii_features(df, "text").first()
+    assert r["email_count"] == 1
+    assert r["phone_count"] == 0
+    assert r["pii_count"] == 1
+    assert r["text_redacted"] == "reach <EMAIL>"
+
+
 # ----------------------------------------------------------- corpus stats
 
 def test_document_frequency(spark, docs):
     out = {r["token"]: r["df"] for r in
-           document_frequency(docs, "doc_id", "text").collect()}
+           document_frequency(docs, "text").collect()}
     assert out["the"] == 2  # docs 0 and 1 (distinct per doc)
     assert out["fox"] == 2
     assert out["nav"] == 1
-    filtered = document_frequency(docs, "doc_id", "text", min_df=2)
+    filtered = document_frequency(docs, "text", min_df=2)
     assert {r["token"] for r in filtered.collect()} >= {"the", "fox"}
     assert "nav" not in {r["token"] for r in filtered.collect()}
 

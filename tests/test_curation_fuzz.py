@@ -102,14 +102,18 @@ def test_pii_fuzz_oracle(spark, fuzz_df):
     got = {r["doc_id"]: r for r in pii_features(df, "text").collect()}
     pats = [re.compile(p, re.ASCII) for p in (EMAIL_RE, IPV4_RE, PHONE_RE)]
     for i, t in enumerate(texts):
-        e, ip, ph = (len(p.findall(t)) for p in pats)
+        # sequential-consumption semantics: each class counts on the
+        # text left over after the more specific classes redacted
+        t1 = pats[0].sub("<EMAIL>", t)
+        t2 = pats[1].sub("<IP>", t1)
+        e = len(pats[0].findall(t))
+        ip = len(pats[1].findall(t1))
+        ph = len(pats[2].findall(t2))
         assert got[i]["email_count"] == e, (i, t)
         assert got[i]["ip_count"] == ip, (i, t)
         assert got[i]["phone_count"] == ph, (i, t)
-        red = t
-        for p, tok in zip(pats, ["<EMAIL>", "<IP>", "<PHONE>"]):
-            red = p.sub(tok, red)
-        assert got[i]["text_redacted"] == red, (i, t)
+        assert got[i]["pii_count"] == e + ip + ph, (i, t)
+        assert got[i]["text_redacted"] == pats[2].sub("<PHONE>", t2), (i, t)
 
 
 def _java_split(text: str) -> list[str]:
