@@ -271,6 +271,90 @@ def cmd_pages(args) -> dict:
     }
 
 
+def cmd_curate(args) -> dict:
+    """Composable corpus-curation pass: ordered stages from --ops over
+    a documents parquet (the curation surface as ONE lazily-composed
+    Spark plan — stages only materialize at the final write, so e.g.
+    ``pii,exact_dedup,sample`` is still a single job graph)."""
+    from med_doi_feature_extraction_spark.operators.decontam import decontaminate
+    from med_doi_feature_extraction_spark.operators.dedup import (
+        dedup_decisions,
+        exact_dedup,
+        minhash_dedup,
+    )
+    from med_doi_feature_extraction_spark.operators.pii import pii_features
+    from med_doi_feature_extraction_spark.operators.repetition import (
+        repetition_features,
+    )
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        hash_sample,
+        train_eval_split,
+    )
+    from med_doi_feature_extraction_spark.session import get_spark
+
+    spark = get_spark("curate", master=args.master)
+    df = spark.read.parquet(args.input)
+    id_col, text_col = args.id_col, args.text_col
+    n_in = df.count()
+    applied = []
+    for op in [s.strip() for s in args.ops.split(",") if s.strip()]:
+        if op == "pii":
+            df = pii_features(df, text_col)
+            if args.redact:
+                df = df.withColumn(text_col, F.col("text_redacted")).drop(
+                    "text_redacted"
+                )
+        elif op == "repetition":
+            df = repetition_features(df, text_col)
+            if args.max_dup_frac is not None:
+                df = df.filter(F.col("dup_unit_frac") <= args.max_dup_frac)
+        elif op == "exact_dedup":
+            keep = exact_dedup(df, id_col, text_col).select(
+                F.col("keep_id").alias(id_col)
+            )
+            df = df.join(keep, id_col, "left_semi")
+        elif op == "minhash_dedup":
+            pairs = minhash_dedup(
+                df, id_col, text_col, threshold=args.jaccard
+            )
+            survivors = (
+                dedup_decisions(df, id_col, pairs)
+                .filter("keep")
+                .select(F.col("doc_id").alias(id_col))
+            )
+            df = df.join(survivors, id_col, "left_semi")
+        elif op == "decontam":
+            if not args.bench:
+                raise SystemExit("--bench required for the decontam op")
+            bench = spark.read.parquet(args.bench)
+            report = decontaminate(
+                df, bench, id_col, text_col,
+                bench_text_col=args.bench_text_col or text_col,
+                n=args.ngram, min_hits=args.min_hits,
+            )
+            clean = report.filter(~F.col("contaminated")).select(id_col)
+            df = df.join(clean, id_col, "left_semi")
+        elif op == "sample":
+            df = hash_sample(df, id_col, args.sample_rate, salt=args.salt)
+        elif op == "split":
+            df = train_eval_split(
+                df, id_col, eval_frac=args.eval_frac, salt=args.salt
+            )
+        else:
+            raise SystemExit(f"unknown curation op: {op}")
+        applied.append(op)
+    df.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    return {
+        "command": "curate",
+        "ops": applied,
+        "rows_in": n_in,
+        "rows_out": out.count(),
+        "columns": out.columns,
+        "output": args.output,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="med_doi_feature_extraction_spark")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -322,6 +406,35 @@ def build_parser() -> argparse.ArgumentParser:
     pages.add_argument("--run-id", default="cli-pages")
     pages.add_argument("--n-buckets", type=int, default=64)
     pages.set_defaults(fn=cmd_pages)
+
+    cur = sub.add_parser(
+        "curate", help="composable corpus curation (dedup/pii/sample/...)"
+    )
+    cur.add_argument("--input", required=True)
+    cur.add_argument("--output", required=True)
+    cur.add_argument(
+        "--ops", required=True,
+        help="ordered comma list: pii,repetition,exact_dedup,"
+             "minhash_dedup,decontam,sample,split",
+    )
+    cur.add_argument("--id-col", default="doc_id")
+    cur.add_argument("--text-col", default="text")
+    cur.add_argument("--master", default=None)
+    cur.add_argument("--redact", action="store_true",
+                     help="pii: replace text with the redacted form")
+    cur.add_argument("--max-dup-frac", type=float, default=None,
+                     help="repetition: drop docs above this dup fraction")
+    cur.add_argument("--jaccard", type=float, default=0.7,
+                     help="minhash_dedup verify threshold")
+    cur.add_argument("--bench", default=None,
+                     help="decontam: benchmark parquet path")
+    cur.add_argument("--bench-text-col", default=None)
+    cur.add_argument("--ngram", type=int, default=8)
+    cur.add_argument("--min-hits", type=int, default=1)
+    cur.add_argument("--sample-rate", type=float, default=1.0)
+    cur.add_argument("--eval-frac", type=float, default=0.01)
+    cur.add_argument("--salt", default="")
+    cur.set_defaults(fn=cmd_curate)
 
     val = sub.add_parser("validate", help="quality + coverage report")
     common(val)

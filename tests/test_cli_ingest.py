@@ -182,3 +182,31 @@ def test_cli_pages_subcommand(spark, tmp_path):
         ]
     )
     assert res2["buckets_processed"] == 0
+
+
+def test_cli_curate_subcommand(spark, tmp_path):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "mail me at bob@example.com for details"),
+        (3, "totally unique text with no problems at all"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    out = str(tmp_path / "curated")
+    res = cli_main(
+        [
+            "curate", "--input", src, "--output", out,
+            "--ops", "pii,exact_dedup,split", "--redact",
+            "--eval-frac", "0.5",
+        ]
+    )
+    assert res["rows_in"] == 4
+    assert res["rows_out"] == 3  # doc 1 deduped away
+    got = spark.read.parquet(out)
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert 1 not in by_id  # min-id survivor kept
+    assert "<EMAIL>" in by_id[2]["text"]  # --redact swapped the text
+    assert by_id[2]["email_count"] == 1
+    assert set(r["split"] for r in by_id.values()) <= {"train", "eval"}
+    assert "split" in got.columns
