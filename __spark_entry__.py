@@ -1988,7 +1988,7 @@ SELECT o_orderkey, url,
                           ':(80|443)$', '')
              || regexp_replace(defrag, '^[a-zA-Z]+://[^/?#]*', ''),
            '(^[a-z]+://[^/?#]+)(\?|$)', '\1/\2'),
-         '(^[a-z]+://[^/?#]+/[^?#]*?)/(\?|$)', '\1\2') AS canonical_url,
+         '(^[a-z]+://[^/?#]+/[^?#]*?)/+(\?|$)', '\1\2') AS canonical_url,
        host,
        regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
        CAST(len(list_filter(string_split(path, '/'), s -> len(s) > 0)) AS BIGINT) AS path_depth,

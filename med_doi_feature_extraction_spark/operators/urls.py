@@ -77,8 +77,9 @@ def canonical_url(url: F.Column) -> F.Column:
     joined = F.concat(prefix, rest)
     # empty path → "/" (before the query if one follows the authority)
     joined = F.regexp_replace(joined, r"(^[a-z]+://[^/?#]+)(\?|$)", r"$1/$2")
-    # trailing slash on a path (not on the bare authority)
-    return F.regexp_replace(joined, r"(^[a-z]+://[^/?#]+/[^?#]*?)/(\?|$)", r"$1$2")
+    # trailing slash RUN on a path (not on the bare authority) — /+
+    # so "/a/b//" collapses in one pass (idempotence property test)
+    return F.regexp_replace(joined, r"(^[a-z]+://[^/?#]+/[^?#]*?)/+(\?|$)", r"$1$2")
 
 
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:

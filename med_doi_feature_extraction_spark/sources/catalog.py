@@ -56,7 +56,21 @@ class Catalog:
         sort_cols: list[str] | None = None,
     ) -> None:
         """Bucketed managed table: later scans expose hash partitioning
-        on ``bucket_cols`` so per-key windows/joins need no exchange."""
+        on ``bucket_cols`` so per-key windows/joins need no exchange.
+
+        A stale warehouse directory with no catalog entry (a previous
+        session killed mid-write) makes saveAsTable fail with
+        LOCATION_ALREADY_EXISTS even in overwrite mode — clear it
+        first when the catalog doesn't know the table."""
+        if not self.spark.catalog.tableExists(name):
+            from med_doi_feature_extraction_spark import fsutil
+
+            warehouse = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            )
+            loc = f"{warehouse}/{name.lower()}"
+            if fsutil.exists(self.spark, loc):
+                fsutil.delete(self.spark, loc)
         w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             w = w.sortBy(*sort_cols)

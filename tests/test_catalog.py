@@ -99,3 +99,20 @@ def test_bucketed_scan_avoids_exchange(spark, pages_pdf, tmp_path):
         assert out.count() == len(pages_pdf)
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_bucketed")
+
+
+def test_save_bucketed_clears_stale_warehouse_dir(spark, tmp_path):
+    """A killed session can leave the managed-table directory on disk
+    with no catalog entry; saveAsTable(overwrite) then fails with
+    LOCATION_ALREADY_EXISTS. save_bucketed must clear the orphan."""
+    import pathlib
+
+    spark.sql("DROP TABLE IF EXISTS stale_bucketed_tbl")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = pathlib.Path(wh.removeprefix("file:")) / "stale_bucketed_tbl"
+    loc.mkdir(parents=True, exist_ok=True)
+    (loc / "orphan.parquet").write_text("junk")
+    df = spark.range(50).selectExpr("id", "cast(id as string) as v")
+    Catalog(spark).save_bucketed(df, "stale_bucketed_tbl", 4, ["id"])
+    assert spark.table("stale_bucketed_tbl").count() == 50
+    spark.sql("DROP TABLE stale_bucketed_tbl")

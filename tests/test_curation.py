@@ -257,6 +257,29 @@ def test_url_fragment_query_and_bare_authority(spark):
     assert got[4]["query_params"] == 1
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over a URL grammar —
+    a canonical form that moves under re-application is not a key."""
+    import itertools
+
+    schemes = ["http://", "HTTPS://"]
+    hosts = ["A.Example.COM", "a.example.com:443", "b.ex.org:8080"]
+    paths = ["", "/", "/P/q/", "/p"]
+    tails = ["", "?A=1&b=2", "#Frag", "?x=1#f", "/#/route?t=1"]
+    urls = [
+        (i, s + h + p + t)
+        for i, (s, h, p, t) in enumerate(
+            itertools.product(schemes, hosts, paths, tails)
+        )
+    ]
+    df = spark.createDataFrame(urls, ["id", "url"])
+    once = url_features(df).select("id", F.col("canonical_url").alias("url"))
+    twice = url_features(once).select("id", "canonical_url")
+    joined = once.join(twice, "id")
+    moved = joined.filter(F.col("url") != F.col("canonical_url")).collect()
+    assert moved == [], [(r["url"], r["canonical_url"]) for r in moved]
+
+
 def test_hot_domains_census(spark):
     rows = [(i, f"https://sub{i % 2}.big.com/x") for i in range(20)] + [
         (100, "https://small.com/y")
