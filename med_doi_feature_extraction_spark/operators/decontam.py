@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from med_doi_feature_extraction_spark.operators.dedup import ngrams_col
+from med_doi_feature_extraction_spark.operators.dedup import (
+    ngrams_col,
+    spread_scan,
+)
 
 
 def doc_ngrams(
@@ -85,8 +88,11 @@ def decontaminate(
     bt = bench_text_col or text_col
     # explode_outer keeps a null-gram row for docs with no n-grams
     # (short or NULL text) — they must appear in the report with
-    # total 0, not vanish or need a second corpus scan to recover
-    grams = corpus.select(
+    # total 0, not vanish or need a second corpus scan to recover.
+    # spread_scan: gram generation is the CPU stage; a few-partition
+    # scan (single local file) must fan out first (no-op at corpus
+    # scale; measured 1.39→0.82 s at sf0.1 on 32 cores)
+    grams = spread_scan(corpus.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode_outer(ngrams_col(text_col, n)).alias("gram"),
     )

@@ -127,7 +127,7 @@ def candidate_pairs(
     return out.filter(F.col("id_a") < F.col("id_b")).distinct()
 
 
-def _spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+def spread_scan(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Ensure enough input partitions that the signature UDF fans out
     across the cluster: a small single-file parquet scan arrives as 1
     partition and would run the Arrow kernel single-threaded. At
@@ -174,7 +174,7 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     dedup grouping — keep sha256 where auditability of the key
     matters)."""
     return (
-        with_fingerprint(_spread(df.select(id_col, text_col)), text_col)
+        with_fingerprint(spread_scan(df.select(id_col, text_col)), text_col)
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -291,7 +291,7 @@ def minhash_lsh_candidates(
     Buckets above ``max_bucket`` are dropped before pair expansion
     (see ``DEFAULT_MAX_BAND_BUCKET``).
     """
-    sigs = with_minhash(_spread(df.select(id_col, text_col)), text_col)
+    sigs = with_minhash(spread_scan(df.select(id_col, text_col)), text_col)
     bands = minhash_bands(sigs, id_col, n_bands, rows_per_band)
     return candidate_pairs(bands, id_col, ["band", "band_hash"], max_bucket)
 
@@ -310,7 +310,7 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n_bands, rows_per_band, max_bucket
     )
-    toks = _spread(df.select(F.col(id_col), tokens_col(text_col).alias("toks")))
+    toks = spread_scan(df.select(F.col(id_col), tokens_col(text_col).alias("toks")))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("tokens_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("tokens_b"))
     verified = jaccard_pairs(cands.join(a, "id_a"), b, ["id_b"])
@@ -384,7 +384,7 @@ def simhash_candidates(
     """Near-dup pairs by SimHash: block on 4 × 16-bit bands, verify
     exact Hamming distance ≤ max_hamming JVM-side via bit_count(xor).
     Buckets above ``max_bucket`` are dropped before pair expansion."""
-    sh = with_simhash(_spread(df.select(id_col, text_col)), text_col)
+    sh = with_simhash(spread_scan(df.select(id_col, text_col)), text_col)
     return simhash_pairs_from_sigs(sh, id_col, "simhash", max_hamming, max_bucket)
 
 
