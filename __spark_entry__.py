@@ -2154,6 +2154,79 @@ FROM c
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup over synthesized 3-paragraph docs
+    (intro slice | COMMON FOOTER planted in every doc | body slice):
+    the footer must survive only in its first occurrence (doc 0).
+
+    The oracle groups on the normalized paragraph STRING where the
+    operator groups on xxhash64 of it (not reproducible in DuckDB) —
+    identical up to 2^-64 hash collisions; the oracle's first-keeper
+    key doc_id*1000+idx equals the operator's (doc,idx) struct order
+    for the fixture's idx ≤ 3."""
+    from med_doi_feature_extraction_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    t2 = F.concat_ws(
+        "\n\n",
+        F.substring("text", 1, 80),
+        F.lit("COMMON FOOTER PARAGRAPH"),
+        F.substring("text", 81, 80),
+    )
+    out = paragraph_dedup(docs.withColumn("t2", t2), "doc_id", "t2")
+    return out.select(
+        "doc_id", "text_dedup",
+        F.col("paras_in").cast("long").alias("paras_in"),
+        F.col("paras_kept").cast("long").alias("paras_kept"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH a AS (
+  SELECT doc_id,
+         concat_ws(chr(10) || chr(10),
+                   substr(text, 1, 80),
+                   'COMMON FOOTER PARAGRAPH',
+                   substr(text, 81, 80)) AS t2
+  FROM documents
+), p0 AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(t2, '\r?\n\s*\r?\n'),
+                                    x -> trim(x)),
+                     x -> len(x) > 0) AS ps
+  FROM a
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ps) + 1),
+                               i -> struct_pack(i := i, p := ps[i]))) AS s
+  FROM p0
+), x AS (
+  SELECT doc_id, s.i AS idx, s.p AS para,
+         lower(trim(regexp_replace(s.p, '\s+', ' ', 'g'))) AS np
+  FROM e
+), f AS (
+  SELECT np, min(doc_id * 1000 + idx) AS fk, count(*) AS occ
+  FROM x GROUP BY np
+), k AS (
+  SELECT x.doc_id, x.idx, x.para
+  FROM x JOIN f USING (np)
+  WHERE occ < 2 OR doc_id * 1000 + idx = fk
+), r AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup,
+         count(*) AS paras_kept
+  FROM k GROUP BY doc_id
+)
+SELECT p0.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       CAST(len(p0.ps) AS BIGINT) AS paras_in,
+       CAST(coalesce(r.paras_kept, 0) AS BIGINT) AS paras_kept
+FROM p0 LEFT JOIN r ON r.doc_id = p0.doc_id
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2235,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_df": q_token_df,
         "tfidf_topk": q_tfidf_topk,
         "pii": q_pii,
+        "paragraph_dedup": q_paragraph_dedup,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -2297,4 +2371,5 @@ def oracle_sql() -> dict[str, str]:
         "token_df": SQL_TOKEN_DF,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "pii": _sql_pii(),
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     }

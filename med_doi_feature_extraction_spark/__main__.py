@@ -323,6 +323,17 @@ def cmd_curate(args) -> dict:
                 .select(F.col("doc_id").alias(id_col))
             )
             df = df.join(survivors, id_col, "left_semi")
+        elif op == "paragraph_dedup":
+            from med_doi_feature_extraction_spark.operators.paragraphs import (
+                paragraph_dedup,
+            )
+
+            rebuilt = paragraph_dedup(df, id_col, text_col)
+            df = (
+                df.drop(text_col)
+                .join(rebuilt, id_col)
+                .withColumnRenamed("text_dedup", text_col)
+            )
         elif op == "decontam":
             if not args.bench:
                 raise SystemExit("--bench required for the decontam op")
@@ -415,7 +426,7 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument(
         "--ops", required=True,
         help="ordered comma list: pii,repetition,exact_dedup,"
-             "minhash_dedup,decontam,sample,split",
+             "minhash_dedup,paragraph_dedup,decontam,sample,split",
     )
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")

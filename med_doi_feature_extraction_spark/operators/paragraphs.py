@@ -1,0 +1,127 @@
+"""Paragraph-level corpus deduplication.
+
+Whole-document dedup misses the dominant duplication mode in web
+text: the SAME boilerplate paragraphs (nav blocks, cookie notices,
+footers, licence blurbs) repeated across millions of otherwise
+distinct pages. The standard fix dedups at paragraph granularity
+corpus-wide: every paragraph occurrence except the FIRST (by
+document id, then position) is dropped, and documents are rebuilt
+from their surviving paragraphs in original order.
+
+Determinism: the keeper of a duplicated paragraph is the occurrence
+with the smallest (doc_id, paragraph index) — stable across runs and
+partitionings.
+
+Scale shape: posexplode paragraphs (keys prefixed by doc id — no
+skew), ONE exchange on the paragraph hash for the global first-
+occurrence window, then ONE groupBy(doc_id) to reassemble. The
+window partitions by the 64-bit ``xxhash64`` of the normalized
+paragraph, so the shuffle key is 8 bytes, not the paragraph text —
+and a boilerplate paragraph shared by 10^7 docs lands on one reducer
+as a count, which min-aggregates; to keep even that bounded the
+first-occurrence resolution is an aggregation (min of a (doc,idx)
+struct), NOT a row_number window over all occurrences.
+
+Comparison is on the normalized form (trim + collapse inner
+whitespace + lowercase — the dedup-tier normalization) while the
+ORIGINAL paragraph text is what survives into the rebuilt document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.dedup import spread_scan
+
+DEFAULT_PARA_DELIM = r"\r?\n\s*\r?\n"
+
+
+def _norm(col: F.Column) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def explode_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, delim: str = DEFAULT_PARA_DELIM
+) -> DataFrame:
+    """(id, para_idx, para) — non-empty trimmed paragraphs in document
+    order."""
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), delim), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+    return spread_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), F.posexplode(paras).alias("para_idx", "para")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = DEFAULT_PARA_DELIM,
+    min_occurrences: int = 2,
+    rebuilt_col: str = "text_dedup",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Drop every non-first occurrence of paragraphs that appear at
+    least ``min_occurrences`` times corpus-wide; rebuild each doc's
+    text from the survivors in original order.
+
+    Returns the input id column plus ``rebuilt_col``, ``paras_in``,
+    ``paras_kept``. Documents whose every paragraph came from
+    elsewhere collapse to an empty string (candidates for dropping —
+    that decision is the caller's). ``min_occurrences`` above 2 keeps
+    mildly-repeated paragraphs and drops only heavy boilerplate.
+    """
+    paras = explode_paragraphs(df, id_col, text_col, delim)
+    paras = paras.withColumn("_h", F.xxhash64(_norm(F.col("para"))))
+    # global first occurrence per normalized paragraph: min (doc, idx)
+    # struct + total count — aggregation, not a full-occurrence window
+    firsts = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("para_idx").alias("i")))
+        .alias("_first"),
+        F.count(F.lit(1)).alias("_occ"),
+    )
+    keep = (
+        paras.join(firsts, "_h")
+        .filter(
+            (F.col("_occ") < F.lit(min_occurrences))
+            | (
+                (F.col("_first.d") == F.col(id_col))
+                & (F.col("_first.i") == F.col("para_idx"))
+            )
+        )
+    )
+    rebuilt = keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("para_idx").alias("i"), F.col("para").alias("p"))
+                    )
+                ),
+                lambda s: s.getField("p"),
+            ),
+            joiner,
+        ).alias(rebuilt_col),
+        F.count(F.lit(1)).alias("paras_kept"),
+    )
+    # totals are scan-stage Column algebra on the base table — no
+    # second explode/shuffle
+    paras_arr = F.filter(
+        F.transform(F.split(F.col(text_col), delim), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+    base = df.select(
+        F.col(id_col),
+        # size(NULL) is -1 under the default legacy sizeOfNull conf —
+        # greatest(0, ·) covers both the NULL-text and empty cases
+        F.greatest(F.lit(0), F.size(paras_arr)).alias("paras_in"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(rebuilt_col, F.lit("")).alias(rebuilt_col),
+        "paras_in",
+        F.coalesce("paras_kept", F.lit(0)).alias("paras_kept"),
+    )

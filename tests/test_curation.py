@@ -289,6 +289,68 @@ def test_hot_domains_census(spark):
     assert got == {"big.com": 20}
 
 
+# ------------------------------------------------------------ paragraphs
+
+def test_paragraph_dedup_drops_boilerplate_keeps_first(spark):
+    from med_doi_feature_extraction_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    rows = [
+        (0, "intro zero\n\nCOOKIE NOTICE\n\nbody zero"),
+        (1, "intro one\n\nCOOKIE NOTICE\n\nbody one"),
+        (2, "COOKIE NOTICE\n\nintro two"),
+        (3, "all unique\n\nparagraphs here"),
+        (4, "COOKIE NOTICE"),  # collapses to empty
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, "doc_id", "text").collect()}
+    assert got[0]["text_dedup"] == "intro zero\n\nCOOKIE NOTICE\n\nbody zero"
+    assert got[0]["paras_in"] == 3 and got[0]["paras_kept"] == 3
+    assert got[1]["text_dedup"] == "intro one\n\nbody one"  # order kept
+    assert got[1]["paras_in"] == 3 and got[1]["paras_kept"] == 2
+    assert got[2]["text_dedup"] == "intro two"
+    assert got[3]["paras_kept"] == 2  # untouched
+    assert got[4]["text_dedup"] == "" and got[4]["paras_kept"] == 0
+    assert got[5]["paras_in"] == 0 and got[5]["text_dedup"] == ""
+    assert got[6]["paras_in"] == 0 and got[6]["text_dedup"] == ""
+    assert len(got) == 7
+
+
+def test_paragraph_dedup_normalized_matching_keeps_original_text(spark):
+    from med_doi_feature_extraction_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    # same paragraph modulo case/whitespace must dedup together, but
+    # the SURVIVING text is the first occurrence's original bytes
+    rows = [
+        (0, "Cookie  Notice\n\nkeep me"),
+        (1, "cookie notice\n\nother text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, "doc_id", "text").collect()}
+    assert got[0]["text_dedup"] == "Cookie  Notice\n\nkeep me"
+    assert got[1]["text_dedup"] == "other text"
+
+
+def test_paragraph_dedup_min_occurrences_threshold(spark):
+    from med_doi_feature_extraction_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    rows = [(i, "TWICE ONLY\n\nunique " + str(i)) for i in range(2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, "doc_id", "text", min_occurrences=3).collect()}
+    # appears twice < 3 → left alone everywhere
+    assert got[0]["paras_kept"] == 2 and got[1]["paras_kept"] == 2
+
+
 # ------------------------------------------------------------------- pii
 
 def test_pii_detection_and_redaction(spark):

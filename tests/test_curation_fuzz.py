@@ -148,6 +148,48 @@ def test_decontam_fuzz_oracle(spark, fuzz_df):
         assert got[i]["contamination_frac"] == pytest.approx(want, abs=1e-9)
 
 
+def test_paragraph_dedup_fuzz_oracle(spark):
+    from med_doi_feature_extraction_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    rng = random.Random(11)
+    paras_pool = [f"para {i}" for i in range(12)] + ["BOILER", "  boiler "]
+    texts = []
+    for _ in range(120):
+        k = rng.randint(0, 6)
+        texts.append("\n\n".join(rng.choice(paras_pool) for _ in range(k)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, "doc_id", "text").collect()}
+
+    # python oracle
+    def norm(p: str) -> str:
+        return re.sub(r"\s+", " ", p, flags=re.ASCII).strip(" ").lower()
+
+    doc_paras = []
+    for t in texts:
+        ps = [p.strip(" ") for p in re.split(r"\r?\n\s*\r?\n", t, flags=re.ASCII)]
+        doc_paras.append([p for p in ps if p])
+    occ: dict[str, int] = {}
+    first: dict[str, tuple] = {}
+    for d, ps in enumerate(doc_paras):
+        for i, p in enumerate(ps):
+            np_ = norm(p)
+            occ[np_] = occ.get(np_, 0) + 1
+            first.setdefault(np_, (d, i))
+    for d, ps in enumerate(doc_paras):
+        kept = [
+            p for i, p in enumerate(ps)
+            if occ[norm(p)] < 2 or first[norm(p)] == (d, i)
+        ]
+        assert got[d]["paras_in"] == len(ps), (d, texts[d])
+        assert got[d]["paras_kept"] == len(kept), (d, texts[d])
+        assert got[d]["text_dedup"] == "\n\n".join(kept), (d, texts[d])
+
+
 def test_tfidf_fuzz_oracle(spark, fuzz_df):
     from med_doi_feature_extraction_spark.operators.corpus_stats import tfidf_topk
 
