@@ -83,7 +83,7 @@ def main() -> None:
         "asof_join", "asof_join_sorted", "tpch_q1", "broadcast_join_agg",
         "topk_per_group", "exact_dedup", "minhash_neardup", "simhash_pairs",
         "cosine_topk", "lsh_topk", "quality_gate", "lang_id",
-        "decontam", "tfidf_topk",
+        "decontam", "tfidf_topk", "paragraph_dedup",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
