@@ -2035,7 +2035,7 @@ WITH t AS (
   FROM documents
 )
 SELECT token, CAST(count(*) AS BIGINT) AS df
-FROM t GROUP BY 1 HAVING count(*) >= 2
+FROM t WHERE len(token) > 0 GROUP BY 1 HAVING count(*) >= 2
 """
 
 

@@ -348,8 +348,12 @@ def cmd_curate(args) -> dict:
         elif op == "sample":
             df = hash_sample(df, id_col, args.sample_rate, salt=args.salt)
         elif op == "split":
+            # NOT args.salt: sample and split must hash with different
+            # salts or a sampled-then-split corpus has u(key) shared by
+            # both filters and the eval side swallows min(1, ef/rate)
+            # of the output instead of ef
             df = train_eval_split(
-                df, id_col, eval_frac=args.eval_frac, salt=args.salt
+                df, id_col, eval_frac=args.eval_frac, salt=args.split_salt
             )
         else:
             raise SystemExit(f"unknown curation op: {op}")
@@ -444,7 +448,9 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--min-hits", type=int, default=1)
     cur.add_argument("--sample-rate", type=float, default=1.0)
     cur.add_argument("--eval-frac", type=float, default=0.01)
-    cur.add_argument("--salt", default="")
+    cur.add_argument("--salt", default="", help="sample-op hash salt")
+    cur.add_argument("--split-salt", default="split",
+                     help="split-op hash salt (keep ≠ --salt)")
     cur.set_defaults(fn=cmd_curate)
 
     val = sub.add_parser("validate", help="quality + coverage report")

@@ -42,8 +42,15 @@ def document_frequency(
 ) -> DataFrame:
     """(token, df) — number of documents containing each token
     (per-doc distinctness comes from ``tokens_col``'s
-    ``array_distinct``; no id column is needed)."""
-    toks = df.select(F.explode(tokens_col(text_col)).alias("token"))
+    ``array_distinct``; no id column is needed).
+
+    The phantom empty token is filtered out: splitting empty text
+    (or text with leading non-space whitespace, which F.trim keeps)
+    yields "" elements, and without the filter "" would become the
+    corpus's highest-df 'term' — a manufactured Zipf hot key."""
+    toks = df.select(
+        F.explode(tokens_col(text_col)).alias("token")
+    ).filter(F.length("token") > 0)
     out = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         out = out.filter(F.col("df") >= min_df)

@@ -41,17 +41,25 @@ def _norm(col: F.Column) -> F.Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def paras_array(text_col: str, delim: str = DEFAULT_PARA_DELIM) -> F.Column:
+    """Non-empty trimmed paragraphs of the text, in order — the ONE
+    definition shared by the exploded stream and the paras_in totals
+    (two copies could silently drift and report paras_kept >
+    paras_in)."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), delim), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+
+
 def explode_paragraphs(
     df: DataFrame, id_col: str, text_col: str, delim: str = DEFAULT_PARA_DELIM
 ) -> DataFrame:
     """(id, para_idx, para) — non-empty trimmed paragraphs in document
     order."""
-    paras = F.filter(
-        F.transform(F.split(F.col(text_col), delim), lambda p: F.trim(p)),
-        lambda p: F.length(p) > 0,
-    )
     return spread_scan(df.select(id_col, text_col)).select(
-        F.col(id_col), F.posexplode(paras).alias("para_idx", "para")
+        F.col(id_col),
+        F.posexplode(paras_array(text_col, delim)).alias("para_idx", "para"),
     )
 
 
@@ -109,10 +117,7 @@ def paragraph_dedup(
     )
     # totals are scan-stage Column algebra on the base table — no
     # second explode/shuffle
-    paras_arr = F.filter(
-        F.transform(F.split(F.col(text_col), delim), lambda p: F.trim(p)),
-        lambda p: F.length(p) > 0,
-    )
+    paras_arr = paras_array(text_col, delim)
     base = df.select(
         F.col(id_col),
         # size(NULL) is -1 under the default legacy sizeOfNull conf —

@@ -68,7 +68,18 @@ class Catalog:
             warehouse = self.spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             )
-            loc = f"{warehouse}/{name.lower()}"
+            # managed-table layout: <warehouse>/<db>.db/<table> except
+            # the default database, which sits at <warehouse>/<table>
+            if "." in name:
+                db, _, table = name.lower().rpartition(".")
+            else:
+                db = self.spark.catalog.currentDatabase().lower()
+                table = name.lower()
+            loc = (
+                f"{warehouse}/{table}"
+                if db == "default"
+                else f"{warehouse}/{db}.db/{table}"
+            )
             if fsutil.exists(self.spark, loc):
                 fsutil.delete(self.spark, loc)
         w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)

@@ -116,3 +116,21 @@ def test_save_bucketed_clears_stale_warehouse_dir(spark, tmp_path):
     Catalog(spark).save_bucketed(df, "stale_bucketed_tbl", 4, ["id"])
     assert spark.table("stale_bucketed_tbl").count() == 50
     spark.sql("DROP TABLE stale_bucketed_tbl")
+
+
+def test_save_bucketed_clears_stale_dir_qualified_name(spark):
+    """The orphan-location probe must resolve <warehouse>/<db>.db/<t>
+    for database-qualified names, not <warehouse>/<db>.<t>."""
+    import pathlib
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS staledb")
+    spark.sql("DROP TABLE IF EXISTS staledb.t1")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = pathlib.Path(wh.removeprefix("file:")) / "staledb.db" / "t1"
+    loc.mkdir(parents=True, exist_ok=True)
+    (loc / "orphan").write_text("junk")
+    df = spark.range(20).selectExpr("id", "cast(id as string) as v")
+    Catalog(spark).save_bucketed(df, "staledb.t1", 2, ["id"])
+    assert spark.table("staledb.t1").count() == 20
+    spark.sql("DROP TABLE staledb.t1")
+    spark.sql("DROP DATABASE staledb")

@@ -210,3 +210,27 @@ def test_cli_curate_subcommand(spark, tmp_path):
     assert by_id[2]["email_count"] == 1
     assert set(r["split"] for r in by_id.values()) <= {"train", "eval"}
     assert "split" in got.columns
+
+
+def test_cli_curate_sample_then_split_decorrelated(spark, tmp_path):
+    """sample and split must not share a hash salt: with the shared
+    default the eval side would swallow min(1, eval_frac/rate) of the
+    sampled output (every surviving key hashes under the rate)."""
+    src = str(tmp_path / "docs_ss")
+    spark.range(2000).selectExpr(
+        "id as doc_id", "concat('text ', id) as text"
+    ).write.parquet(src)
+    out = str(tmp_path / "curated_ss")
+    res = cli_main(
+        [
+            "curate", "--input", src, "--output", out,
+            "--ops", "sample,split",
+            "--sample-rate", "0.05", "--eval-frac", "0.05",
+        ]
+    )
+    got = spark.read.parquet(out)
+    n = res["rows_out"]
+    n_eval = got.filter("split = 'eval'").count()
+    # correlated salts would make n_eval == n; decorrelated ≈ 5%
+    assert n > 0
+    assert n_eval < n / 2, (n_eval, n)

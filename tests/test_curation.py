@@ -412,6 +412,16 @@ def test_document_frequency(spark, docs):
     assert "nav" not in {r["token"] for r in filtered.collect()}
 
 
+def test_document_frequency_no_phantom_empty_token(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "\tword"), (2, "\nword")], ["doc_id", "text"]
+    )
+    got = {r["token"]: r["df"] for r in
+           document_frequency(df, "text").collect()}
+    assert "" not in got  # split artifacts must not become vocabulary
+    assert got == {"word": 2}
+
+
 def test_tfidf_topk_ranks_distinctive_tokens(spark, docs):
     out = tfidf_topk(docs, "doc_id", "text", k=2, min_df=1, n_docs=7)
     per_doc = {}
