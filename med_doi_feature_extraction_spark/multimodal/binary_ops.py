@@ -129,6 +129,77 @@ def extract_media_features(
     return media.select("media_id", payload_col).mapInPandas(run, out_schema)
 
 
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    max_batch_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Resize plumbing: (media_id, src/target dims, resized payload,
+    decode_error). The pixel resample itself is the stubbed codec step
+    (deterministic sha-seeded fake payload sized ~proportionally to
+    the target area) — the REAL parts are the byte-capped Arrow
+    re-batching, the metadata flow, and the quarantine path, which is
+    what a cluster port swaps the fake out of. Upscaling to the exact
+    target is asserted in tests; aspect-ratio policy belongs to the
+    real codec hook."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("src_width", T.IntegerType(), True),
+            T.StructField("src_height", T.IntegerType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("decode_error", T.StringType(), True),
+        ]
+    )
+
+    def fake_resized(payload: bytes) -> bytes:
+        # deterministic pseudo-pixels: same payload+dims → same bytes
+        seed = hashlib.sha256(
+            payload + f"|{target_w}x{target_h}".encode()
+        ).digest()
+        n = max(16, (target_w * target_h) // 64)
+        rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
+        return rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _rebatch(batches, payload_col, max_batch_bytes):
+            rows = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf[payload_col], pdf["w"], pdf["h"]
+            ):
+                sw = None if pd.isna(w) else int(w)
+                sh = None if pd.isna(h) else int(h)
+                if payload is None or len(payload) == 0:
+                    rows.append(
+                        (int(mid), sw, sh, target_w, target_h, None,
+                         "empty_payload")
+                    )
+                    continue
+                rows.append(
+                    (int(mid), sw, sh, target_w, target_h,
+                     fake_resized(bytes(payload)), None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_width", "src_height",
+                    "width", "height", "resized", "decode_error",
+                ],
+            )
+
+    flat = media.select(
+        "media_id",
+        payload_col,
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+    return flat.mapInPandas(run, out_schema)
+
+
 def sample_frames(
     media: DataFrame,
     every_ms: int = 1000,

@@ -99,6 +99,28 @@ def test_media_features(spark):
     assert list(ok[ok.media_id == 1].features.iloc[0]) == fake_feature_vector(p1)
 
 
+def test_resize_images(spark):
+    from med_doi_feature_extraction_spark.multimodal.binary_ops import (
+        resize_images,
+    )
+
+    media = make_fake_media(spark, n=32)
+    out = resize_images(media, 64, 64, max_batch_bytes=16_000).toPandas()
+    assert len(out) == 32
+    ok = out[out.decode_error.isna()]
+    bad = out[out.decode_error.notna()]
+    assert len(bad) > 0 and (bad.decode_error == "empty_payload").all()
+    assert (out.width == 64).all() and (out.height == 64).all()
+    # src dims flow through from metadata
+    meta = media.select("media_id", "meta.width").toPandas().set_index("media_id")
+    for _, r in ok.iterrows():
+        assert r.src_width == meta.loc[r.media_id, "width"]
+    # deterministic: rerun yields identical resized bytes
+    again = resize_images(media, 64, 64).toPandas().set_index("media_id")
+    for _, r in ok.iterrows():
+        assert bytes(r.resized) == bytes(again.loc[r.media_id, "resized"])
+
+
 def test_frame_sampling(spark):
     media = make_fake_media(spark, n=8)
     frames = sample_frames(media, every_ms=1000).toPandas()
