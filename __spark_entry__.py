@@ -2227,6 +2227,67 @@ FROM p0 LEFT JOIN r ON r.doc_id = p0.doc_id
 """
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact interpolated per-language length quantiles (the exact
+    ``percentile`` aggregate, NOT approx_percentile — cross-engine
+    deterministic, same linear-interpolation definition as DuckDB's
+    quantile_cont)."""
+    docs = _read(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars"), F.lit([0.25, 0.5, 0.75]))
+    agg = docs.groupBy("lang").agg(pct.alias("q"))
+    return agg.select(
+        "lang",
+        F.round(F.element_at("q", 1), 6).alias("q25"),
+        F.round(F.element_at("q", 2), 6).alias("q50"),
+        F.round(F.element_at("q", 3), 6).alias("q75"),
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.25), 6) AS q25,
+       round(quantile_cont(n_chars, 0.5), 6) AS q50,
+       round(quantile_cont(n_chars, 0.75), 6) AS q75
+FROM documents GROUP BY lang
+"""
+
+
+def q_lang_source_pivot(spark, sf_dir):
+    """groupBy().pivot() with explicit pivot values (plan-time column
+    set — no extra distinct-values job) + exact count distinct."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "src_bucket", F.substring("source", 4, 10).cast("int") % 4
+    )
+    out = (
+        docs.groupBy("lang")
+        .pivot("src_bucket", [0, 1, 2, 3])
+        .agg(F.count(F.lit(1)))
+    )
+    nsrc = docs.groupBy("lang").agg(
+        F.countDistinct("source").cast("long").alias("n_sources")
+    )
+    return out.join(nsrc, "lang").select(
+        "lang",
+        *[F.coalesce(F.col(str(b)), F.lit(0)).cast("long").alias(f"b{b}") for b in range(4)],
+        "n_sources",
+    )
+
+
+SQL_LANG_SOURCE_PIVOT = """
+WITH a AS (
+  SELECT lang, CAST(substr(source, 4) AS INT) % 4 AS src_bucket, source
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) FILTER (src_bucket = 0) AS BIGINT) AS b0,
+       CAST(count(*) FILTER (src_bucket = 1) AS BIGINT) AS b1,
+       CAST(count(*) FILTER (src_bucket = 2) AS BIGINT) AS b2,
+       CAST(count(*) FILTER (src_bucket = 3) AS BIGINT) AS b3,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM a GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2309,6 +2370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "pii": q_pii,
         "paragraph_dedup": q_paragraph_dedup,
+        "length_quantiles": q_length_quantiles,
+        "lang_source_pivot": q_lang_source_pivot,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -2372,4 +2435,6 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": SQL_TFIDF_TOPK,
         "pii": _sql_pii(),
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "length_quantiles": SQL_LENGTH_QUANTILES,
+        "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
     }
