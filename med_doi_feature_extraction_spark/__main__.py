@@ -292,11 +292,14 @@ def cmd_curate(args) -> dict:
     )
     from med_doi_feature_extraction_spark.session import get_spark
 
+    from pyspark.sql import Observation
+
     spark = get_spark("curate", master=args.master)
     df = spark.read.parquet(args.input)
     id_col, text_col = args.id_col, args.text_col
     n_in = df.count()
     applied = []
+    stage_obs: list[tuple[str, Observation]] = []
     for op in [s.strip() for s in args.ops.split(",") if s.strip()]:
         if op == "pii":
             df = pii_features(df, text_col)
@@ -357,6 +360,12 @@ def cmd_curate(args) -> dict:
             )
         else:
             raise SystemExit(f"unknown curation op: {op}")
+        # per-stage row counters ride the single write action
+        # (observe: task-side accumulation, zero extra jobs — the
+        # audit-layer A1/A2 pattern)
+        obs = Observation(f"curate_{len(applied)}_{op}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        stage_obs.append((op, obs))
         applied.append(op)
     df.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
@@ -364,6 +373,9 @@ def cmd_curate(args) -> dict:
         "command": "curate",
         "ops": applied,
         "rows_in": n_in,
+        "rows_after": [
+            {"op": op, "rows": obs.get["rows"]} for op, obs in stage_obs
+        ],
         "rows_out": out.count(),
         "columns": out.columns,
         "output": args.output,

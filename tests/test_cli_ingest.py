@@ -203,6 +203,9 @@ def test_cli_curate_subcommand(spark, tmp_path):
     )
     assert res["rows_in"] == 4
     assert res["rows_out"] == 3  # doc 1 deduped away
+    # per-stage observe counters rode the single write action
+    assert [r["op"] for r in res["rows_after"]] == ["pii", "exact_dedup", "split"]
+    assert [r["rows"] for r in res["rows_after"]] == [4, 3, 3]
     got = spark.read.parquet(out)
     by_id = {r["doc_id"]: r for r in got.collect()}
     assert 1 not in by_id  # min-id survivor kept
