@@ -92,6 +92,29 @@ def ensure_scale_pages(replication: int = 32) -> str:
     return scale_dir
 
 
+def _membw_probe(mb: int = 512, repeats: int = 3) -> float:
+    """Best-of-N single-thread memcpy bandwidth (GB/s, read+write).
+
+    The 4-core side of a pair swings up to 3× wall-to-wall on
+    identical binaries while the 16-core side barely moves (see
+    BASELINE.md r3 repeats) — co-tenant memory-bandwidth load is the
+    suspected cause. Recording a 2-second probe per side turns that
+    from narrative into data: a sub-0.8 efficiency with a depressed
+    probe on one side is machine noise; with matched probes it would
+    be a real plan regression."""
+    import numpy as np
+
+    a = np.ones(mb * 1024 * 1024 // 8)
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.time()
+        b = a.copy()
+        dt = max(time.time() - t0, 1e-9)
+        best = max(best, 2 * a.nbytes / dt / 1e9)
+        del b
+    return round(best, 2)
+
+
 def _measure(pages_dir: str, cores: int) -> dict:
     """Runs inside a taskset-pinned subprocess (one fresh JVM per core
     budget — a shared py4j gateway would keep the first run's thread
@@ -139,6 +162,7 @@ def _measure(pages_dir: str, cores: int) -> dict:
         "wall_sec": round(wall, 2),
         "rows": rows,
         "docs_per_sec": round(rows / wall, 1),
+        "membw_gbps": _membw_probe(),
     }
 
 
