@@ -134,6 +134,7 @@ def _measure(pages_dir: str, cores: int) -> dict:
         shuffle_partitions=cores,
         extra_conf={"spark.local.dir": f"/dev/shm/spark_scaling_{cores}"},
     )
+    membw_pre = _membw_probe()
     cfg_kwargs = {}
     if os.environ.get("SPARK_GRAFT_SLIM_WINDOW"):
         cfg_kwargs["slim_window"] = True
@@ -162,7 +163,10 @@ def _measure(pages_dir: str, cores: int) -> dict:
         "wall_sec": round(wall, 2),
         "rows": rows,
         "docs_per_sec": round(rows / wall, 1),
-        "membw_gbps": _membw_probe(),
+        # pre/post bracket: a point sample after the run alone can
+        # miss load that came and went during it
+        "membw_gbps_pre": membw_pre,
+        "membw_gbps_post": _membw_probe(),
     }
 
 
