@@ -1975,8 +1975,9 @@ WITH urls AS ({_SQL_SYNTH_URL}),
 feat AS (
   SELECT o_orderkey, url,
          regexp_replace(url, '#.*$', '') AS defrag,
-         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
-                        ':(80|443)$', '') AS host,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+           '^.*@', ''), ':(80|443)$', '') AS host,
          regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1) AS path,
          regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1) AS q
   FROM urls
@@ -1984,8 +1985,10 @@ feat AS (
 SELECT o_orderkey, url,
        regexp_replace(
          regexp_replace(
-           regexp_replace(lower(regexp_extract(defrag, '^([a-zA-Z]+://[^/?#]*)', 1)),
-                          ':(80|443)$', '')
+           regexp_replace(
+             regexp_replace(lower(regexp_extract(defrag, '^([a-zA-Z]+://[^/?#]*)', 1)),
+                            '^([a-z]+://)[^/?#@]*@', '\1'),
+             ':(80|443)$', '')
              || regexp_replace(defrag, '^[a-zA-Z]+://[^/?#]*', ''),
            '(^[a-z]+://[^/?#]+)(\?|$)', '\1/\2'),
          '(^[a-z]+://[^/?#]+/[^?#]*?)/+(\?|$)', '\1\2') AS canonical_url,
@@ -2009,8 +2012,9 @@ def q_hot_domains(spark, sf_dir):
 SQL_HOT_DOMAINS = rf"""
 WITH urls AS ({_SQL_SYNTH_URL})
 SELECT regexp_extract(
-         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
-                        ':(80|443)$', ''),
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+           '^.*@', ''), ':(80|443)$', ''),
          '([^.]+\.[^.]+)$', 1) AS domain,
        CAST(count(*) AS BIGINT) AS n_pages
 FROM urls GROUP BY 1 HAVING count(*) >= 10

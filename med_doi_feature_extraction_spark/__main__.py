@@ -297,7 +297,10 @@ def cmd_curate(args) -> dict:
     spark = get_spark("curate", master=args.master)
     df = spark.read.parquet(args.input)
     id_col, text_col = args.id_col, args.text_col
-    n_in = df.count()
+    # rows_in rides the single write action as a leading Observation —
+    # no separate count() scan over the raw corpus (ADVICE r3)
+    obs_in = Observation("curate_in")
+    df = df.observe(obs_in, F.count(F.lit(1)).alias("rows"))
     applied = []
     stage_obs: list[tuple[str, Observation]] = []
     for op in [s.strip() for s in args.ops.split(",") if s.strip()]:
@@ -367,17 +370,18 @@ def cmd_curate(args) -> dict:
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         stage_obs.append((op, obs))
         applied.append(op)
+    out_cols = df.columns
     df.write.mode("overwrite").parquet(args.output)
-    out = spark.read.parquet(args.output)
+    # rows_out = the LAST stage's observed count (or rows_in when no
+    # stage applied) — the written rows, with zero re-read scans
+    rows_after = [{"op": op, "rows": obs.get["rows"]} for op, obs in stage_obs]
     return {
         "command": "curate",
         "ops": applied,
-        "rows_in": n_in,
-        "rows_after": [
-            {"op": op, "rows": obs.get["rows"]} for op, obs in stage_obs
-        ],
-        "rows_out": out.count(),
-        "columns": out.columns,
+        "rows_in": obs_in.get["rows"],
+        "rows_after": rows_after,
+        "rows_out": rows_after[-1]["rows"] if rows_after else obs_in.get["rows"],
+        "columns": out_cols,
         "output": args.output,
     }
 

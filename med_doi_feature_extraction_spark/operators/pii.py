@@ -13,6 +13,18 @@ Pattern-based PII detection is a recall floor, not a guarantee;
 anything beyond (names, addresses, NER) needs a model pass and slots
 in as another mapInPandas kernel.
 
+Precision tradeoff (ADVICE r3): IPV4_RE accepts only in-range octets
+(0-255), and PHONE_RE requires phone-shaped separator structure —
+either an international ``+CC`` prefix, or ≥3 dash/space-separated
+groups of 3-4 digits — so plain digit runs ("123456789"), ID lists
+and out-of-range dotted quads ("999.999.999.999") are NOT matched.
+What still false-positives: sequences of 4-digit numbers separated
+by single spaces ("1999 2000 2001") look exactly like European
+phone grouping and WILL be redacted — callers of ``--redact`` on
+numeric-table-heavy corpora should count first (``pii_count``) and
+inspect before rewriting. Without lookaround there is no regex-only
+fix for that class; disambiguating it needs context (a model pass).
+
 Redaction order is fixed (email → ip → phone): emails can contain
 digit runs and IPv4s are digit-dot sequences, so the more specific
 patterns must consume their text before the phone pattern scans.
@@ -24,8 +36,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PHONE_RE = r"\+?\d[\d -]{7,}\d"
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IPV4_RE = rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b"
+PHONE_RE = r"\+\d{1,3}(?:[ -]\d{2,4}){1,4}|\(?\d{2,4}\)?(?:[ -]\d{3,4}){2,3}"
 
 _REDACTIONS = [
     (EMAIL_RE, "<EMAIL>"),

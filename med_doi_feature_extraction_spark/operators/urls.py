@@ -28,8 +28,13 @@ _QUERY_RE = r"\?([^#]*)"
 
 
 def url_host(url: F.Column) -> F.Column:
-    """Lower-cased host (authority) part, default port stripped."""
+    """Lower-cased host part: userinfo (``user:pass@``) and default
+    port stripped, so ``http://user@a.example.com/`` and
+    ``http://a.example.com/`` agree on host (ADVICE r3). Greedy
+    ``^.*@`` removes everything up to the LAST ``@`` — the host
+    itself cannot contain one (RFC 3986 §3.2.2)."""
     host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^.*@", "")
     return F.regexp_replace(host, r":(80|443)$", "")
 
 
@@ -73,6 +78,8 @@ def canonical_url(url: F.Column) -> F.Column:
     # lower the scheme://host prefix only
     prefix = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/?#]*)", 1))
     rest = F.regexp_replace(u, r"^[a-zA-Z]+://[^/?#]*", "")
+    # drop userinfo: user@host variants must collapse to ONE key
+    prefix = F.regexp_replace(prefix, r"^([a-z]+://)[^/?#@]*@", r"$1")
     prefix = F.regexp_replace(prefix, r":(80|443)$", "")
     joined = F.concat(prefix, rest)
     # empty path → "/" (before the query if one follows the authority)

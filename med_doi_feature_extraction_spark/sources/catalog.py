@@ -60,28 +60,51 @@ class Catalog:
 
         A stale warehouse directory with no catalog entry (a previous
         session killed mid-write) makes saveAsTable fail with
-        LOCATION_ALREADY_EXISTS even in overwrite mode — clear it
-        first when the catalog doesn't know the table."""
-        if not self.spark.catalog.tableExists(name):
-            from med_doi_feature_extraction_spark import fsutil
+        LOCATION_ALREADY_EXISTS even in overwrite mode. Deletion is
+        OWNERSHIP-SCOPED (ADVICE r3): before every write this method
+        records a write-intent marker under
+        ``<warehouse>/_engine_tables/<db>.<table>``; an orphan dir is
+        cleared only when (a) it sits at the computed location inside
+        THIS session's warehouse and (b) the marker proves this engine
+        created it. A dir without a marker — e.g. a managed table
+        registered in a metastore this session isn't connected to, or
+        a table with a custom LOCATION — is never touched: we raise
+        with a hint instead of silently destroying live data."""
+        from med_doi_feature_extraction_spark import fsutil
 
-            warehouse = self.spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            )
-            # managed-table layout: <warehouse>/<db>.db/<table> except
-            # the default database, which sits at <warehouse>/<table>
-            if "." in name:
-                db, _, table = name.lower().rpartition(".")
-            else:
-                db = self.spark.catalog.currentDatabase().lower()
-                table = name.lower()
-            loc = (
-                f"{warehouse}/{table}"
-                if db == "default"
-                else f"{warehouse}/{db}.db/{table}"
-            )
-            if fsutil.exists(self.spark, loc):
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        # managed-table layout: <warehouse>/<db>.db/<table> except
+        # the default database, which sits at <warehouse>/<table>
+        if "." in name:
+            db, _, table = name.lower().rpartition(".")
+        else:
+            db = self.spark.catalog.currentDatabase().lower()
+            table = name.lower()
+        loc = (
+            f"{warehouse}/{table}"
+            if db == "default"
+            else f"{warehouse}/{db}.db/{table}"
+        )
+        marker = f"{warehouse}/_engine_tables/{db}.{table}"
+        if not self.spark.catalog.tableExists(name) and fsutil.exists(
+            self.spark, loc
+        ):
+            if fsutil.exists(self.spark, marker):
                 fsutil.delete(self.spark, loc)
+            else:
+                raise RuntimeError(
+                    f"save_bucketed({name!r}): directory {loc} exists but "
+                    "the current catalog has no such table and this engine "
+                    "has no write-intent marker for it. Refusing to delete "
+                    "— it may be live data managed by another metastore. "
+                    "If it is truly orphaned, remove it (or create "
+                    f"{marker}) and retry."
+                )
+        # record intent BEFORE the write so a killed session leaves
+        # proof of ownership for the next run's cleanup
+        fsutil.write_text(self.spark, marker, f"managed by engine: {name}\n")
         w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             w = w.sortBy(*sort_cols)

@@ -109,13 +109,44 @@ def test_save_bucketed_clears_stale_warehouse_dir(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS stale_bucketed_tbl")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = pathlib.Path(wh.removeprefix("file:")) / "stale_bucketed_tbl"
+    whp = pathlib.Path(wh.removeprefix("file:"))
+    loc = whp / "stale_bucketed_tbl"
     loc.mkdir(parents=True, exist_ok=True)
     (loc / "orphan.parquet").write_text("junk")
+    # a killed ENGINE session wrote its intent marker before the write
+    (whp / "_engine_tables").mkdir(exist_ok=True)
+    (whp / "_engine_tables" / "default.stale_bucketed_tbl").write_text("x")
     df = spark.range(50).selectExpr("id", "cast(id as string) as v")
     Catalog(spark).save_bucketed(df, "stale_bucketed_tbl", 4, ["id"])
     assert spark.table("stale_bucketed_tbl").count() == 50
     spark.sql("DROP TABLE stale_bucketed_tbl")
+
+
+def test_save_bucketed_refuses_foreign_dir(spark):
+    """An existing dir WITHOUT this engine's write-intent marker may
+    be live data registered in a metastore this session can't see —
+    save_bucketed must refuse, not silently delete (ADVICE r3)."""
+    import pathlib
+
+    import pytest
+
+    spark.sql("DROP TABLE IF EXISTS foreign_tbl")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    whp = pathlib.Path(wh.removeprefix("file:"))
+    marker = whp / "_engine_tables" / "default.foreign_tbl"
+    if marker.exists():
+        marker.unlink()
+    loc = whp / "foreign_tbl"
+    loc.mkdir(parents=True, exist_ok=True)
+    (loc / "part-0000.parquet").write_text("live data")
+    df = spark.range(5).selectExpr("id", "cast(id as string) as v")
+    with pytest.raises(Exception, match="Refusing to delete"):
+        Catalog(spark).save_bucketed(df, "foreign_tbl", 2, ["id"])
+    # the foreign data survived the refusal
+    assert (loc / "part-0000.parquet").read_text() == "live data"
+    import shutil
+
+    shutil.rmtree(loc)
 
 
 def test_save_bucketed_clears_stale_dir_qualified_name(spark):
@@ -126,9 +157,12 @@ def test_save_bucketed_clears_stale_dir_qualified_name(spark):
     spark.sql("CREATE DATABASE IF NOT EXISTS staledb")
     spark.sql("DROP TABLE IF EXISTS staledb.t1")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = pathlib.Path(wh.removeprefix("file:")) / "staledb.db" / "t1"
+    whp = pathlib.Path(wh.removeprefix("file:"))
+    loc = whp / "staledb.db" / "t1"
     loc.mkdir(parents=True, exist_ok=True)
     (loc / "orphan").write_text("junk")
+    (whp / "_engine_tables").mkdir(exist_ok=True)
+    (whp / "_engine_tables" / "staledb.t1").write_text("x")
     df = spark.range(20).selectExpr("id", "cast(id as string) as v")
     Catalog(spark).save_bucketed(df, "staledb.t1", 2, ["id"])
     assert spark.table("staledb.t1").count() == 20

@@ -257,13 +257,32 @@ def test_url_fragment_query_and_bare_authority(spark):
     assert got[4]["query_params"] == 1
 
 
+def test_url_userinfo_stripped(spark):
+    """userinfo variants collapse to one host/canonical key and the
+    host column honours its 'host part' contract (ADVICE r3)."""
+    rows = [
+        (1, "http://user@a.example.com/"),
+        (2, "http://user:pw@a.example.com/x"),
+        (3, "http://a.example.com/"),
+        (4, "HTTPS://User@B.Example.com:443/p?q=1"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {r["id"]: r for r in url_features(df).collect()}
+    assert got[1]["host"] == got[2]["host"] == got[3]["host"] == "a.example.com"
+    assert got[1]["canonical_url"] == got[3]["canonical_url"] == "http://a.example.com/"
+    assert got[2]["canonical_url"] == "http://a.example.com/x"
+    assert got[4]["host"] == "b.example.com"
+    assert got[4]["canonical_url"] == "https://b.example.com/p?q=1"
+    assert got[1]["domain"] == "example.com"
+
+
 def test_canonical_url_idempotent(spark):
     """canonical(canonical(u)) == canonical(u) over a URL grammar —
     a canonical form that moves under re-application is not a key."""
     import itertools
 
     schemes = ["http://", "HTTPS://"]
-    hosts = ["A.Example.COM", "a.example.com:443", "b.ex.org:8080"]
+    hosts = ["A.Example.COM", "a.example.com:443", "b.ex.org:8080", "U:p@c.ex.net"]
     paths = ["", "/", "/P/q/", "/p"]
     tails = ["", "?A=1&b=2", "#Frag", "?x=1#f", "/#/route?t=1"]
     urls = [
@@ -381,7 +400,7 @@ def test_pii_detection_and_redaction(spark):
 def test_pii_redaction_order_ip_not_eaten_by_phone(spark):
     from med_doi_feature_extraction_spark.operators.pii import pii_features
 
-    df = spark.createDataFrame([(1, "ip 1.2.3.4 tel 123456789")], ["id", "text"])
+    df = spark.createDataFrame([(1, "ip 1.2.3.4 tel 123-456-7890")], ["id", "text"])
     r = pii_features(df, "text").first()
     assert r["text_redacted"] == "ip <IP> tel <PHONE>"
 
