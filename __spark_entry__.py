@@ -1781,6 +1781,51 @@ FROM gset t LEFT JOIN hits h ON h.doc_id = t.doc_id
 """
 
 
+def q_decontam_attrib(spark, sf_dir):
+    """Decontamination with benchmark-doc attribution: which bench
+    docs does each contaminated corpus doc collide with (capped
+    sorted-prefix id lists, cap=5 so the bound path is exercised)."""
+    from med_doi_feature_extraction_spark.operators.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = decontaminate(
+        docs, bench, "doc_id", "text", n=3, min_hits=2,
+        bench_id_col="doc_id", max_bench_ids=5,
+    )
+    return out.select(
+        "doc_id",
+        F.col("contaminated_ngrams").cast("long").alias("contaminated_ngrams"),
+        F.col("n_bench_docs").cast("long").alias("n_bench_docs"),
+        "bench_ids",
+    )
+
+
+SQL_DECONTAM_ATTRIB = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+), gset AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS grams
+  FROM tk
+), g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM gset
+), bench AS (
+  SELECT gram, (list_sort(list(DISTINCT doc_id)))[1:5] AS bids
+  FROM g WHERE doc_id % 97 = 0 GROUP BY gram
+), hits AS (
+  SELECT g.doc_id, count(*) AS c,
+         list_sort(list_distinct(flatten(list(b.bids)))) AS allb
+  FROM g JOIN bench b USING (gram) GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+       CAST(coalesce(len(h.allb), 0) AS BIGINT) AS n_bench_docs,
+       coalesce(array_to_string(h.allb[1:5], ','), '') AS bench_ids
+FROM gset t LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition fractions; token-level units (the
     fixture text has no newlines — delim is configurable)."""
@@ -2364,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
+        "decontam_attrib": q_decontam_attrib,
         "repetition": q_repetition,
         "top_ngram": q_top_ngram,
         "stratified_sample": q_stratified_sample,
@@ -2429,6 +2475,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_decisions": _sql_dedup_decisions(),
         "decontam": SQL_DECONTAM,
+        "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,
         "top_ngram": SQL_TOP_NGRAM,
         "stratified_sample": _sql_stratified_sample(),

@@ -61,6 +61,35 @@ def bench_ngram_set(bench: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+def bench_ngram_attribution(
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_ids_per_gram: int = 20,
+) -> DataFrame:
+    """(gram, _bids) — per benchmark n-gram, the sorted-ascending list
+    of benchmark-doc ids containing it, capped at ``max_ids_per_gram``.
+
+    The cap is a deterministic sorted prefix (not a sample): a gram
+    shared by more than the cap's worth of benchmark docs attributes
+    to the smallest ids. Keeps the broadcast payload bounded — at web
+    scale a stopword-ish 8-gram could otherwise drag thousands of
+    bench ids into every probe row."""
+    return (
+        bench.select(
+            F.col(id_col).alias("_bid"),
+            F.explode(ngrams_col(text_col, n)).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("_bid")), 1, max_ids_per_gram
+            ).alias("_bids")
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     bench: DataFrame,
@@ -70,6 +99,8 @@ def decontaminate(
     n: int = 8,
     min_hits: int = 1,
     broadcast_bench: bool = True,
+    bench_id_col: str | None = None,
+    max_bench_ids: int = 20,
 ) -> DataFrame:
     """Per-corpus-doc contamination report against a benchmark set.
 
@@ -84,8 +115,24 @@ def decontaminate(
     per-doc aggregation. Set False for benchmark sets beyond the
     broadcast threshold: both sides pre-hash grams to ``xxhash64``
     and shuffle on the 8-byte key instead of the string.
+
+    ``bench_id_col`` (attribution): when set, each row additionally
+    reports WHICH benchmark documents it collides with —
+    ``n_bench_docs`` (distinct benchmark ids across its contaminated
+    grams) and ``bench_ids`` (comma-joined sorted-ascending id list)
+    — the provenance real decontam triage needs (is this doc quoting
+    MMLU, or one blog post that happens to share a phrase?). Both
+    levels are capped at ``max_bench_ids`` by deterministic sorted
+    prefix (per gram via ``bench_ngram_attribution``, then per doc
+    after the distinct-union), so the report stays bounded however
+    hot the gram; semantics stay exact and oracle-reproducible, but
+    above the cap ``n_bench_docs`` is a lower bound. Attribution
+    carries the id list through the same single join — no extra
+    corpus scan or shuffle; the probe rows just grow by the capped
+    list payload.
     """
     bt = bench_text_col or text_col
+    attribute = bench_id_col is not None
     # explode_outer keeps a null-gram row for docs with no n-grams
     # (short or NULL text) — they must appear in the report with
     # total 0, not vanish or need a second corpus scan to recover.
@@ -96,10 +143,14 @@ def decontaminate(
         F.col(id_col),
         F.explode_outer(ngrams_col(text_col, n)).alias("gram"),
     )
-    probe = bench_ngram_set(bench, bt, n)
+    if attribute:
+        probe = bench_ngram_attribution(
+            bench, bench_id_col, bt, n, max_ids_per_gram=max_bench_ids
+        ).withColumn("_hit", F.lit(1))
+    else:
+        probe = bench_ngram_set(bench, bt, n).withColumn("_hit", F.lit(1))
     if broadcast_bench:
-        probe = F.broadcast(probe.withColumn("_hit", F.lit(1)))
-        joined = grams.join(probe, "gram", "left")
+        joined = grams.join(F.broadcast(probe), "gram", "left")
     else:
         # xxhash64(NULL) returns the seed, not NULL — preserve the
         # null-gram marker rows explicitly or empty docs would count
@@ -108,16 +159,30 @@ def decontaminate(
             "gram",
             F.when(F.col("gram").isNotNull(), F.xxhash64("gram")),
         )
-        probe = (
-            probe.select(F.xxhash64("gram").alias("gram"))
-            .distinct()
-            .withColumn("_hit", F.lit(1))
-        )
+        probe = probe.withColumn("gram", F.xxhash64("gram"))
         joined = grams.join(probe, "gram", "left")
-    out = joined.groupBy(id_col).agg(
+    aggs = [
         F.count("gram").alias("total_ngrams"),
         F.count("_hit").alias("contaminated_ngrams"),
-    )
+    ]
+    if attribute:
+        # distinct-union of the capped per-gram lists (collect_list
+        # skips the null _bids of non-hit rows), sorted for
+        # determinism, then the doc-level cap
+        all_bids = F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("_bids")))
+        )
+        aggs.append(all_bids.alias("_all_bids"))
+    out = joined.groupBy(id_col).agg(*aggs)
+    if attribute:
+        out = out.withColumns(
+            {
+                "n_bench_docs": F.size("_all_bids"),
+                "bench_ids": F.array_join(
+                    F.slice("_all_bids", 1, max_bench_ids), ","
+                ),
+            }
+        ).drop("_all_bids")
     frac = F.when(
         F.col("total_ngrams") > 0,
         F.round(

@@ -82,6 +82,41 @@ def test_decontam_hashed_path_matches_broadcast(spark, docs):
     ]
 
 
+def test_decontam_attribution_provenance_and_cap(spark, docs):
+    """bench_id_col: each contaminated doc reports WHICH bench docs it
+    collides with; lists are sorted-ascending deterministic prefixes
+    and both cap levels bound the payload."""
+    bench = docs.filter(F.col("doc_id").isin(0, 1))
+    out = decontaminate(
+        docs, bench, "doc_id", "text", n=3, min_hits=1,
+        bench_id_col="doc_id",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 0 shares its own grams (bench 0) and the common-prefix grams
+    # (bench 0 AND 1) — attribution must name both bench docs
+    assert rows[0]["bench_ids"] == "0,1" and rows[0]["n_bench_docs"] == 2
+    assert rows[1]["bench_ids"] == "0,1"
+    # clean doc: zero attribution, empty list
+    assert rows[2]["n_bench_docs"] == 0 and rows[2]["bench_ids"] == ""
+    # gram-less doc survives with empty attribution
+    assert rows[5]["n_bench_docs"] == 0 and rows[5]["bench_ids"] == ""
+    # cap=1: sorted prefix keeps the smallest id only
+    capped = decontaminate(
+        docs, bench, "doc_id", "text", n=3, min_hits=1,
+        bench_id_col="doc_id", max_bench_ids=1,
+    )
+    crows = {r["doc_id"]: r for r in capped.collect()}
+    assert crows[0]["bench_ids"] == "0" and crows[0]["n_bench_docs"] == 1
+    # hashed (non-broadcast) path agrees
+    hashed = decontaminate(
+        docs, bench, "doc_id", "text", n=3, min_hits=1,
+        bench_id_col="doc_id", broadcast_bench=False,
+    )
+    assert sorted(
+        (r["doc_id"], r["bench_ids"]) for r in hashed.collect()
+    ) == sorted((r["doc_id"], r["bench_ids"]) for r in out.collect())
+
+
 def test_decontam_min_hits_threshold(spark, docs):
     bench = docs.filter(F.col("doc_id") == 0)
     out = decontaminate(docs, bench, "doc_id", "text", n=3, min_hits=5)
