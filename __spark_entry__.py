@@ -2126,15 +2126,11 @@ FROM r WHERE rn <= 3
 """
 
 
-def q_pii(spark, sf_dir):
-    """PII detect + redact over deterministically augmented text
-    (fixture corpus is PII-free; injection pattern mirrors
-    q_doi_features)."""
-    from med_doi_feature_extraction_spark.operators.pii import pii_features
-
-    docs = _read(spark, sf_dir, "documents")
+def _pii_aug() -> F.Column:
+    """Deterministic PII injection over the (PII-free) fixture text —
+    shared by the pii and curate_e2e queries; SQL twin below."""
     did = F.col("doc_id")
-    aug = F.concat(
+    return F.concat(
         F.col("text"),
         F.when(
             did % 4 == 0,
@@ -2149,7 +2145,29 @@ def q_pii(spark, sf_dir):
             F.concat(F.lit(" from 192.168."), (did % 256).cast("string"), F.lit(".1")),
         ).otherwise(F.lit("")),
     )
-    out = pii_features(docs.withColumn("t", aug), "t")
+
+
+#: the same injection as a DuckDB expression over ``documents``
+_PII_AUG_SQL = """text
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' call 415-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+              ELSE '' END"""
+
+
+def q_pii(spark, sf_dir):
+    """PII detect + redact over deterministically augmented text
+    (fixture corpus is PII-free; injection pattern mirrors
+    q_doi_features)."""
+    from med_doi_feature_extraction_spark.operators.pii import pii_features
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pii_features(docs.withColumn("t", _pii_aug()), "t")
     return out.select(
         "doc_id",
         F.col("email_count").cast("long").alias("email_count"),
@@ -2169,17 +2187,7 @@ def _sql_pii() -> str:
 
     return rf"""
 WITH a AS (
-  SELECT doc_id,
-    text
-      || CASE WHEN doc_id % 4 = 0
-              THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@example.com'
-              ELSE '' END
-      || CASE WHEN doc_id % 5 = 0
-              THEN ' call 415-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
-              ELSE '' END
-      || CASE WHEN doc_id % 7 = 0
-              THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
-              ELSE '' END AS t
+  SELECT doc_id, {_PII_AUG_SQL} AS t
   FROM documents
 )
 , b AS (
@@ -2273,6 +2281,148 @@ SELECT p0.doc_id,
        CAST(len(p0.ps) AS BIGINT) AS paras_in,
        CAST(coalesce(r.paras_kept, 0) AS BIGINT) AS paras_kept
 FROM p0 LEFT JOIN r ON r.doc_id = p0.doc_id
+"""
+
+
+def q_curate_e2e(spark, sf_dir):
+    """End-to-end curate composition (the ``curate`` CLI's stage
+    stack as ONE oracle-checked query): pii-redact → repetition
+    filter → exact dedup → minhash near-dup survivors → benchmark
+    decontam → deterministic sample → train/eval split, reporting the
+    surviving ids + the sha-256 of each survivor's final (redacted)
+    text. The one non-SQL stage (minhash signatures) goes through the
+    materialized-pairs seam; DuckDB resolves the SAME pairs with a
+    recursive-CTE closure (the ``dedup_decisions`` split), everything
+    else is recomputed from ``documents`` independently."""
+    from med_doi_feature_extraction_spark.operators.decontam import decontaminate
+    from med_doi_feature_extraction_spark.operators.pii import pii_features
+    from med_doi_feature_extraction_spark.operators.repetition import (
+        repetition_features,
+    )
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        hash_sample,
+        train_eval_split,
+    )
+
+    base = _dedup_base()
+    docs = _read(spark, sf_dir, "documents")
+    s = pii_features(docs.withColumn("t", _pii_aug()), "t")
+    s = s.withColumn("t", F.col("text_redacted")).drop("text_redacted")
+    s = repetition_features(s, "t", delim=r"\s+").filter(
+        F.col("dup_unit_frac") <= 0.6
+    )
+    keep = dedup.exact_dedup(s, "doc_id", "t").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s = s.join(keep, "doc_id", "left_semi")
+    pairs = dedup.minhash_dedup(s, "doc_id", "t", threshold=0.5)
+    pairs.select("id_a", "id_b").write.mode("overwrite").parquet(
+        f"{base}/e2e_pairs.parquet"
+    )
+    surv = (
+        dedup.dedup_decisions(
+            s, "doc_id", spark.read.parquet(f"{base}/e2e_pairs.parquet")
+        )
+        .filter("keep")
+        .select("doc_id")
+    )
+    s = s.join(surv, "doc_id", "left_semi")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    report = decontaminate(
+        s, bench, "doc_id", "t", bench_text_col="text", n=3, min_hits=2
+    )
+    s = s.join(
+        report.filter(~F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    s = hash_sample(s, "doc_id", 0.6, salt="e2e")
+    s = train_eval_split(s, "doc_id", eval_frac=0.25, salt="e2esplit")
+    return s.select("doc_id", "split", F.sha2("t", 256).alias("text_hash"))
+
+
+def _sql_curate_e2e() -> str:
+    from med_doi_feature_extraction_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    base = _dedup_base()
+    u_sample = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "e2e")
+    u_split = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "e2esplit")
+    return rf"""
+WITH RECURSIVE a AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS t0
+  FROM documents
+), red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(t0,
+             '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{IPV4_RE}', '<IP>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g') AS t
+  FROM a
+), un AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split_regex(t, '\s+'), x -> trim(x)),
+                     x -> len(x) > 0) AS units
+  FROM red
+), repf AS (
+  SELECT doc_id, t FROM un
+  WHERE CASE WHEN len(units) > 0
+             THEN round(CAST(len(units) - len(list_distinct(units)) AS DOUBLE)
+                        / len(units), 6)
+             ELSE 0.0 END <= 0.6
+), ed AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           min(doc_id) OVER (
+             PARTITION BY sha256(lower(trim(regexp_replace(t, '\s+', ' ', 'g'))))
+           ) AS keep_id
+    FROM repf)
+  WHERE doc_id = keep_id
+), e AS (
+  SELECT id_a AS ea, id_b AS eb
+  FROM read_parquet('{base}/e2e_pairs.parquet/*.parquet')
+  UNION
+  SELECT id_b, id_a FROM read_parquet('{base}/e2e_pairs.parquet/*.parquet')
+), reach(rs, rd) AS (
+  SELECT ea, eb FROM e
+  UNION
+  SELECT rr.rs, e.eb FROM reach rr JOIN e ON e.ea = rr.rd
+), lab AS (
+  SELECT rs AS doc_id, least(rs, min(rd)) AS cluster_id FROM reach GROUP BY rs
+), mh AS (
+  SELECT ed.doc_id, ed.t FROM ed LEFT JOIN lab USING (doc_id)
+  WHERE coalesce(lab.cluster_id, ed.doc_id) = ed.doc_id
+), cg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))) AS gram
+  FROM (SELECT doc_id, string_split_regex(lower(trim(t)), '\s+') AS toks FROM mh)
+), bg0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))) AS gram
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE doc_id % 97 = 0)
+), bg AS (
+  SELECT DISTINCT gram FROM bg0
+), hits AS (
+  SELECT cg.doc_id, count(*) AS c FROM cg JOIN bg USING (gram) GROUP BY 1
+), dc AS (
+  SELECT mh.doc_id, mh.t FROM mh LEFT JOIN hits USING (doc_id)
+  WHERE coalesce(hits.c, 0) < 2
+), sm AS (
+  SELECT doc_id, t FROM dc WHERE {u_sample} < 0.6
+)
+SELECT doc_id,
+       CASE WHEN {u_split} < 0.25 THEN 'eval' ELSE 'train' END AS split,
+       sha256(t) AS text_hash
+FROM sm
 """
 
 
@@ -2420,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "pii": q_pii,
         "paragraph_dedup": q_paragraph_dedup,
+        "curate_e2e": q_curate_e2e,
         "length_quantiles": q_length_quantiles,
         "lang_source_pivot": q_lang_source_pivot,
         # non-SQL-expressible (rows-only; its downstream is the
@@ -2486,6 +2637,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": SQL_TFIDF_TOPK,
         "pii": _sql_pii(),
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "curate_e2e": _sql_curate_e2e(),
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
     }
