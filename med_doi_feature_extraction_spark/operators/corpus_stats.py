@@ -20,7 +20,14 @@ whole design:
   is left to AQE, which broadcast-converts it when the (filtered)
   df side fits. ``min_df`` prunes hapax noise BEFORE the join,
   shrinking the build side by ~half (Zipf: ~50% of vocabulary
-  occurs once).
+  occurs once). In the non-broadcast regime the join shuffles on
+  the Zipf-skewed token key — AQE skew-join splits the hot
+  partitions; exercised by ``tests/test_skew.py::
+  test_tfidf_join_skew_non_broadcast`` (dominant token in every
+  doc, auto-broadcast disabled, exact parity with the broadcast
+  plan). For corpora where even that regime strains, raise
+  ``min_df`` (the head of the Zipf curve survives any min_df, so
+  skew is unchanged, but the build side shrinks ~2× per unit).
 
 IDF uses the smoothed form ln((N+1)/(df+1)) — deterministic, no
 zero-division, SQL-reproducible.

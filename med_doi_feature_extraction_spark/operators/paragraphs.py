@@ -20,7 +20,13 @@ paragraph, so the shuffle key is 8 bytes, not the paragraph text —
 and a boilerplate paragraph shared by 10^7 docs lands on one reducer
 as a count, which min-aggregates; to keep even that bounded the
 first-occurrence resolution is an aggregation (min of a (doc,idx)
-struct), NOT a row_number window over all occurrences.
+struct), NOT a row_number window over all occurrences. The residual
+skew point is the paras→firsts join on ``_h`` (a hot boilerplate
+hash co-locates its occurrence rows on one reducer) — AQE skew-join
+splitting handles it; exercised by
+``tests/test_skew.py::test_paragraph_dedup_boilerplate_skew`` (one
+paragraph = 1/3 of all occurrences, 3 shuffle partitions, exact
+parity with an independent oracle).
 
 Comparison is on the normalized form (trim + collapse inner
 whitespace + lowercase — the dedup-tier normalization) while the
