@@ -60,6 +60,55 @@ def decode_audio(payload: bytes):  # pragma: no cover - stub
     raise NotImplementedError("audio codec not available in this environment")
 
 
+def fake_decode_array(
+    payload: bytes, width: int | None, height: int | None
+) -> np.ndarray:
+    """Deterministic stand-in for the codec decode step: sha-seeded
+    (H, W, 3) uint8 pixel array. Same payload+dims → same pixels on
+    any worker. This is the ONE remaining stub in the resize path —
+    a cluster with PIL/opencv swaps this for ``decode_image`` and
+    everything downstream (the real bilinear resample, batch shaping,
+    quarantine) is unchanged."""
+    w = 16 if not width else int(width)
+    h = 16 if not height else int(height)
+    seed = hashlib.sha256(payload + f"|{w}x{h}".encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def bilinear_resize(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Pure-numpy bilinear resample of an (H, W[, C]) pixel array to
+    (target_h, target_w[, C]) — REAL interpolation, no codec libs.
+
+    Half-pixel-center source mapping (the OpenCV/PIL convention:
+    src = (dst + 0.5) · size_ratio − 0.5) with edge replication via
+    clipping, gather with ``np.take``-style integer indexing, then
+    two lerps. Output dtype matches input for integer inputs
+    (round-half-to-even via ``np.rint``), float passes through.
+    Fully vectorized: O(target pixels) numpy ops, no Python loop —
+    safe inside the Arrow-batched ``mapInPandas`` hot path."""
+    if arr.ndim == 2:
+        out = bilinear_resize(arr[:, :, None], target_w, target_h)
+        return out[:, :, 0]
+    a = arr.astype(np.float64)
+    h, w = a.shape[:2]
+    ys = np.clip((np.arange(target_h) + 0.5) * h / target_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(target_w) + 0.5) * w / target_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        return np.clip(np.rint(out), info.min, info.max).astype(arr.dtype)
+    return out.astype(arr.dtype)
+
+
 def fake_feature_vector(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
     """Deterministic stand-in for a decoded-media feature extractor:
     sha256-seeded pseudo-embedding. Same payload → same vector on any
@@ -136,14 +185,16 @@ def resize_images(
     payload_col: str = "payload",
     max_batch_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
-    """Resize plumbing: (media_id, src/target dims, resized payload,
-    decode_error). The pixel resample itself is the stubbed codec step
-    (deterministic sha-seeded fake payload sized ~proportionally to
-    the target area) — the REAL parts are the byte-capped Arrow
-    re-batching, the metadata flow, and the quarantine path, which is
-    what a cluster port swaps the fake out of. Upscaling to the exact
-    target is asserted in tests; aspect-ratio policy belongs to the
-    real codec hook."""
+    """Resize: (media_id, src/target dims, resized RGB payload,
+    decode_error). The resample itself is REAL — ``bilinear_resize``,
+    pure-numpy half-pixel bilinear over the decoded (H, W, 3) array —
+    so ``resized`` is ``target_h × target_w × 3`` actual interpolated
+    bytes (row-major). Only the codec DECODE step is still the
+    documented stub (``fake_decode_array``, sha-seeded deterministic
+    pixels — no image libs in this environment); the byte-capped
+    Arrow re-batching, metadata flow, and quarantine path are the
+    production shape either way. Aspect-ratio policy belongs to the
+    caller (pass a target preserving it, or don't)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -155,15 +206,6 @@ def resize_images(
             T.StructField("decode_error", T.StringType(), True),
         ]
     )
-
-    def fake_resized(payload: bytes) -> bytes:
-        # deterministic pseudo-pixels: same payload+dims → same bytes
-        seed = hashlib.sha256(
-            payload + f"|{target_w}x{target_h}".encode()
-        ).digest()
-        n = max(16, (target_w * target_h) // 64)
-        rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
-        return rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in _rebatch(batches, payload_col, max_batch_bytes):
@@ -179,9 +221,11 @@ def resize_images(
                          "empty_payload")
                     )
                     continue
+                decoded = fake_decode_array(bytes(payload), sw, sh)
+                resized = bilinear_resize(decoded, target_w, target_h)
                 rows.append(
                     (int(mid), sw, sh, target_w, target_h,
-                     fake_resized(bytes(payload)), None)
+                     resized.tobytes(), None)
                 )
             yield pd.DataFrame(
                 rows,

@@ -107,6 +107,11 @@ def test_resize_images(spark):
     media = make_fake_media(spark, n=32)
     out = resize_images(media, 64, 64, max_batch_bytes=16_000).toPandas()
     assert len(out) == 32
+    # real resample: output payload is exactly target_h*target_w*3
+    # interpolated RGB bytes
+    assert (
+        out[out.decode_error.isna()].resized.map(len) == 64 * 64 * 3
+    ).all()
     ok = out[out.decode_error.isna()]
     bad = out[out.decode_error.notna()]
     assert len(bad) > 0 and (bad.decode_error == "empty_payload").all()
@@ -119,6 +124,41 @@ def test_resize_images(spark):
     again = resize_images(media, 64, 64).toPandas().set_index("media_id")
     for _, r in ok.iterrows():
         assert bytes(r.resized) == bytes(again.loc[r.media_id, "resized"])
+
+
+def test_bilinear_resize_golden_4x4_to_2x2():
+    """Hand-computed golden: half-pixel mapping of 4×4→2×2 lands each
+    target pixel at the exact center of a 2×2 source block, so every
+    output value is the mean of its block (weights all 0.5); .5
+    values round half-to-even via np.rint."""
+    import numpy as np
+
+    from med_doi_feature_extraction_spark.multimodal.binary_ops import (
+        bilinear_resize,
+    )
+
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = bilinear_resize(a, 2, 2)
+    # block means: (0+1+4+5)/4=2.5, (2+3+6+7)/4=4.5, 10.5, 12.5 →
+    # rint half-to-even → 2, 4, 10, 12
+    assert out.tolist() == [[2, 4], [10, 12]]
+    assert out.dtype == np.uint8
+    # identity: resizing to the same dims returns the same pixels
+    same = bilinear_resize(a, 4, 4)
+    assert (same == a).all()
+    # upscale 2×2→4×4 float: corners replicate, centers interpolate
+    b = np.array([[0.0, 4.0], [8.0, 12.0]])
+    up = bilinear_resize(b, 4, 4)
+    assert up[0, 0] == 0.0 and up[3, 3] == 12.0
+    # exact half-pixel math: xs = [-0.25, 0.25, 0.75, 1.25] → clipped
+    # [0, 0.25, 0.75, 1], so fractional weights [0, .25, .75, 0]:
+    exp = np.array(
+        [[0.0, 1.0, 3.0, 4.0],
+         [2.0, 3.0, 5.0, 6.0],
+         [6.0, 7.0, 9.0, 10.0],
+         [8.0, 9.0, 11.0, 12.0]]
+    )
+    assert np.allclose(up, exp)
 
 
 def test_frame_sampling(spark):
