@@ -679,6 +679,30 @@ SELECT doc_id, lang, {case} AS lang_pred FROM b
 """
 
 
+def q_lang_id_trigram(spark, sf_dir):
+    """Char-trigram profile language ID (Cavnar-Trenkle style): train
+    on one seeded corpus, classify a held-out seed. Genuinely
+    non-SQL-expressible (per-doc trigram counting kernel) — rows-only
+    driver check; the accuracy-vs-marker-baseline gate is pinned in
+    ``tests/test_lang_trigram.py``."""
+    from med_doi_feature_extraction_spark.kernels.lang_trigram import (
+        generate_lang_corpus,
+        lang_id_trigram_udf,
+        train_trigram_profiles,
+    )
+    from med_doi_feature_extraction_spark.packaging import (
+        ensure_package_on_workers,
+    )
+
+    ensure_package_on_workers(spark)
+    profiles = train_trigram_profiles(generate_lang_corpus(800, 7))
+    held = spark.createDataFrame(generate_lang_corpus(600, 1234))
+    return held.select(
+        "doc_id", "lang",
+        lang_id_trigram_udf(profiles)(F.col("text")).alias("lang_pred"),
+    )
+
+
 def q_quality_gate(spark, sf_dir):
     """P10-P13 chain: complexity, weighted input quality, blended
     confidence, validity gate."""
@@ -2533,6 +2557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": q_doc_tokens,
         "doi_features": q_doi_features,
         "lang_id": q_lang_id,
+        # non-SQL-expressible trigram kernel — rows-only (accuracy
+        # gate pinned in tests/test_lang_trigram.py):
+        "lang_id_trigram": q_lang_id_trigram,
         "quality_gate": q_quality_gate,
         "model_confidence": q_model_confidence,
         "retry_route": q_retry_route,
