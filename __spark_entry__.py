@@ -612,6 +612,51 @@ FROM documents
 """
 
 
+def q_doc_tokens_bpe(spark, sf_dir):
+    """doc_tokens extended with the REAL mini-BPE subword count
+    (trained merge table, ``kernels/bpe.py``). Oracle split: the UDF
+    counts materialize to a parquet seam (the one non-SQL step — the
+    kernel itself is pytest-golden-pinned in tests/test_bpe.py);
+    DuckDB recomputes the ws/regex columns from ``documents`` and
+    joins the same seam."""
+    from med_doi_feature_extraction_spark.kernels.bpe import (
+        BPE_VERSION,
+        default_merges,
+        token_count_bpe_udf,
+    )
+
+    base = f"/tmp/spark_graft_bpe_{BPE_VERSION.replace('.', '_')}"
+    docs = _read(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id",
+        token_count_bpe_udf(default_merges())(F.col("text")).alias(
+            "tok_bpe_real"
+        ),
+    ).write.mode("overwrite").parquet(f"{base}/counts.parquet")
+    seam = spark.read.parquet(f"{base}/counts.parquet")
+    return docs.join(seam, "doc_id").select(
+        "doc_id", "n_chars",
+        feat.token_count_ws(F.col("text")).cast("long").alias("tok_ws"),
+        feat.token_count_bpe(F.col("text")).cast("long").alias("tok_bpe"),
+        "tok_bpe_real",
+    )
+
+
+def _sql_doc_tokens_bpe() -> str:
+    from med_doi_feature_extraction_spark.kernels.bpe import BPE_VERSION
+
+    base = f"/tmp/spark_graft_bpe_{BPE_VERSION.replace('.', '_')}"
+    return rf"""
+SELECT d.doc_id, d.n_chars,
+       CASE WHEN len(trim(d.text)) = 0 THEN 0
+            ELSE CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) END AS tok_ws,
+       CAST(len(regexp_extract_all(d.text, '{feat.TOKEN_REGEX.replace("'", "''")}')) AS BIGINT) AS tok_bpe,
+       s.tok_bpe_real
+FROM documents d
+JOIN read_parquet('{base}/counts.parquet/*.parquet') s ON s.doc_id = d.doc_id
+"""
+
+
 def q_doi_features(spark, sf_dir):
     """Reference DOI feature map (P5/P8) over an augmented text column
     (deterministic DOI injection so counts are non-trivial)."""
@@ -2555,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "broadcast_join_agg": q_broadcast_join_agg,
         "doc_tokens": q_doc_tokens,
+        "doc_tokens_bpe": q_doc_tokens_bpe,
         "doi_features": q_doi_features,
         "lang_id": q_lang_id,
         # non-SQL-expressible trigram kernel — rows-only (accuracy
@@ -2629,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": SQL_ANTI_JOIN,
         "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
         "doc_tokens": SQL_DOC_TOKENS,
+        "doc_tokens_bpe": _sql_doc_tokens_bpe(),
         "doi_features": SQL_DOI_FEATURES,
         "lang_id": _sql_lang_id(),
         "quality_gate": _sql_quality_gate(),
