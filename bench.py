@@ -75,6 +75,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from med_doi_feature_extraction_spark.pipeline import FeatureConfig, page_features
     from med_doi_feature_extraction_spark.session import get_spark
+    from tools.scaling_bench import _membw_probe
+
+    # machine-state evidence rides every recorded suite (VERDICT r3
+    # task 2): BENCH_r03 caught a contended window only because
+    # untouched code "slowed" 4.28× — a pre/post single-thread memcpy
+    # bandwidth bracket turns that from forensics into a recorded
+    # field. Compare pre/post within a run and across rounds: a slow
+    # suite WITH depressed bandwidth is co-tenant load, not a plan
+    # regression.
+    membw_pre = _membw_probe()
 
     spark = get_spark("bench")
 
@@ -154,6 +164,17 @@ def main() -> None:
     )
     from med_doi_feature_extraction_spark.sources.catalog import Catalog
 
+    # one-time migration: a bench_extract_bucketed dir written by a
+    # pre-write-intent-marker bench run has no marker, so save_bucketed
+    # (correctly) refuses to clear it. THIS table name in THIS repo's
+    # own warehouse is bench-owned by construction — safe to clear.
+    import shutil
+
+    stale = Path(__file__).resolve().parent / "spark-warehouse" / "bench_extract_bucketed"
+    marker_dir = stale.parent / "_engine_tables" / "default.bench_extract_bucketed"
+    if stale.exists() and not marker_dir.exists():
+        shutil.rmtree(stale)
+
     Catalog(spark).save_bucketed(
         extract_stage(pages).drop("text"),
         "bench_extract_bucketed", 32, ["url"], sort_cols=["url", "warc_ts"],
@@ -172,6 +193,8 @@ def main() -> None:
         "sf": sf,
         "pages_rows": n_pages,
         "pages_docs_per_sec": round(n_pages / t_pages, 1),
+        "membw_gbps_pre": membw_pre,
+        "membw_gbps_post": _membw_probe(),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING"):
