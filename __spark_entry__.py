@@ -2556,6 +2556,43 @@ FROM a GROUP BY lang
 """
 
 
+def q_lang_source_cube(spark, sf_dir):
+    """Multi-dimensional aggregate coverage: CUBE over (lang,
+    src_bucket) with grouping_id — the OLAP rollup surface (subtotal
+    rows for every grouping-set combination in ONE pass; Spark plans
+    a single Expand + hash-agg, not 4 scans)."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "src_bucket", F.substring("source", 4, 10).cast("int") % 4
+    )
+    out = docs.cube("lang", "src_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    # grouped-out dims coalesce to sentinels: a NULL from CUBE and a
+    # (hypothetical) NULL data value must not collide in the hash
+    # compare — gid disambiguates, the sentinel keeps sort stable
+    return out.select(
+        F.coalesce("lang", F.lit("<all>")).alias("lang"),
+        F.coalesce(F.col("src_bucket").cast("long"), F.lit(-1)).alias("src_bucket"),
+        "n_docs", "avg_chars", "gid",
+    )
+
+
+SQL_LANG_SOURCE_CUBE = """
+WITH a AS (
+  SELECT lang, CAST(substr(source, 4) AS INT) % 4 AS src_bucket, n_chars
+  FROM documents
+)
+SELECT coalesce(lang, '<all>') AS lang,
+       CAST(coalesce(src_bucket, -1) AS BIGINT) AS src_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       CAST(GROUPING(lang) * 2 + GROUPING(src_bucket) AS BIGINT) AS gid
+FROM a GROUP BY CUBE (lang, src_bucket)
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2646,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_e2e": q_curate_e2e,
         "length_quantiles": q_length_quantiles,
         "lang_source_pivot": q_lang_source_pivot,
+        "lang_source_cube": q_lang_source_cube,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -2714,4 +2752,5 @@ def oracle_sql() -> dict[str, str]:
         "curate_e2e": _sql_curate_e2e(),
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
+        "lang_source_cube": SQL_LANG_SOURCE_CUBE,
     }
