@@ -2029,8 +2029,15 @@ def _synth_urls(spark, sf_dir):
     ck = (F.col("o_custkey") % 50).cast("string")
     tld = (F.col("o_custkey") % 7).cast("string")
     ok = F.col("o_orderkey")
+    # a third of hosts sit under a multi-label public suffix so the
+    # suffix-aware url_domain path is exercised (VERDICT r3 task 9)
+    sfx = (
+        F.when(F.col("o_custkey") % 3 == 0, F.lit(".CO.UK"))
+        .when(F.col("o_custkey") % 3 == 1, F.lit(".Com.AU"))
+        .otherwise(F.lit(".COM"))
+    )
     base = F.concat(
-        F.lit("HTTPS://WWW.Shop"), ck, F.lit(".Example"), tld, F.lit(".COM")
+        F.lit("HTTPS://WWW.Shop"), ck, F.lit(".Example"), tld, sfx
     )
     url = (
         F.when(ok % 5 == 0, F.concat(base, F.lit("/")))
@@ -2049,7 +2056,12 @@ def _synth_urls(spark, sf_dir):
                 F.lit("&ref=home#top"),
             ),
         )
-        .otherwise(F.concat(F.lit("http://shop"), ck, F.lit(".example"), tld, F.lit(".com")))
+        .otherwise(
+            F.concat(
+                F.lit("http://shop"), ck, F.lit(".example"), tld,
+                F.lower(sfx),
+            )
+        )
     )
     return o.withColumn("url", url)
 
@@ -2062,12 +2074,16 @@ _SQL_SYNTH_URL = """
            WHEN 2 THEN base || ':443/item/' || CAST(o_orderkey % 7 AS VARCHAR)
            WHEN 3 THEN base || '/p?id=' || CAST(o_orderkey % 11 AS VARCHAR) || '&ref=home#top'
            ELSE 'http://shop' || CAST(o_custkey % 50 AS VARCHAR)
-                || '.example' || CAST(o_custkey % 7 AS VARCHAR) || '.com'
+                || '.example' || CAST(o_custkey % 7 AS VARCHAR) || lower(sfx)
          END AS url
-  FROM (SELECT o_orderkey, o_custkey,
+  FROM (SELECT o_orderkey, o_custkey, sfx,
                'HTTPS://WWW.Shop' || CAST(o_custkey % 50 AS VARCHAR)
-               || '.Example' || CAST(o_custkey % 7 AS VARCHAR) || '.COM' AS base
-        FROM orders)
+               || '.Example' || CAST(o_custkey % 7 AS VARCHAR) || sfx AS base
+        FROM (SELECT o_orderkey, o_custkey,
+                     CASE o_custkey % 3 WHEN 0 THEN '.CO.UK'
+                                        WHEN 1 THEN '.Com.AU'
+                                        ELSE '.COM' END AS sfx
+              FROM orders))
 """
 
 
@@ -2081,6 +2097,20 @@ def q_url_features(spark, sf_dir):
         "o_orderkey", "url", "canonical_url", "host", "domain",
         F.col("path_depth").cast("long").alias("path_depth"),
         F.col("query_params").cast("long").alias("query_params"),
+    )
+
+
+def _sql_domain(h: str) -> str:
+    """Suffix-aware registrable-domain SQL over a host expression —
+    IN-list generated from the SAME constant as the Spark side
+    (``operators.urls.MULTI_LABEL_SUFFIXES``)."""
+    from med_doi_feature_extraction_spark.operators.urls import suffix_in_sql
+
+    l2 = rf"regexp_extract({h}, '([^.]+\.[^.]+)$', 1)"
+    l3 = rf"regexp_extract({h}, '([^.]+\.[^.]+\.[^.]+)$', 1)"
+    return (
+        f"CASE WHEN {l2} IN ({suffix_in_sql()}) AND {l3} <> '' "
+        f"THEN {l3} ELSE {l2} END"
     )
 
 
@@ -2107,7 +2137,7 @@ SELECT o_orderkey, url,
            '(^[a-z]+://[^/?#]+)(\?|$)', '\1/\2'),
          '(^[a-z]+://[^/?#]+/[^?#]*?)/+(\?|$)', '\1\2') AS canonical_url,
        host,
-       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+       {_sql_domain('host')} AS domain,
        CAST(len(list_filter(string_split(path, '/'), s -> len(s) > 0)) AS BIGINT) AS path_depth,
        CAST(CASE WHEN len(q) = 0 THEN 0 ELSE len(string_split(q, '&')) END AS BIGINT) AS query_params
 FROM feat
@@ -2124,14 +2154,16 @@ def q_hot_domains(spark, sf_dir):
 
 
 SQL_HOT_DOMAINS = rf"""
-WITH urls AS ({_SQL_SYNTH_URL})
-SELECT regexp_extract(
-         regexp_replace(regexp_replace(
+WITH urls AS ({_SQL_SYNTH_URL}),
+hosts AS (
+  SELECT regexp_replace(regexp_replace(
            lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
-           '^.*@', ''), ':(80|443)$', ''),
-         '([^.]+\.[^.]+)$', 1) AS domain,
+           '^.*@', ''), ':(80|443)$', '') AS host
+  FROM urls
+)
+SELECT {_sql_domain('host')} AS domain,
        CAST(count(*) AS BIGINT) AS n_pages
-FROM urls GROUP BY 1 HAVING count(*) >= 10
+FROM hosts GROUP BY 1 HAVING count(*) >= 10
 """
 
 

@@ -26,6 +26,39 @@ _HOST_RE = r"^[a-zA-Z]+://([^/?#]+)"
 _PATH_RE = r"^[a-zA-Z]+://[^/?#]*(/[^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
+#: Two-label public suffixes under which the registrable domain is
+#: THREE labels (``a.b.co.uk`` → ``b.co.uk``). A static slice of the
+#: Mozilla public-suffix list covering the high-traffic ccTLD
+#: registries — enough that hot-domain skew detection does not merge
+#: all of ``*.co.uk`` into one key (VERDICT r3 task 9). Deliberately
+#: a frozen literal (no external fetch): corpus keys must be
+#: reproducible across engines and time.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.sg", "edu.sg", "gov.sg",
+    "com.tw", "org.tw", "edu.tw",
+    "com.hk", "org.hk", "edu.hk",
+    "co.kr", "or.kr", "ac.kr", "go.kr",
+    "com.ar", "com.tr", "com.my", "com.ph", "com.vn",
+    "com.eg", "com.sa", "com.pk", "com.ng", "com.co", "com.pe",
+    "co.id", "co.th", "co.il", "org.il", "ac.il",
+)
+
+
+def suffix_in_sql() -> str:
+    """``'co.uk', 'org.uk', ...`` — the IN-list literal for DuckDB
+    oracles, generated from the SAME constant the Spark expression
+    uses so the two engines cannot drift."""
+    return ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+
 
 def url_host(url: F.Column) -> F.Column:
     """Lower-cased host part: userinfo (``user:pass@``) and default
@@ -39,11 +72,18 @@ def url_host(url: F.Column) -> F.Column:
 
 
 def url_domain(host: F.Column) -> F.Column:
-    """Registrable-domain approximation: last two labels of the host
-    (``a.b.example.com`` → ``example.com``). A public-suffix list
-    would refine multi-label TLDs; two labels is the deterministic,
-    dependency-free baseline."""
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    """Registrable domain: last two labels of the host
+    (``a.b.example.com`` → ``example.com``), except under a known
+    multi-label public suffix (:data:`MULTI_LABEL_SUFFIXES`), where
+    it is the last THREE (``a.b.example.co.uk`` → ``example.co.uk``).
+    A bare suffix host (``co.uk`` itself) falls back to the two-label
+    form rather than an empty string. Pure Column algebra — the
+    IN-list compiles to a codegen'd hash-set probe, no UDF."""
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(
+        last2.isin(*MULTI_LABEL_SUFFIXES) & (F.length(last3) > 0), last3
+    ).otherwise(last2)
 
 
 def url_path(url: F.Column) -> F.Column:

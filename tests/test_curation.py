@@ -274,6 +274,29 @@ def test_url_features_canonicalization(spark):
     assert got[5]["path_depth"] == 0 and got[5]["query_params"] == 0
 
 
+def test_url_domain_public_suffix(spark):
+    """Multi-label public suffixes keep THREE labels (VERDICT r3
+    task 9): all of *.co.uk must NOT merge into one 'co.uk' key."""
+    rows = [
+        (1, "https://www.shop.example.co.uk/a"),
+        (2, "https://other.example.co.uk/b"),
+        (3, "http://news.bbc.co.uk/"),
+        (4, "https://a.b.example.com.au/"),
+        (5, "https://plain.example.com/"),
+        (6, "http://co.uk/"),            # bare suffix → 2-label fallback
+        (7, "https://example.co.uk/"),   # exactly registrable
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = {r["id"]: r["domain"] for r in url_features(df).collect()}
+    assert got[1] == got[2] == "example.co.uk"
+    assert got[3] == "bbc.co.uk"
+    assert got[4] == "example.com.au"
+    assert got[5] == "example.com"
+    assert got[6] == "co.uk"
+    assert got[7] == "example.co.uk"
+    assert got[1] != got[3]  # distinct registrants stay distinct
+
+
 def test_url_fragment_query_and_bare_authority(spark):
     rows = [
         (1, "http://a.example.com/#/route?tab=1&x=2"),  # '?' in fragment
