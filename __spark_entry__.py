@@ -350,6 +350,158 @@ FROM events e LEFT JOIN LATERAL (
 """
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with bounded staleness: a signup older than 1 day
+    is no match (tolerance semantics of pandas ``merge_asof``)."""
+    ev, dim = _asof_inputs(spark, sf_dir)
+    out = asof_join_window(
+        ev, dim, "user_id", "ts", "obs_ts", ["signup_value"],
+        right_tiebreak=["obs_event_id"], tolerance_sec=86400,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "event_type", "value", "signup_value"
+    )
+
+
+SQL_ASOF_TOLERANCE = """
+SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value, d.signup_value
+FROM events e LEFT JOIN LATERAL (
+  SELECT s.value AS signup_value
+  FROM events s
+  WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+    AND s.ts <= e.ts AND s.ts >= e.ts - INTERVAL '86400 seconds'
+  ORDER BY s.ts DESC, s.event_id DESC LIMIT 1
+) d ON true
+"""
+
+
+# ------------------------------------------------- events: feateng transforms
+
+def q_ewma(spark, sf_dir):
+    """Per-entity EWMA (adjust=True, alpha=0.3) of the event value —
+    Arrow-batched pandas ``ewm`` per user. Oracle uses the closed-form
+    power-weight ratio, which is the same function computed by a
+    different recursion (numerics agree to well past 6 dp at test
+    sequence lengths)."""
+    from med_doi_feature_extraction_spark.operators.feateng import ewma
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ewma(ev, "user_id", "ts", ["value"], alpha=0.3, tiebreak=["event_id"])
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        F.round("value_ewma", 6).alias("value_ewma"),
+    )
+
+
+SQL_EWMA = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+  FROM events
+)
+SELECT user_id, event_id, ts, value,
+       round(sum(value * power(0.7, -i)) OVER w
+             / sum(power(0.7, -i)) OVER w, 6) AS value_ewma
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_target_encode(spark, sf_dir):
+    """Time-aware target encoding: each row coded from STRICTLY
+    earlier same-user target values blended with the global prior —
+    the zero-leakage discipline applied to category encoding."""
+    from med_doi_feature_extraction_spark.operators.feateng import (
+        time_target_encode,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = time_target_encode(
+        ev, "user_id", "ts", "value", smoothing=10.0,
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.round("target_enc", 6).alias("target_enc"),
+    )
+
+
+SQL_TARGET_ENCODE = """
+SELECT user_id, event_id, ts,
+       round((coalesce(sum(value) OVER w, 0)
+              + 10.0 * (SELECT avg(value) FROM events))
+             / (coalesce(count(value) OVER w, 0) + 10.0), 6) AS target_enc
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_feature_norm(spark, sf_dir):
+    """Per-group z-score + min-max scaling of doc length within each
+    language (window aggregates, no ordering — partition-local)."""
+    from med_doi_feature_extraction_spark.operators.feateng import (
+        normalize_features,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    z = normalize_features(docs, "lang", ["n_chars"], "zscore")
+    z = z.withColumnRenamed("n_chars_norm", "z_chars")
+    m = normalize_features(z, "lang", ["n_chars"], "minmax")
+    m = m.withColumnRenamed("n_chars_norm", "mm_chars")
+    return m.select(
+        "doc_id", "lang", "n_chars",
+        F.round("z_chars", 6).alias("z_chars"),
+        F.round("mm_chars", 6).alias("mm_chars"),
+    )
+
+
+SQL_FEATURE_NORM = """
+SELECT doc_id, lang, n_chars,
+       round(CASE WHEN stddev_samp(n_chars) OVER w > 0
+             THEN (n_chars - avg(n_chars) OVER w) / stddev_samp(n_chars) OVER w
+             END, 6) AS z_chars,
+       round(CASE WHEN max(n_chars) OVER w > min(n_chars) OVER w
+             THEN CAST(n_chars - min(n_chars) OVER w AS DOUBLE)
+                  / (max(n_chars) OVER w - min(n_chars) OVER w)
+             END, 6) AS mm_chars
+FROM documents
+WINDOW w AS (PARTITION BY lang)
+"""
+
+
+def q_quantile_bin(spark, sf_dir):
+    """Equal-frequency decile binning of doc length: boundaries from
+    one exact-percentile aggregate broadcast back to the scan."""
+    from med_doi_feature_extraction_spark.operators.feateng import quantile_bin
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_bin(docs, "n_chars", 10).select(
+        "doc_id", "n_chars",
+        F.col("n_chars_bin").cast("long").alias("n_chars_bin"),
+    )
+
+
+SQL_QUANTILE_BIN = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+         AS bounds
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(1 + len(list_filter(b.bounds, x -> n_chars > x)) AS BIGINT)
+         AS n_chars_bin
+FROM documents, b
+"""
+
+
 # ---------------------------------------------------------------- scan / json / misc
 
 def q_skip_limit(spark, sf_dir):
@@ -2658,6 +2810,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "asof_join": q_asof_join,
         "asof_join_sorted": q_asof_join_sorted,
+        "asof_tolerance": q_asof_tolerance,
+        "ewma": q_ewma,
+        "target_encode": q_target_encode,
+        "feature_norm": q_feature_norm,
+        "quantile_bin": q_quantile_bin,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
         "render_template": q_render_template,
@@ -2734,6 +2891,11 @@ def oracle_sql() -> dict[str, str]:
         "session_window": SQL_SESSION_WINDOW,
         "asof_join": SQL_ASOF,
         "asof_join_sorted": SQL_ASOF,
+        "asof_tolerance": SQL_ASOF_TOLERANCE,
+        "ewma": SQL_EWMA,
+        "target_encode": SQL_TARGET_ENCODE,
+        "feature_norm": SQL_FEATURE_NORM,
+        "quantile_bin": SQL_QUANTILE_BIN,
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,
         "render_template": SQL_RENDER_TEMPLATE,

@@ -47,8 +47,16 @@ def asof_join_window(
     right_ts: str,
     value_cols: Sequence[str],
     right_tiebreak: Sequence[str] | None = None,
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """Union-and-window backward as-of join (pure built-ins).
+
+    ``tolerance_sec`` bounds match staleness (pandas
+    ``merge_asof(tolerance=...)`` semantics): a right row older than
+    ``left_ts - tolerance_sec`` is no match — the value columns come
+    back NULL, exactly as if no right row existed. Timestamps compare
+    via a fractional-seconds double cast, so sub-second tolerances
+    work.
 
     Right-side ties at equal ``ts_right`` are resolved BEFORE the
     union with a row_number window on the RIGHT side only — that
@@ -73,11 +81,16 @@ def asof_join_window(
     )
 
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    struct_fields = [F.col(c) for c in value_cols]
+    if tolerance_sec is not None:
+        # carry the matched right ts inside the SAME struct so the
+        # staleness test sees the row last(ignorenulls) actually chose
+        struct_fields.append(F.col(right_ts).alias("__match_ts"))
     r = right_dedup.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("_r_vals"),
+        F.struct(*struct_fields).alias("_r_vals"),
     )
     # Align schemas: left gets a null right-struct, right gets null
     # left cols; allowMissingColumns handles both directions.
@@ -93,9 +106,23 @@ def asof_join_window(
     filled = unioned.withColumn(
         "_r_match", F.last("_r_vals", ignorenulls=True).over(w)
     )
-    filled = filled.withColumns(
-        {c: F.col("_r_match")[c] for c in value_cols}
-    )
+    if tolerance_sec is None:
+        filled = filled.withColumns(
+            {c: F.col("_r_match")[c] for c in value_cols}
+        )
+    else:
+        # TIMESTAMP_NTZ has no direct double cast; go via TIMESTAMP
+        # (session TZ pinned UTC, value preserved) keeping fractional
+        # seconds. Numeric ts types pass through both casts unchanged.
+        def _secs(c):
+            return c.cast("timestamp").cast("double")
+
+        fresh = (
+            _secs(F.col("_ts")) - _secs(F.col("_r_match")["__match_ts"])
+        ) <= F.lit(float(tolerance_sec))
+        filled = filled.withColumns(
+            {c: F.when(fresh, F.col("_r_match")[c]) for c in value_cols}
+        )
     return (
         filled.filter(F.col("_side") == 1)
         .drop("_ts", "_side", "_r_vals", "_r_match")
@@ -112,6 +139,7 @@ def asof_join_sorted(
     right_tiebreak: Sequence[str] | None = None,
     num_buckets: int = 32,
     salt_factor: int = 1,
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """Bucketed sort-merge as-of join via ``applyInPandas`` +
     ``pd.merge_asof`` (vectorized; matches per-key reference semantics
@@ -119,7 +147,9 @@ def asof_join_sorted(
 
     ``salt_factor > 1`` splits each bucket's LEFT rows into
     ``salt_factor`` groups (hot-bucket mitigation) and replicates the
-    bucket's right rows into every group.
+    bucket's right rows into every group. ``tolerance_sec`` bounds
+    match staleness (maps straight onto ``merge_asof``'s native
+    ``tolerance``; matches ``asof_join_window``'s semantics).
     """
     left_cols = left.columns
     out_fields = [left.schema[c] for c in left_cols] + [
@@ -170,6 +200,13 @@ def asof_join_sorted(
         rp = rp.drop_duplicates(subset=[on, right_ts], keep="last")
         lp = lp.sort_values([left_ts], kind="stable")
         rp = rp.sort_values([right_ts], kind="stable")
+        tol = None
+        if tolerance_sec is not None:
+            tol = (
+                pd.Timedelta(seconds=tolerance_sec)
+                if pd.api.types.is_datetime64_any_dtype(lp[left_ts])
+                else tolerance_sec
+            )
         merged = pd.merge_asof(
             lp,
             rp[[on, right_ts] + list(value_cols)].rename(columns={right_ts: "_rts"}),
@@ -178,6 +215,7 @@ def asof_join_sorted(
             by=on,
             direction="backward",
             allow_exact_matches=True,
+            tolerance=tol,
         )
         return merged[left_cols + list(value_cols)]
 

@@ -1,0 +1,213 @@
+"""Leakage-safe feature-engineering transforms over entity×timestamp
+data: EWMA, time-aware target encoding, per-group normalization, and
+equal-frequency quantile binning.
+
+These extend the windowed feature family (``operators/windows.py``,
+reference analogue: the per-record feature maps of
+``src/services/extraction_service.py``) with the transforms a
+training-data pipeline applies after the raw features exist. The
+north-rule constraint carries over: nothing here may look at the
+current or future rows when encoding history (zero temporal leakage),
+and everything partitions by entity — no global sorts, no driver
+collects, no per-row Python.
+
+Scale notes
+-----------
+* ``ewma`` groups by entity via ``applyInPandas`` — the same
+  bounded-entity contract every ``Window.partitionBy(entity)`` op in
+  this package already has (a crawl history per url is thousands of
+  rows, not billions). The pandas ``ewm`` recursion is numerically
+  stable for arbitrarily long histories, unlike the closed-form
+  power-weight formula (which the DuckDB oracle uses at test scale,
+  where exponents stay tiny).
+* ``time_target_encode`` is pure window algebra: one shuffle on the
+  key, plus a 1-row global-prior aggregate broadcast back (never an
+  unpartitioned window, which would serialize on one task).
+* ``quantile_bin`` computes boundaries in ONE aggregate row and
+  broadcasts them; at 100 TB swap ``F.percentile`` for
+  ``F.approx_percentile`` — same plumbing, sketch-mergeable. Exact
+  percentile is kept as the default because the contract oracle
+  (DuckDB ``quantile_cont``) defines linear interpolation the same
+  way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ewma(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    cols: Sequence[str],
+    alpha: float,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-entity exponentially weighted moving average of ``cols``
+    ordered by ``ts`` (then ``tiebreak`` for a total order).
+
+    ``adjust=True`` semantics (the pandas default):
+    ``y_t = sum_i x_i (1-a)^(t-i) / sum_i (1-a)^(t-i)`` over ``i<=t``
+    — the current row IS included, so use ``with_lag_lead`` first if
+    a strictly-historical smoother is needed. NaN inputs keep their
+    weight slot but drop out of both sums (``ignore_na=False``).
+
+    Arrow-batched ``applyInPandas``: one shuffle on the entity key,
+    vectorized ``Series.ewm`` inside, output schema = input +
+    ``{col}_ewma`` doubles.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    order = [ts, *(tiebreak or [])]
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(f"{c}_ewma", T.DoubleType()) for c in cols]
+    )
+    cols = list(cols)
+
+    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        for c in cols:
+            pdf[f"{c}_ewma"] = (
+                pdf[c].astype("float64").ewm(alpha=alpha, adjust=True).mean()
+            )
+        return pdf
+
+    return df.groupBy(entity).applyInPandas(_ewm, schema=out_schema)
+
+
+def time_target_encode(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    target: str,
+    smoothing: float = 10.0,
+    out_col: str = "target_enc",
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Time-aware target encoding with zero leakage: each row's code
+    is the smoothed mean of ``target`` over STRICTLY EARLIER rows of
+    the same ``key`` — the current row and the future never reach
+    their own encoding (the as-of-join discipline applied to category
+    encoding).
+
+    ``code = (hist_sum + smoothing * prior) / (hist_count + smoothing)``
+    where ``prior`` is the global target mean; a key's first row gets
+    exactly the prior. Plan shape: one window shuffle on ``key``, one
+    1-row aggregate broadcast-joined back.
+    """
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = df.agg(F.avg(target).alias("_prior"))
+    hist_sum = F.coalesce(F.sum(target).over(w), F.lit(0.0))
+    hist_cnt = F.coalesce(F.count(target).over(w), F.lit(0))
+    return (
+        df.withColumns({"_hsum": hist_sum, "_hcnt": hist_cnt})
+        .crossJoin(F.broadcast(prior))
+        .withColumn(
+            out_col,
+            (F.col("_hsum") + F.lit(smoothing) * F.col("_prior"))
+            / (F.col("_hcnt") + F.lit(smoothing)),
+        )
+        .drop("_hsum", "_hcnt", "_prior")
+    )
+
+
+def normalize_features(
+    df: DataFrame,
+    key: str | Sequence[str] | None,
+    cols: Sequence[str],
+    method: str = "zscore",
+) -> DataFrame:
+    """Per-group feature scaling: ``zscore`` → ``(x - mean)/stddev``
+    (sample stddev), ``minmax`` → ``(x - min)/(max - min)``.
+
+    ``key=None`` scales globally via a 1-row aggregate broadcast (NOT
+    an unpartitioned window — that would serialize the table through
+    one task). Degenerate groups (zero variance / constant) yield
+    NULL, not a division blow-up: a constant feature carries no
+    signal and downstream imputation should see that explicitly.
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown method {method!r}")
+    keys = [key] if isinstance(key, str) else list(key or [])
+
+    def _exprs(get):
+        out = {}
+        for c in cols:
+            if method == "zscore":
+                mu, sd = get(F.avg(c), c, "mu"), get(F.stddev_samp(c), c, "sd")
+                out[f"{c}_norm"] = F.when(
+                    sd > 0, (F.col(c) - mu) / sd
+                )
+            else:
+                lo, hi = get(F.min(c), c, "lo"), get(F.max(c), c, "hi")
+                out[f"{c}_norm"] = F.when(
+                    hi > lo, (F.col(c) - lo) / (hi - lo)
+                )
+        return out
+
+    if keys:
+        w = Window.partitionBy(*keys)
+        return df.withColumns(_exprs(lambda e, c, tag: e.over(w)))
+    stat_cols = [
+        (e, f"_{tag}_{c}")
+        for c in cols
+        for e, tag in (
+            ((F.avg(c), "mu"), (F.stddev_samp(c), "sd"))
+            if method == "zscore"
+            else ((F.min(c), "lo"), (F.max(c), "hi"))
+        )
+    ]
+    stats = df.agg(*[e.alias(name) for e, name in stat_cols])
+    out = df.crossJoin(F.broadcast(stats)).withColumns(
+        _exprs(lambda e, c, tag: F.col(f"_{tag}_{c}"))
+    )
+    return out.drop(*[name for _, name in stat_cols])
+
+
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency binning: bin ``i`` (1-based) spans the
+    ``(i-1)/n .. i/n`` quantile range of ``col``. Boundaries come
+    from ONE exact-percentile aggregate row broadcast back to the
+    scan; the bin expression is a JVM array probe
+    (``1 + #{boundaries < x}``), no per-row Python.
+
+    At corpus scale, swap the boundary aggregate for
+    ``F.approx_percentile`` (t-digest, mergeable) — the broadcast and
+    probe are unchanged. NULL input → NULL bin.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    out_col = out_col or f"{col}_bin"
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.percentile(col, F.lit(fracs).cast("array<double>")).alias("_bounds")
+    )
+    x = F.col(col).cast("double")
+    bin_expr = F.when(
+        x.isNotNull(),
+        (
+            F.size(F.filter(F.col("_bounds"), lambda b: x > b)) + 1
+        ).cast("int"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, bin_expr)
+        .drop("_bounds")
+    )
