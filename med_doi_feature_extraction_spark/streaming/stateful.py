@@ -151,3 +151,135 @@ def sessionize_stateful(
         "append",
         timeout,
     )
+
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("num", T.DoubleType()),
+        T.StructField("den", T.DoubleType()),
+        T.StructField("pending_ts_us", T.ArrayType(T.LongType())),
+        T.StructField("pending_val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _ewma_output_schema(entity: str, ts: str, value: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(entity, T.LongType()),
+            T.StructField(ts, T.TimestampType()),
+            T.StructField(value, T.DoubleType()),
+            T.StructField(f"{value}_ewma", T.DoubleType()),
+        ]
+    )
+
+
+def ewma_stateful(
+    events: DataFrame,
+    entity: str,
+    ts: str,
+    value: str,
+    alpha: float,
+    watermark: str = "1 hour",
+    buffer_late: bool = False,
+) -> DataFrame:
+    """Streaming per-row EWMA with cross-microbatch state — the
+    streaming twin of ``operators.feateng.ewma`` (adjust=True,
+    ignore_na=False semantics).
+
+    State per entity is two scalars: ``num_t = x_t + (1-a)·num_{t-1}``
+    and ``den_t = 1 + (1-a)·den_{t-1}`` (NaN rows decay both without
+    adding — exactly pandas ``ignore_na=False`` weight bookkeeping);
+    the emitted mean is ``num/den``. O(entities) state regardless of
+    history length — the streaming-native form of a feature whose
+    batch recursion needs the whole history in order.
+
+    Same delivery contract as :func:`sessionize_stateful`: default
+    mode assumes per-entity non-decreasing ts across microbatches;
+    ``buffer_late=True`` holds rows in state until the event watermark
+    passes them and finalizes in ts order (append semantics). Ties at
+    equal ts finalize in arrival order (stable sort), matching the
+    batch operator's stable mergesort when no tiebreak is given.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    r = 1.0 - alpha
+
+    def step(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            last_ts_us, num, den, p_ts, p_val = state.get
+            pending = list(zip(p_ts or [], p_val or []))
+        else:
+            last_ts_us, num, den = None, 0.0, 0.0
+            pending = []
+
+        new_rows: list[tuple[int, float]] = []
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                ts_us = (
+                    pdf[ts].to_numpy(dtype="datetime64[ns]").astype("int64")
+                    // 1000
+                )
+                vals = pdf[value].to_numpy(dtype="float64")
+                new_rows.extend(zip(ts_us.tolist(), vals.tolist()))
+
+        if buffer_late:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            pending = sorted(pending + new_rows, key=lambda p: p[0])
+            ready = [p for p in pending if p[0] <= wm_us]
+            pending = [p for p in pending if p[0] > wm_us]
+        else:
+            ready = sorted(new_rows, key=lambda p: p[0])
+            pending = []
+
+        out_rows = []
+        for t_us, x in ready:
+            num *= r
+            den *= r
+            if x == x:  # non-NaN
+                num += x
+                den += 1.0
+            last_ts_us = t_us
+            out_rows.append((t_us, x, (num / den) if den > 0 else None))
+
+        state.update(
+            (
+                last_ts_us,
+                num,
+                den,
+                [p[0] for p in pending],
+                [p[1] for p in pending],
+            )
+        )
+        if buffer_late and pending:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(min(p[0] for p in pending) // 1000, wm_ms + 1)
+            )
+        if out_rows:
+            cols = pd.DataFrame(out_rows, columns=["_us", value, f"{value}_ewma"])
+            yield pd.DataFrame(
+                {
+                    entity: key[0],
+                    ts: pd.to_datetime(cols["_us"], unit="us"),
+                    value: cols[value],
+                    f"{value}_ewma": cols[f"{value}_ewma"],
+                }
+            )
+
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    if events.isStreaming:
+        events = events.withWatermark(ts, watermark)
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if buffer_late
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(entity).applyInPandasWithState(
+        step,
+        _ewma_output_schema(entity, ts, value),
+        EWMA_STATE_SCHEMA,
+        "append",
+        timeout,
+    )

@@ -420,3 +420,108 @@ def test_stream_page_features_parity(spark, tmp_path):
     assert len(merged) == len(streamed_sess)  # every emitted row matches a batch row
     for col in ["session_id", "session_seq", "snap_rank"]:
         assert (merged[f"{col}_s"] == merged[f"{col}_b"]).all(), col
+
+
+def test_stateful_ewma_matches_batch(spark, tmp_path):
+    """Streaming O(1)-state EWMA == the batch feateng.ewma recursion
+    for every row, across microbatch boundaries."""
+    from med_doi_feature_extraction_spark.operators.feateng import ewma
+    from med_doi_feature_extraction_spark.streaming.stateful import ewma_stateful
+
+    src = str(tmp_path / "ewma_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.orderBy("ts").coalesce(1).write.parquet(src)
+
+    streamed = run_stream_once(
+        spark, src, events.schema,
+        lambda s: ewma_stateful(s, "user_id", "ts", "value", alpha=0.3),
+        query_name="stateful_ewma",
+    ).toPandas()
+
+    batch = (
+        ewma(
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .select("user_id", "ts", "value"),
+            "user_id", "ts", ["value"], alpha=0.3,
+        )
+        .select("user_id", "ts", "value", "value_ewma")
+        .toPandas()
+    )
+    key = ["user_id", "ts"]
+    streamed = streamed.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(streamed) == len(batch) == 1000
+    assert (
+        (streamed["value_ewma"] - batch["value_ewma"]).abs() < 1e-9
+    ).all()
+
+
+def test_stateful_ewma_out_of_order_and_nan(spark, tmp_path):
+    """buffer_late=True: rows arriving out of order across
+    microbatches (within the watermark) produce exactly the batch
+    EWMA; NaN rows decay the weights without contributing
+    (ignore_na=False parity)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from med_doi_feature_extraction_spark.operators.feateng import ewma
+    from med_doi_feature_extraction_spark.streaming.stateful import ewma_stateful
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda offs, vals, uid=1: pd.DataFrame(
+        {
+            "user_id": uid,
+            "ts": [base + pd.Timedelta(seconds=s) for s in offs],
+            "value": vals,
+        }
+    ).astype({"ts": "datetime64[us]", "value": "float64"})
+    src = tmp_path / "ewma_ooo"
+    src.mkdir()
+    # second file delivers ts=100 AFTER ts=5000 was already seen; one
+    # NaN value in-band; uid=99 row advances the watermark far enough
+    # to finalize everything
+    batches = [
+        mk([0, 5000], [10.0, 30.0]),
+        mk([100, 5100], [20.0, float("nan")]),
+        mk([100000], [1.0], uid=99),
+    ]
+    for i, pdf in enumerate(batches):
+        p = str(src / f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    schema = spark.createDataFrame(batches[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = ewma_stateful(
+        stream, "user_id", "ts", "value", alpha=0.5,
+        watermark="1000 seconds", buffer_late=True,
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("ewma_ooo").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM ewma_ooo WHERE user_id = 1")
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) == 4, f"expected all 4 rows finalized, got {len(got)}"
+
+    expected = (
+        ewma(
+            spark.createDataFrame(
+                mk([0, 100, 5000, 5100], [10.0, 20.0, 30.0, float("nan")])
+            ),
+            "user_id", "ts", ["value"], alpha=0.5,
+        )
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert (
+        (got["value_ewma"] - expected["value_ewma"]).abs() < 1e-12
+    ).all()
+    # the NaN row still emits the carried mean, not NaN
+    assert got["value_ewma"].iloc[3] == got["value_ewma"].iloc[2]
