@@ -375,6 +375,40 @@ FROM events e LEFT JOIN LATERAL (
 """
 
 
+def q_asof_horizons(spark, sf_dir):
+    """Freshness-tiered as-of features: the SAME backward match
+    exposed at 1-day and 1-week staleness tiers from ONE union-window
+    pass (N tolerance joins would sort the big side N times)."""
+    from med_doi_feature_extraction_spark.operators.asof import (
+        asof_join_horizons,
+    )
+
+    ev, dim = _asof_inputs(spark, sf_dir)
+    out = asof_join_horizons(
+        ev, dim, "user_id", "ts", "obs_ts", ["signup_value"],
+        horizons={"1d": 86400, "1w": 604800},
+        right_tiebreak=["obs_event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "signup_value_1d", "signup_value_1w"
+    )
+
+
+SQL_ASOF_HORIZONS = """
+SELECT e.user_id, e.event_id, e.ts,
+       CASE WHEN d.mts >= e.ts - INTERVAL '86400 seconds'
+            THEN d.v END AS signup_value_1d,
+       CASE WHEN d.mts >= e.ts - INTERVAL '604800 seconds'
+            THEN d.v END AS signup_value_1w
+FROM events e LEFT JOIN LATERAL (
+  SELECT s.value AS v, s.ts AS mts
+  FROM events s
+  WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts
+  ORDER BY s.ts DESC, s.event_id DESC LIMIT 1
+) d ON true
+"""
+
+
 # ------------------------------------------------- events: feateng transforms
 
 def q_ewma(spark, sf_dir):
@@ -2811,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_join_sorted": q_asof_join_sorted,
         "asof_tolerance": q_asof_tolerance,
+        "asof_horizons": q_asof_horizons,
         "ewma": q_ewma,
         "target_encode": q_target_encode,
         "feature_norm": q_feature_norm,
@@ -2892,6 +2927,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF,
         "asof_join_sorted": SQL_ASOF,
         "asof_tolerance": SQL_ASOF_TOLERANCE,
+        "asof_horizons": SQL_ASOF_HORIZONS,
         "ewma": SQL_EWMA,
         "target_encode": SQL_TARGET_ENCODE,
         "feature_norm": SQL_FEATURE_NORM,

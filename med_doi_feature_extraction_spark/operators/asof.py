@@ -35,7 +35,7 @@ from collections.abc import Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,6 +72,38 @@ def asof_join_window(
     value column stays the match (the struct itself is non-null)
     instead of that one column falling back to an older row.
     """
+    filled = _asof_filled(
+        left, right, on, left_ts, right_ts, value_cols, right_tiebreak,
+        carry_match_ts=tolerance_sec is not None,
+    )
+    if tolerance_sec is None:
+        filled = filled.withColumns(
+            {c: F.col("_r_match")[c] for c in value_cols}
+        )
+    else:
+        fresh = _staleness_secs() <= F.lit(float(tolerance_sec))
+        filled = filled.withColumns(
+            {c: F.when(fresh, F.col("_r_match")[c]) for c in value_cols}
+        )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .drop("_ts", "_side", "_r_vals", "_r_match")
+    )
+
+
+def _asof_filled(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    right_tiebreak: Sequence[str] | None,
+    carry_match_ts: bool,
+) -> DataFrame:
+    """Shared union-and-window build: returns the unioned frame with
+    ``_r_match`` (the best backward match's value struct) attached to
+    every row, sides still mixed (``_side`` 1 = left)."""
     tb = [F.col(c).desc() for c in (right_tiebreak or [])]
     w_tie = Window.partitionBy(on, right_ts).orderBy(*(tb or [F.lit(1)]))
     right_dedup = (
@@ -82,7 +114,7 @@ def asof_join_window(
 
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     struct_fields = [F.col(c) for c in value_cols]
-    if tolerance_sec is not None:
+    if carry_match_ts:
         # carry the matched right ts inside the SAME struct so the
         # staleness test sees the row last(ignorenulls) actually chose
         struct_fields.append(F.col(right_ts).alias("__match_ts"))
@@ -103,28 +135,62 @@ def asof_join_window(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.withColumn(
+    return unioned.withColumn(
         "_r_match", F.last("_r_vals", ignorenulls=True).over(w)
     )
-    if tolerance_sec is None:
-        filled = filled.withColumns(
-            {c: F.col("_r_match")[c] for c in value_cols}
-        )
-    else:
-        # TIMESTAMP_NTZ has no direct double cast; go via TIMESTAMP
-        # (session TZ pinned UTC, value preserved) keeping fractional
-        # seconds. Numeric ts types pass through both casts unchanged.
-        def _secs(c):
-            return c.cast("timestamp").cast("double")
 
-        fresh = (
-            _secs(F.col("_ts")) - _secs(F.col("_r_match")["__match_ts"])
-        ) <= F.lit(float(tolerance_sec))
-        filled = filled.withColumns(
-            {c: F.when(fresh, F.col("_r_match")[c]) for c in value_cols}
+
+def _staleness_secs() -> Column:
+    """``left_ts - matched right_ts`` in fractional seconds.
+
+    TIMESTAMP_NTZ has no direct double cast; go via TIMESTAMP
+    (session TZ pinned UTC, value preserved) keeping fractional
+    seconds. Numeric ts types pass through both casts unchanged."""
+
+    def _secs(c):
+        return c.cast("timestamp").cast("double")
+
+    return _secs(F.col("_ts")) - _secs(F.col("_r_match")["__match_ts"])
+
+
+def asof_join_horizons(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    horizons: dict[str, float],
+    right_tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """ONE as-of pass, N staleness tiers: for every horizon ``name →
+    max_age_sec`` emit ``{col}_{name}`` — the backward-matched value
+    if (and only if) the match is no staler than ``max_age_sec``.
+
+    Freshness-tiered features (the same dim value at 1 h / 1 d / 1 w
+    tolerance) are the standard way to expose recency to a model
+    without leaking the future; doing it as N tolerance joins would
+    pay the big-side union sort N times, while here the match is
+    found ONCE and the tiers are plain column predicates on the
+    carried match timestamp.
+    """
+    if not horizons:
+        raise ValueError("horizons must be a non-empty {name: seconds} map")
+    filled = _asof_filled(
+        left, right, on, left_ts, right_ts, value_cols, right_tiebreak,
+        carry_match_ts=True,
+    )
+    age = _staleness_secs()
+    out_cols = {
+        f"{c}_{name}": F.when(
+            age <= F.lit(float(secs)), F.col("_r_match")[c]
         )
+        for name, secs in horizons.items()
+        for c in value_cols
+    }
     return (
-        filled.filter(F.col("_side") == 1)
+        filled.withColumns(out_cols)
+        .filter(F.col("_side") == 1)
         .drop("_ts", "_side", "_r_vals", "_r_match")
     )
 

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 
 from med_doi_feature_extraction_spark.operators.asof import (
+    asof_join_horizons,
     asof_join_sorted,
     asof_join_window,
 )
@@ -207,6 +208,30 @@ def test_asof_tolerance_bounds_staleness(spark, impl):
     got = {r["id"]: r["v"] for r in out.collect()}
     assert got[1] == 100.0  # diff == tolerance exactly → still a match
     assert got[2] is None   # 4h stale > 2h tolerance → no match
+
+
+def test_asof_horizons_tiered_staleness(spark):
+    """One pass, tiered columns: the 2h-fresh match appears in the 2h+
+    tiers only; the left row with a 4h-stale match sees it only in
+    tiers that admit 4h; no-match rows are NULL in every tier."""
+    left = spark.createDataFrame(
+        [("k", 1, _ts(12)), ("k", 2, _ts(14)), ("z", 3, _ts(12))],
+        ["k", "id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(10), 100.0)], ["k", "obs_ts", "v"]
+    )
+    out = asof_join_horizons(
+        left, right, "k", "ts", "obs_ts", ["v"],
+        horizons={"2h": 2 * 3600, "6h": 6 * 3600},
+    )
+    got = {r["id"]: (r["v_2h"], r["v_6h"]) for r in out.collect()}
+    assert got[1] == (100.0, 100.0)   # 2h stale: in both tiers (== bound)
+    assert got[2] == (None, 100.0)    # 4h stale: only the 6h tier
+    assert got[3] == (None, None)     # no right row at all
+    assert sorted(out.columns) == ["id", "k", "ts", "v_2h", "v_6h"]
+    with pytest.raises(ValueError):
+        asof_join_horizons(left, right, "k", "ts", "obs_ts", ["v"], {})
 
 
 @pytest.mark.parametrize("impl", ["window", "sorted"])
