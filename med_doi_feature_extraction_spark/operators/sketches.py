@@ -1,0 +1,103 @@
+"""Mergeable sketch aggregates: HLL distinct counts, approximate
+quantiles, and a two-level (partition → merge) sketch pipeline.
+
+At 10^12 documents, exact ``count(DISTINCT ...)`` is a full shuffle
+of every distinct key and exact percentiles are a global sort — the
+corpus-stats questions a curation pipeline asks constantly ("distinct
+urls per domain", "p95 doc length per language") need sketches. Spark
+ships DataSketches HLL (``hll_sketch_agg``/``hll_union_agg``, binary
+mergeable state) and Greenwald-Khanna approximate percentiles
+(``percentile_approx``); this module wraps them in the engine's
+operator surface and, more importantly, exposes the MERGE path: build
+per-group sketch bytes once, persist them, and answer rollups at any
+coarser grouping by unioning sketches — never rescanning the corpus.
+
+That merge property is the scale story: the expensive pass is one
+scan producing kilobyte-sized sketch rows per fine-grained group;
+every coarser rollup (per-domain → per-TLD → global) is an aggregate
+over those rows. Exact distinct cannot do this (distinct sets don't
+merge small); HLL sketches do, with ~1.6%% relative error at the
+default lgk=12 (4 KiB per sketch).
+
+Correctness strategy: sketch VALUES are implementation-defined, so
+the contract query materializes them (the same materialize-then-SQL
+seam the minhash/LSH oracles use) and the DuckDB oracle independently
+computes EXACT distinct counts + quantiles from the base table and
+checks the materialized estimates against published error bounds.
+The merge identity (union of per-partition sketches == one-shot
+sketch) is pytest-pinned, which is exactly the property that makes
+the two-level pipeline trustworthy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LGK = 12  # DataSketches default: ~1.6% stderr, 4 KiB sketch
+
+
+def group_sketch(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Per-``keys`` HLL sketch BYTES for ``distinct_col`` plus the
+    estimate: ``(keys..., sketch binary, distinct_est long)``.
+
+    The sketch column is the reusable artifact — persist it and every
+    coarser rollup is ``rollup_sketch`` over these rows instead of a
+    corpus rescan."""
+    sketch = F.hll_sketch_agg(distinct_col, F.lit(lgk)).alias("sketch")
+    return df.groupBy(*keys).agg(sketch).withColumn(
+        "distinct_est", F.hll_sketch_estimate("sketch")
+    )
+
+
+def rollup_sketch(
+    sketches: DataFrame, keys: Sequence[str], sketch_col: str = "sketch"
+) -> DataFrame:
+    """Merge fine-grained sketch rows up to coarser ``keys`` (possibly
+    ``[]`` for a global estimate) — touches only the sketch rows,
+    never the base data. Allowing different lgk across inputs
+    (``allowDifferentLgConfigK=True``) keeps historical sketch files
+    usable after a precision change."""
+    merged = F.hll_union_agg(sketch_col, F.lit(True)).alias("sketch")
+    grouped = (
+        sketches.groupBy(*keys).agg(merged)
+        if keys
+        else sketches.groupBy().agg(merged)
+    )
+    return grouped.withColumn("distinct_est", F.hll_sketch_estimate("sketch"))
+
+
+def approx_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 10000,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """One-scan approximate group stats: HLL distinct estimate of
+    ``distinct_col`` + Greenwald-Khanna quantiles of ``value_col``.
+
+    Output: ``(keys..., distinct_est, q<pct> for each quantile)``.
+    ``accuracy`` bounds GK rank error at ``1/accuracy`` of the group
+    row count — at accuracy=10000, a q50 estimate sits within the
+    values at ranks n*(0.5 ± 0.0001)."""
+    aggs = [
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(distinct_col, F.lit(lgk))
+        ).alias("distinct_est")
+    ]
+    for q in quantiles:
+        name = f"q{int(round(q * 100)):02d}"
+        aggs.append(
+            F.percentile_approx(value_col, F.lit(q), F.lit(accuracy)).alias(name)
+        )
+    return df.groupBy(*keys).agg(*aggs)
