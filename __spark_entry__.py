@@ -1684,6 +1684,94 @@ FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.cell_ts = g.cell_ts
 """
 
 
+# ----------------------------------------------------- calendar features
+
+
+def q_calendar(spark, sf_dir):
+    """Calendar + cyclical (sin/cos) timestamp features
+    (operators/feateng.calendar_features): scan-stage Column algebra,
+    ISO conventions written out so engines agree by construction."""
+    from med_doi_feature_extraction_spark.operators.feateng import (
+        calendar_features,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    out = calendar_features(ev, "ts")
+    return out.select(
+        "event_id", "ts", "ts_dow", "ts_hour", "ts_day", "ts_month",
+        "ts_week", "ts_is_weekend",
+        F.round("ts_hour_sin", 6).alias("ts_hour_sin"),
+        F.round("ts_hour_cos", 6).alias("ts_hour_cos"),
+        F.round("ts_dow_sin", 6).alias("ts_dow_sin"),
+        F.round("ts_dow_cos", 6).alias("ts_dow_cos"),
+    )
+
+
+SQL_CALENDAR = """
+SELECT event_id, ts,
+       CAST(isodow(ts) AS INT) AS ts_dow,
+       CAST(hour(ts) AS INT) AS ts_hour,
+       CAST(day(ts) AS INT) AS ts_day,
+       CAST(month(ts) AS INT) AS ts_month,
+       CAST(weekofyear(ts) AS INT) AS ts_week,
+       isodow(ts) >= 6 AS ts_is_weekend,
+       round(sin(hour(ts) * 2 * pi() / 24), 6) AS ts_hour_sin,
+       round(cos(hour(ts) * 2 * pi() / 24), 6) AS ts_hour_cos,
+       round(sin((isodow(ts) - 1) * 2 * pi() / 7), 6) AS ts_dow_sin,
+       round(cos((isodow(ts) - 1) * 2 * pi() / 7), 6) AS ts_dow_cos
+FROM events
+"""
+
+
+# ----------------------------------------------- SCD2 / gaps-and-islands
+
+
+def q_scd2_runs(spark, sf_dir):
+    """SCD type-2 dimension build with run collapsing
+    (operators/scd.py): consecutive same-event_type snapshots per
+    user merge into one validity interval [valid_from, valid_to) —
+    the gaps-and-islands construction (change flag → cumulative-sum
+    run id → per-run aggregate), one Exchange on the entity key."""
+    from med_doi_feature_extraction_spark.operators.scd import collapse_runs
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = collapse_runs(
+        ev, "user_id", "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        F.col("n_snapshots").cast("long").alias("n_snapshots"),
+    )
+
+
+SQL_SCD2_RUNS = """
+WITH f AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(1) OVER w IS NULL
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM f
+),
+c AS (
+  SELECT user_id, run, event_type, min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_snapshots
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+       n_snapshots
+FROM c
+"""
+
+
 # ------------------------------- dedup/ANN: materialize-then-SQL oracle splits
 #
 # VERDICT r2 #2/#3: the signature/assignment kernels (minhash numpy,
@@ -3101,6 +3189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "resample": q_resample,
         "sketch_stats": q_sketch_stats,
+        "scd2_runs": q_scd2_runs,
+        "calendar": q_calendar,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -3182,6 +3272,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap": SQL_INTERVAL_OVERLAP,
         "resample": SQL_RESAMPLE,
         "sketch_stats": _sql_sketch_stats(),
+        "scd2_runs": SQL_SCD2_RUNS,
+        "calendar": SQL_CALENDAR,
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,

@@ -94,6 +94,7 @@ def main() -> None:
         "topk_per_group", "exact_dedup", "minhash_neardup", "simhash_pairs",
         "cosine_topk", "lsh_topk", "quality_gate", "lang_id",
         "decontam", "tfidf_topk", "paragraph_dedup",
+        "interval_join", "resample", "sketch_stats",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
@@ -133,6 +134,16 @@ def main() -> None:
         ),
         "lsh_topk": lambda s, d: similarity.lsh_topk(
             _emb(s), _emb(s).filter(F.col("vec_id") < 8), k=5
+        ),
+        # sketch_stats' contract query writes an oracle seam + joins an
+        # exact-verification side; the production operator is the
+        # one-scan approx_stats — time that.
+        "sketch_stats": lambda s, d: __import__(
+            "med_doi_feature_extraction_spark.operators.sketches",
+            fromlist=["approx_stats"],
+        ).approx_stats(
+            s.read.parquet(f"{d}/events.parquet"),
+            ["event_type"], "user_id", "value",
         ),
     }
 

@@ -211,3 +211,38 @@ def quantile_bin(
         .withColumn(out_col, bin_expr)
         .drop("_bounds")
     )
+
+
+def calendar_features(
+    df: DataFrame, ts: str, prefix: str | None = None
+) -> DataFrame:
+    """Calendar/cyclical features from a timestamp column: ISO day of
+    week (1=Monday), hour, day of month, month, ISO week, weekend
+    flag, and sin/cos encodings of hour-of-day and day-of-week (the
+    standard trick for giving linear models the wrap-around: hour 23
+    and hour 0 are neighbors on the circle, not 23 apart).
+
+    Pure Column algebra on the scan stage — no shuffle, codegen'd.
+    Spark's ``dayofweek`` is 1=Sunday; the ISO mapping
+    ``((dayofweek + 5) %% 7) + 1`` is written out explicitly so the
+    DuckDB oracle (``isodow``) and any other engine agree by
+    construction rather than by convention."""
+    import math
+
+    p = prefix if prefix is not None else f"{ts}_"
+    t = F.col(ts).cast("timestamp")
+    dow_iso = ((F.dayofweek(t) + 5) % 7) + 1
+    hour = F.hour(t)
+    two_pi = 2 * math.pi
+    return (
+        df.withColumn(f"{p}dow", dow_iso.cast("int"))
+        .withColumn(f"{p}hour", hour.cast("int"))
+        .withColumn(f"{p}day", F.dayofmonth(t).cast("int"))
+        .withColumn(f"{p}month", F.month(t).cast("int"))
+        .withColumn(f"{p}week", F.weekofyear(t).cast("int"))
+        .withColumn(f"{p}is_weekend", dow_iso >= 6)
+        .withColumn(f"{p}hour_sin", F.sin(hour * (two_pi / 24)))
+        .withColumn(f"{p}hour_cos", F.cos(hour * (two_pi / 24)))
+        .withColumn(f"{p}dow_sin", F.sin((dow_iso - 1) * (two_pi / 7)))
+        .withColumn(f"{p}dow_cos", F.cos((dow_iso - 1) * (two_pi / 7)))
+    )
