@@ -1684,6 +1684,76 @@ FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.cell_ts = g.cell_ts
 """
 
 
+# ------------------------------------------------------- table profiling
+
+
+def q_profile_table(spark, sf_dir):
+    """One-scan ANALYZE-style column profile (operators/profile.py):
+    null fraction, distinct count, numeric min/max/mean, string
+    length stats — one aggregate row unpivoted with stack. The
+    contract run uses exact distincts (approx=False) so DuckDB
+    reproduces every cell; the float value column is cast to decimal
+    first so the mean is summation-order-independent (the approx HLL
+    path is covered by tests/test_profile.py)."""
+    from med_doi_feature_extraction_spark.operators.profile import profile
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast(_DEC).alias("value"),
+        "props",
+    )
+    return profile(ev, approx=False)
+
+
+SQL_PROFILE_TABLE = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value, props
+  FROM events
+)
+SELECT 'event_id' AS "column", 'bigint' AS dtype,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+       CAST(count(*) - count(event_id) AS DOUBLE) / count(*) AS null_frac,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS DOUBLE) AS min_num,
+       CAST(max(event_id) AS DOUBLE) AS max_num,
+       CAST(sum(event_id) AS DOUBLE) / count(event_id) AS mean,
+       CAST(NULL AS DOUBLE) AS min_len, CAST(NULL AS DOUBLE) AS max_len,
+       CAST(NULL AS DOUBLE) AS avg_len
+FROM base
+UNION ALL
+SELECT 'event_type', 'string', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(*) - count(event_type) AS DOUBLE) / count(*),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(min(length(event_type)) AS DOUBLE),
+       CAST(max(length(event_type)) AS DOUBLE),
+       CAST(sum(length(event_type)) AS DOUBLE) / count(event_type)
+FROM base
+UNION ALL
+SELECT 'value', 'decimal(18,2)', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(*) - count(value) AS DOUBLE) / count(*),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE),
+       round(CAST(sum(value) AS DOUBLE) / count(value), 6),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM base
+UNION ALL
+SELECT 'props', 'string', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(props) AS BIGINT),
+       CAST(count(*) - count(props) AS DOUBLE) / count(*),
+       CAST(count(DISTINCT props) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(min(length(props)) AS DOUBLE),
+       CAST(max(length(props)) AS DOUBLE),
+       CAST(sum(length(props)) AS DOUBLE) / count(props)
+FROM base
+"""
+
+
 # ----------------------------------------------------- calendar features
 
 
@@ -3191,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "scd2_runs": q_scd2_runs,
         "calendar": q_calendar,
+        "profile_table": q_profile_table,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -3274,6 +3345,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_stats": _sql_sketch_stats(),
         "scd2_runs": SQL_SCD2_RUNS,
         "calendar": SQL_CALENDAR,
+        "profile_table": SQL_PROFILE_TABLE,
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,

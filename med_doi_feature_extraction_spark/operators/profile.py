@@ -1,0 +1,126 @@
+"""One-scan table profiling: per-column null fraction, distinct
+count, numeric moments and string lengths — the ANALYZE/data-quality
+report a curation pipeline runs before and after every stage.
+
+The reference prints per-run coverage stats from a driver loop
+(``src/services/report_service.py`` analogue: field coverage /
+non-empty %%, already covered by ``operators/report.py``); this
+generalizes that to a full column profile computed in ONE aggregate
+pass — every per-column statistic rides the same scan, lands in a
+single 1-row aggregate, and is unpivoted executor-side with
+``stack`` into the long (column, metric...) shape reports want.
+
+Distinct counts: ``approx=True`` (the 100 TB default) uses
+``approx_count_distinct`` (HLL, mergeable, no expand); ``approx=
+False`` uses exact ``count(DISTINCT)`` — Catalyst plans N distinct
+aggregates over one scan via Expand (N× row multiplication before
+partial agg), affordable at test scale and used by the SQL oracle
+so the contract check stays exact. Numeric/string min/max/mean are
+exact either way.
+
+Scale notes: the profile is a full-scan reduction to ONE row —
+partial aggregation does all the work map-side; the only shuffle is
+the single-partition final merge of partial agg states (bytes, not
+rows). With ``approx=True`` there is no Expand: profiling 50 columns
+costs one scan regardless of width. Column pruning keeps the scan at
+exactly the profiled columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    approx: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) in one aggregate pass.
+
+    Output, one row per column:
+    ``column, dtype, n_rows, n_nulls, null_frac, n_distinct,
+    min_num, max_num, mean (numeric columns, else NULL),
+    min_len, max_len, avg_len (string columns, else NULL)``.
+
+    ``n_distinct`` counts non-null values; HLL estimate when
+    ``approx`` (relative standard deviation ``rsd``, default 2%% —
+    sketch memory grows ~1/rsd², still KBs), exact otherwise.
+    """
+    cols = list(columns or df.columns)
+    dtypes = dict(df.dtypes)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = schema[c]
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(
+            (
+                F.approx_count_distinct(c, rsd)
+                if approx
+                else F.countDistinct(c)
+            ).alias(f"{c}__distinct")
+        )
+        if isinstance(dt, _NUMERIC):
+            # decimals aggregate AS decimals (exact, summation-order-
+            # independent mean — callers wanting a reproducible profile
+            # of a float column cast it to decimal first), then surface
+            # as double for a uniform schema
+            x = F.col(c) if isinstance(dt, T.DecimalType) else F.col(c).cast("double")
+            aggs.append(F.min(x).cast("double").alias(f"{c}__min_num"))
+            aggs.append(F.max(x).cast("double").alias(f"{c}__max_num"))
+            aggs.append(F.avg(x).cast("double").alias(f"{c}__mean"))
+        else:
+            n = F.lit(None).cast("double")
+            aggs.append(n.alias(f"{c}__min_num"))
+            aggs.append(n.alias(f"{c}__max_num"))
+            aggs.append(n.alias(f"{c}__mean"))
+        if isinstance(dt, T.StringType):
+            ln = F.length(F.col(c)).cast("double")
+            aggs.append(F.min(ln).alias(f"{c}__min_len"))
+            aggs.append(F.max(ln).alias(f"{c}__max_len"))
+            aggs.append(F.avg(ln).alias(f"{c}__avg_len"))
+        else:
+            n = F.lit(None).cast("double")
+            aggs.append(n.alias(f"{c}__min_len"))
+            aggs.append(n.alias(f"{c}__max_len"))
+            aggs.append(n.alias(f"{c}__avg_len"))
+
+    row = df.agg(*aggs)
+
+    # unpivot the 1-row wide aggregate into (column, stats...) rows:
+    # stack is plan-time literal metadata (names/dtypes) + column refs
+    parts = []
+    for c in cols:
+        parts.append(
+            f"'{c}', '{dtypes[c]}', `{c}__nulls`, `{c}__distinct`, "
+            f"`{c}__min_num`, `{c}__max_num`, `{c}__mean`, "
+            f"`{c}__min_len`, `{c}__max_len`, `{c}__avg_len`"
+        )
+    stacked = row.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {', '.join(parts)}) as "
+        "(column, dtype, n_nulls, n_distinct, min_num, max_num, mean, "
+        "min_len, max_len, avg_len)",
+    )
+    return stacked.select(
+        "column",
+        "dtype",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.when(F.col("n_rows") > 0, F.col("n_nulls") / F.col("n_rows"))
+        .alias("null_frac"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num", "max_num", "mean", "min_len", "max_len", "avg_len",
+    )

@@ -1,0 +1,75 @@
+"""Table profiler tests (operators/profile.py): exact stats against
+hand-computed values (nulls, empty strings, all-null columns), HLL
+approx path error bounds, and the one-scan plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.profile import profile
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    rows = [
+        (1, "a", 10.0, None),
+        (2, "bb", None, None),
+        (3, None, 30.0, None),
+        (4, "a", 20.0, None),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, s string, v double, dead string"
+    )
+
+
+def test_profile_exact(spark, small):
+    got = {r.column: r for r in profile(small, approx=False).collect()}
+    assert set(got) == {"id", "s", "v", "dead"}
+    assert all(r.n_rows == 4 for r in got.values())
+
+    assert got["id"].n_nulls == 0 and got["id"].n_distinct == 4
+    assert (got["id"].min_num, got["id"].max_num, got["id"].mean) == (1.0, 4.0, 2.5)
+    assert got["id"].min_len is None  # not a string
+
+    assert got["s"].n_nulls == 1 and got["s"].null_frac == 0.25
+    assert got["s"].n_distinct == 2  # nulls not counted
+    assert (got["s"].min_len, got["s"].max_len, got["s"].avg_len) == (1.0, 2.0, 4 / 3)
+    assert got["s"].min_num is None
+
+    assert got["v"].n_nulls == 1 and got["v"].n_distinct == 3
+    assert (got["v"].min_num, got["v"].max_num, got["v"].mean) == (10.0, 30.0, 20.0)
+
+    assert got["dead"].n_nulls == 4 and got["dead"].null_frac == 1.0
+    assert got["dead"].n_distinct == 0
+    assert got["dead"].avg_len is None  # avg over zero values
+
+
+def test_profile_column_subset_prunes_scan(spark, small):
+    out = profile(small, ["id", "v"], approx=False)
+    assert [r.column for r in out.collect()] == ["id", "v"]
+
+
+def test_profile_approx_bounds(spark):
+    df = spark.range(50_000).select(
+        F.col("id"),
+        F.concat(F.lit("k"), (F.col("id") % 9973).cast("string")).alias("s"),
+    )
+    got = {r.column: r for r in profile(df, approx=True).collect()}
+    # rsd defaults to 0.02; allow 3 sigma
+    assert abs(got["id"].n_distinct - 50_000) <= 0.06 * 50_000
+    assert abs(got["s"].n_distinct - 9973) <= 0.06 * 9973
+    # exact stats stay exact on the approx path
+    assert got["id"].mean == (50_000 - 1) / 2
+    assert got["id"].n_nulls == 0
+
+
+def test_profile_single_scan_plan(spark, small):
+    """approx path: one aggregate over one scan — no Expand, no join,
+    no extra scans (the whole profile rides a single pass)."""
+    plan = profile(small, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 1
+    assert "Expand" not in plan
+    # exact path trades one Expand for exact distincts, still one scan
+    plan_exact = profile(small, approx=False)._jdf.queryExecution().executedPlan().toString()
+    assert plan_exact.count("Scan") <= 1
