@@ -1684,6 +1684,37 @@ FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.cell_ts = g.cell_ts
 """
 
 
+# --------------------------------------------------- skew-salted groupBy
+
+
+def q_salted_distinct(spark, sf_dir):
+    """Two-stage salted aggregation (operators/skew.py): exact
+    distinct users per event_type via collect_set partials merged
+    across 16 salt groups — output identical to the plain groupBy
+    (which is the oracle), only the shuffle shape differs (a hot
+    key's rows spread over salt_factor reducers in stage 1)."""
+    from med_doi_feature_extraction_spark.operators.skew import salted_agg
+
+    ev = _read(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"],
+        partial={"s": F.collect_set("user_id")},
+        merge={
+            "n_users": F.size(
+                F.array_distinct(F.flatten(F.collect_list("s")))
+            ).cast("long")
+        },
+        salt_factor=16,
+    )
+    return out.select("event_type", "n_users")
+
+
+SQL_SALTED_DISTINCT = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------- table profiling
 
 
@@ -3262,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_runs": q_scd2_runs,
         "calendar": q_calendar,
         "profile_table": q_profile_table,
+        "salted_distinct": q_salted_distinct,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -3346,6 +3378,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_runs": SQL_SCD2_RUNS,
         "calendar": SQL_CALENDAR,
         "profile_table": SQL_PROFILE_TABLE,
+        "salted_distinct": SQL_SALTED_DISTINCT,
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,
