@@ -3206,6 +3206,164 @@ FROM a GROUP BY CUBE (lang, src_bucket)
 """
 
 
+# ------------------------------------------------- packing / quotas / bloom
+
+
+def q_seq_pack(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing (training-row layout):
+    deterministic hash order within hash shards, one window cumsum —
+    the identical expression runs in the DuckDB oracle."""
+    from med_doi_feature_extraction_spark.operators.packing import (
+        pack_chunked,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pack_chunked(
+        docs, "doc_id", "n_chars", budget=2048, n_shards=8, salt="pack"
+    )
+    return out.select("doc_id", "pack_id", "pack_offset", "straddles")
+
+
+def _sql_seq_pack() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "pack")
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {u} AS u,
+         CAST(floor({u} * 8) AS BIGINT) AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, n_chars, shard,
+         SUM(n_chars) OVER (PARTITION BY shard ORDER BY u, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id,
+       CAST(shard * 4294967296 + floor((cum - n_chars) / 2048) AS BIGINT)
+         AS pack_id,
+       CAST((cum - n_chars) % 2048 AS BIGINT) AS pack_offset,
+       floor((cum - 1) / 2048) > floor((cum - n_chars) / 2048) AS straddles
+FROM c
+"""
+
+
+def q_seq_pack_greedy(spark, sf_dir):
+    """No-straddle greedy packing — the running remaining-capacity
+    fold is not a window function (state resets), so this is the
+    applyInPandas kernel; rows-only here, exact parity with the
+    pure-Python reference pinned in tests/test_packing.py."""
+    from med_doi_feature_extraction_spark.operators.packing import (
+        pack_greedy,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pack_greedy(
+        docs, "doc_id", "n_chars", budget=2048, n_shards=8, salt="pack"
+    )
+    return out.select("doc_id", "pack_id", "pack_offset", "oversized")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic retention: keep-probability is
+    a per-row weight (here length-derived), membership a pure
+    function of (key, salt) — append-stable curation thinning."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, "doc_id", F.col("n_chars") / F.lit(2000.0), salt="wq"
+    )
+    return out.select("doc_id", "lang")
+
+
+def _sql_weighted_sample() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "wq")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {u} < least(greatest(n_chars / 2000.0, 0.0), 1.0)
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document quota (RefinedWeb-style cap): at most N
+    pages per registrable domain, survivors chosen by deterministic
+    hash rank so the cap is layout- and append-order-independent."""
+    from med_doi_feature_extraction_spark.operators.sampling import group_cap
+    from med_doi_feature_extraction_spark.operators.urls import (
+        url_domain,
+        url_host,
+    )
+
+    urls = _synth_urls(spark, sf_dir).withColumn(
+        "domain", url_domain(url_host(F.col("url")))
+    )
+    return group_cap(urls, "domain", "o_orderkey", cap=5, salt="cap").select(
+        "o_orderkey", "domain"
+    )
+
+
+def _sql_domain_cap() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(o_orderkey AS VARCHAR)", "cap")
+    host = (
+        "regexp_replace(regexp_replace("
+        "lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),"
+        " '^.*@', ''), ':(80|443)$', '')"
+    )
+    return f"""
+WITH urls AS ({_SQL_SYNTH_URL}),
+d AS (
+  SELECT o_orderkey, {_sql_domain(host)} AS domain, {u} AS u
+  FROM urls
+), r AS (
+  SELECT o_orderkey, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY u, o_orderkey) AS rk
+  FROM d
+)
+SELECT o_orderkey, domain FROM r WHERE rk <= 5
+"""
+
+
+def q_bloom_prune_join(spark, sf_dir):
+    """Bloom semi-join reduction: dim key set → bit array (one small
+    agg job), probe rows pruned AT THE SCAN before the join exchange,
+    exact join on survivors. No false negatives ⇒ result is exactly
+    the plain join — which is the oracle."""
+    from med_doi_feature_extraction_spark.operators.bloom import (
+        bloom_prune_join,
+    )
+
+    fact = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 20 == 0)  # ~5% selective dim
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    return bloom_prune_join(fact, dim, "o_custkey").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+SQL_BLOOM_PRUNE_JOIN = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey % 20 = 0
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3286,6 +3444,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_decisions": q_dedup_decisions,
         # temporal interval joins + grid resample + sketches (round 4)
+        # training-row layout + quotas + join pruning (round 4)
+        "seq_pack": q_seq_pack,
+        # non-SQL-expressible stateful fold — rows-only (exact parity
+        # with the pure-Python reference in tests/test_packing.py):
+        "seq_pack_greedy": q_seq_pack_greedy,
+        "weighted_sample": q_weighted_sample,
+        "domain_cap": q_domain_cap,
+        "bloom_prune_join": q_bloom_prune_join,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "resample": q_resample,
@@ -3371,6 +3537,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _sql_ivf_topk(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_decisions": _sql_dedup_decisions(),
+        "seq_pack": _sql_seq_pack(),
+        "weighted_sample": _sql_weighted_sample(),
+        "domain_cap": _sql_domain_cap(),
+        "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,
         "resample": SQL_RESAMPLE,

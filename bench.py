@@ -95,6 +95,7 @@ def main() -> None:
         "cosine_topk", "lsh_topk", "quality_gate", "lang_id",
         "decontam", "tfidf_topk", "paragraph_dedup",
         "interval_join", "resample", "sketch_stats",
+        "seq_pack", "bloom_prune_join",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -93,6 +93,55 @@ def train_eval_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: str | F.Column, salt: str = ""
+) -> DataFrame:
+    """Keep each row with probability ``clamp(weight, 0, 1)`` — the
+    quality-weighted retention used in corpus curation (keep all
+    high-quality docs, thin the low-quality tail proportionally,
+    e.g. ``weight = quality_score`` or a per-bucket curriculum
+    weight). Same engine-portable sha256 uniform as
+    :func:`hash_sample`, so membership is a pure function of
+    (key, salt, weight): deterministic, append-stable, and
+    hash-checkable in the DuckDB oracle. NULL weights drop the row
+    (NULL < u is never true) — quality-unknown is not quality-high."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_uniform(key_col, salt) < w)
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str | F.Column,
+    key_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group document quota: keep at most ``cap`` rows per group,
+    chosen by deterministic hash order (NOT input order — layout
+    independence again). The canonical use is per-domain caps
+    (RefinedWeb-style: no domain may dominate the corpus), with
+    ``group_col = url_domain(...)``.
+
+    One exchange on the group key + per-group sort for the
+    ``row_number``; groups are domain-sized so the sort is bounded.
+    For a pathological mega-group the rank window inherits the same
+    skew story as every keyed window here: AQE splits the sort-merge
+    stages, and the cap itself means only ``cap`` rows survive the
+    group. Ties beyond the hash are broken by the key itself so the
+    survivor set is total-order-stable."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    u = hash_uniform(key_col, salt)
+    w = Window.partitionBy(g).orderBy(u, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
 def oracle_uniform_sql(key_expr: str, salt: str = "") -> str:
     """The DuckDB expression computing the same uniform — kept next
     to the Spark implementation so the two can't drift."""
