@@ -3364,6 +3364,107 @@ WHERE c.c_custkey % 20 = 0
 """
 
 
+def q_global_rank(spark, sf_dir):
+    """Global row number under a total order WITHOUT the
+    single-partition window: range exchange + bounded per-partition
+    count collect + offset arithmetic (operators/order.py)."""
+    from med_doi_feature_extraction_spark.operators.order import (
+        global_row_number,
+    )
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = global_row_number(o, ["o_totalprice", "o_orderkey"], name="rn")
+    return out.select("o_orderkey", "rn")
+
+
+SQL_GLOBAL_RANK = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn
+FROM orders
+"""
+
+
+def q_skew_join(spark, sf_dir):
+    """Planned hot/cold split join: a synthetic 33%-hot key takes the
+    broadcast branch (hot fact rows never shuffle), the long tail
+    takes the normal shuffle join; union ≡ the plain join (oracle)."""
+    from med_doi_feature_extraction_spark.operators.skew import skew_join
+
+    fact = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("k"),
+    )
+    dim = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"), "c_name"
+    )
+    return skew_join(fact, dim, "k", hot_keys=[1]).select(
+        "o_orderkey", "k", "c_name"
+    )
+
+
+SQL_SKEW_JOIN = """
+WITH fact AS (
+  SELECT o_orderkey,
+         CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS BIGINT) AS k
+  FROM orders
+)
+SELECT f.o_orderkey, f.k, c.c_name
+FROM fact f JOIN customer c ON CAST(c.c_custkey AS BIGINT) = f.k
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus CDC between two snapshots (added/removed/changed/
+    unchanged per key via one full-outer join) — the incremental
+    ingest primitive for a continuously-refreshed corpus."""
+    from med_doi_feature_extraction_spark.operators.upsert import (
+        snapshot_diff,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    out = snapshot_diff(old, new, ["doc_id"], ["text"])
+    return out.select("doc_id", "status")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, text FROM documents
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3452,6 +3553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "domain_cap": q_domain_cap,
         "bloom_prune_join": q_bloom_prune_join,
+        "global_rank": q_global_rank,
+        "skew_join": q_skew_join,
+        "snapshot_diff": q_snapshot_diff,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "resample": q_resample,
@@ -3541,6 +3645,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _sql_weighted_sample(),
         "domain_cap": _sql_domain_cap(),
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
+        "global_rank": SQL_GLOBAL_RANK,
+        "skew_join": SQL_SKEW_JOIN,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,
         "resample": SQL_RESAMPLE,

@@ -82,3 +82,63 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(
         *[a.alias(name) for name, a in merge.items()]
     )
+
+
+def detect_hot_keys(
+    df: DataFrame, key: str, threshold: int, max_hot: int = 10_000
+) -> list:
+    """Keys whose row count exceeds ``threshold`` — one hash-agg job,
+    result bounded by construction (at most ``rows/threshold`` keys
+    can exceed it; ``max_hot`` is a hard cap so the collect stays a
+    statistics-sized transfer like the profiler's)."""
+    rows = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > threshold)
+        .orderBy(F.col("_n").desc())
+        .limit(max_hot)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: Sequence | None = None,
+    hot_threshold: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot/cold split join: rows with heavy-hitter keys take a
+    BROADCAST path (the hot fact rows never cross an exchange — the
+    dim slice for the hot keys is tiny and ships to them), everything
+    else takes the normal shuffle join. Output is row-identical to
+    ``fact.join(dim, key, how)`` — each fact row goes through exactly
+    one branch, and the union is the oracle-checked plain join.
+
+    AQE's skew-join split handles sort-merge skew adaptively at
+    runtime; this operator is the PLANNED version for when the hot
+    keys are known (from ``detect_hot_keys`` / ``hot_domains`` /
+    ``profile``) — it avoids shuffling the hot rows at all rather
+    than splitting their reducer, which matters when one key is 30%
+    of the table. Supports inner/left (each fact row must appear in
+    exactly one branch; right/outer would need dim-side splitting).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner/left, got {how}")
+    if hot_keys is None:
+        if hot_threshold is None:
+            raise ValueError("pass hot_keys or hot_threshold")
+        hot_keys = detect_hot_keys(fact, key, hot_threshold)
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return fact.join(dim, on=key, how=how)
+    is_hot = F.col(key).isin(hot_keys)
+    hot = fact.filter(is_hot).join(
+        F.broadcast(dim.filter(is_hot)), on=key, how=how
+    )
+    cold = fact.filter(~is_hot | F.col(key).isNull()).join(
+        dim, on=key, how=how
+    )
+    return hot.unionByName(cold)
