@@ -3364,6 +3364,54 @@ WHERE c.c_custkey % 20 = 0
 """
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality score: smoothed unigram LM trained on
+    the corpus, per-doc mean token log-prob + perplexity — one
+    vocab-sized broadcast, one per-doc agg; identical arithmetic in
+    the DuckDB oracle end-to-end (train AND score)."""
+    from med_doi_feature_extraction_spark.operators.lm import (
+        lm_quality_score,
+        train_unigram_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = train_unigram_lm(docs, "text")
+    out = lm_quality_score(docs, lm, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "logp_per_token",
+        "ppl",
+    )
+
+
+SQL_LM_QUALITY = r"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), occf AS (
+  SELECT doc_id, token FROM occ WHERE len(token) > 0
+), counts AS (
+  SELECT token, count(*) AS c FROM occf GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS total, count(*) AS v FROM counts
+), lm AS (
+  SELECT token, ln((c + 1)::DOUBLE / (total + v + 1)::DOUBLE) AS logp
+  FROM counts, tot
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(coalesce(lm.logp,
+               (SELECT ln(1.0 / (total + v + 1)::DOUBLE) FROM tot))), 6)
+           AS logp_per_token
+  FROM occf LEFT JOIN lm USING (token)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, agg.n_tokens, agg.logp_per_token,
+       round(exp(-agg.logp_per_token), 3) AS ppl
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_global_rank(spark, sf_dir):
     """Global row number under a total order WITHOUT the
     single-partition window: range exchange + bounded per-partition
@@ -3556,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_rank": q_global_rank,
         "skew_join": q_skew_join,
         "snapshot_diff": q_snapshot_diff,
+        "lm_quality": q_lm_quality,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "resample": q_resample,
@@ -3648,6 +3697,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": SQL_GLOBAL_RANK,
         "skew_join": SQL_SKEW_JOIN,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "lm_quality": SQL_LM_QUALITY,
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,
         "resample": SQL_RESAMPLE,

@@ -1,0 +1,120 @@
+"""Language-model quality scoring (CCNet-style perplexity filter).
+
+The canonical web-curation quality signal: score each document by a
+language model trained on a trusted reference corpus (CCNet scores
+Common Crawl against a Wikipedia LM and keeps the low-perplexity
+head). A neural LM is out of scope for a sandboxed engine, but the
+classic statistical form — a smoothed unigram LM — captures the
+operator's SHAPE exactly, and that shape is the point here:
+
+- ``train_unigram_lm``: one explode + hash-agg over the reference
+  corpus (map-side partials absorb the Zipf head, same argument as
+  ``corpus_stats.document_frequency``), then a plan-side 1-row total
+  for the add-one normalization. Output is (token, logp) — a
+  vocabulary-sized table.
+- ``lm_quality_score``: explode the target corpus's tokens (with
+  duplicates — the LM scores occurrences), LEFT join the LM table
+  (vocabulary-sized ⇒ broadcast; OOV tokens fall to the smoothed
+  floor), aggregate mean log-probability per document. One corpus
+  exchange (the per-doc agg), one broadcast.
+
+Tokenization is ``dedup.ngrams_all_col(n=1)`` — the single
+normalization shared by the dedup tier, ``corpus_stats`` and this
+module, so LM vocabulary and scored tokens can never drift apart.
+All Column algebra, ln/exp rounded to 6 dp for cross-engine
+comparability (the DuckDB oracle runs the identical arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.dedup import ngrams_all_col
+
+
+def _occurrences(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """All token occurrences (duplicates kept, phantom empties from
+    splitting blank text dropped)."""
+    return df.select(
+        *keep, F.explode(ngrams_all_col(text_col, 1)).alias("token")
+    ).filter(F.length("token") > 0)
+
+
+def train_unigram_lm(
+    corpus: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """(token, logp) under add-one smoothing:
+    ``logp = ln((c+1) / (total + V + 1))`` where ``total`` is the
+    occurrence count and ``V`` the vocabulary size of the reference
+    corpus. The out-of-vocabulary floor is ``ln(1 / (total + V + 1))``
+    (:func:`oov_logp` computes it from the same table so the two
+    cannot drift). ``min_count`` prunes hapax noise AFTER totals are
+    taken (pruning must not change the normalizer, or pruned and
+    unpruned LMs would disagree on shared tokens)."""
+    counts = (
+        _occurrences(corpus, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("_total"), F.count(F.lit(1)).alias("_v")
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c",
+        F.log(
+            (F.col("c") + 1).cast("double")
+            / (F.col("_total") + F.col("_v") + 1).cast("double")
+        ).alias("logp"),
+        F.log(
+            F.lit(1.0) / (F.col("_total") + F.col("_v") + 1).cast("double")
+        ).alias("_oov_logp"),
+    )
+    if min_count > 1:
+        lm = lm.filter(F.col("c") >= min_count)
+    return lm.drop("c")
+
+
+def oov_logp(lm: DataFrame) -> float:
+    """The LM's out-of-vocabulary floor — one bounded 1-row first()
+    (the constant rides every LM row precisely so this never needs
+    the source corpus)."""
+    row = lm.select("_oov_logp").first()
+    if row is None:
+        raise ValueError("empty language model")
+    return float(row[0])
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str,
+    text_col: str,
+    oov: float | None = None,
+) -> DataFrame:
+    """Per-document mean token log-probability under ``lm`` (higher =
+    more reference-like) plus perplexity. Returns
+    ``(id, n_tokens, logp_per_token, ppl)``; documents with no tokens
+    keep NULL metrics (a quality gate must see them, not lose them).
+
+    Plan: occurrence explode → broadcast LEFT join on token (OOV →
+    floor) → per-doc hash agg → left join back to the doc spine.
+    The only corpus-sized exchange is the per-doc aggregation, keyed
+    by document id — no skew by construction."""
+    if oov is None:
+        oov = oov_logp(lm)
+    toks = _occurrences(docs, text_col, id_col)
+    scored = toks.join(
+        F.broadcast(lm.select("token", "logp")), "token", "left"
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.coalesce(F.col("logp"), F.lit(oov))), 6).alias(
+            "logp_per_token"
+        ),
+    )
+    agg = agg.withColumn(
+        "ppl", F.round(F.exp(-F.col("logp_per_token")), 3)
+    )
+    return docs.select(id_col).join(agg, id_col, "left")

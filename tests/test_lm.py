@@ -1,0 +1,77 @@
+"""Unigram LM quality scoring: hand-computed probabilities, OOV
+floor, smoothing normalizer invariance under pruning, empty docs."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from med_doi_feature_extraction_spark.operators.lm import (
+    lm_quality_score,
+    oov_logp,
+    train_unigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def ref(spark):
+    # corpus: "a a b" + "a c" -> counts a=3 b=1 c=1, total=5, V=3
+    return spark.createDataFrame(
+        [("r1", "a a b"), ("r2", "a c")], "doc_id string, text string"
+    ).cache()
+
+
+def test_train_hand_computed(ref):
+    lm = {r.token: r.logp for r in train_unigram_lm(ref, "text").collect()}
+    denom = 5 + 3 + 1
+    assert lm["a"] == pytest.approx(math.log(4 / denom))
+    assert lm["b"] == pytest.approx(math.log(2 / denom))
+    assert lm["c"] == pytest.approx(math.log(2 / denom))
+
+
+def test_oov_floor_below_every_token(ref):
+    lm = train_unigram_lm(ref, "text")
+    floor = oov_logp(lm)
+    assert floor == pytest.approx(math.log(1 / 9))
+    assert all(r.logp > floor for r in lm.collect())
+
+
+def test_score_hand_computed_and_oov(spark, ref):
+    lm = train_unigram_lm(ref, "text")
+    docs = spark.createDataFrame(
+        [("d1", "a b"), ("d2", "zz zz"), ("d3", "")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in lm_quality_score(docs, lm, "doc_id", "text").collect()}
+    denom = 9
+    exp_d1 = (math.log(4 / denom) + math.log(2 / denom)) / 2
+    assert got["d1"].logp_per_token == pytest.approx(round(exp_d1, 6))
+    assert got["d1"].n_tokens == 2
+    # all-OOV doc sits exactly on the floor
+    assert got["d2"].logp_per_token == pytest.approx(round(math.log(1 / denom), 6))
+    # empty doc keeps NULL metrics (a gate must SEE it)
+    assert got["d3"].n_tokens is None and got["d3"].logp_per_token is None
+    # reference-like text scores strictly better than OOV noise
+    assert got["d1"].logp_per_token > got["d2"].logp_per_token
+    assert got["d1"].ppl < got["d2"].ppl
+    assert got["d1"].ppl == pytest.approx(
+        round(math.exp(-got["d1"].logp_per_token), 3)
+    )
+
+
+def test_min_count_prunes_without_renormalizing(ref):
+    full = {r.token: r.logp for r in train_unigram_lm(ref, "text").collect()}
+    pruned = {
+        r.token: r.logp
+        for r in train_unigram_lm(ref, "text", min_count=2).collect()
+    }
+    assert set(pruned) == {"a"}  # b, c are hapax
+    assert pruned["a"] == pytest.approx(full["a"])  # same normalizer
+
+
+def test_oov_logp_empty_lm_raises(spark):
+    empty = spark.createDataFrame([("x", "")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        oov_logp(train_unigram_lm(empty, "text"))
