@@ -3364,6 +3364,76 @@ WHERE c.c_custkey % 20 = 0
 """
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 4096
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-Min frequency estimates on the engine-portable sha256
+    hash: the sketch AND the estimates are value-checkable (the oracle
+    rebuilds the identical sketch in DuckDB), unlike the HLL/GK
+    wrappers which can only be bound-checked."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k")
+    )
+    cms = cms_build(orders, "k", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    probes = orders.filter(F.col("k") <= 30).distinct()
+    est = cms_estimate(cms, probes, "k", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    true_n = (
+        orders.filter(F.col("k") <= 30)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.join(true_n, "k").select(
+        "k",
+        F.col("est").cast("long").alias("est"),
+        F.col("true_n").cast("long").alias("true_n"),
+        (F.col("est") >= F.col("true_n")).alias("ge_true"),
+    )
+
+
+def _sql_cms_counts() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    def u(i):
+        return oracle_uniform_sql("CAST(k AS VARCHAR)", f"cms{i}")
+
+    build = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, CAST(floor({u(i)} * {_CMS_WIDTH}) AS BIGINT) AS pos"
+        f" FROM keys"
+        for i in range(_CMS_DEPTH)
+    )
+    coords = "\nUNION ALL\n".join(
+        f"SELECT k, {i} AS row, CAST(floor({u(i)} * {_CMS_WIDTH}) AS BIGINT) AS pos"
+        f" FROM probes"
+        for i in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH keys AS (
+  SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+), cms AS (
+  SELECT row, pos, count(*) AS n FROM ({build}) GROUP BY row, pos
+), probes AS (
+  SELECT DISTINCT k FROM keys WHERE k <= 30
+), est AS (
+  SELECT c.k, CAST(min(coalesce(cms.n, 0)) AS BIGINT) AS est
+  FROM ({coords}) c LEFT JOIN cms USING (row, pos)
+  GROUP BY c.k
+), true_n AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS true_n FROM keys
+  WHERE k <= 30 GROUP BY k
+)
+SELECT est.k, est.est, true_n.true_n, est.est >= true_n.true_n AS ge_true
+FROM est JOIN true_n USING (k)
+"""
+
+
 def q_lm_quality(spark, sf_dir):
     """CCNet-style LM quality score: smoothed unigram LM trained on
     the corpus, per-doc mean token log-prob + perplexity — one
@@ -3605,6 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "snapshot_diff": q_snapshot_diff,
         "lm_quality": q_lm_quality,
+        "cms_counts": q_cms_counts,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "resample": q_resample,
@@ -3698,6 +3769,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": SQL_SKEW_JOIN,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "lm_quality": SQL_LM_QUALITY,
+        "cms_counts": _sql_cms_counts(),
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,
         "resample": SQL_RESAMPLE,

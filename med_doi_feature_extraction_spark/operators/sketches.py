@@ -101,3 +101,80 @@ def approx_stats(
             F.percentile_approx(value_col, F.lit(q), F.lit(accuracy)).alias(name)
         )
     return df.groupBy(*keys).agg(*aggs)
+
+
+# --------------------------------------------------------------- count-min
+
+
+def _cms_pos(key: F.Column, row: int, width: int) -> F.Column:
+    """Row-``row``'s bucket for ``key``: floor(u * width) over the
+    engine-portable sha256 uniform (``sampling.hash_uniform`` with the
+    row index as salt) — deliberately NOT xxhash64, so the DuckDB
+    oracle rebuilds the identical sketch and the whole estimate path
+    is hash-checkable (the HLL/GK wrappers above can only be
+    bound-checked; CMS built on a portable hash can be value-checked)."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    return F.floor(hash_uniform(key, salt=f"cms{row}") * width).cast("long")
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1 << 12
+) -> DataFrame:
+    """Count-Min sketch of ``key_col``'s frequency distribution as a
+    SPARSE (row, pos, n) table — at most ``depth × width`` rows
+    regardless of input size. One explode (×depth) + one hash-agg with
+    map-side partials; mergeable by construction (union two sketch
+    tables and re-sum). Estimates overcount only: for any key,
+    ``true ≤ est ≤ true + εN`` with ε ≈ e/width at failure prob
+    e^-depth — the standard CMS guarantee."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cms_pos(F.col(key_col), i, width).alias("pos"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("c")
+    return (
+        df.select(coords)
+        .select(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1 << 12,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]``: join each of
+    the ``depth`` (row, pos) coordinates against the sparse sketch
+    (sketch side is ≤ depth×width rows ⇒ broadcast) and take the min;
+    coordinates absent from the sparse table count 0. Adds ``est``."""
+    coords = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_pos(F.col(key_col), i, width).alias("pos"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    joined = coords.join(F.broadcast(cms), ["row", "pos"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")
+    )
