@@ -3364,6 +3364,51 @@ WHERE c.c_custkey % 20 = 0
 """
 
 
+_Z_BITS = 12
+_Z_SPECS = [("o_custkey", 0.0, 2000.0), ("o_totalprice", 0.0, 600000.0)]
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over two order dimensions —
+    the lakehouse layout primitive (Delta OPTIMIZE ZORDER / Iceberg
+    sort-order clustering) as portable integer Column algebra."""
+    from med_doi_feature_extraction_spark.operators.layout import (
+        normalize_to_bits,
+        zorder_key,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    norm = [
+        normalize_to_bits(F.col(c), lo, hi, _Z_BITS) for c, lo, hi in _Z_SPECS
+    ]
+    return o.select(
+        "o_orderkey", zorder_key(norm, _Z_BITS).alias("zkey")
+    )
+
+
+def _sql_zorder_key() -> str:
+    eps = repr(1.0 - 2.0**-52)
+    norms = []
+    for c, lo, hi in _Z_SPECS:
+        span = repr(float(hi) - float(lo))
+        norms.append(
+            f"CAST(floor(least(greatest((CAST({c} AS DOUBLE) - {lo!r}) / {span},"
+            f" 0.0), {eps}) * {float(2**_Z_BITS)!r}) AS BIGINT)"
+        )
+    n = len(norms)
+    terms = []
+    for i in range(_Z_BITS):
+        for j, expr in enumerate(norms):
+            terms.append(
+                f"(CAST(floor({expr} / {float(2**i)!r}) AS BIGINT) % 2)"
+                f" * {2 ** (i * n + j)}"
+            )
+    key = " + ".join(terms)
+    return f"""
+SELECT o_orderkey, CAST({key} AS BIGINT) AS zkey FROM orders
+"""
+
+
 _CMS_DEPTH, _CMS_WIDTH = 4, 4096
 
 
@@ -3676,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "lm_quality": q_lm_quality,
         "cms_counts": q_cms_counts,
+        "zorder_key": q_zorder_key,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "resample": q_resample,
@@ -3770,6 +3816,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "lm_quality": SQL_LM_QUALITY,
         "cms_counts": _sql_cms_counts(),
+        "zorder_key": _sql_zorder_key(),
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,
         "resample": SQL_RESAMPLE,
