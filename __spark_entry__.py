@@ -2181,6 +2181,96 @@ FROM documents d LEFT JOIN lab l USING (doc_id)
 """
 
 
+def q_incremental_neardup(spark, sf_dir):
+    """Incoming-snapshot near-dup against an existing corpus
+    (``dedup.incremental_minhash_dedup``): documents split
+    deterministically 1:4 into new/corpus, NEW docs flagged when an
+    LSH band collides with a corpus bucket and exact token Jaccard
+    verifies. Oracle split: both banded frames + both token frames
+    materialized to parquet; Spark runs the operator's own downstream
+    (corpus-side bucket cap → equi-join → Jaccard verify → best-match
+    window) while DuckDB reproduces it relationally."""
+    base = _dedup_base()
+    docs = _read(spark, sf_dir, "documents")
+    is_new = F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0
+    new_df = docs.filter(is_new)
+    corp_df = docs.filter(~is_new)
+    dedup.minhash_bands(
+        dedup.with_minhash(new_df.select("doc_id", "text"), "text"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{base}/inc_bands_new.parquet")
+    dedup.minhash_bands(
+        dedup.with_minhash(corp_df.select("doc_id", "text"), "text"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{base}/inc_bands_corp.parquet")
+    new_df.select("doc_id", dedup.tokens_col("text").alias("toks")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/inc_toks_new.parquet")
+    corp_df.select("doc_id", dedup.tokens_col("text").alias("toks")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/inc_toks_corp.parquet")
+
+    bands_new = spark.read.parquet(f"{base}/inc_bands_new.parquet").select(
+        F.col("doc_id").alias("id_new"), "band", "band_hash"
+    )
+    bands_corp = spark.read.parquet(f"{base}/inc_bands_corp.parquet").select(
+        F.col("doc_id").alias("dup_of"), "band", "band_hash"
+    )
+    cands = dedup.incremental_band_candidates(bands_new, bands_corp)
+    toks_new = spark.read.parquet(f"{base}/inc_toks_new.parquet").select(
+        F.col("doc_id").alias("id_new"), F.col("toks").alias("tokens_a")
+    )
+    toks_corp = spark.read.parquet(f"{base}/inc_toks_corp.parquet").select(
+        F.col("doc_id").alias("dup_of"), F.col("toks").alias("tokens_b")
+    )
+    verified = dedup.jaccard_pairs(
+        cands.join(toks_new, "id_new"), toks_corp, ["dup_of"]
+    ).filter(F.col("jaccard") >= _MINHASH_THRESHOLD)
+    w = Window.partitionBy("id_new").orderBy(
+        F.col("jaccard").desc(), F.col("dup_of").asc()
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id_new", "dup_of", "jaccard")
+    )
+
+
+def _sql_incremental_neardup() -> str:
+    base = _dedup_base()
+    cap = dedup.DEFAULT_MAX_BAND_BUCKET
+    return f"""
+WITH bn AS (SELECT * FROM read_parquet('{base}/inc_bands_new.parquet/*.parquet')),
+bc AS (SELECT * FROM read_parquet('{base}/inc_bands_corp.parquet/*.parquet')),
+ok AS (
+  SELECT band, band_hash FROM bc GROUP BY band, band_hash
+  HAVING count(*) <= {cap}
+),
+cand AS (
+  SELECT DISTINCT bn.doc_id AS id_new, bc.doc_id AS dup_of
+  FROM bn
+  JOIN ok USING (band, band_hash)
+  JOIN bc ON bn.band = bc.band AND bn.band_hash = bc.band_hash
+),
+tn AS (SELECT * FROM read_parquet('{base}/inc_toks_new.parquet/*.parquet')),
+tc AS (SELECT * FROM read_parquet('{base}/inc_toks_corp.parquet/*.parquet')),
+j AS (
+  SELECT id_new, dup_of,
+         CASE WHEN (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) > 0
+              THEN round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                   / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6)
+              ELSE 0.0 END AS jaccard
+  FROM cand JOIN tn ta ON ta.doc_id = cand.id_new
+            JOIN tc tb ON tb.doc_id = cand.dup_of
+),
+f AS (
+  SELECT id_new, dup_of, jaccard,
+         row_number() OVER (PARTITION BY id_new
+                            ORDER BY jaccard DESC, dup_of ASC) AS rn
+  FROM j WHERE jaccard >= {_MINHASH_THRESHOLD}
+)
+SELECT id_new, dup_of, jaccard FROM f WHERE rn = 1
+"""
+
+
 _FLAGSHIP_N_URLS = 120
 
 
@@ -3707,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_decisions": q_dedup_decisions,
+        "incremental_neardup": q_incremental_neardup,
         # temporal interval joins + grid resample + sketches (round 4)
         # training-row layout + quotas + join pruning (round 4)
         "seq_pack": q_seq_pack,
@@ -3807,6 +3898,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _sql_ivf_topk(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_decisions": _sql_dedup_decisions(),
+        "incremental_neardup": _sql_incremental_neardup(),
         "seq_pack": _sql_seq_pack(),
         "weighted_sample": _sql_weighted_sample(),
         "domain_cap": _sql_domain_cap(),

@@ -486,3 +486,100 @@ def dedup_decisions(
     out = df.select(F.col(id_col).alias("doc_id")).join(clusters, "doc_id", "left")
     out = out.withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
     return out.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+def incremental_band_candidates(
+    new_bands: DataFrame,
+    corpus_bands: DataFrame,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Candidate (id_new, dup_of) pairs: a NEW doc's band collides with
+    an EXISTING corpus band bucket. Inputs are flat banded frames
+    (``minhash_bands`` output) with ids already aliased ``id_new`` /
+    ``dup_of``.
+
+    The hot-bucket cap is applied to the CORPUS side only: the corpus
+    is the unbounded side at scale (10^12 docs accumulate boilerplate
+    bands), while the incoming snapshot is the bounded one. A corpus
+    bucket above ``max_bucket`` is dropped before the join — same
+    boilerplate rationale as ``DEFAULT_MAX_BAND_BUCKET``, and it also
+    bounds the join's per-key fan-out (a new doc hitting a capped
+    bucket emits ≤ max_bucket candidate rows, streamed by the join,
+    never collected).
+
+    Scale shape: one partial-agg count over corpus bands (8-byte
+    keys), one equi-join on (band, band_hash). In production the
+    corpus band table is materialized once per snapshot and only the
+    new side is computed per increment; the new side is typically
+    ≪ corpus, so AQE converts the join to broadcast for free.
+    """
+    counts = corpus_bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    if max_bucket is not None:
+        counts = counts.filter(F.col("_n") <= max_bucket)
+    ok = corpus_bands.join(
+        counts.select("band", "band_hash"), ["band", "band_hash"]
+    )
+    return (
+        new_bands.join(ok, ["band", "band_hash"])
+        .select("id_new", "dup_of")
+        .distinct()
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Dedupe an INCOMING snapshot against an EXISTING corpus — the
+    incremental form of ``minhash_dedup`` (reference parity: the
+    skip-if-done resume of ``src/engine.py`` generalized from exact
+    ids to near-duplicate content).
+
+    For each new doc that near-duplicates (token-set Jaccard ≥
+    ``threshold``) at least one corpus doc via an LSH band collision,
+    emit ONE row ``(id_new, dup_of, jaccard)`` — the best match (max
+    jaccard, ties → min corpus id). New docs with no verified match
+    produce no row (they are the survivors an ingest keeps).
+
+    Unlike a full-corpus self-dedup re-run, the corpus side here is
+    touched only to band + tokenize (both materializable once per
+    snapshot); candidate expansion is bounded per new doc by
+    ``max_bucket`` on the corpus bucket size. No corpus×corpus pairs
+    are ever generated.
+    """
+    new_sel = spread_scan(new_df.select(id_col, text_col))
+    sigs_new = with_minhash(new_sel, text_col)
+    bands_new = minhash_bands(sigs_new, id_col, n_bands, rows_per_band).select(
+        F.col(id_col).alias("id_new"), "band", "band_hash"
+    )
+    sigs_corp = with_minhash(corpus_df.select(id_col, text_col), text_col)
+    bands_corp = minhash_bands(sigs_corp, id_col, n_bands, rows_per_band).select(
+        F.col(id_col).alias("dup_of"), "band", "band_hash"
+    )
+    cands = incremental_band_candidates(bands_new, bands_corp, max_bucket)
+    toks_new = new_df.select(
+        F.col(id_col).alias("id_new"), tokens_col(text_col).alias("tokens_a")
+    )
+    toks_corp = corpus_df.select(
+        F.col(id_col).alias("dup_of"), tokens_col(text_col).alias("tokens_b")
+    )
+    verified = jaccard_pairs(cands.join(toks_new, "id_new"), toks_corp, ["dup_of"])
+    verified = verified.filter(F.col("jaccard") >= threshold)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_new").orderBy(
+        F.col("jaccard").desc(), F.col("dup_of").asc()
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id_new", "dup_of", "jaccard")
+    )

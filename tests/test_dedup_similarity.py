@@ -383,3 +383,60 @@ def test_dup_clusters_nonconvergence_raises(spark):
     # and enough iterations converges to one component
     out = dedup.dup_clusters(pairs, max_iterations=n + 1).toPandas()
     assert (out.cluster_id == 0).all()
+
+
+def test_incremental_minhash_dedup(spark):
+    """New-snapshot dedup vs an existing corpus: planted copies are
+    flagged with the right provenance, unique docs survive, and no
+    corpus×corpus pair is ever emitted. (Own fixture with per-doc
+    vocabularies so token-set Jaccard is discriminative — the module
+    fixture's 10-word vocab makes every distinct-token set ~equal.)"""
+    corpus_pdf = pd.DataFrame(
+        [
+            {"doc_id": i, "text": " ".join(f"w{i}x{j}" for j in range(20))}
+            for i in range(10)
+        ]
+    )
+    corpus = spark.createDataFrame(corpus_pdf)
+    words = corpus_pdf.text.iloc[2].split()
+    words[3] = "CHANGED"
+    new_pdf = pd.DataFrame(
+        [
+            {"doc_id": 200, "text": corpus_pdf.text.iloc[0]},  # exact copy of 0
+            {"doc_id": 201, "text": " ".join(words)},  # near copy of 2
+            {"doc_id": 202, "text": "totally unrelated fresh content xyz"},
+        ]
+    )
+    new = spark.createDataFrame(new_pdf)
+    out = dedup.incremental_minhash_dedup(
+        new, corpus, "doc_id", "text", threshold=0.5
+    ).toPandas()
+    by_id = out.set_index("id_new")
+    # exact copy: flagged, best match is doc 0 (or its exact dup 100 —
+    # jaccard ties break toward the min corpus id = 0)
+    assert by_id.loc[200, "dup_of"] == 0
+    assert by_id.loc[200, "jaccard"] == 1.0
+    # near copy: flagged against doc 2 with high-but-<1 jaccard
+    assert by_id.loc[201, "dup_of"] == 2
+    assert 0.5 <= by_id.loc[201, "jaccard"] < 1.0
+    # unique new doc: no row (survivor)
+    assert 202 not in by_id.index
+    # exactly one row per flagged new doc
+    assert out.id_new.is_unique
+
+
+def test_incremental_band_candidates_corpus_cap(spark):
+    """A corpus bucket above the cap is dropped: the colliding new doc
+    produces no candidates through that bucket."""
+    corp = spark.createDataFrame(
+        pd.DataFrame(
+            {"dup_of": [1, 2, 3], "band": [0, 0, 0], "band_hash": [7, 7, 7]}
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"id_new": [9], "band": [0], "band_hash": [7]})
+    )
+    capped = dedup.incremental_band_candidates(new, corp, max_bucket=2).toPandas()
+    assert capped.empty
+    uncapped = dedup.incremental_band_candidates(new, corp, max_bucket=None).toPandas()
+    assert sorted(uncapped.dup_of) == [1, 2, 3]
