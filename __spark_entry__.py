@@ -409,6 +409,68 @@ FROM events e LEFT JOIN LATERAL (
 """
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join (least ``ts_right >= ts_left``) — pandas
+    ``merge_asof(direction='forward')`` semantics via the same single
+    union-window pass (descending in-partition sort, no extra
+    shuffle)."""
+    ev, dim = _asof_inputs(spark, sf_dir)
+    out = asof_join_window(
+        ev, dim, "user_id", "ts", "obs_ts", ["signup_value"],
+        right_tiebreak=["obs_event_id"], direction="forward",
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "event_type", "value", "signup_value"
+    )
+
+
+SQL_ASOF_FORWARD = """
+SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value, d.signup_value
+FROM events e LEFT JOIN LATERAL (
+  SELECT s.value AS signup_value
+  FROM events s
+  WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts >= e.ts
+  ORDER BY s.ts ASC, s.event_id DESC LIMIT 1
+) d ON true
+"""
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: smaller absolute gap of the backward /
+    forward matches, ties to backward (pandas' nearest rule). One
+    exchange, two in-partition sorts."""
+    ev, dim = _asof_inputs(spark, sf_dir)
+    out = asof_join_window(
+        ev, dim, "user_id", "ts", "obs_ts", ["signup_value"],
+        right_tiebreak=["obs_event_id"], direction="nearest",
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "event_type", "value", "signup_value"
+    )
+
+
+SQL_ASOF_NEAREST = """
+SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value,
+       CASE WHEN b.mts IS NOT NULL
+                 AND (f.mts IS NULL OR (e.ts - b.mts) <= (f.mts - e.ts))
+            THEN b.v
+            WHEN f.mts IS NOT NULL THEN f.v END AS signup_value
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT s.value AS v, s.ts AS mts
+  FROM events s
+  WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts
+  ORDER BY s.ts DESC, s.event_id DESC LIMIT 1
+) b ON true
+LEFT JOIN LATERAL (
+  SELECT s.value AS v, s.ts AS mts
+  FROM events s
+  WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts >= e.ts
+  ORDER BY s.ts ASC, s.event_id DESC LIMIT 1
+) f ON true
+"""
+
+
 # ------------------------------------------------- events: feateng transforms
 
 def q_ewma(spark, sf_dir):
@@ -3753,6 +3815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_sorted": q_asof_join_sorted,
         "asof_tolerance": q_asof_tolerance,
         "asof_horizons": q_asof_horizons,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "ewma": q_ewma,
         "target_encode": q_target_encode,
         "feature_norm": q_feature_norm,
@@ -3858,6 +3922,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF,
         "asof_join_sorted": SQL_ASOF,
         "asof_tolerance": SQL_ASOF_TOLERANCE,
+        "asof_forward": SQL_ASOF_FORWARD,
+        "asof_nearest": SQL_ASOF_NEAREST,
         "asof_horizons": SQL_ASOF_HORIZONS,
         "ewma": SQL_EWMA,
         "target_encode": SQL_TARGET_ENCODE,

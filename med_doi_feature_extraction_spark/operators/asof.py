@@ -48,15 +48,23 @@ def asof_join_window(
     value_cols: Sequence[str],
     right_tiebreak: Sequence[str] | None = None,
     tolerance_sec: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Union-and-window backward as-of join (pure built-ins).
+    """Union-and-window as-of join (pure built-ins).
+
+    ``direction`` follows ``pandas.merge_asof``: ``"backward"``
+    (default — greatest ``ts_right <= ts_left``), ``"forward"``
+    (least ``ts_right >= ts_left``), or ``"nearest"`` (smaller
+    absolute gap of the two; a tie prefers the backward match, which
+    is pandas' tie rule). Exact matches are always allowed.
 
     ``tolerance_sec`` bounds match staleness (pandas
     ``merge_asof(tolerance=...)`` semantics): a right row older than
     ``left_ts - tolerance_sec`` is no match — the value columns come
-    back NULL, exactly as if no right row existed. Timestamps compare
-    via a fractional-seconds double cast, so sub-second tolerances
-    work.
+    back NULL, exactly as if no right row existed. For ``forward`` /
+    ``nearest`` the bound applies to the gap in the match's own
+    direction. Timestamps compare via a fractional-seconds double
+    cast, so sub-second tolerances work.
 
     Right-side ties at equal ``ts_right`` are resolved BEFORE the
     union with a row_number window on the RIGHT side only — that
@@ -72,22 +80,51 @@ def asof_join_window(
     value column stays the match (the struct itself is non-null)
     instead of that one column falling back to an older row.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
     filled = _asof_filled(
         left, right, on, left_ts, right_ts, value_cols, right_tiebreak,
-        carry_match_ts=tolerance_sec is not None,
+        carry_match_ts=(tolerance_sec is not None) or direction == "nearest",
+        need_backward=need_b,
+        need_forward=need_f,
     )
-    if tolerance_sec is None:
+    if direction == "nearest":
+        bgap = _gap_secs("_r_match")
+        fgap = -_gap_secs("_r_fwd")
+        if tolerance_sec is not None:
+            tol = F.lit(float(tolerance_sec))
+            bok = bgap.isNotNull() & (bgap <= tol)
+            fok = fgap.isNotNull() & (fgap <= tol)
+        else:
+            bok = bgap.isNotNull()
+            fok = fgap.isNotNull()
+        # tie (bgap == fgap) prefers backward — pandas' nearest rule
+        use_b = bok & (~fok | (bgap <= fgap))
         filled = filled.withColumns(
-            {c: F.col("_r_match")[c] for c in value_cols}
+            {
+                c: F.when(use_b, F.col("_r_match")[c]).when(
+                    fok, F.col("_r_fwd")[c]
+                )
+                for c in value_cols
+            }
         )
     else:
-        fresh = _staleness_secs() <= F.lit(float(tolerance_sec))
-        filled = filled.withColumns(
-            {c: F.when(fresh, F.col("_r_match")[c]) for c in value_cols}
-        )
+        src = "_r_match" if direction == "backward" else "_r_fwd"
+        if tolerance_sec is None:
+            filled = filled.withColumns(
+                {c: F.col(src)[c] for c in value_cols}
+            )
+        else:
+            gap = _gap_secs(src) if direction == "backward" else -_gap_secs(src)
+            fresh = gap <= F.lit(float(tolerance_sec))
+            filled = filled.withColumns(
+                {c: F.when(fresh, F.col(src)[c]) for c in value_cols}
+            )
     return (
         filled.filter(F.col("_side") == 1)
-        .drop("_ts", "_side", "_r_vals", "_r_match")
+        .drop("_ts", "_side", "_r_vals", "_r_match", "_r_fwd")
     )
 
 
@@ -100,10 +137,15 @@ def _asof_filled(
     value_cols: Sequence[str],
     right_tiebreak: Sequence[str] | None,
     carry_match_ts: bool,
+    need_backward: bool = True,
+    need_forward: bool = False,
 ) -> DataFrame:
     """Shared union-and-window build: returns the unioned frame with
-    ``_r_match`` (the best backward match's value struct) attached to
-    every row, sides still mixed (``_side`` 1 = left)."""
+    ``_r_match`` (best backward match's value struct) and/or
+    ``_r_fwd`` (best forward match's) attached to every row, sides
+    still mixed (``_side`` 1 = left). Both windows share the single
+    exchange on ``on``; the forward window re-sorts the partition
+    descending (one extra in-partition sort, no extra shuffle)."""
     tb = [F.col(c).desc() for c in (right_tiebreak or [])]
     w_tie = Window.partitionBy(on, right_ts).orderBy(*(tb or [F.lit(1)]))
     right_dedup = (
@@ -128,20 +170,37 @@ def _asof_filled(
     # left cols; allowMissingColumns handles both directions.
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so a
-    # right observation at exactly ts_left is visible (<= semantics).
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return unioned.withColumn(
-        "_r_match", F.last("_r_vals", ignorenulls=True).over(w)
-    )
+    out = unioned
+    if need_backward:
+        # Right rows sort BEFORE left rows at equal ts (side 0 < 1) so
+        # a right observation at exactly ts_left is visible (<=).
+        wb = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.withColumn(
+            "_r_match", F.last("_r_vals", ignorenulls=True).over(wb)
+        )
+    if need_forward:
+        # Descending ts: "preceding" rows are those with ts >= ts_left;
+        # side asc again puts the equal-ts right row inside the frame
+        # (>= semantics / allow_exact_matches).
+        wf = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.withColumn(
+            "_r_fwd", F.last("_r_vals", ignorenulls=True).over(wf)
+        )
+    return out
 
 
-def _staleness_secs() -> Column:
-    """``left_ts - matched right_ts`` in fractional seconds.
+def _gap_secs(match_col: str) -> Column:
+    """``left_ts - matched right_ts`` in fractional seconds (positive
+    for a backward match, negative for a forward one; NULL when there
+    is no match).
 
     TIMESTAMP_NTZ has no direct double cast; go via TIMESTAMP
     (session TZ pinned UTC, value preserved) keeping fractional
@@ -150,7 +209,12 @@ def _staleness_secs() -> Column:
     def _secs(c):
         return c.cast("timestamp").cast("double")
 
-    return _secs(F.col("_ts")) - _secs(F.col("_r_match")["__match_ts"])
+    return _secs(F.col("_ts")) - _secs(F.col(match_col)["__match_ts"])
+
+
+def _staleness_secs() -> Column:
+    """Backward-match staleness (kept for the horizons build)."""
+    return _gap_secs("_r_match")
 
 
 def asof_join_horizons(
@@ -206,6 +270,7 @@ def asof_join_sorted(
     num_buckets: int = 32,
     salt_factor: int = 1,
     tolerance_sec: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Bucketed sort-merge as-of join via ``applyInPandas`` +
     ``pd.merge_asof`` (vectorized; matches per-key reference semantics
@@ -216,7 +281,12 @@ def asof_join_sorted(
     bucket's right rows into every group. ``tolerance_sec`` bounds
     match staleness (maps straight onto ``merge_asof``'s native
     ``tolerance``; matches ``asof_join_window``'s semantics).
+    ``direction`` maps onto ``merge_asof``'s own backward / forward /
+    nearest — tie rules agree with ``asof_join_window`` by
+    construction (both are pandas').
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     left_cols = left.columns
     out_fields = [left.schema[c] for c in left_cols] + [
         right.schema[c] for c in value_cols
@@ -279,7 +349,7 @@ def asof_join_sorted(
             left_on=left_ts,
             right_on="_rts",
             by=on,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
             tolerance=tol,
         )

@@ -143,3 +143,98 @@ def test_asof_leakage(spark, left_df, dim_df, pages_pdf, dim_pdf):
         right_tiebreak=["rank_score", "category"],
     ).toPandas()
     pd.testing.assert_frame_equal(_normalize(full), _normalize(trunc))
+
+
+def _oracle_dir(pages_pdf, dim_pdf, direction, tolerance_sec=None):
+    lp = _left(pages_pdf).sort_values("warc_ts", kind="stable")
+    rp = dim_pdf.sort_values(["obs_ts", "rank_score", "category"], kind="stable")
+    rp = rp.drop_duplicates(subset=["domain", "obs_ts"], keep="last")
+    rp = rp.sort_values("obs_ts", kind="stable")
+    tol = None
+    if tolerance_sec is not None:
+        tol = (
+            pd.Timedelta(seconds=tolerance_sec)
+            if pd.api.types.is_datetime64_any_dtype(lp.warc_ts)
+            else tolerance_sec
+        )
+    out = pd.merge_asof(
+        lp,
+        rp.rename(columns={"obs_ts": "_rts"}),
+        left_on="warc_ts",
+        right_on="_rts",
+        by="domain",
+        direction=direction,
+        tolerance=tol,
+    )
+    return out.drop(columns=["_rts"]).sort_values(["url", "warc_ts"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_directions_window_vs_pandas(
+    spark, left_df, dim_df, pages_pdf, dim_pdf, direction
+):
+    got = asof_join_window(
+        left_df, dim_df, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"], direction=direction,
+    ).toPandas()
+    _check(got, _oracle_dir(pages_pdf, dim_pdf, direction))
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@pytest.mark.parametrize("tol", [None, 3600.0])
+def test_asof_directions_builds_agree(
+    spark, left_df, dim_df, pages_pdf, dim_pdf, direction, tol
+):
+    """Window build ≡ bucketed merge_asof build for every direction ×
+    tolerance combination (both also equal the pandas oracle)."""
+    a = asof_join_window(
+        left_df, dim_df, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"],
+        direction=direction, tolerance_sec=tol,
+    ).toPandas()
+    b = asof_join_sorted(
+        left_df, dim_df, "domain", "warc_ts", "obs_ts", VALUE_COLS,
+        right_tiebreak=["rank_score", "category"], num_buckets=8,
+        direction=direction, tolerance_sec=tol,
+    ).toPandas()
+    pd.testing.assert_frame_equal(_normalize(a), _normalize(b)[a.columns])
+    _check(a, _oracle_dir(pages_pdf, dim_pdf, direction, tolerance_sec=tol))
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """Equidistant backward/forward matches resolve to the BACKWARD
+    row (pandas' nearest tie rule)."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": [10.0], "row": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "ots": [8.0, 12.0], "v": ["back", "fwd"]})
+    )
+    for build in ("window", "sorted"):
+        if build == "window":
+            got = asof_join_window(
+                left, right, "k", "ts", "ots", ["v"], direction="nearest"
+            ).toPandas()
+        else:
+            got = asof_join_sorted(
+                left, right, "k", "ts", "ots", ["v"],
+                num_buckets=2, direction="nearest",
+            ).toPandas()
+        assert got.v.iloc[0] == "back", build
+
+
+def test_asof_forward_exact_match_inclusive(spark):
+    """allow_exact_matches: a right row AT ts_left matches forward."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "ts": [10.0, 11.0], "row": [1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ots": [10.0], "v": ["x"]})
+    )
+    got = (
+        asof_join_window(left, right, "k", "ts", "ots", ["v"], direction="forward")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert got.v.iloc[0] == "x"
+    assert pd.isna(got.v.iloc[1])
