@@ -905,6 +905,44 @@ JOIN read_parquet('{base}/counts.parquet/*.parquet') s ON s.doc_id = d.doc_id
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size token windows with overlap (chunk_tokens=40,
+    overlap=10) — the training-chunk layout stage. Pure codegen
+    Column algebra, zero shuffle; tail rule drops fully-redundant
+    suffix windows."""
+    from med_doi_feature_extraction_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=40, overlap=10
+    ).select("doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk_text")
+
+
+SQL_DOC_CHUNKS = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+nn AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n, unnest(range(0, n, 30)) AS cs FROM nn),
+f AS (
+  SELECT doc_id, toks, n, CAST(cs AS INT) AS chunk_start
+  FROM s WHERE cs = 0 OR cs + 10 < n
+)
+SELECT doc_id,
+       CAST(chunk_start // 30 AS INT) AS chunk_id,
+       chunk_start,
+       CAST(least(40, n - chunk_start) AS INT) AS chunk_len,
+       array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 40), ' ')
+         AS chunk_text
+FROM f
+"""
+
+
 def q_doi_features(spark, sf_dir):
     """Reference DOI feature map (P5/P8) over an augmented text column
     (deterministic DOI injection so counts are non-trivial)."""
@@ -3833,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_agg": q_broadcast_join_agg,
         "doc_tokens": q_doc_tokens,
         "doc_tokens_bpe": q_doc_tokens_bpe,
+        "doc_chunks": q_doc_chunks,
         "doi_features": q_doi_features,
         "lang_id": q_lang_id,
         # non-SQL-expressible trigram kernel — rows-only (accuracy
@@ -3941,6 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
         "doc_tokens": SQL_DOC_TOKENS,
         "doc_tokens_bpe": _sql_doc_tokens_bpe(),
+        "doc_chunks": SQL_DOC_CHUNKS,
         "doi_features": SQL_DOI_FEATURES,
         "lang_id": _sql_lang_id(),
         "quality_gate": _sql_quality_gate(),
