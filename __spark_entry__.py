@@ -943,6 +943,54 @@ FROM f
 """
 
 
+# Adversarial suffix exercising every normalization rule (control
+# char, curly quotes, dashes, ellipsis, nbsp, mixed case, ws runs) —
+# appended to each doc so the fixture text can't dodge a rule.
+_NORM_SUFFIX = "\tA\x01B\u2019C\u201cD\u201dE\u2013F\u2014G\u2026H\u00a0I MiXeD  Z"
+_NORM_SUFFIX_SQL = (
+    "chr(9)||'A'||chr(1)||'B'||chr(8217)||'C'||chr(8220)||'D'||chr(8221)"
+    "||'E'||chr(8211)||'F'||chr(8212)||'G'||chr(8230)||'H'||chr(160)"
+    "||'I MiXeD  Z'"
+)
+
+
+def q_text_norm(spark, sf_dir):
+    """Portable text normalization (controls strip → ASCII punct →
+    whitespace collapse → lowercase) — scan-stage Column algebra; the
+    oracle runs the IDENTICAL Java∩RE2 expressions in DuckDB."""
+    from med_doi_feature_extraction_spark.operators.textnorm import (
+        normalize_text,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NORM_SUFFIX)).alias("raw")
+    )
+    out = normalize_text(docs, "raw")
+    return out.select(
+        "doc_id",
+        "norm_text",
+        F.col("norm_text_changed").alias("changed"),
+        F.length("norm_text").cast("long").alias("n_norm"),
+    )
+
+
+def _sql_text_norm() -> str:
+    from med_doi_feature_extraction_spark.operators.textnorm import (
+        normalize_sql,
+    )
+
+    return f"""
+WITH r AS (
+  SELECT doc_id, text || {_NORM_SUFFIX_SQL} AS raw FROM documents
+)
+SELECT doc_id,
+       {normalize_sql("raw")} AS norm_text,
+       raw != {normalize_sql("raw")} AS changed,
+       CAST(length({normalize_sql("raw")}) AS BIGINT) AS n_norm
+FROM r
+"""
+
+
 def q_doi_features(spark, sf_dir):
     """Reference DOI feature map (P5/P8) over an augmented text column
     (deterministic DOI injection so counts are non-trivial)."""
@@ -3872,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": q_doc_tokens,
         "doc_tokens_bpe": q_doc_tokens_bpe,
         "doc_chunks": q_doc_chunks,
+        "text_norm": q_text_norm,
         "doi_features": q_doi_features,
         "lang_id": q_lang_id,
         # non-SQL-expressible trigram kernel — rows-only (accuracy
@@ -3981,6 +4030,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": SQL_DOC_TOKENS,
         "doc_tokens_bpe": _sql_doc_tokens_bpe(),
         "doc_chunks": SQL_DOC_CHUNKS,
+        "text_norm": _sql_text_norm(),
         "doi_features": SQL_DOI_FEATURES,
         "lang_id": _sql_lang_id(),
         "quality_gate": _sql_quality_gate(),
