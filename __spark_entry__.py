@@ -3204,6 +3204,78 @@ FROM p0 LEFT JOIN r ON r.doc_id = p0.doc_id
 """
 
 
+def q_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate strip: a footer planted in EVERY
+    doc (df = corpus size) is removed from all of them, while a note
+    planted in every 5th doc (df = 20%) stays below the threshold and
+    survives. Oracle groups on the normalized paragraph string where
+    the operator uses its xxhash64 (same up to 2^-64 collisions)."""
+    from med_doi_feature_extraction_spark.operators.paragraphs import (
+        boilerplate_strip,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    t2 = F.concat_ws(
+        "\n\n",
+        F.substring("text", 1, 80),
+        F.lit("COMMON FOOTER PARAGRAPH"),
+        F.substring("text", 81, 80),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("SEMI COMMON NOTE")),
+    )
+    out = boilerplate_strip(
+        docs.withColumn("t2", t2), "doc_id", "t2", min_doc_frequency=200
+    )
+    return out.select(
+        "doc_id", "text_clean",
+        F.col("paras_in").cast("long").alias("paras_in"),
+        F.col("paras_kept").cast("long").alias("paras_kept"),
+    )
+
+
+SQL_BOILERPLATE = r"""
+WITH a AS (
+  SELECT doc_id,
+         concat_ws(chr(10) || chr(10),
+                   substr(text, 1, 80),
+                   'COMMON FOOTER PARAGRAPH',
+                   substr(text, 81, 80),
+                   CASE WHEN doc_id % 5 = 0 THEN 'SEMI COMMON NOTE' END) AS t2
+  FROM documents
+), p0 AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(t2, '\r?\n\s*\r?\n'),
+                                    x -> trim(x)),
+                     x -> len(x) > 0) AS ps
+  FROM a
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ps) + 1),
+                               i -> struct_pack(i := i, p := ps[i]))) AS s
+  FROM p0
+), x AS (
+  SELECT doc_id, s.i AS idx, s.p AS para,
+         lower(trim(regexp_replace(s.p, '\s+', ' ', 'g'))) AS np
+  FROM e
+), f AS (
+  SELECT np, count(DISTINCT doc_id) AS df FROM x GROUP BY np
+), k AS (
+  SELECT x.doc_id, x.idx, x.para
+  FROM x JOIN f USING (np)
+  WHERE df < 200
+), r AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_clean,
+         count(*) AS paras_kept
+  FROM k GROUP BY doc_id
+)
+SELECT p0.doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       CAST(len(p0.ps) AS BIGINT) AS paras_in,
+       CAST(coalesce(r.paras_kept, 0) AS BIGINT) AS paras_kept
+FROM p0 LEFT JOIN r ON r.doc_id = p0.doc_id
+"""
+
+
 def q_curate_e2e(spark, sf_dir):
     """End-to-end curate composition (the ``curate`` CLI's stage
     stack as ONE oracle-checked query): pii-redact → repetition
@@ -3987,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "pii": q_pii,
         "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate": q_boilerplate,
         "curate_e2e": q_curate_e2e,
         "length_quantiles": q_length_quantiles,
         "lang_source_pivot": q_lang_source_pivot,
@@ -4085,6 +4158,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": SQL_TFIDF_TOPK,
         "pii": _sql_pii(),
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "boilerplate": SQL_BOILERPLATE,
         "curate_e2e": _sql_curate_e2e(),
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,

@@ -107,6 +107,21 @@ def paragraph_dedup(
             )
         )
     )
+    return _rebuild_docs(df, keep, id_col, text_col, delim, rebuilt_col, joiner)
+
+
+def _rebuild_docs(
+    df: DataFrame,
+    keep: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str,
+    rebuilt_col: str,
+    joiner: str,
+) -> DataFrame:
+    """Reassemble documents from surviving (id, para_idx, para) rows in
+    original order, attaching scan-side ``paras_in`` totals (shared by
+    the dedup and boilerplate-strip paths)."""
     rebuilt = keep.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -136,3 +151,49 @@ def paragraph_dedup(
         "paras_in",
         F.coalesce("paras_kept", F.lit(0)).alias("paras_kept"),
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_doc_frequency: int = 10,
+    delim: str = DEFAULT_PARA_DELIM,
+    rebuilt_col: str = "text_clean",
+    joiner: str = "\n\n",
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Remove EVERY occurrence of paragraphs appearing in at least
+    ``min_doc_frequency`` DISTINCT documents — the CCNet-style
+    boilerplate filter (nav blocks, cookie banners, footers).
+
+    Complements ``paragraph_dedup``: dedup keeps the FIRST occurrence
+    (the content is worth one copy), boilerplate-strip keeps NONE (the
+    content is noise in every copy). Same output shape: id,
+    ``rebuilt_col``, ``paras_in``, ``paras_kept``.
+
+    Scale shape: document frequency is an exact two-level aggregation
+    on the 8-byte paragraph hash (distinct (hash, doc) partial-aggs
+    away within-doc repeats, then a count per hash). The qualifying
+    hot set has at most total_paragraphs / min_doc_frequency members
+    — small by construction at any real threshold — so it BROADCASTS
+    into a left-anti join and the exploded corpus stream never
+    shuffles on the skewed hash at all (the skew the paras→firsts
+    join in ``paragraph_dedup`` has to absorb with AQE simply never
+    arises here). ``broadcast_hot=False`` falls back to a shuffle
+    anti-join for degenerate thresholds.
+    """
+    paras = explode_paragraphs(df, id_col, text_col, delim).withColumn(
+        "_h", F.xxhash64(_norm(F.col("para")))
+    )
+    docfreq = (
+        paras.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    hot = docfreq.filter(F.col("_df") >= min_doc_frequency).select("_h")
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    keep = paras.join(hot, "_h", "left_anti")
+    return _rebuild_docs(df, keep, id_col, text_col, delim, rebuilt_col, joiner)

@@ -428,6 +428,55 @@ def test_paragraph_dedup_min_occurrences_threshold(spark):
     assert got[0]["paras_kept"] == 2 and got[1]["paras_kept"] == 2
 
 
+def test_boilerplate_strip_removes_all_occurrences(spark):
+    from med_doi_feature_extraction_spark.operators.paragraphs import (
+        boilerplate_strip,
+    )
+
+    rows = [(i, f"unique intro {i}\n\nCOOKIE BANNER\n\nbody {i}") for i in range(5)]
+    rows.append((9, "only doc without banner"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           boilerplate_strip(df, "doc_id", "text", min_doc_frequency=4).collect()}
+    # the banner is in 5 >= 4 docs → removed from EVERY doc (no
+    # first-occurrence keeper, unlike paragraph_dedup)
+    for i in range(5):
+        assert "COOKIE BANNER" not in got[i]["text_clean"]
+        assert got[i]["text_clean"] == f"unique intro {i}\n\nbody {i}"
+        assert got[i]["paras_in"] == 3 and got[i]["paras_kept"] == 2
+    assert got[9]["text_clean"] == "only doc without banner"
+
+
+def test_boilerplate_strip_df_counts_docs_not_occurrences(spark):
+    from med_doi_feature_extraction_spark.operators.paragraphs import (
+        boilerplate_strip,
+    )
+
+    # one doc repeats the paragraph 5 times; doc frequency is still 1
+    df = spark.createDataFrame(
+        [(0, "\n\n".join(["SAME PARA"] * 5)), (1, "other")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           boilerplate_strip(df, "doc_id", "text", min_doc_frequency=2).collect()}
+    assert got[0]["paras_kept"] == 5  # within-doc repeats don't count as df
+
+
+def test_boilerplate_strip_broadcast_flag_parity(spark):
+    from med_doi_feature_extraction_spark.operators.paragraphs import (
+        boilerplate_strip,
+    )
+
+    rows = [(i, f"u{i}\n\nFOOTER") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = boilerplate_strip(df, "doc_id", "text", min_doc_frequency=3).orderBy(
+        "doc_id").collect()
+    b = boilerplate_strip(
+        df, "doc_id", "text", min_doc_frequency=3, broadcast_hot=False
+    ).orderBy("doc_id").collect()
+    assert a == b
+
+
 # ------------------------------------------------------------------- pii
 
 def test_pii_detection_and_redaction(spark):
