@@ -3008,6 +3008,33 @@ FROM t WHERE len(token) > 0 GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_postings(spark, sf_dir):
+    """Capped inverted index (cap=7 smallest doc ids per token,
+    4 salts): deterministic cap semantics make the salted two-stage
+    build exactly reproducible as a plain sort+slice in DuckDB."""
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        build_postings,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return build_postings(docs, "doc_id", "text", cap=7, n_salts=4)
+
+
+SQL_POSTINGS = r"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+  FROM documents
+), p AS (
+  SELECT token, doc_id FROM t WHERE len(token) > 0
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS doc_freq,
+       array_to_string(list_sort(list(doc_id))[1:7], ',') AS postings,
+       count(*) > 7 AS truncated
+FROM p GROUP BY token
+"""
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 tokens per doc by smoothed tf·idf."""
     from med_doi_feature_extraction_spark.operators.corpus_stats import tfidf_topk
@@ -4056,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "hot_domains": q_hot_domains,
         "token_df": q_token_df,
+        "postings": q_postings,
         "tfidf_topk": q_tfidf_topk,
         "pii": q_pii,
         "paragraph_dedup": q_paragraph_dedup,
@@ -4155,6 +4183,7 @@ def oracle_sql() -> dict[str, str]:
         "url_features": SQL_URL_FEATURES,
         "hot_domains": SQL_HOT_DOMAINS,
         "token_df": SQL_TOKEN_DF,
+        "postings": SQL_POSTINGS,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "pii": _sql_pii(),
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,

@@ -107,3 +107,56 @@ def tfidf_topk(
         .filter(F.col("_rn") <= k)
         .select(id_col, "token", "tf", "df", "tfidf")
     )
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cap: int = 1000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Capped inverted index: one row per token with its EXACT document
+    frequency and the ``cap`` SMALLEST doc ids as a csv string
+    (``postings``) plus a ``truncated`` flag.
+
+    Deterministic cap semantics — "the cap smallest ids", not "some
+    cap ids" — so the index is stable across runs, partitionings, and
+    engines (the DuckDB oracle is a plain sort+slice).
+
+    Scale shape (the interesting part — a hot token's posting list at
+    10^12 docs is itself web-scale): stage 1 ranks ids within
+    (token, salt-of-doc) groups, so the per-reducer sort is bounded
+    by occurrences/n_salts (and window sorts spill); stage 2 merges
+    at most n_salts × cap survivors per token — a bounded
+    collect_list, immune to token heat by construction. Exact df
+    comes from the standard partial-agg count (the
+    ``document_frequency`` argument: Zipf heads collapse map-side).
+    Raise ``n_salts`` with cluster size; ``cap`` bounds output row
+    width everywhere.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("_d"),
+            F.explode(tokens_col(text_col)).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    salted = toks.withColumn("_s", F.pmod(F.xxhash64("_d"), F.lit(n_salts)))
+    w = Window.partitionBy("token", "_s").orderBy("_d")
+    survivors = (
+        salted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+    )
+    posting = survivors.groupBy("token").agg(
+        F.slice(F.array_sort(F.collect_list("_d")), 1, cap).alias("_ids")
+    )
+    return posting.join(dfreq, "token").select(
+        "token",
+        "doc_freq",
+        F.array_join(
+            F.transform("_ids", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+        (F.col("doc_freq") > F.lit(cap)).alias("truncated"),
+    )

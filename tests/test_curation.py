@@ -562,3 +562,35 @@ def test_tfidf_topk_ranks_distinctive_tokens(spark, docs):
     # (ln(8/2)); the tf=1 df=1 tie breaks lexicographically → 'dog'
     toks0 = [r["token"] for r in sorted(per_doc[0], key=lambda r: (-r["tfidf"], r["token"]))]
     assert toks0 == ["the", "dog"]
+
+
+# ------------------------------------------------------------ postings
+
+def test_build_postings_cap_and_salt_invariance(spark):
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        build_postings,
+    )
+
+    # "hot" appears in all 30 docs; "rare3" only in doc 3
+    rows = [(i, f"hot rare{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for salts in (1, 4, 16):
+        got = {r["token"]: r for r in
+               build_postings(df, "doc_id", "text", cap=5, n_salts=salts).collect()}
+        hot = got["hot"]
+        assert hot["doc_freq"] == 30 and hot["truncated"] is True
+        # deterministic cap semantics: the 5 SMALLEST ids
+        assert hot["postings"] == "0,1,2,3,4", salts
+        assert got["rare3"]["postings"] == "3"
+        assert got["rare3"]["truncated"] is False
+
+
+def test_build_postings_empty_text_no_phantom_token(spark):
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        build_postings,
+    )
+
+    df = spark.createDataFrame([(0, ""), (1, "  "), (2, "word")],
+                               ["doc_id", "text"])
+    got = build_postings(df, "doc_id", "text", cap=3).collect()
+    assert {r["token"] for r in got} == {"word"}
