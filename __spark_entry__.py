@@ -2329,6 +2329,31 @@ FROM documents d LEFT JOIN lab l USING (doc_id)
 """
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Fuzzy self-join of customer names at levenshtein <= 1 via
+    symmetric-deletion blocking (exact: max_bucket=None), verified
+    against DuckDB's brute-force cross join — the theta-join the
+    blocking replaces."""
+    from med_doi_feature_extraction_spark.operators.fuzzy import fuzzy_join
+
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = fuzzy_join(
+        cust, cust, "c_custkey", "c_custkey", "c_name", "c_name",
+        max_distance=1, max_bucket=None,
+    )
+    return out.filter(F.col("id_l") < F.col("id_r")).select(
+        "id_l", "id_r", F.col("dist").cast("long").alias("dist")
+    )
+
+
+SQL_FUZZY_JOIN = """
+SELECT a.c_custkey AS id_l, b.c_custkey AS id_r,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def q_incremental_neardup(spark, sf_dir):
     """Incoming-snapshot near-dup against an existing corpus
     (``dedup.incremental_minhash_dedup``): documents split
@@ -4049,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_decisions": q_dedup_decisions,
         "incremental_neardup": q_incremental_neardup,
+        "fuzzy_join": q_fuzzy_join,
         # temporal interval joins + grid resample + sketches (round 4)
         # training-row layout + quotas + join pruning (round 4)
         "seq_pack": q_seq_pack,
@@ -4156,6 +4182,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_decisions": _sql_dedup_decisions(),
         "incremental_neardup": _sql_incremental_neardup(),
+        "fuzzy_join": SQL_FUZZY_JOIN,
         "seq_pack": _sql_seq_pack(),
         "weighted_sample": _sql_weighted_sample(),
         "domain_cap": _sql_domain_cap(),

@@ -96,6 +96,9 @@ def main() -> None:
         "decontam", "tfidf_topk", "paragraph_dedup",
         "interval_join", "resample", "sketch_stats",
         "seq_pack", "bloom_prune_join",
+        # r4 fourth-session additions
+        "asof_nearest", "boilerplate", "doc_chunks", "postings",
+        "incremental_neardup",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
@@ -132,6 +135,11 @@ def main() -> None:
         ),
         "simhash_pairs": lambda s, d: dedup.simhash_candidates(
             _docs(s), "doc_id", "text", max_hamming=8
+        ),
+        "incremental_neardup": lambda s, d: dedup.incremental_minhash_dedup(
+            _docs(s).filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0),
+            _docs(s).filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) != 0),
+            "doc_id", "text", threshold=0.5,
         ),
         "lsh_topk": lambda s, d: similarity.lsh_topk(
             _emb(s), _emb(s).filter(F.col("vec_id") < 8), k=5
