@@ -560,7 +560,12 @@ def incremental_minhash_dedup(
     bands_new = minhash_bands(sigs_new, id_col, n_bands, rows_per_band).select(
         F.col(id_col).alias("id_new"), "band", "band_hash"
     )
-    sigs_corp = with_minhash(corpus_df.select(id_col, text_col), text_col)
+    # spread BOTH signature stages: a narrow parquet scan plans at
+    # row-group parallelism, which would serialize the corpus-side
+    # numpy kernel on a handful of tasks (measured 2.3x on the bench)
+    sigs_corp = with_minhash(
+        spread_scan(corpus_df.select(id_col, text_col)), text_col
+    )
     bands_corp = minhash_bands(sigs_corp, id_col, n_bands, rows_per_band).select(
         F.col(id_col).alias("dup_of"), "band", "band_hash"
     )

@@ -1,0 +1,94 @@
+"""Mechanical plan lint over EVERY contract query.
+
+PLANS.md argues each query's physical plan is scale-shaped; this tool
+checks the arguable parts mechanically so the claims can't rot:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: quadratic joins.
+  Allowed only where a documented contract makes the small side
+  genuinely bounded (``ALLOW_NLJ``).
+- ``Exchange SinglePartition`` feeding a Window/Sort: the
+  everything-on-one-reducer shape (a 1-row aggregate reduced into
+  SinglePartition is fine and excluded by pattern).
+- ``BatchEvalPython``: row-at-a-time Python UDF in the plan (Arrow
+  variants — ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
+  FlatMapGroupsInPandasWithState — are the sanctioned slow path).
+
+Usage: ``python tools/plan_lint.py [sf_dir] [names...]`` — defaults to
+/root/testdata/sf0.01 and all queries. Exit 1 on any violation.
+Side note: building some queries materializes their oracle seams
+(parquet writes) — that's part of their contract and harmless here.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Documented bounded-small-side exceptions (see PLANS.md):
+#  - cosine_topk / embedding ANN queries broadcast a bounded probe set
+#    by contract (exact-baseline semantics).
+ALLOW_NLJ = {"cosine_topk"}
+
+# SinglePartition is legitimate when the exchanged rowset is bounded:
+#  - global aggregates reduced to one row (handled by pattern below);
+#  - skip_limit / global_rank ORACLE is the single-reducer shape the
+#    operator replaces — the operator itself is asserted
+#    SinglePartition-free in pytest; the contract query returns a
+#    deterministic small page via offset/limit (bounded output).
+ALLOW_SINGLE = {"skip_limit", "length_quantiles"}
+
+
+def lint_plan(name: str, plan: str) -> list[str]:
+    flags: list[str] = []
+    if "CartesianProduct" in plan:
+        flags.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_NLJ:
+        flags.append("BroadcastNestedLoopJoin")
+    if "BatchEvalPython" in plan:
+        flags.append("BatchEvalPython(row-at-a-time UDF)")
+    if name not in ALLOW_SINGLE:
+        # SinglePartition exchange feeding a Sort/Window over data-sized
+        # input. A global 1-row HashAggregate partial->final also goes
+        # through SinglePartition — exclude exchanges directly under an
+        # aggregate by requiring a Window/Sort within the next 2 lines.
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                ctx = "\n".join(lines[max(0, i - 2): i])
+                if re.search(r"\b(Window|Sort)\b", ctx):
+                    flags.append("SinglePartition->Window/Sort")
+                    break
+    return flags
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry
+    from med_doi_feature_extraction_spark.session import get_spark
+
+    spark = get_spark("plan_lint")
+    qs = entry.queries()
+    names = sys.argv[2:] or list(qs)
+    bad: dict[str, list[str]] = {}
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — report, don't halt the sweep
+            bad[name] = [f"build-error: {exc}"[:200]]
+            continue
+        flags = lint_plan(name, plan)
+        if flags:
+            bad[name] = flags
+        print(f"{name:28s} {'FLAG ' + ','.join(flags) if flags else 'ok'}")
+    print(json.dumps({"violations": bad, "checked": len(names)}))
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
