@@ -30,8 +30,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # Documented bounded-small-side exceptions (see PLANS.md):
 #  - cosine_topk / embedding ANN queries broadcast a bounded probe set
-#    by contract (exact-baseline semantics).
-ALLOW_NLJ = {"cosine_topk"}
+#    by contract (exact-baseline semantics);
+#  - target_encode / quantile_bin / lm_quality crossJoin a ONE-ROW
+#    global aggregate back onto the stream (global prior, percentile
+#    bounds, LM normalizer) — a BroadcastNestedLoopJoin whose build
+#    side is a single row is the correct physical plan for "attach a
+#    global scalar", not a quadratic join.
+ALLOW_NLJ = {"cosine_topk", "target_encode", "quantile_bin", "lm_quality"}
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
 #  - global aggregates reduced to one row (handled by pattern below);
