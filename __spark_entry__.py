@@ -3841,6 +3841,58 @@ FROM est JOIN true_n USING (k)
 """
 
 
+def q_vocab_shift(spark, sf_dir):
+    """Vocabulary drift between two snapshot halves of the corpus
+    (B gets a planted ' drifttoken' suffix): per-token smoothed
+    log-ratio + KL contribution over the union vocabulary. DuckDB
+    recomputes both distributions and the identical arithmetic."""
+    from med_doi_feature_extraction_spark.operators.lm import vocab_shift
+
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" drifttoken"))
+    )
+    out = vocab_shift(a, b, "text")
+    return out.select(
+        "token",
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        "logp_a", "logp_b", "log_ratio", "kl_term",
+    )
+
+
+SQL_VOCAB_SHIFT = r"""
+WITH oa AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents WHERE doc_id % 2 = 0
+), ob AS (
+  SELECT unnest(string_split_regex(lower(trim(text || ' drifttoken')), '\s+')) AS token
+  FROM documents WHERE doc_id % 2 = 1
+), ca AS (
+  SELECT token, count(*) AS c_a FROM oa WHERE len(token) > 0 GROUP BY 1
+), cb AS (
+  SELECT token, count(*) AS c_b FROM ob WHERE len(token) > 0 GROUP BY 1
+), j AS (
+  SELECT token,
+         coalesce(c_a, 0) AS c_a,
+         coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb USING (token)
+), t AS (
+  SELECT sum(c_a) AS ta, sum(c_b) AS tb, count(*) AS v FROM j
+)
+SELECT token,
+       CAST(c_a AS BIGINT) AS c_a,
+       CAST(c_b AS BIGINT) AS c_b,
+       round(ln((c_a + 1.0) / (ta + v)), 6) AS logp_a,
+       round(ln((c_b + 1.0) / (tb + v)), 6) AS logp_b,
+       round(ln((c_b + 1.0) / (tb + v)) - ln((c_a + 1.0) / (ta + v)), 6) AS log_ratio,
+       round(((c_b + 1.0) / (tb + v))
+             * (ln((c_b + 1.0) / (tb + v)) - ln((c_a + 1.0) / (ta + v))), 6) AS kl_term
+FROM j, t
+"""
+
+
 def q_lm_quality(spark, sf_dir):
     """CCNet-style LM quality score: smoothed unigram LM trained on
     the corpus, per-doc mean token log-prob + perplexity — one
@@ -4088,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "snapshot_diff": q_snapshot_diff,
         "lm_quality": q_lm_quality,
+        "vocab_shift": q_vocab_shift,
         "cms_counts": q_cms_counts,
         "zorder_key": q_zorder_key,
         "interval_join": q_interval_join,
@@ -4191,6 +4244,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": SQL_SKEW_JOIN,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "lm_quality": SQL_LM_QUALITY,
+        "vocab_shift": SQL_VOCAB_SHIFT,
         "cms_counts": _sql_cms_counts(),
         "zorder_key": _sql_zorder_key(),
         "interval_join": SQL_INTERVAL_JOIN,

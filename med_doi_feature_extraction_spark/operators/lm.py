@@ -118,3 +118,84 @@ def lm_quality_score(
         "ppl", F.round(F.exp(-F.col("logp_per_token")), 3)
     )
     return docs.select(id_col).join(agg, id_col, "left")
+
+
+def vocab_shift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Per-token distribution shift between two corpus snapshots — the
+    drift monitor a training pipeline runs between crawls (vocabulary
+    drift is the earliest observable symptom of a source-mix change).
+
+    Both unigram distributions are add-one smoothed over the UNION
+    vocabulary (size V): ``p_x = (c_x + 1) / (total_x + V)``, so every
+    token has nonzero mass under both and the log-ratio is always
+    finite. Returns one row per union-vocabulary token:
+    ``(token, c_a, c_b, logp_a, logp_b, log_ratio, kl_term)`` where
+    ``log_ratio = ln(p_b/p_a)`` (positive = token grew) and
+    ``kl_term = p_b · log_ratio`` (its contribution to KL(B‖A) —
+    rank by it to find the tokens DRIVING the drift).
+
+    Plan: one explode + hash-agg per corpus (Zipf absorbed map-side),
+    full-outer join of the two vocabulary-sized count tables, 1-row
+    totals broadcast back. No corpus-sized shuffle after the aggs.
+    All arithmetic rounded to 6 dp (cross-engine comparable).
+    """
+    ca = (
+        _occurrences(corpus_a, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    cb = (
+        _occurrences(corpus_b, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+    both = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    totals = both.agg(
+        F.sum("c_a").alias("_ta"),
+        F.sum("c_b").alias("_tb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    p_a = (F.col("c_a") + 1).cast("double") / (F.col("_ta") + F.col("_v")).cast("double")
+    p_b = (F.col("c_b") + 1).cast("double") / (F.col("_tb") + F.col("_v")).cast("double")
+    return both.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_a",
+        "c_b",
+        F.round(F.log(p_a), 6).alias("logp_a"),
+        F.round(F.log(p_b), 6).alias("logp_b"),
+        F.round(F.log(p_b) - F.log(p_a), 6).alias("log_ratio"),
+        F.round(p_b * (F.log(p_b) - F.log(p_a)), 6).alias("kl_term"),
+    )
+
+
+def corpus_divergence(shift: DataFrame) -> dict[str, float]:
+    """KL(B‖A), KL(A‖B) and Jensen-Shannon divergence from a
+    ``vocab_shift`` frame — ONE bounded 1-row aggregate (the shift
+    frame is vocabulary-sized). Library-side summary: cross-engine
+    float-sum ordering makes it a pytest-pinned quantity, not a
+    hash-checked oracle column."""
+    row = shift.select(
+        F.exp("logp_a").alias("pa"),
+        F.exp("logp_b").alias("pb"),
+        F.col("log_ratio"),
+    ).agg(
+        F.sum(F.col("pb") * F.col("log_ratio")).alias("kl_ba"),
+        F.sum(F.col("pa") * -F.col("log_ratio")).alias("kl_ab"),
+        F.sum(
+            0.5 * F.col("pa") * F.log(F.col("pa") / ((F.col("pa") + F.col("pb")) / 2))
+            + 0.5 * F.col("pb") * F.log(F.col("pb") / ((F.col("pa") + F.col("pb")) / 2))
+        ).alias("js"),
+    ).first()
+    return {
+        "kl_b_from_a": float(row["kl_ba"]),
+        "kl_a_from_b": float(row["kl_ab"]),
+        "js": float(row["js"]),
+    }

@@ -75,3 +75,39 @@ def test_oov_logp_empty_lm_raises(spark):
     empty = spark.createDataFrame([("x", "")], "doc_id string, text string")
     with pytest.raises(ValueError):
         oov_logp(train_unigram_lm(empty, "text"))
+
+
+def test_vocab_shift_hand_computed(spark):
+    from med_doi_feature_extraction_spark.operators.lm import (
+        corpus_divergence,
+        vocab_shift,
+    )
+
+    a = spark.createDataFrame([(0, "x x y")], ["doc_id", "text"])
+    b = spark.createDataFrame([(1, "x y y z")], ["doc_id", "text"])
+    shift = vocab_shift(a, b, "text")
+    rows = {r["token"]: r for r in shift.collect()}
+    # union vocab V=3; ta=3 → denom 6; tb=4 → denom 7
+    assert rows["x"]["c_a"] == 2 and rows["x"]["c_b"] == 1
+    assert rows["z"]["c_a"] == 0 and rows["z"]["c_b"] == 1
+    assert rows["x"]["logp_a"] == pytest.approx(math.log(3 / 6), abs=1e-6)
+    assert rows["x"]["log_ratio"] == pytest.approx(
+        math.log((2 / 7) / (3 / 6)), abs=1e-6
+    )
+    assert rows["z"]["log_ratio"] == pytest.approx(
+        math.log((2 / 7) / (1 / 6)), abs=1e-6
+    )
+    # smoothed p_b over the union vocab sums to exactly 1 → KL terms
+    # are a true distribution's contributions
+    kl_hand = (
+        (2 / 7) * math.log((2 / 7) / (3 / 6))
+        + (3 / 7) * math.log((3 / 7) / (2 / 6))
+        + (2 / 7) * math.log((2 / 7) / (1 / 6))
+    )
+    div = corpus_divergence(shift)
+    assert div["kl_b_from_a"] == pytest.approx(kl_hand, abs=1e-4)
+    assert div["js"] >= 0
+    # identical corpora → ~zero everywhere
+    same = corpus_divergence(vocab_shift(a, a, "text"))
+    assert same["kl_b_from_a"] == pytest.approx(0.0, abs=1e-5)
+    assert same["js"] == pytest.approx(0.0, abs=1e-5)
