@@ -2354,6 +2354,152 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment near-dup: planted excerpt docs (first
+    400 chars of every 10th doc, id+100000) are contained in their
+    sources. Oracle split like minhash_neardup: bands + token sets
+    materialized, DuckDB reproduces bucket pairing + containment
+    math; recall through Jaccard banding is probabilistic for
+    excerpts but BOTH engines pair from the same materialized bands,
+    so the check is exact over whatever surfaces."""
+    base = _dedup_base()
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 400).alias("text"),
+    )
+    aug = docs.unionByName(excerpts)
+    dedup.minhash_bands(
+        dedup.with_minhash(aug, "text"), "doc_id"
+    ).write.mode("overwrite").parquet(f"{base}/cont_bands.parquet")
+    aug.select("doc_id", dedup.tokens_col("text").alias("toks")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/cont_toks.parquet")
+
+    bands = spark.read.parquet(f"{base}/cont_bands.parquet")
+    cands = dedup.candidate_pairs(bands, "doc_id", ["band", "band_hash"])
+    toks = spark.read.parquet(f"{base}/cont_toks.parquet")
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("tokens_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tokens_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
+    min_sz = F.least(F.size("tokens_a"), F.size("tokens_b"))
+    out = joined.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.when(min_sz > 0, inter.cast("double") / min_sz.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("containment"),
+        F.when(
+            F.size("tokens_a") <= F.size("tokens_b"), F.col("id_a")
+        ).otherwise(F.col("id_b")).alias("contained_id"),
+    )
+    return out.filter(F.col("containment") >= 0.8)
+
+
+def _sql_containment() -> str:
+    base = _dedup_base()
+    cap = dedup.DEFAULT_MAX_BAND_BUCKET
+    return f"""
+WITH b AS (SELECT * FROM read_parquet('{base}/cont_bands.parquet/*.parquet')),
+ok AS (
+  SELECT band, band_hash FROM b GROUP BY band, band_hash
+  HAVING count(*) BETWEEN 2 AND {cap}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM b x
+  JOIN ok USING (band, band_hash)
+  JOIN b y ON x.band = y.band AND x.band_hash = y.band_hash
+          AND x.doc_id < y.doc_id
+),
+t AS (SELECT * FROM read_parquet('{base}/cont_toks.parquet/*.parquet')),
+j AS (
+  SELECT id_a, id_b,
+         CASE WHEN least(len(ta.toks), len(tb.toks)) > 0
+              THEN round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                   / least(len(ta.toks), len(tb.toks)), 6)
+              ELSE 0.0 END AS containment,
+         CASE WHEN len(ta.toks) <= len(tb.toks) THEN id_a ELSE id_b END
+           AS contained_id
+  FROM cand JOIN t ta ON ta.doc_id = cand.id_a
+            JOIN t tb ON tb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, containment, contained_id FROM j WHERE containment >= 0.8
+"""
+
+
+def q_containment_exact(spark, sf_dir):
+    """EXACT prefix-filter containment join on the excerpt fixture —
+    including the size-skewed pairs the LSH-banded `containment`
+    query can miss. Fully SQL-expressible (tokens → df → rare-first
+    rank → prefix⋈postings → verify), so the oracle recomputes the
+    whole operator from scratch."""
+    from med_doi_feature_extraction_spark.operators.dedup import (
+        containment_join,
+    )
+
+    # doc_id < 40: the synthetic corpus's tiny vocabulary makes most
+    # doc pairs mutually containing, so the full table would return
+    # ~170k pairs — semantically valid but a needlessly fat gate.
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 400).alias("text"),
+    )
+    aug = docs.unionByName(excerpts)
+    return containment_join(aug, "doc_id", "text", threshold=0.8)
+
+
+SQL_CONTAINMENT_EXACT = r"""
+WITH a AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, 400)
+  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 40
+), tk AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+  FROM a
+), t AS (
+  SELECT id, token FROM tk WHERE len(token) > 0
+), dfq AS (
+  SELECT token, count(*) AS dfc FROM t GROUP BY 1
+), sz AS (
+  SELECT id, count(*) AS n FROM t GROUP BY 1
+), rk AS (
+  SELECT t.id, t.token, sz.n,
+         row_number() OVER (PARTITION BY t.id
+                            ORDER BY dfq.dfc ASC, t.token ASC) AS rnk
+  FROM t JOIN dfq USING (token) JOIN sz ON sz.id = t.id
+), pf AS (
+  SELECT id, token FROM rk WHERE rnk <= floor((1 - 0.8) * n + 0.000000001) + 1
+), cand AS (
+  SELECT DISTINCT pf.id AS contained_id, o.id AS container_id
+  FROM pf JOIN t o USING (token) WHERE pf.id != o.id
+), arr AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+  FROM a
+), v AS (
+  SELECT cand.contained_id, cand.container_id,
+         CASE WHEN len(ta.toks) > 0
+              THEN round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                         / len(ta.toks), 6)
+              ELSE 0.0 END AS containment
+  FROM cand JOIN arr ta ON ta.id = cand.contained_id
+            JOIN arr tb ON tb.id = cand.container_id
+)
+SELECT contained_id, container_id, containment FROM v WHERE containment >= 0.8
+"""
+
+
 def q_incremental_neardup(spark, sf_dir):
     """Incoming-snapshot near-dup against an existing corpus
     (``dedup.incremental_minhash_dedup``): documents split
@@ -4126,6 +4272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_decisions": q_dedup_decisions,
         "incremental_neardup": q_incremental_neardup,
+        "containment": q_containment,
+        "containment_exact": q_containment_exact,
         "fuzzy_join": q_fuzzy_join,
         # temporal interval joins + grid resample + sketches (round 4)
         # training-row layout + quotas + join pruning (round 4)
@@ -4235,6 +4383,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_decisions": _sql_dedup_decisions(),
         "incremental_neardup": _sql_incremental_neardup(),
+        "containment": _sql_containment(),
+        "containment_exact": SQL_CONTAINMENT_EXACT,
         "fuzzy_join": SQL_FUZZY_JOIN,
         "seq_pack": _sql_seq_pack(),
         "weighted_sample": _sql_weighted_sample(),

@@ -588,3 +588,131 @@ def incremental_minhash_dedup(
         .filter(F.col("_rn") == 1)
         .select("id_new", "dup_of", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Asymmetric containment near-dup: pairs where the smaller
+    document's token set lies (mostly) inside the larger's —
+    quote-extraction pages, syndication wrappers, list-of-excerpts
+    pages that symmetric Jaccard misses because the size imbalance
+    drags J down while containment stays ~1.
+
+    ``containment = |A∩B| / min(|A|,|B|)``; returns
+    ``(id_a, id_b, containment, contained_id)`` for pairs at or above
+    ``threshold`` (``contained_id`` = the smaller set's id, ties →
+    ``id_a``). Candidates come from the SAME minhash-LSH banding as
+    ``minhash_dedup`` — exact verify on whatever surfaces, with the
+    documented recall caveat that Jaccard banding under-recalls
+    extreme size ratios (J = c·min/(|A|+|B|−c·min)); for a dedicated
+    containment index, band the small side's shingles only (future
+    work), or lower the LSH threshold via more bands.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n_bands, rows_per_band, max_bucket
+    )
+    toks = spread_scan(df.select(F.col(id_col), tokens_col(text_col).alias("toks")))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("tokens_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("tokens_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
+    min_sz = F.least(F.size("tokens_a"), F.size("tokens_b"))
+    out = joined.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.when(min_sz > 0, inter.cast("double") / min_sz.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("containment"),
+        F.when(
+            F.size("tokens_a") <= F.size("tokens_b"), F.col("id_a")
+        ).otherwise(F.col("id_b")).alias("contained_id"),
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT containment self-join via prefix filtering (the
+    PPJoin-family guarantee) — the answer to ``containment_pairs``'s
+    LSH recall caveat, at the cost of an inverted-index join.
+
+    For every ordered pair emit ``(contained_id, container_id,
+    containment)`` where ``containment = |A∩B| / |A| >= threshold``
+    (A = contained side's token set; A==B-sized ties produce both
+    directions). Exactness: if at most ``(1-t)·|A|`` of A's tokens
+    can be outside B, then A's rare-first prefix of size
+    ``floor((1-t)·|A|) + 1`` must contain at least one token of B —
+    so joining PREFIX tokens against the full token index has no
+    false negatives, for ANY token ordering. Ordering by ascending
+    document frequency just makes the joined tokens the RARE ones,
+    which is what keeps posting sizes (and hence candidates) small
+    under Zipf.
+
+    Scale shape: one explode + df count (partial agg), one window to
+    rank tokens per doc (keys prefixed by doc id — no skew), one
+    equi-join prefix→postings on the token (rare-first keys; a
+    boilerplate-only doc is the worst case — optional ``max_df``
+    drops prefix tokens above the cap, trading bounded recall for a
+    bounded join exactly like the LSH band cap), one distinct, and a
+    broadcast-friendly verify on the token arrays.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("token").asc())
+    ranked = (
+        toks.join(dfreq, "token")
+        .withColumn("_rank", F.row_number().over(w))
+        .join(sizes, "_id")
+    )
+    # +1e-9 guards binary-float representation: (1-0.8)*35 evaluates
+    # to 6.999…98 in IEEE doubles and floor() would shave the prefix
+    # one token short of the exactness bound (= silent false
+    # negatives — caught by the DuckDB oracle, whose decimal 0.2*35
+    # is exactly 7). The epsilon can only ENLARGE the prefix, which
+    # never loses pairs.
+    prefix_sz = F.floor((1.0 - threshold) * F.col("_n") + F.lit(1e-9)) + 1
+    pref = ranked.filter(F.col("_rank") <= prefix_sz)
+    if max_df is not None:
+        pref = pref.filter(F.col("_df") <= max_df)
+    cands = (
+        pref.select(F.col("_id").alias("contained_id"), "token")
+        .join(toks.select(F.col("_id").alias("container_id"), "token"), "token")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    arrs = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    a = arrs.select(F.col(id_col).alias("contained_id"), F.col("_toks").alias("_ta"))
+    b = arrs.select(F.col(id_col).alias("container_id"), F.col("_toks").alias("_tb"))
+    joined = cands.join(a, "contained_id").join(b, "container_id")
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    out = joined.select(
+        "contained_id",
+        "container_id",
+        F.round(
+            F.when(F.size("_ta") > 0, inter.cast("double") / F.size("_ta").cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= threshold)
