@@ -600,6 +600,40 @@ FROM documents, b
 
 # ---------------------------------------------------------------- scan / json / misc
 
+def q_winsorize(spark, sf_dir):
+    """Per-event-type quantile clipping of event values at
+    [0.05, 0.95] (exact interpolated percentiles; one window per
+    group). Oracle recomputes the group quantiles with DuckDB's
+    quantile_cont — the same interpolation Spark's percentile uses."""
+    from med_doi_feature_extraction_spark.operators.feateng import winsorize
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = winsorize(ev, "event_type", ["value"], lower=0.05, upper=0.95)
+    return out.select(
+        "event_id", "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("value_wins", 6).alias("value_wins"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round(CASE WHEN e.value < q.lo THEN q.lo
+                  WHEN e.value > q.hi THEN q.hi
+                  ELSE e.value END, 6) AS value_wins
+FROM events e JOIN q USING (event_type)
+"""
+
+
 def q_skip_limit(spark, sf_dir):
     """S3: deterministic offset/limit under a total order."""
     ev = _read(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -4229,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "feature_norm": q_feature_norm,
         "quantile_bin": q_quantile_bin,
+        "winsorize": q_winsorize,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
         "render_template": q_render_template,
@@ -4345,6 +4380,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": SQL_TARGET_ENCODE,
         "feature_norm": SQL_FEATURE_NORM,
         "quantile_bin": SQL_QUANTILE_BIN,
+        "winsorize": SQL_WINSORIZE,
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,
         "render_template": SQL_RENDER_TEMPLATE,

@@ -246,3 +246,62 @@ def calendar_features(
         .withColumn(f"{p}dow_sin", F.sin((dow_iso - 1) * (two_pi / 7)))
         .withColumn(f"{p}dow_cos", F.cos((dow_iso - 1) * (two_pi / 7)))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key: str | Sequence[str] | None,
+    cols: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group quantile clipping (winsorization): each column is
+    clipped to its group's ``[lower, upper]`` exact interpolated
+    percentiles — the robust-outlier companion of
+    :func:`normalize_features` (heavy-tailed web features: page
+    sizes, link counts, token lengths).
+
+    Emits ``{col}_wins``; NULLs pass through untouched. ``key=None``
+    clips globally via a 1-row aggregate broadcast (never an
+    unpartitioned window). At corpus scale swap ``F.percentile`` for
+    ``F.approx_percentile`` — identical plumbing (the
+    ``quantile_bin`` argument).
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}/{upper}")
+    keys = [key] if isinstance(key, str) else list(key or [])
+
+    def _clip(c, lo, hi):
+        return F.when(F.col(c) < lo, lo).when(F.col(c) > hi, hi).otherwise(
+            F.col(c)
+        )
+
+    if keys:
+        w = Window.partitionBy(*keys)
+        return df.withColumns(
+            {
+                f"{c}_wins": _clip(
+                    c,
+                    F.percentile(c, F.lit(lower)).over(w),
+                    F.percentile(c, F.lit(upper)).over(w),
+                )
+                for c in cols
+            }
+        )
+    stats = df.agg(
+        *[
+            e
+            for c in cols
+            for e in (
+                F.percentile(c, F.lit(lower)).alias(f"_lo_{c}"),
+                F.percentile(c, F.lit(upper)).alias(f"_hi_{c}"),
+            )
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats)).withColumns(
+        {
+            f"{c}_wins": _clip(c, F.col(f"_lo_{c}"), F.col(f"_hi_{c}"))
+            for c in cols
+        }
+    )
+    return out.drop(*[n for c in cols for n in (f"_lo_{c}", f"_hi_{c}")])

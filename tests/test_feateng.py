@@ -243,3 +243,31 @@ def test_asof_no_tolerance_unchanged(spark, impl):
         out = asof_join_sorted(left, right, "k", "ts", "obs_ts", ["v"], num_buckets=2)
     got = {r["id"]: r["v"] for r in out.collect()}
     assert got[1] == 100.0 and got[2] == 100.0
+
+
+def test_winsorize_groups_and_global(spark):
+    import pandas as pd
+
+    from med_doi_feature_extraction_spark.operators.feateng import winsorize
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 11 + ["b"] * 3,
+            "x": list(range(11)) + [100.0, 200.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = winsorize(df, "g", ["x"], lower=0.1, upper=0.9).toPandas()
+    a = got[got.g == "a"].sort_values("x")
+    # group a: 0..10 → p10=1, p90=9 (exact interpolation on 11 points)
+    assert a.x_wins.min() == 1.0 and a.x_wins.max() == 9.0
+    assert a[a.x == 5.0].x_wins.iloc[0] == 5.0  # interior untouched
+    b = got[got.g == "b"]
+    assert b[b.x.isna()].x_wins.isna().all()  # NULL passes through
+    # global mode (key=None): one broadcast agg, same clip semantics
+    gl = winsorize(df, None, ["x"], lower=0.0, upper=1.0).toPandas()
+    assert (gl.dropna(subset=["x"]).x_wins == gl.dropna(subset=["x"]).x).all()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        winsorize(df, "g", ["x"], lower=0.9, upper=0.1)
