@@ -36,7 +36,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 #    bounds, LM normalizer) — a BroadcastNestedLoopJoin whose build
 #    side is a single row is the correct physical plan for "attach a
 #    global scalar", not a quadratic join.
-ALLOW_NLJ = {"cosine_topk", "target_encode", "quantile_bin", "lm_quality"}
+ALLOW_NLJ = {
+    "cosine_topk", "target_encode", "quantile_bin", "lm_quality",
+    "vocab_shift",  # 1-row smoothing-totals broadcast, same pattern
+}
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
 #  - global aggregates reduced to one row (handled by pattern below);
