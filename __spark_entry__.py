@@ -4222,6 +4222,204 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 
+def q_group_kfold(spark, sf_dir):
+    """Leakage-safe group-aware k-fold: fold = H(domain) % 5, so every
+    page of a registrable domain lands in one fold (sklearn GroupKFold
+    semantics; splitting template-twin pages from one domain across
+    folds would leak). Pure scan-stage Column algebra on the
+    engine-portable sha256 — no shuffle."""
+    from med_doi_feature_extraction_spark.operators.sampling import group_kfold
+    from med_doi_feature_extraction_spark.operators.urls import (
+        url_domain,
+        url_host,
+    )
+
+    urls = _synth_urls(spark, sf_dir).withColumn(
+        "domain", url_domain(url_host(F.col("url")))
+    )
+    return group_kfold(urls, "domain", k=5).select(
+        "o_orderkey", "domain", "fold"
+    )
+
+
+def _sql_group_kfold() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_kfold_sql,
+    )
+
+    host = (
+        "regexp_replace(regexp_replace("
+        "lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),"
+        " '^.*@', ''), ':(80|443)$', '')"
+    )
+    return f"""
+WITH urls AS ({_SQL_SYNTH_URL}),
+d AS (SELECT o_orderkey, {_sql_domain(host)} AS domain FROM urls)
+SELECT o_orderkey, domain, {oracle_kfold_sql('domain', 5)} AS fold FROM d
+"""
+
+
+_SEMDEDUP_THRESHOLD = 0.9
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding-space dedup. The raw embeddings table
+    has no near-dups (max background cosine ~0.51), so the query
+    PLANTS them — exact copies (vec_id+100000 for vec_id%10==0) and
+    one-element-perturbed copies (vec_id+200000 for vec_id%15==0;
+    cosine to source >0.99) — and ids divisible by 30 form a 3-node
+    transitive chain, exercising the connected-components collapse.
+    Oracle split like ivf_topk: the k-means cell assignment (the one
+    numpy stage) is materialized to parquet; Spark runs the streamed
+    capped pairing + JVM cosine + min-label-propagation CC
+    (operators/semdedup.py) while DuckDB re-pairs the SAME cells,
+    re-verifies cosine, and resolves components with a recursive CTE
+    — two independent algorithms end-to-end from the seam."""
+    from med_doi_feature_extraction_spark.operators.semdedup import (
+        semdedup_pairs_from_cells,
+    )
+
+    base = _ann_base()
+    emb = _read(spark, sf_dir, "embeddings")
+    perturb = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == 0, (x.cast("double") * 1.2).cast("float"))
+        .otherwise(x),
+    )
+    aug = (
+        emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + 100000).alias("_id"),
+                F.col("embedding").alias("_v"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 15 == 0).select(
+                (F.col("vec_id") + 200000).alias("_id"), perturb.alias("_v")
+            )
+        )
+    )
+    cent = similarity.train_ivf_centroids(aug, "_v", "_id", n_centroids=16)
+    similarity.with_ivf_cell(aug, cent, "_v", out="_cell").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/semdedup_assign.parquet")
+
+    assigned = spark.read.parquet(f"{base}/semdedup_assign.parquet")
+    pairs = semdedup_pairs_from_cells(
+        assigned, "_id", "_v", "_cell", threshold=_SEMDEDUP_THRESHOLD
+    )
+    from med_doi_feature_extraction_spark.operators.dedup import (
+        dedup_decisions,
+    )
+
+    return dedup_decisions(
+        aug.select(F.col("_id").alias("doc_id")), "doc_id",
+        pairs.select("id_a", "id_b"),
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    from med_doi_feature_extraction_spark.operators.dedup import (
+        DEFAULT_MAX_BAND_BUCKET,
+    )
+
+    base = _ann_base()
+    return f"""
+WITH RECURSIVE asg AS (
+  SELECT * FROM read_parquet('{base}/semdedup_assign.parquet/*.parquet')
+),
+ok AS (
+  SELECT _cell FROM asg GROUP BY _cell
+  HAVING count(*) BETWEEN 2 AND {DEFAULT_MAX_BAND_BUCKET}
+),
+dup AS (
+  SELECT x._id AS id_a, y._id AS id_b
+  FROM asg x JOIN ok USING (_cell)
+  JOIN asg y ON x._cell = y._cell AND x._id < y._id
+  WHERE list_cosine_similarity(x._v::DOUBLE[], y._v::DOUBLE[])
+        >= {_SEMDEDUP_THRESHOLD}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM dup
+  UNION SELECT id_b, id_a FROM dup
+),
+reach(s, d) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d
+),
+lab AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+aug AS (
+  SELECT vec_id AS doc_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 200000 FROM embeddings WHERE vec_id % 15 = 0
+)
+SELECT a.doc_id,
+       coalesce(l.cluster_id, a.doc_id) AS cluster_id,
+       coalesce(l.cluster_id, a.doc_id) = a.doc_id AS keep
+FROM aug a LEFT JOIN lab l USING (doc_id)
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """Link-graph authority scores: 3-iteration PageRank with uniform
+    dangling redistribution over a deterministic lineitem-derived edge
+    table (src = orderkey mod 500, dst = partkey mod 600 — nodes
+    500-599 appear only as destinations, so the dangling-mass path is
+    exercised, not just defined). Graph priors (host authority) are a
+    standard web-corpus quality signal; see operators/graph.py."""
+    from med_doi_feature_extraction_spark.operators.graph import pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 600).alias("dst"),
+    )
+    out = pagerank(edges, n_iter=3)
+    return out.select("node", F.col("rank").alias("pr"))
+
+
+def _sql_pagerank_iter(prev: str, cur: str) -> str:
+    return f"""
+c{cur} AS (
+  SELECT e.dst AS node, sum(r.pr / d.out_deg) AS contrib
+  FROM e JOIN r{prev} r ON e.src = r.node JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+),
+dm{cur} AS (
+  SELECT coalesce(sum(r.pr), CAST(0 AS DOUBLE)) AS m
+  FROM r{prev} r LEFT JOIN deg d ON r.node = d.node WHERE d.node IS NULL
+),
+r{cur} AS (
+  SELECT nd.node,
+         CAST(0.15 AS DOUBLE) / nn.n
+         + CAST(0.85 AS DOUBLE) * (coalesce(c.contrib, CAST(0 AS DOUBLE))
+                                    + dm{cur}.m / nn.n) AS pr
+  FROM nodes nd LEFT JOIN c{cur} c ON nd.node = c.node, nn, dm{cur}
+)"""
+
+
+def _sql_pagerank() -> str:
+    iters = ",".join(_sql_pagerank_iter(str(i), str(i + 1)) for i in range(3))
+    return f"""
+WITH e AS (
+  SELECT l_orderkey % 500 AS src, l_partkey % 600 AS dst FROM lineitem
+),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+),
+deg AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes, nn),
+{iters}
+SELECT node, pr FROM r3
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4322,6 +4520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_rank": q_global_rank,
         "skew_join": q_skew_join,
         "snapshot_diff": q_snapshot_diff,
+        "pagerank": q_pagerank,
+        "semantic_dedup": q_semantic_dedup,
+        "group_kfold": q_group_kfold,
         "lm_quality": q_lm_quality,
         "vocab_shift": q_vocab_shift,
         "cms_counts": q_cms_counts,
@@ -4429,6 +4630,9 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": SQL_GLOBAL_RANK,
         "skew_join": SQL_SKEW_JOIN,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "pagerank": _sql_pagerank(),
+        "semantic_dedup": _sql_semantic_dedup(),
+        "group_kfold": _sql_group_kfold(),
         "lm_quality": SQL_LM_QUALITY,
         "vocab_shift": SQL_VOCAB_SHIFT,
         "cms_counts": _sql_cms_counts(),

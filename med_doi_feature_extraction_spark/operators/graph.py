@@ -1,0 +1,150 @@
+"""Link-graph analytics: fixed-iteration PageRank over an edge table.
+
+Web-corpus curation weights documents by the authority of their host
+(Common Crawl publishes harmonic/PageRank centrality per domain and
+corpora like RefinedWeb/FineWeb use URL+graph signals as quality
+priors). The reference repo scores each record in isolation
+(`src/services/quality_service.py`); a corpus-scale engine needs the
+graph-side signal too, so this module provides the canonical one.
+
+Execution shape (the one that survives 100×):
+
+- The edge table is joined with out-degrees ONCE up front and
+  persisted — per-iteration work never recomputes degrees.
+- Each iteration is exactly one shuffle-join (ranks ⋈ edges on src)
+  plus one hash-agg on dst; both sides hash-partition on the join/agg
+  key, so AQE coalesces the shrinking frontier. For a production
+  layout, bucket the edge table by ``src`` (sources/catalog.
+  save_bucketed) and the per-iteration join runs exchange-free on the
+  edge side — only the slim (node, rank) side moves.
+- Dangling mass (nodes with no out-links — very common in crawl
+  graphs: leaf URLs) is redistributed uniformly via the sanctioned
+  1-row-totals broadcast pattern (a 1-row aggregate crossJoined back,
+  same shape as operators/lm.vocab_shift): no driver-side collect of
+  anything unbounded.
+- Lineage is truncated with ``localCheckpoint`` every iteration so a
+  50-iteration run doesn't hand Catalyst an exponentially nested plan
+  (same guard as operators/dedup.dup_clusters).
+
+Float determinism: ranks are sums of float contributions, so Spark
+and an oracle engine may disagree below ~1e-12 relative; the contract
+harness canonicalizes floats at 6 decimal places and ranks live in
+[1e-4, 1], leaving ≥6 orders of magnitude of slack — hash-exact in
+practice (same argument as operators/lm.lm_quality_score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DAMPING = 0.85
+
+
+def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
+    """(node, out_deg) for every node with at least one out-edge.
+    One hash-agg; partial aggregation absorbs hot hubs map-side."""
+    return edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def graph_nodes(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct node set = src ∪ dst (one exchange on the node id)."""
+    return (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = DEFAULT_DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank → (node, rank), sum(rank) == 1.
+
+    Semantics (the textbook power iteration with uniform dangling
+    redistribution)::
+
+        rank'(v) = (1-d)/N
+                 + d * ( Σ_{u→v} rank(u)/outdeg(u)  +  dangling/N )
+
+    where ``dangling = Σ rank(u) over nodes with outdeg 0``. Every
+    quantity is a DataFrame: N and the dangling mass are 1-row
+    aggregates broadcast back onto the node table — the driver never
+    sees a row. Self-loops and parallel edges are taken as given
+    (parallel edges weight the contribution, like a link repeated on
+    a page); callers wanting simple-graph semantics distinct() first.
+
+    n_iter is fixed rather than convergence-tested so the job graph
+    is static and the result engine-portable (an oracle can unroll the
+    same iterations); for web graphs 10–20 iterations is the standard
+    operating point.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = graph_nodes(e).localCheckpoint(eager=False)
+    deg = out_degrees(e)
+    # one up-front join: every edge carries its source's out-degree
+    edges_deg = e.join(deg, e.src == deg.node).select(
+        "src", "dst", "out_deg"
+    ).localCheckpoint(eager=False)
+    n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))  # 1 row
+
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    has_out = deg.select("node")
+    for _ in range(n_iter):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )  # 1 row
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(n_total))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dm") / F.col("_n")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # truncate per-iteration lineage
+        )
+    return ranks
+
+
+def degree_join(
+    df: DataFrame, edges: DataFrame, node_col: str,
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Attach in/out degree features to an entity table (left join;
+    isolated nodes get 0). Both degree tables are key-grouped slims —
+    AQE broadcast-converts them against a large entity side."""
+    out_d = edges.groupBy(F.col(src).alias(node_col)).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col(dst).alias(node_col)).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        df.join(out_d, node_col, "left")
+        .join(in_d, node_col, "left")
+        .fillna(0, subset=["out_deg", "in_deg"])
+    )

@@ -142,6 +142,48 @@ def group_cap(
     )
 
 
+def group_kfold(
+    df: DataFrame,
+    group_col: str | F.Column,
+    k: int,
+    salt: str = "fold",
+    out: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment: ``fold = H(group) % k`` — every
+    row of a group lands in the SAME fold (sklearn GroupKFold
+    semantics, hash-partitioned instead of count-balanced).
+
+    This is the leakage-safe eval split for web corpora: splitting by
+    doc id puts near-identical pages from one domain on both sides of
+    the fold boundary, and the held-out score measures memorization
+    of the domain's template rather than generalization — so the
+    group key should be the leakage unit (``url_domain``, dedup
+    ``cluster_id``, author id). Pure scan-stage Column algebra on the
+    engine-portable sha256 (no shuffle, no state, append-stable);
+    fold sizes are multinomial around n/k rather than exactly equal —
+    the price of never having to look at two rows at once, which is
+    what makes it work on 10^12 rows and on incremental appends.
+
+    NULL groups share one deterministic fold (coalesce to "", same
+    rationale as :func:`hash_uniform`)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    tagged = F.concat(
+        F.coalesce(g.cast("string"), F.lit("")), F.lit("|" + salt)
+    )
+    bucket = F.conv(F.substring(F.sha2(tagged, 256), 1, 8), 16, 10)
+    return df.withColumn(out, F.pmod(bucket.cast("long"), F.lit(k)))
+
+
+def oracle_kfold_sql(group_expr: str, k: int, salt: str = "fold") -> str:
+    """DuckDB twin of :func:`group_kfold`'s fold expression."""
+    return (
+        f"CAST(('0x' || substr(sha256(coalesce({group_expr}, '') || '|{salt}'), 1, 8))"
+        f"::UBIGINT % {k} AS BIGINT)"
+    )
+
+
 def oracle_uniform_sql(key_expr: str, salt: str = "") -> str:
     """The DuckDB expression computing the same uniform — kept next
     to the Spark implementation so the two can't drift."""

@@ -1,0 +1,83 @@
+"""PageRank / degree features vs a brute-force numpy power iteration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from med_doi_feature_extraction_spark.operators.graph import (
+    degree_join,
+    graph_nodes,
+    pagerank,
+)
+
+
+def numpy_pagerank(edges, n_iter, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out[idx[u]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3),  # 5 is dangling via 3->... none
+    (1, 2),  # parallel edge: weights the contribution
+    (5, 5),  # self loop
+    (6, 1),  # 6 has out, no in
+]
+# node 7 unreachable/absent on purpose: only nodes present in edges exist
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+@pytest.mark.parametrize("n_iter", [1, 3, 10])
+def test_pagerank_matches_numpy(spark, edges_df, n_iter):
+    got = {r["node"]: r["rank"] for r in pagerank(edges_df, n_iter=n_iter).collect()}
+    want = numpy_pagerank(EDGES, n_iter)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_pagerank_sums_to_one(spark, edges_df):
+    ranks = pagerank(edges_df, n_iter=10)
+    total = ranks.groupBy().sum("rank").collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_only_graph(spark):
+    # every node dangles after one hop: 1->2, 3->2; 2 has no out-edges
+    e = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=5).collect()}
+    want = numpy_pagerank([(1, 2), (3, 2)], 5)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_graph_nodes_and_degree_join(spark, edges_df):
+    nodes = graph_nodes(edges_df)
+    assert {r["node"] for r in nodes.collect()} == {1, 2, 3, 4, 5, 6}
+    ent = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    feat = {r["node"]: (r["out_deg"], r["in_deg"])
+            for r in degree_join(ent, edges_df, "node").collect()}
+    assert feat[1] == (3, 2)   # 1->2 twice + 1->3; in from 3 and 6
+    assert feat[5] == (1, 1)   # self loop counts both ways
+    assert feat[7] == (0, 0)   # isolated entity row survives with zeros
+
+
+def test_pagerank_rejects_zero_iterations(spark, edges_df):
+    with pytest.raises(ValueError):
+        pagerank(edges_df, n_iter=0)
