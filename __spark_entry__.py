@@ -4222,6 +4222,100 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 
+def q_dedup_quality_keep(spark, sf_dir):
+    """Quality-aware dedup survivor selection: same connected
+    components as ``dedup_decisions``, but the kept member of each dup
+    group is the LONGEST doc (n_chars desc, id asc tiebreak) — the
+    keep-the-best-copy policy production curation uses instead of
+    min-id. Oracle split like dedup_decisions: the verified pair set
+    is materialized; DuckDB resolves components with a recursive CTE
+    and re-ranks members with the same preference window."""
+    base = _dedup_base()
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+    pairs.select("id_a", "id_b").write.mode("overwrite").parquet(
+        f"{base}/ccq_pairs.parquet"
+    )
+    return dedup.dedup_decisions_by(
+        docs.select("doc_id", "n_chars"),
+        "doc_id",
+        spark.read.parquet(f"{base}/ccq_pairs.parquet"),
+        prefer=[F.desc("n_chars")],
+    )
+
+
+def _sql_dedup_quality_keep() -> str:
+    base = _dedup_base()
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT id_a AS a, id_b AS b
+  FROM read_parquet('{base}/ccq_pairs.parquet/*.parquet')
+  UNION
+  SELECT id_b, id_a FROM read_parquet('{base}/ccq_pairs.parquet/*.parquet')
+),
+reach(s, d) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d
+),
+lab AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+),
+m AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN lab l USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id) = 1 AS keep
+FROM m
+"""
+
+
+_FH_DIM = 4096
+
+
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick vectorizer (signed, Weinberger 2009) over the
+    whitespace token multiset — sparse COO (id, idx, val) output, the
+    layout that survives corpus scale (a dense 2^18 array per doc
+    would not). Index AND sign come from the engine-portable sha256,
+    so the oracle recomputes every cell exactly."""
+    from med_doi_feature_extraction_spark.operators.feateng import (
+        feature_hash,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    out = feature_hash(docs, "doc_id", toks, dim=_FH_DIM, signed=True)
+    return out.select(
+        F.col("id").alias("doc_id"), "idx", F.col("val").cast("long").alias("val")
+    )
+
+
+def _sql_feature_hash() -> str:
+    from med_doi_feature_extraction_spark.operators.feateng import (
+        oracle_feature_hash_sql,
+    )
+
+    frag = oracle_feature_hash_sql("token", _FH_DIM, signed=True)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), f AS (
+  SELECT doc_id, {frag["idx"]} AS idx, {frag["val"]} AS val
+  FROM t WHERE len(token) > 0
+)
+SELECT doc_id, idx, CAST(sum(val) AS BIGINT) AS val
+FROM f GROUP BY doc_id, idx
+"""
+
+
 def q_group_kfold(spark, sf_dir):
     """Leakage-safe group-aware k-fold: fold = H(domain) % 5, so every
     page of a registrable domain lands in one fold (sklearn GroupKFold
@@ -4523,6 +4617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "semantic_dedup": q_semantic_dedup,
         "group_kfold": q_group_kfold,
+        "dedup_quality_keep": q_dedup_quality_keep,
+        "feature_hash": q_feature_hash,
         "lm_quality": q_lm_quality,
         "vocab_shift": q_vocab_shift,
         "cms_counts": q_cms_counts,
@@ -4633,6 +4729,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "semantic_dedup": _sql_semantic_dedup(),
         "group_kfold": _sql_group_kfold(),
+        "dedup_quality_keep": _sql_dedup_quality_keep(),
+        "feature_hash": _sql_feature_hash(),
         "lm_quality": SQL_LM_QUALITY,
         "vocab_shift": SQL_VOCAB_SHIFT,
         "cms_counts": _sql_cms_counts(),

@@ -22,7 +22,9 @@ are built-in DataFrame ops so Catalyst/AQE own the physical plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -486,6 +488,47 @@ def dedup_decisions(
     out = df.select(F.col(id_col).alias("doc_id")).join(clusters, "doc_id", "left")
     out = out.withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
     return out.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+def dedup_decisions_by(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    prefer: Sequence[Column | str],
+) -> DataFrame:
+    """(doc_id, cluster_id, keep): like :func:`dedup_decisions`, but the
+    cluster survivor is chosen by an explicit preference order instead
+    of min id — what production curation actually wants: when a dup
+    group mixes a clean original with truncated mirrors, keep the
+    HIGHEST-QUALITY member (``prefer=[F.desc("quality"), F.asc(id)]``),
+    not the numerically smallest id.
+
+    Always append the id (or another total order) as the last tiebreak
+    — a tie on all ``prefer`` columns would otherwise make the
+    survivor nondeterministic across runs/layouts; this function
+    appends ``asc(id_col)`` itself as a safety net. One exchange on
+    cluster_id for the rank window; dup clusters are near-dup-group
+    sized, so the per-partition sort is bounded. cluster_id remains
+    the min-id component label (stable under preference changes), only
+    ``keep`` moves."""
+    from pyspark.sql import Window
+
+    clusters = dup_clusters(pairs)
+    out = df.join(
+        clusters, df[id_col] == clusters["doc_id"], "left"
+    ).select(
+        df["*"], F.coalesce("cluster_id", df[id_col]).alias("cluster_id")
+    )
+    order = [F.col(c) if isinstance(c, str) else c for c in prefer]
+    w = Window.partitionBy("cluster_id").orderBy(*order, F.asc(id_col))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "cluster_id",
+            (F.col("_rk") == 1).alias("keep"),
+        )
+    )
 
 
 def incremental_band_candidates(

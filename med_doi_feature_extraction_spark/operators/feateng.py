@@ -305,3 +305,67 @@ def winsorize(
         }
     )
     return out.drop(*[n for c in cols for n in (f"_lo_{c}", f"_hi_{c}")])
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str | F.Column,
+    dim: int = 1 << 18,
+    signed: bool = True,
+    salt: str = "fh",
+) -> DataFrame:
+    """Hashing-trick vectorizer: token multiset → SPARSE feature rows
+    ``(id, idx, val)`` with ``idx = H(token) % dim`` and (if
+    ``signed``) each occurrence contributing ±1 by a second hash bit —
+    the collision-debiasing variant of Weinberger et al. 2009
+    (feature hashing), the fixed-width input layer for linear/GBDT
+    models over unbounded vocabularies.
+
+    Sparse-rows output is deliberate: at corpus scale the dense
+    ``dim``-wide array per doc is the wrong layout (2^18 floats/doc of
+    mostly zeros crossing every shuffle); the COO triples ARE the
+    trainable format (and trivially pivot to dense client-side).
+    Plan: explode → hash-agg on (id, idx) — token skew is absorbed by
+    the partial agg, and the hash itself is the engine-portable sha256
+    (``sampling.hash_uniform``'s tag scheme) so the oracle can recompute
+    every index and sign exactly. Zero-sum cancelled features (signed
+    collisions) are kept as explicit 0 rows — dropping them would make
+    the output depend on collision layout.
+    """
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("_t"))
+    tagged = F.concat(F.coalesce(F.col("_t"), F.lit("")), F.lit("|" + salt))
+    h = F.conv(F.substring(F.sha2(tagged, 256), 1, 8), 16, 10).cast("long")
+    idx = F.pmod(h, F.lit(dim))
+    if signed:
+        # 9th hex nibble parity — independent of the index bits
+        sign_bit = F.conv(F.substring(F.sha2(tagged, 256), 9, 1), 16, 10)
+        val = F.when(sign_bit.cast("int") % 2 == 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+    else:
+        val = F.lit(1)
+    return (
+        ex.select("id", idx.alias("idx"), val.alias("_v"))
+        .groupBy("id", "idx")
+        .agg(F.sum("_v").alias("val"))
+    )
+
+
+def oracle_feature_hash_sql(
+    token_expr: str, dim: int, signed: bool = True, salt: str = "fh"
+) -> str:
+    """DuckDB twins of :func:`feature_hash`'s index/sign expressions
+    (returns ``(idx_expr, val_expr)`` as a SQL fragment pair via a
+    dict) — kept beside the Spark code so they cannot drift."""
+    tagged = f"coalesce({token_expr}, '') || '|{salt}'"
+    idx = f"CAST(('0x' || substr(sha256({tagged}), 1, 8))::UBIGINT % {dim} AS BIGINT)"
+    if signed:
+        val = (
+            f"CASE WHEN ('0x' || substr(sha256({tagged}), 9, 1))::UBIGINT % 2 = 0 "
+            f"THEN 1 ELSE -1 END"
+        )
+    else:
+        val = "1"
+    return {"idx": idx, "val": val}
