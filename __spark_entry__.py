@@ -4222,6 +4222,103 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact repeated-span removal (Lee et al. 2022 k-gram-anchor
+    form, operators/spans.py, k=8): planted excerpt docs
+    (doc_id+100000 = the first 12 whitespace tokens of every 10th
+    doc) share their 8-grams with the source, so the non-owner copy
+    loses them. DuckDB replicates the whole pipeline — grams via
+    lead() windows over the token stream, ownership, range-frame
+    coverage, ordered rebuild — on the gram STRING where Spark
+    shuffles the 8-byte xxhash64 of it (same key-compression
+    precedent as paragraph dedup)."""
+    from med_doi_feature_extraction_spark.operators.spans import dedup_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks12 = F.slice(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+        ),
+        1, 12,
+    )
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", toks12).alias("text"),
+        )
+    )
+    return dedup_spans(aug, "doc_id", "text", k=8)
+
+
+def _sql_span_dedup() -> str:
+    lead_concat = " || ' ' || ".join(
+        f"lead(tok, {i}) OVER w" for i in range(1, 8)
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+                                     t -> len(t) > 0)[1:12], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> len(x) > 0) AS toks
+  FROM base
+),
+t AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks)),
+                  i -> struct_pack(pos := CAST(i AS BIGINT),
+                                   tok := toks[i + 1]))) AS u
+    FROM toked
+  )
+),
+g AS (
+  SELECT doc_id, pos, tok || ' ' || {lead_concat} AS gram
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 7) OVER w IS NOT NULL
+),
+stats AS (
+  SELECT gram, min(doc_id) AS owner
+  FROM (SELECT DISTINCT gram, doc_id FROM g)
+  GROUP BY gram HAVING count(*) >= 2
+),
+flags AS (
+  SELECT g.doc_id, g.pos,
+         CAST(g.doc_id <> s.owner AS INT) AS rm
+  FROM g JOIN stats s USING (gram)
+),
+cov AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         max(f.rm) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                         RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+  FROM t LEFT JOIN flags f ON t.doc_id = f.doc_id AND t.pos = f.pos
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS kept_tokens
+  FROM cov WHERE c IS NULL OR c = 0 GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+  FROM base
+)
+SELECT tt.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       tt.n_tokens,
+       tt.n_tokens - coalesce(k.kept_tokens, 0) AS removed_tokens
+FROM totals tt LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def q_dedup_quality_keep(spark, sf_dir):
     """Quality-aware dedup survivor selection: same connected
     components as ``dedup_decisions``, but the kept member of each dup
@@ -4618,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "group_kfold": q_group_kfold,
         "dedup_quality_keep": q_dedup_quality_keep,
+        "span_dedup": q_span_dedup,
         "feature_hash": q_feature_hash,
         "lm_quality": q_lm_quality,
         "vocab_shift": q_vocab_shift,
@@ -4730,6 +4828,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "group_kfold": _sql_group_kfold(),
         "dedup_quality_keep": _sql_dedup_quality_keep(),
+        "span_dedup": _sql_span_dedup(),
         "feature_hash": _sql_feature_hash(),
         "lm_quality": SQL_LM_QUALITY,
         "vocab_shift": SQL_VOCAB_SHIFT,
