@@ -4121,6 +4121,92 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_lm_bigram(spark, sf_dir):
+    """Stupid-backoff bigram LM quality score (Brants et al. 2007,
+    operators/lm.py): trained on the doc_id%3!=0 two-thirds, scored on
+    ALL documents, so the held-out third exercises every path — seen
+    transition (raw conditional logp), unseen transition (ln(0.4) +
+    unigram), OOV token (add-one floor), context-free first token.
+    DuckDB replicates train AND score: lag() windows rebuild the
+    transitions the Spark side derives from aligned array slices."""
+    from med_doi_feature_extraction_spark.operators.lm import (
+        bigram_quality_score,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    lm2 = train_bigram_lm(ref, "text")
+    lm1 = train_unigram_lm(ref, "text")
+    out = bigram_quality_score(docs, lm2, lm1, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "logp_per_token",
+        "ppl",
+    )
+
+
+SQL_LM_BIGRAM = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> len(x) > 0) AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks)),
+                  i -> struct_pack(pos := CAST(i AS BIGINT),
+                                   tok := toks[i + 1]))) AS u
+    FROM toked)
+), ref AS (
+  SELECT * FROM occ WHERE doc_id % 3 <> 0
+), counts AS (
+  SELECT tok AS token, count(*) AS c FROM ref GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS total, count(*) AS v FROM counts
+), uni AS (
+  SELECT token, ln((c + 1)::DOUBLE / (total + v + 1)::DOUBLE) AS logp
+  FROM counts, tot
+), refbi AS (
+  SELECT lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+  FROM ref QUALIFY prev IS NOT NULL
+), c2 AS (
+  SELECT prev, tok, count(*) AS c2 FROM refbi GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY 1
+), big AS (
+  SELECT c2.prev, c2.tok, ln(c2.c2::DOUBLE / c1.c1::DOUBLE) AS logp2
+  FROM c2 JOIN c1 USING (prev)
+), units AS (
+  SELECT doc_id, pos,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+  FROM occ
+), scored AS (
+  SELECT u.doc_id,
+         CASE WHEN u.prev IS NULL
+                THEN coalesce(uni.logp,
+                     (SELECT ln(1.0 / (total + v + 1)::DOUBLE) FROM tot))
+              WHEN big.logp2 IS NOT NULL THEN big.logp2
+              ELSE ln(0.4) + coalesce(uni.logp,
+                     (SELECT ln(1.0 / (total + v + 1)::DOUBLE) FROM tot))
+         END AS s
+  FROM units u
+  LEFT JOIN big ON u.prev = big.prev AND u.tok = big.tok
+  LEFT JOIN uni ON u.tok = uni.token
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(s), 6) AS logp_per_token
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, agg.n_tokens, agg.logp_per_token,
+       round(exp(-agg.logp_per_token), 3) AS ppl
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_global_rank(spark, sf_dir):
     """Global row number under a total order WITHOUT the
     single-partition window: range exchange + bounded per-partition
@@ -4718,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "feature_hash": q_feature_hash,
         "lm_quality": q_lm_quality,
+        "lm_bigram": q_lm_bigram,
         "vocab_shift": q_vocab_shift,
         "cms_counts": q_cms_counts,
         "zorder_key": q_zorder_key,
@@ -4831,6 +4918,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _sql_span_dedup(),
         "feature_hash": _sql_feature_hash(),
         "lm_quality": SQL_LM_QUALITY,
+        "lm_bigram": SQL_LM_BIGRAM,
         "vocab_shift": SQL_VOCAB_SHIFT,
         "cms_counts": _sql_cms_counts(),
         "zorder_key": _sql_zorder_key(),

@@ -199,3 +199,132 @@ def corpus_divergence(shift: DataFrame) -> dict[str, float]:
         "kl_a_from_b": float(row["kl_ab"]),
         "js": float(row["js"]),
     }
+
+
+# --------------------------------------------------------------- bigram LM
+
+
+def train_bigram_lm(
+    corpus: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Conditional bigram table ``(gram, logp2)`` where ``gram`` is the
+    space-joined token pair (the dedup tier's shared n-gram string —
+    whitespace tokens contain no spaces, so the join key is exact) and
+    ``logp2 = ln(c(prev,tok) / c(prev·))``. Maximum-likelihood, NO
+    smoothing: unseen transitions are the backoff path's job
+    (:func:`bigram_quality_score`), which is exactly the "stupid
+    backoff" estimator of Brants et al. 2007 ("Large Language Models
+    in Machine Translation") — the scheme built FOR distributed
+    corpus-scale LMs because it needs only raw counts, no held-out
+    discounting pass.
+
+    Plan: one explode + hash-agg over bigram strings (Zipf head
+    absorbed by map-side partials), then the context normalizer
+    ``c(prev·)`` is a second agg over the already-vocabulary²-bounded
+    count table (prev = the substring before the gram's single space —
+    NOT a rescan of the corpus). ``min_count`` prunes AFTER the
+    normalizer so pruned and unpruned LMs agree on shared grams."""
+    c2 = (
+        corpus.select(
+            F.explode(ngrams_all_col(text_col, 2)).alias("gram")
+        )
+        .filter(F.length("gram") > 1)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c2 = c2.withColumn(
+        "_prev", F.element_at(F.split(F.col("gram"), " ", 2), 1)
+    )
+    c1 = c2.groupBy("_prev").agg(F.sum("c2").alias("c1"))
+    lm = c2.join(c1, "_prev").select(
+        "gram",
+        "c2",
+        F.log(F.col("c2").cast("double") / F.col("c1").cast("double")).alias(
+            "logp2"
+        ),
+    )
+    if min_count > 1:
+        lm = lm.filter(F.col("c2") >= min_count)
+    return lm.drop("c2")
+
+
+def bigram_quality_score(
+    docs: DataFrame,
+    bigram_lm: DataFrame,
+    unigram_lm: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+    oov: float | None = None,
+    broadcast_bigrams: bool = True,
+) -> DataFrame:
+    """Per-document stupid-backoff bigram score:
+    ``score(tok|prev) = logp2(prev,tok)`` when the transition was seen
+    in the reference corpus, else ``ln(alpha) + logp1(tok)`` (unigram
+    backoff with the Brants-2007 fixed penalty, OOV tokens at the
+    add-one floor); a document's FIRST token has no context and scores
+    by the unigram directly. Returns
+    ``(id, n_tokens, logp_per_token, ppl)`` — same contract as the
+    unigram :func:`lm_quality_score`, so quality gates can swap
+    estimators without plumbing changes; empty docs keep NULL metrics.
+
+    Plan: the (gram|token) scoring units are built JVM-side from two
+    aligned array slices (no per-doc window, no second corpus
+    exchange), exploded once. The unigram table is vocabulary-sized ⇒
+    always broadcast. The bigram table is vocabulary²-bounded and
+    Zipf-concentrated — broadcast while it fits
+    (``broadcast_bigrams=True``); at web scale (reference-corpus
+    bigram tables run ~10⁸ rows) pass ``False`` to shuffle on the
+    8-ish-byte gram key and let AQE pick the join — the skewed hot
+    transitions ("of the") are absorbed by AQE skew splitting, and
+    the per-doc agg that follows is keyed by document id (no skew by
+    construction)."""
+    import math
+
+    if oov is None:
+        oov = oov_logp(unigram_lm)
+    toks = F.filter(
+        ngrams_all_col(text_col, 1), lambda t: F.length(t) > 0
+    )
+    grams = ngrams_all_col(text_col, 2)
+    first = F.when(
+        F.size(toks) > 0,
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("gram"),
+                F.element_at(toks, 1).alias("token"),
+            )
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<gram:string,token:string>>")
+    )
+    rest = F.zip_with(
+        grams,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda g, t: F.struct(g.alias("gram"), t.alias("token")),
+    )
+    units = docs.select(
+        id_col, F.explode(F.concat(first, rest)).alias("u")
+    ).select(id_col, F.col("u.gram").alias("gram"), F.col("u.token").alias("token"))
+    lm2 = bigram_lm.select("gram", "logp2")
+    if broadcast_bigrams:
+        lm2 = F.broadcast(lm2)
+    scored = (
+        units.join(lm2, "gram", "left")
+        .join(F.broadcast(unigram_lm.select("token", "logp")), "token", "left")
+        .select(
+            id_col,
+            F.when(F.col("gram").isNull(), F.coalesce("logp", F.lit(oov)))
+            .when(F.col("logp2").isNotNull(), F.col("logp2"))
+            .otherwise(
+                F.lit(math.log(alpha)) + F.coalesce("logp", F.lit(oov))
+            )
+            .alias("_s"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_s"), 6).alias("logp_per_token"),
+    )
+    agg = agg.withColumn("ppl", F.round(F.exp(-F.col("logp_per_token")), 3))
+    return docs.select(id_col).join(agg, id_col, "left")

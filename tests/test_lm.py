@@ -111,3 +111,75 @@ def test_vocab_shift_hand_computed(spark):
     same = corpus_divergence(vocab_shift(a, a, "text"))
     assert same["kl_b_from_a"] == pytest.approx(0.0, abs=1e-5)
     assert same["js"] == pytest.approx(0.0, abs=1e-5)
+
+
+# --------------------------------------------------------------- bigram
+
+
+@pytest.fixture(scope="module")
+def bi_ref(spark):
+    # bigrams: "a b" x2, "b c" x1, "a c" x1
+    # contexts: c(a·)=3, c(b·)=1
+    return spark.createDataFrame(
+        [("r1", "a b c"), ("r2", "a b"), ("r3", "a c")],
+        "doc_id string, text string",
+    ).cache()
+
+
+def test_train_bigram_hand_computed(bi_ref):
+    from med_doi_feature_extraction_spark.operators.lm import train_bigram_lm
+
+    lm = {r.gram: r.logp2 for r in train_bigram_lm(bi_ref, "text").collect()}
+    assert lm["a b"] == pytest.approx(math.log(2 / 3))
+    assert lm["b c"] == pytest.approx(math.log(1 / 1))
+    assert lm["a c"] == pytest.approx(math.log(1 / 3))
+    assert set(lm) == {"a b", "b c", "a c"}
+
+
+def test_bigram_score_backoff_paths(spark, bi_ref):
+    from med_doi_feature_extraction_spark.operators.lm import (
+        bigram_quality_score,
+        train_bigram_lm,
+    )
+
+    lm2 = train_bigram_lm(bi_ref, "text")
+    lm1 = train_unigram_lm(bi_ref, "text")
+    floor = oov_logp(lm1)
+    uni = {r.token: r.logp for r in lm1.collect()}
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b"),    # first tok unigram(a), then seen bigram a b
+            ("d2", "c a"),    # unseen transition c->a: ln(.4)+uni(a)
+            ("d3", "zz b"),   # OOV first token -> floor; zz->b backoff
+            ("d4", ""),       # empty -> NULL metrics
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_quality_score(docs, lm2, lm1, "doc_id", "text").collect()
+    }
+    exp_d1 = (uni["a"] + math.log(2 / 3)) / 2
+    assert out["d1"].logp_per_token == pytest.approx(exp_d1, abs=1e-6)
+    exp_d2 = (uni["c"] + math.log(0.4) + uni["a"]) / 2
+    assert out["d2"].logp_per_token == pytest.approx(exp_d2, abs=1e-6)
+    exp_d3 = (floor + math.log(0.4) + uni["b"]) / 2
+    assert out["d3"].logp_per_token == pytest.approx(exp_d3, abs=1e-6)
+    assert out["d4"].logp_per_token is None and out["d4"].n_tokens is None
+    assert out["d1"].ppl == pytest.approx(round(math.exp(-round(exp_d1, 6)), 3))
+
+
+def test_bigram_broadcast_flag_parity(spark, bi_ref):
+    from med_doi_feature_extraction_spark.operators.lm import (
+        bigram_quality_score,
+        train_bigram_lm,
+    )
+
+    lm2 = train_bigram_lm(bi_ref, "text")
+    lm1 = train_unigram_lm(bi_ref, "text")
+    docs = spark.createDataFrame(
+        [("d1", "a b c zz"), ("d2", "b a")], "doc_id string, text string"
+    )
+    a = bigram_quality_score(docs, lm2, lm1, "doc_id", "text", broadcast_bigrams=True)
+    b = bigram_quality_score(docs, lm2, lm1, "doc_id", "text", broadcast_bigrams=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
