@@ -4021,6 +4021,136 @@ FROM est JOIN true_n USING (k)
 """
 
 
+_HLL_P = 10  # 1024 registers
+
+
+def _hll_halves(spark, sf_dir):
+    """Two disjoint snapshot halves of orders (orderkey parity) —
+    the Spark side builds per-half sketches and MERGES them, so the
+    contract exercises ``hll_merge(build(A) ∪ build(B)) ==
+    build(A ∪ B)`` against a DuckDB oracle that builds one-shot."""
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").cast("long").alias("v"),
+        F.col("o_orderkey").cast("long").alias("k"),
+    )
+    return orders.filter(F.col("k") % 2 == 0), orders.filter(
+        F.col("k") % 2 == 1
+    )
+
+
+def q_hll_registers(spark, sf_dir):
+    """Portable HyperLogLog register table, merged from two per-half
+    builds (operators/sketches.py hll_build/hll_merge): every
+    (grp, idx, rho) is an exact integer the DuckDB oracle recomputes
+    from scratch over the FULL table — a hash-exact cross-engine check
+    of both the register rule and the merge identity."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        hll_build,
+        hll_merge,
+    )
+
+    a, b = _hll_halves(spark, sf_dir)
+    regs = hll_merge(
+        hll_build(a, ["grp"], "v", p=_HLL_P).unionByName(
+            hll_build(b, ["grp"], "v", p=_HLL_P)
+        ),
+        ["grp"],
+    )
+    return regs.select("grp", "idx", F.col("rho").cast("int").alias("rho"))
+
+
+def _sql_hll_regs_cte(p: int = _HLL_P) -> str:
+    m = 1 << p
+    kb = 60 - p
+    return f"""
+vals AS (
+  SELECT o_orderpriority AS grp,
+         ('0x' || substr(sha256(coalesce(CAST(CAST(o_custkey AS BIGINT) AS VARCHAR), '') || '|hll'), 1, 15))::UBIGINT::BIGINT AS h
+  FROM orders
+), regs AS (
+  SELECT grp, h % {m} AS idx,
+         CAST(max(CASE WHEN h // {m} > 0
+                       THEN {kb} - (length(bin(h // {m})) - 1)
+                       ELSE {kb + 1} END) AS INT) AS rho
+  FROM vals GROUP BY grp, h % {m}
+)"""
+
+
+def _sql_hll_registers() -> str:
+    return f"WITH {_sql_hll_regs_cte()} SELECT grp, idx, rho FROM regs"
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HLL distinct-count estimates per group vs the exact distinct
+    count (operators/sketches.py hll_estimate): the oracle recomputes
+    the identical estimator arithmetic (exact-integer harmonic sum,
+    one IEEE division, linear-counting small-range branch) in DuckDB,
+    so even the float columns hash-match."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    a, b = _hll_halves(spark, sf_dir)
+    regs = hll_merge(
+        hll_build(a, ["grp"], "v", p=_HLL_P).unionByName(
+            hll_build(b, ["grp"], "v", p=_HLL_P)
+        ),
+        ["grp"],
+    )
+    est = hll_estimate(regs, ["grp"], p=_HLL_P)
+    exact = (
+        a.unionByName(b)
+        .groupBy("grp")
+        .agg(F.countDistinct("v").alias("true_distinct"))
+    )
+    return est.join(exact, "grp").select(
+        "grp",
+        "distinct_est",
+        "true_distinct",
+        (
+            F.abs(F.col("distinct_est") / F.col("true_distinct") - 1.0)
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+
+
+def _sql_hll_distinct() -> str:
+    p = _HLL_P
+    m = 1 << p
+    k = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << k))
+    return f"""
+WITH {_sql_hll_regs_cte()}, agg AS (
+  SELECT grp,
+         sum(1::BIGINT << ({k} - rho)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY grp
+), est AS (
+  SELECT grp,
+         CAST(s_present + ({m} - n_present) * (1::BIGINT << {k}) AS DOUBLE) AS s,
+         CAST({m} - n_present AS DOUBLE) AS v
+  FROM agg
+), e2 AS (
+  SELECT grp,
+         CASE WHEN ({num} / s) <= {2.5 * m} AND v > 0
+              THEN round({float(m)} * ln({float(m)} / v), 3)
+              ELSE round({num} / s, 3) END AS distinct_est
+  FROM est
+), exact AS (
+  SELECT o_orderpriority AS grp,
+         count(DISTINCT CAST(o_custkey AS BIGINT)) AS true_distinct
+  FROM orders GROUP BY grp
+)
+SELECT e2.grp, e2.distinct_est, exact.true_distinct,
+       abs(e2.distinct_est / exact.true_distinct - 1.0) <= 0.05 AS within_5pct
+FROM e2 JOIN exact USING (grp)
+"""
+
+
 def q_vocab_shift(spark, sf_dir):
     """Vocabulary drift between two snapshot halves of the corpus
     (B gets a planted ' drifttoken' suffix): per-token smoothed
@@ -4807,6 +4937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram": q_lm_bigram,
         "vocab_shift": q_vocab_shift,
         "cms_counts": q_cms_counts,
+        "hll_registers": q_hll_registers,
+        "hll_distinct": q_hll_distinct,
         "zorder_key": q_zorder_key,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
@@ -4921,6 +5053,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram": SQL_LM_BIGRAM,
         "vocab_shift": SQL_VOCAB_SHIFT,
         "cms_counts": _sql_cms_counts(),
+        "hll_registers": _sql_hll_registers(),
+        "hll_distinct": _sql_hll_distinct(),
         "zorder_key": _sql_zorder_key(),
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,

@@ -178,3 +178,121 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est")
     )
+
+
+# ------------------------------------------------------- portable HLL
+
+
+HLL_P = 10  # 1024 registers: stderr 1.04/sqrt(m) ~ 3.25%
+_HASH_BITS = 60  # 15 hex chars of sha256: exact in BIGINT both engines
+
+
+def _hash60(col: F.Column, salt: str = "hll") -> F.Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of sha256
+    over the same ``value|salt`` tagging ``sampling.hash_uniform``
+    uses. 15 hex = 60 bits keeps the value exact in a signed BIGINT in
+    BOTH Spark (``conv`` → long) and DuckDB (``::UBIGINT::BIGINT``) —
+    the whole point of this variant is that every register value is
+    reproducible by any engine, so sketch FILES are portable artifacts
+    and the DuckDB oracle can value-check them (the DataSketches
+    wrappers above are opaque binaries, bound-checkable only)."""
+    tagged = F.concat(
+        F.coalesce(col.cast("string"), F.lit("")), F.lit("|" + salt)
+    )
+    return F.conv(F.substring(F.sha2(tagged, 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-``keys`` HLL register table ``(keys..., idx, rho)`` — the
+    SPARSE mergeable state (absent registers are 0): at most ``2^p``
+    rows per group regardless of input size, exact integers, engine
+    portable (Flajolet et al. 2007, the plain HyperLogLog register
+    rule: idx = low ``p`` hash bits, rho = 1 + leading-zero count of
+    the remaining ``60-p`` bits).
+
+    Plan shape: the register max is ONE hash-agg keyed by
+    (keys, idx) — partial maxes collapse map-side, so the shuffle
+    carries at most ``2^p`` rows per group per map task no matter how
+    many raw rows scan. floor(log2(w)) is ``length(bin(w)) - 1``
+    (binary strings print without leading zeros in both engines —
+    checked, not assumed)."""
+    m = 1 << p
+    h = _hash60(F.col(value_col))
+    idx = (h % m).alias("idx")
+    # shiftright, not floor(h/m): h is 60-bit and `/` would route it
+    # through a 53-bit-mantissa double (exactness is the contract here)
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w > 0, F.lit(_HASH_BITS - p) - (F.length(F.bin(w)) - 1))
+        .otherwise(F.lit(_HASH_BITS - p + 1))
+        .cast("int")
+        .alias("_rho")
+    )
+    return (
+        df.select(*keys, idx, rho)
+        .groupBy(*keys, "idx")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    sketches: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge register tables to coarser ``keys`` (``[]`` = global):
+    union inputs first if they come from separate builds, then this is
+    one register-table-sized max-agg — the base corpus is never
+    rescanned, and ``hll_merge(hll_build(A) ∪ hll_build(B)) ==
+    hll_build(A ∪ B)`` exactly (pytest-pinned)."""
+    grouped = (
+        sketches.groupBy(*keys, "idx")
+        if keys
+        else sketches.groupBy("idx")
+    )
+    return grouped.agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    sketches: DataFrame, keys: Sequence[str], p: int = HLL_P
+) -> DataFrame:
+    """Distinct-count estimates from a register table:
+    ``(keys..., distinct_est double)``.
+
+    The harmonic mean is computed EXACTLY in integers first:
+    ``S = Σ_j 2^(K - M_j)`` with ``K = 60 - p + 1`` (absent registers
+    contribute ``2^K``), which is ≤ 2^61 — no float-sum ordering
+    nondeterminism; the only float ops are one division and (in the
+    small-range regime) one log, so estimates are bit-reproducible
+    across engines. Small-range correction per the paper: linear
+    counting ``m·ln(m/V)`` when ``E ≤ 2.5m`` and empty registers
+    remain."""
+    m = 1 << p
+    k = _HASH_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    grouped = (
+        sketches.groupBy(*keys)
+        if keys
+        else sketches.groupBy()
+    )
+    agg = grouped.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {k} - rho)")).alias(
+            "_s_present"
+        ),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    s = (
+        F.col("_s_present")
+        + (F.lit(m) - F.col("_n_present")) * F.lit(1 << k).cast("long")
+    ).cast("double")
+    raw = F.lit(alpha * m * m * float(1 << k)) / s
+    v = (F.lit(m) - F.col("_n_present")).cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(*keys, F.round(est, 3).alias("distinct_est"))

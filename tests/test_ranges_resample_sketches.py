@@ -203,3 +203,82 @@ def test_approx_stats_bounds(spark):
         # GK quantiles are actual group elements with tiny rank error
         assert 0 <= r.q50 <= 999 and r.q50 <= r.q95 <= 999
         assert abs(r.q50 - 500) <= 25 and r.q95 >= 900
+
+
+# --------------------------------------------------- portable HLL
+
+
+def test_portable_hll_merge_identity_exact(spark):
+    """hll_merge(build(A) ∪ build(B)) == build(A ∪ B) REGISTER-exact
+    (not just estimate-equal): the merge is a max over integer rhos,
+    so partitioned builds are bit-identical to one-shot builds."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        hll_build,
+        hll_merge,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 4111).cast("string").alias("v"),
+        F.col("id").alias("k"),
+    )
+    a, b = df.filter(F.col("k") % 2 == 0), df.filter(F.col("k") % 2 == 1)
+    merged = hll_merge(
+        hll_build(a, ["g"], "v").unionByName(hll_build(b, ["g"], "v")),
+        ["g"],
+    )
+    oneshot = hll_build(df, ["g"], "v")
+    got = {(r.g, r.idx): r.rho for r in merged.collect()}
+    want = {(r.g, r.idx): r.rho for r in oneshot.collect()}
+    assert got == want
+
+
+def test_portable_hll_estimate_accuracy(spark):
+    """Estimate within the 3.25% stderr bound (×2 for safety) of the
+    exact distinct count, in both the raw and linear-counting regimes."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    # large regime: 50k distinct >> 2.5m (m=1024)
+    big = spark.range(50_000).select(F.col("id").cast("string").alias("v"))
+    est = hll_estimate(hll_build(big, [], "v"), []).collect()[0].distinct_est
+    assert abs(est / 50_000 - 1.0) <= 0.065
+    # small regime: 100 distinct << m → linear counting, near-exact
+    small = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    est_s = hll_estimate(hll_build(small, [], "v"), []).collect()[0].distinct_est
+    assert abs(est_s / 100 - 1.0) <= 0.05
+
+
+def test_portable_hll_duckdb_register_parity(spark):
+    """Every register (idx, rho) matches a from-scratch DuckDB
+    recomputation — the property that makes sketch FILES portable
+    artifacts any engine can verify or extend."""
+    import duckdb
+
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        hll_build,
+    )
+
+    vals = [f"doc_{i * 7}" for i in range(5_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {(r.idx, r.rho) for r in hll_build(df, [], "v").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS v", [vals])
+    want = set(
+        con.execute(
+            """
+            WITH h AS (
+              SELECT ('0x' || substr(sha256(v || '|hll'), 1, 15))::UBIGINT::BIGINT AS h
+              FROM t
+            )
+            SELECT h % 1024 AS idx,
+                   max(CASE WHEN h // 1024 > 0
+                            THEN 50 - (length(bin(h // 1024)) - 1)
+                            ELSE 51 END) AS rho
+            FROM h GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert got == want

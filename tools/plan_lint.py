@@ -39,6 +39,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 ALLOW_NLJ = {
     "cosine_topk", "target_encode", "quantile_bin", "lm_quality",
     "vocab_shift",  # 1-row smoothing-totals broadcast, same pattern
+    "lm_bigram",  # same: crossJoin(broadcast(1-row totals)) in both
+    # train_*_lm stages (operators/lm.py:63,168) — bounded by design
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
