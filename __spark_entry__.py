@@ -4021,6 +4021,66 @@ FROM est JOIN true_n USING (k)
 """
 
 
+_ENC_PLANT = " itâ€™s a cafÃ© �"  # mojibake ×3 + replacement char
+
+
+def q_encoding_quality(spark, sf_dir):
+    """Encoding-damage detection (operators/encoding.py): replacement
+    chars, stray C0/C1 controls, cp1252-mojibake digraphs, non-ASCII
+    ratio — pure portable-regex Column algebra. The synthetic corpus
+    is clean, so doc_id%7==0 rows get a deterministic artifact suffix
+    (mojibake + U+FFFD) and doc_id%13==0 rows a chr(1) control,
+    planted identically in the oracle — both engines must then agree
+    on every count, ratio, and the enc_clean verdict."""
+    from med_doi_feature_extraction_spark.operators.encoding import (
+        encoding_features,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_ENC_PLANT)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\x01")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = encoding_features(docs)
+    return out.select(
+        "doc_id",
+        "repl_count",
+        "ctrl_count",
+        "moji_count",
+        F.round(F.col("nonascii_ratio"), 6).alias("nonascii_ratio"),
+        "enc_clean",
+    )
+
+
+def _sql_encoding_quality() -> str:
+    from med_doi_feature_extraction_spark.operators.encoding import (
+        oracle_encoding_sql,
+    )
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0 THEN ' itâ€™s a cafÃ© �' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN chr(1) ELSE '' END AS text
+  FROM documents
+), feats AS (
+  SELECT doc_id, {oracle_encoding_sql('text')}
+  FROM planted
+)
+SELECT doc_id, repl_count, ctrl_count, moji_count,
+       round(nonascii_ratio, 6) AS nonascii_ratio, enc_clean
+FROM feats
+"""
+
+
 _HLL_P = 10  # 1024 registers
 
 
@@ -4939,6 +4999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "hll_registers": q_hll_registers,
         "hll_distinct": q_hll_distinct,
+        "encoding_quality": q_encoding_quality,
         "zorder_key": q_zorder_key,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
@@ -5055,6 +5116,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _sql_cms_counts(),
         "hll_registers": _sql_hll_registers(),
         "hll_distinct": _sql_hll_distinct(),
+        "encoding_quality": _sql_encoding_quality(),
         "zorder_key": _sql_zorder_key(),
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,
