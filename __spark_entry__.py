@@ -4021,6 +4021,80 @@ FROM est JOIN true_n USING (k)
 """
 
 
+def q_cms_join_size(spark, sf_dir):
+    """CMS inner-product join-size estimation (operators/sketches.py
+    cms_join_size): |A ⋈ B| on o_custkey where A = all orders and
+    B = even-orderkey orders — a skewed self-overlap whose true size
+    is Σ_k fA(k)·fB(k), NOT |A|, so the estimator is actually tested.
+    The oracle rebuilds both sketches and the exact inner product in
+    DuckDB; est must match hash-exactly and bound the truth above."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        cms_build,
+        cms_join_size,
+    )
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k"),
+        F.col("o_orderkey").cast("long").alias("ok"),
+    )
+    a = orders
+    b = orders.filter(F.col("ok") % 2 == 0)
+    est = cms_join_size(
+        cms_build(a, "k", depth=_CMS_DEPTH, width=_CMS_WIDTH),
+        cms_build(b, "k", depth=_CMS_DEPTH, width=_CMS_WIDTH),
+        depth=_CMS_DEPTH,
+    )
+    fa = a.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    fb = b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    true_ip = fa.join(fb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("long").alias("true_ip")
+    )
+    return est.crossJoin(true_ip).select(
+        "est", "true_ip", (F.col("est") >= F.col("true_ip")).alias("ge_true")
+    )
+
+
+def _sql_cms_join_size() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    def u(i):
+        return oracle_uniform_sql("CAST(k AS VARCHAR)", f"cms{i}")
+
+    def build(src):
+        rows = "\nUNION ALL\n".join(
+            f"SELECT {i} AS row, CAST(floor({u(i)} * {_CMS_WIDTH}) AS BIGINT)"
+            f" AS pos FROM {src}"
+            for i in range(_CMS_DEPTH)
+        )
+        return f"SELECT row, pos, count(*) AS n FROM ({rows}) GROUP BY row, pos"
+
+    return f"""
+WITH ka AS (
+  SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+), kb AS (
+  SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+  WHERE CAST(o_orderkey AS BIGINT) % 2 = 0
+), cms_a AS ({build('ka')}), cms_b AS ({build('kb')}),
+per_row AS (
+  SELECT r.row, CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS ip
+  FROM range({_CMS_DEPTH}) AS r(row)
+  LEFT JOIN cms_a a ON a.row = r.row
+  LEFT JOIN cms_b b ON b.row = a.row AND b.pos = a.pos
+  GROUP BY r.row
+), est AS (
+  SELECT CAST(min(ip) AS BIGINT) AS est FROM per_row
+), truth AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS true_ip FROM
+    (SELECT k, count(*) AS na FROM ka GROUP BY k) fa
+    JOIN (SELECT k, count(*) AS nb FROM kb GROUP BY k) fb USING (k)
+)
+SELECT est.est, truth.true_ip, est.est >= truth.true_ip AS ge_true
+FROM est, truth
+"""
+
+
 _ENC_PLANT = " itâ€™s a cafÃ© �"  # mojibake ×3 + replacement char
 
 
@@ -5000,6 +5074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "hll_distinct": q_hll_distinct,
         "encoding_quality": q_encoding_quality,
+        "cms_join_size": q_cms_join_size,
         "zorder_key": q_zorder_key,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
@@ -5117,6 +5192,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": _sql_hll_registers(),
         "hll_distinct": _sql_hll_distinct(),
         "encoding_quality": _sql_encoding_quality(),
+        "cms_join_size": _sql_cms_join_size(),
         "zorder_key": _sql_zorder_key(),
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,

@@ -180,6 +180,47 @@ def cms_estimate(
     )
 
 
+def cms_join_size(
+    cms_a: DataFrame, cms_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Join-cardinality estimate from two Count-Min sketches: the
+    size of an equi-join on the sketched key is the inner product
+    Σ_k fA(k)·fB(k), and CMS estimates it as min over rows of
+    Σ_pos nA[row,pos]·nB[row,pos] (Cormode & Muthukrishnan 2005, the
+    inner-product query). One-sided error like point queries:
+    ``true ≤ est ≤ true + ε·|A|·|B|`` with ε ≈ e/width.
+
+    Why it matters at 100 TB: deciding a join strategy (broadcast vs
+    shuffle vs skew-salt) needs the OUTPUT size, which no single-side
+    statistic gives — two sketch tables of ≤ depth×width rows each
+    answer it without touching either corpus again. Both sides are
+    bounded, so the join below broadcasts; a row with no overlapping
+    buckets has inner product 0 and is preserved via the depth-row
+    spine (min must see it).
+
+    Returns one row: ``est`` (BIGINT; an overestimate of the true
+    inner product, minimized across the depth rows). Counts are
+    summed as BIGINT — exact and DuckDB-checkable; if per-bucket
+    count products could exceed 2^63 (both sides ≥ ~10^10 rows on one
+    bucket), cast to decimal(38,0) first.
+    """
+    spine = cms_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    prod = (
+        cms_a.join(
+            F.broadcast(cms_b.withColumnRenamed("n", "n_b")),
+            ["row", "pos"],
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("n") * F.col("n_b")).alias("ip"))
+    )
+    per_row = spine.join(F.broadcast(prod), "row", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est"))
+
+
 # ------------------------------------------------------- portable HLL
 
 

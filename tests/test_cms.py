@@ -65,3 +65,49 @@ def test_cms_absent_key_estimates_zero_when_sparse(spark, keys):
     ghost = spark.createDataFrame([(10**9,)], "k long")
     (row,) = cms_estimate(cms, ghost, "k", depth=DEPTH, width=WIDTH).collect()
     assert row.est == 0
+
+
+def test_cms_join_size_bounds(spark):
+    """Inner-product estimate obeys the one-sided CMS guarantee:
+    true ≤ est ≤ true + (e/width)·|A|·|B| (Cormode-Muthukrishnan)."""
+    import math
+
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    # Zipf-ish skew: key k appears ~1000/k times
+    a = spark.range(5000).selectExpr("cast(1000 / (id % 97 + 1) as long) as k")
+    b = spark.range(3000).selectExpr("cast(1000 / (id % 53 + 1) as long) as k")
+    est = cms_join_size(
+        cms_build(a, "k", depth=DEPTH, width=WIDTH),
+        cms_build(b, "k", depth=DEPTH, width=WIDTH),
+        depth=DEPTH,
+    ).collect()[0].est
+    fa = a.groupBy("k").count().withColumnRenamed("count", "na")
+    fb = b.groupBy("k").count().withColumnRenamed("count", "nb")
+    true_ip = (
+        fa.join(fb, "k")
+        .selectExpr("cast(sum(na * nb) as long) as t")
+        .collect()[0]
+        .t
+    )
+    assert true_ip <= est <= true_ip + math.e / WIDTH * 5000 * 3000
+
+
+def test_cms_join_size_disjoint_is_zero(spark):
+    """Disjoint key ranges: if ANY sketch row has no colliding
+    buckets, min drives the estimate to 0 — the spine join must
+    preserve empty rows rather than dropping them."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    a = spark.range(10).selectExpr("id as k")
+    b = spark.range(10).selectExpr("id + 1000000 as k")
+    est = cms_join_size(
+        cms_build(a, "k", depth=DEPTH, width=WIDTH),
+        cms_build(b, "k", depth=DEPTH, width=WIDTH),
+        depth=DEPTH,
+    ).collect()[0].est
+    assert est == 0

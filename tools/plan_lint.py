@@ -41,6 +41,7 @@ ALLOW_NLJ = {
     "vocab_shift",  # 1-row smoothing-totals broadcast, same pattern
     "lm_bigram",  # same: crossJoin(broadcast(1-row totals)) in both
     # train_*_lm stages (operators/lm.py:63,168) — bounded by design
+    "cms_join_size",  # contract-only 1-row est × 1-row truth compare
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
