@@ -4021,6 +4021,50 @@ FROM est JOIN true_n USING (k)
 """
 
 
+def q_sampled_quantiles(spark, sf_dir):
+    """Mergeable sampled-quantile sketch (operators/sketches.py
+    quantile_sample/quantile_estimate): the Spark side builds the
+    sketch as the union of two per-half builds (doc_id parity) —
+    exercising the exact merge identity — and estimates per-lang
+    n_chars quantiles; DuckDB rebuilds the identical sample (portable
+    sha256 membership) one-shot and the identical quantile_cont."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    sk = quantile_sample(
+        a, ["lang"], "n_chars", "doc_id", 0.25
+    ).unionByName(quantile_sample(b, ["lang"], "n_chars", "doc_id", 0.25))
+    est = quantile_estimate(sk, ["lang"], "n_chars", [0.25, 0.5, 0.9])
+    n = sk.groupBy("lang").agg(F.count(F.lit(1)).alias("sample_n"))
+    return est.join(n, "lang").select(
+        "lang", "q25", "q50", "q90", "sample_n"
+    )
+
+
+def _sql_sampled_quantiles() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "qs")
+    return f"""
+WITH sk AS (
+  SELECT lang, n_chars FROM documents WHERE {u} < 0.25
+)
+SELECT lang,
+       round(quantile_cont(n_chars, 0.25), 6) AS q25,
+       round(quantile_cont(n_chars, 0.5), 6) AS q50,
+       round(quantile_cont(n_chars, 0.9), 6) AS q90,
+       count(*) AS sample_n
+FROM sk GROUP BY lang
+"""
+
+
 def q_cms_join_size(spark, sf_dir):
     """CMS inner-product join-size estimation (operators/sketches.py
     cms_join_size): |A ⋈ B| on o_custkey where A = all orders and
@@ -5075,6 +5119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "encoding_quality": q_encoding_quality,
         "cms_join_size": q_cms_join_size,
+        "sampled_quantiles": q_sampled_quantiles,
         "zorder_key": q_zorder_key,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
@@ -5193,6 +5238,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _sql_hll_distinct(),
         "encoding_quality": _sql_encoding_quality(),
         "cms_join_size": _sql_cms_join_size(),
+        "sampled_quantiles": _sql_sampled_quantiles(),
         "zorder_key": _sql_zorder_key(),
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,

@@ -221,6 +221,67 @@ def cms_join_size(
     return per_row.agg(F.min("ip").cast("long").alias("est"))
 
 
+# ------------------------------------- portable quantile sketch (sample)
+
+
+def quantile_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    key_col: str,
+    rate: float,
+    salt: str = "qs",
+) -> DataFrame:
+    """Mergeable quantile sketch = the hash-sampled value rows.
+
+    Membership is a pure function of ``key_col`` (the portable sha256
+    uniform from ``operators/sampling.py``), which buys the property
+    no RNG-based sample has: ``quantile_sample(A) ∪ quantile_sample(B)
+    == quantile_sample(A ∪ B)`` EXACTLY for disjoint A, B — per-shard
+    sketches union into the corpus sketch with no rescan, the same
+    merge story as hll_build/cms_build, and the sketch file is an
+    engine-portable artifact (DuckDB rebuilds it row-for-row).
+
+    Size: Binomial(N, rate) ≈ rate·N rows — pick ``rate`` so the
+    per-group sample fits one executor's sort buffer (the estimate
+    step sorts per group). Rank error of a sample quantile at q is
+    ~sqrt(q(1-q)/s) of the population (s = group sample size), so
+    s ≈ 10^4 gives ~0.5% rank error at the median.
+    """
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    return df.filter(hash_uniform(key_col, salt) < F.lit(rate)).select(
+        *keys, value_col
+    )
+
+
+def quantile_estimate(
+    sample: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+) -> DataFrame:
+    """Interpolated quantiles over a ``quantile_sample`` sketch:
+    the EXACT ``percentile`` aggregate (same linear-interpolation
+    definition as DuckDB quantile_cont — cross-engine deterministic,
+    unlike approx_percentile), cheap because it sorts the bounded
+    sample, not the corpus. Columns ``q<pct>`` rounded to 6 dp."""
+    pct = F.percentile(F.col(value_col), F.lit(list(qs)))
+    grouped = sample.groupBy(*keys) if keys else sample.groupBy()
+    agg = grouped.agg(pct.alias("_q"))
+    return agg.select(
+        *keys,
+        *[
+            F.round(F.element_at("_q", i + 1), 6).alias(
+                f"q{round(q * 100):02d}"
+            )
+            for i, q in enumerate(qs)
+        ],
+    )
+
+
 # ------------------------------------------------------- portable HLL
 
 

@@ -282,3 +282,34 @@ def test_portable_hll_duckdb_register_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------- sampled quantile sketch
+
+
+def test_quantile_sample_merge_identity_and_error(spark):
+    """Union of per-shard sketches == one-shot sketch EXACTLY (hash
+    membership is per-row, layout-independent), and the sample
+    quantile lands within the ~sqrt(q(1-q)/s) rank-error band."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sample,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 10_000).cast("double").alias("v")
+    )
+    a, b = df.filter(F.col("k") % 3 == 0), df.filter(F.col("k") % 3 != 0)
+    merged = quantile_sample(a, [], "v", "k", 0.2).unionByName(
+        quantile_sample(b, [], "v", "k", 0.2)
+    )
+    oneshot = quantile_sample(df, [], "v", "k", 0.2)
+    assert sorted(r.v for r in merged.collect()) == sorted(
+        r.v for r in oneshot.collect()
+    )
+    est = quantile_estimate(merged, [], "v", [0.5]).collect()[0].q50
+    s = merged.count()
+    # true median of v is ~4999.5; rank error 4 sigma
+    sigma = (0.25 / s) ** 0.5
+    assert abs(est - 4999.5) <= 4 * sigma * 10_000 + 1
