@@ -4021,6 +4021,80 @@ FROM est JOIN true_n USING (k)
 """
 
 
+def _deflate_base() -> str:
+    return "/tmp/spark_graft_deflate_v1"
+
+
+def q_deflate_quality(spark, sf_dir):
+    """Deflate compression-ratio quality signal (kernels/compress.py):
+    the Arrow-batched zlib kernel materializes (doc_id, lang, ratio)
+    to the parquet seam, then BOTH engines independently aggregate it
+    per lang and join doc counts from the base table — the downstream
+    algebra is hash-checked; the kernel itself is pinned by pytest
+    goldens (deflate is not SQL-expressible). Mean is computed as an
+    integer sum of 1e6-scaled rounded ratios so no float-sum ordering
+    can differ between engines."""
+    from med_doi_feature_extraction_spark.kernels.compress import (
+        with_deflate_ratio,
+    )
+
+    base = _deflate_base()
+    docs = _read(spark, sf_dir, "documents")
+    with_deflate_ratio(docs).select(
+        "doc_id", "lang", "deflate_ratio"
+    ).write.mode("overwrite").parquet(f"{base}/ratios.parquet")
+    r = spark.read.parquet(f"{base}/ratios.parquet")
+    scaled = F.round(F.col("deflate_ratio") * 1e6).cast("long")
+    agg = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled).alias("_s"),
+        F.round(F.min("deflate_ratio"), 6).alias("min_ratio"),
+        F.round(F.max("deflate_ratio"), 6).alias("max_ratio"),
+        F.sum(
+            F.when(
+                (F.col("deflate_ratio") < 0.30)
+                | (F.col("deflate_ratio") > 1.02),
+                1,
+            ).otherwise(0)
+        ).alias("n_flagged"),
+    )
+    docs_n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("docs_n"))
+    return agg.join(docs_n, "lang").select(
+        "lang",
+        "n",
+        "docs_n",
+        (F.col("n") == F.col("docs_n")).alias("covered"),
+        F.round(F.col("_s") / F.col("n") / 1e6, 6).alias("mean_ratio"),
+        "min_ratio",
+        "max_ratio",
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+    )
+
+
+def _sql_deflate_quality() -> str:
+    base = _deflate_base()
+    return f"""
+WITH r AS (
+  SELECT lang, deflate_ratio,
+         CAST(round(deflate_ratio * 1e6) AS BIGINT) AS scaled
+  FROM read_parquet('{base}/ratios.parquet/*.parquet')
+), agg AS (
+  SELECT lang, count(*) AS n, sum(scaled) AS s,
+         round(min(deflate_ratio), 6) AS min_ratio,
+         round(max(deflate_ratio), 6) AS max_ratio,
+         CAST(sum(CASE WHEN deflate_ratio < 0.30 OR deflate_ratio > 1.02
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+  FROM r GROUP BY lang
+), d AS (
+  SELECT lang, count(*) AS docs_n FROM documents GROUP BY lang
+)
+SELECT agg.lang, agg.n, d.docs_n, agg.n = d.docs_n AS covered,
+       round(CAST(agg.s AS DOUBLE) / agg.n / 1e6, 6) AS mean_ratio,
+       agg.min_ratio, agg.max_ratio, agg.n_flagged
+FROM agg JOIN d USING (lang)
+"""
+
+
 def q_sampled_quantiles(spark, sf_dir):
     """Mergeable sampled-quantile sketch (operators/sketches.py
     quantile_sample/quantile_estimate): the Spark side builds the
@@ -5120,6 +5194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_quality": q_encoding_quality,
         "cms_join_size": q_cms_join_size,
         "sampled_quantiles": q_sampled_quantiles,
+        "deflate_quality": q_deflate_quality,
         "zorder_key": q_zorder_key,
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
@@ -5239,6 +5314,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_quality": _sql_encoding_quality(),
         "cms_join_size": _sql_cms_join_size(),
         "sampled_quantiles": _sql_sampled_quantiles(),
+        "deflate_quality": _sql_deflate_quality(),
         "zorder_key": _sql_zorder_key(),
         "interval_join": SQL_INTERVAL_JOIN,
         "interval_overlap": SQL_INTERVAL_OVERLAP,
