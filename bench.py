@@ -99,6 +99,9 @@ def main() -> None:
         # r4 fourth-session additions
         "asof_nearest", "boilerplate", "doc_chunks", "postings",
         "incremental_neardup",
+        # r4 fifth-session additions (sketch family + quality kernels)
+        "hll_registers", "cms_join_size", "sampled_quantiles",
+        "encoding_quality", "deflate_quality",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
