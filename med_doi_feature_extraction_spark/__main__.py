@@ -351,6 +351,20 @@ def cmd_curate(args) -> dict:
             )
             clean = report.filter(~F.col("contaminated")).select(id_col)
             df = df.join(clean, id_col, "left_semi")
+        elif op == "encoding":
+            from med_doi_feature_extraction_spark.operators.encoding import (
+                encoding_features,
+            )
+
+            df = encoding_features(df, text_col).filter(F.col("enc_clean"))
+        elif op == "compress":
+            from med_doi_feature_extraction_spark.kernels.compress import (
+                compressibility_gate,
+            )
+
+            df = compressibility_gate(df, text_col).filter(
+                F.col("comp_ok")
+            )
         elif op == "sample":
             df = hash_sample(df, id_col, args.sample_rate, salt=args.salt)
         elif op == "split":
@@ -445,8 +459,9 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--output", required=True)
     cur.add_argument(
         "--ops", required=True,
-        help="ordered comma list: pii,repetition,exact_dedup,"
-             "minhash_dedup,paragraph_dedup,decontam,sample,split",
+        help="ordered comma list: pii,repetition,encoding,compress,"
+             "exact_dedup,minhash_dedup,paragraph_dedup,decontam,"
+             "sample,split",
     )
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")

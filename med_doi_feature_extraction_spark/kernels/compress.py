@@ -70,17 +70,26 @@ def compressibility_gate(
     text_col: str = "text",
     lo: float = 0.30,
     hi: float = 1.02,
+    min_len: int = 200,
 ) -> DataFrame:
     """Two-tail gate: ``comp_ok`` is False for deflate ratios below
     ``lo`` (template/repeat spam) or above ``hi`` (already-compressed
-    or random bytes masquerading as text; deflate overhead can push
-    slightly past 1.0). Thresholds are corpus-tunable — calibrate on
-    a ``quantile_sample`` of the ratio column rather than trusting
-    the defaults blindly."""
+    or random bytes masquerading as text). Docs shorter than
+    ``min_len`` chars pass unconditionally: deflate's fixed ~11-byte
+    stream overhead dominates short texts and pushes even clean prose
+    past 1.0, so the ratio is only meaningful above a length floor —
+    the same reason the Gopher repetition rules gate on doc length.
+    Thresholds are corpus-tunable — calibrate on a
+    ``quantile_sample`` of the ratio column rather than trusting the
+    defaults blindly."""
     out = with_deflate_ratio(df, text_col)
     return out.withColumn(
         "comp_ok",
-        (F.col("deflate_ratio") >= lo) & (F.col("deflate_ratio") <= hi),
+        (F.length(F.coalesce(F.col(text_col), F.lit(""))) < min_len)
+        | (
+            (F.col("deflate_ratio") >= lo)
+            & (F.col("deflate_ratio") <= hi)
+        ),
     )
 
 

@@ -237,3 +237,29 @@ def test_cli_curate_sample_then_split_decorrelated(spark, tmp_path):
     # correlated salts would make n_eval == n; decorrelated ≈ 5%
     assert n > 0
     assert n_eval < n / 2, (n_eval, n)
+
+
+def test_cli_curate_encoding_and_compress_ops(spark, tmp_path):
+    """The r4 quality gates compose into the curate plan: encoding
+    drops mojibake/control-damaged docs, compress drops the
+    repetitive-spam low tail, and both still ride the single write."""
+    rows = [
+        (0, "clean prose with enough variety to compress normally ok"),
+        (1, "itâ€™s a cafÃ© with mojibake artifacts everywhere here"),
+        (2, "buy cheap buy cheap " * 40),  # deflate low tail
+        (3, "another perfectly ordinary sentence about gardens and tea"),
+    ]
+    src = str(tmp_path / "docs_enc")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    out = str(tmp_path / "curated_enc")
+    res = cli_main(
+        [
+            "curate", "--input", src, "--output", out,
+            "--ops", "encoding,compress",
+        ]
+    )
+    assert res["rows_in"] == 4
+    assert [r["op"] for r in res["rows_after"]] == ["encoding", "compress"]
+    assert [r["rows"] for r in res["rows_after"]] == [3, 2]
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 3}

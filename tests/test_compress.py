@@ -60,12 +60,22 @@ def test_gate_flags_both_tails(spark):
     df = spark.createDataFrame(
         [(1, PROSE), (2, SPAM), (3, RANDOMISH)], "doc_id long, text string"
     )
-    got = {r.doc_id: r.comp_ok for r in compressibility_gate(df).collect()}
-    assert got == {1: True, 2: False, 3: True}
+    got = {
+        r.doc_id: r.comp_ok
+        for r in compressibility_gate(df, min_len=0).collect()
+    }
+    # PROSE/RANDOMISH are short: ratio exceeds hi on fixed deflate
+    # overhead when the length floor is disabled...
+    assert got[2] is False
+    # ...and the default floor exempts them (the point of min_len)
+    got_floor = {
+        r.doc_id: r.comp_ok for r in compressibility_gate(df).collect()
+    }
+    assert got_floor == {1: True, 2: False, 3: True}
     # tighten hi below the hex ratio: flags the high tail too
     got2 = {
         r.doc_id: r.comp_ok
-        for r in compressibility_gate(df, hi=0.6).collect()
+        for r in compressibility_gate(df, hi=0.6, min_len=0).collect()
     }
     assert got2[3] is False
 
