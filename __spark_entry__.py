@@ -3191,6 +3191,86 @@ FROM hosts GROUP BY 1 HAVING count(*) >= 10
 """
 
 
+def _links_base() -> str:
+    from med_doi_feature_extraction_spark.operators.links import LINKS_VERSION
+
+    return f"/tmp/spark_graft_{LINKS_VERSION.replace('/', '_')}"
+
+
+def _links_seam(spark):
+    """Seeded pages WITH injected ``<a href>`` anchors, materialized
+    to a parquet seam (html pre-decoded to string so DuckDB reads the
+    same bytes without BLOB-cast ambiguity)."""
+    from med_doi_feature_extraction_spark.sources.pages import generate_pages
+
+    base = _links_base()
+    pdf = generate_pages(n_urls=150, seed=77, max_snapshots=4, link_frac=0.6)
+    spark.createDataFrame(pdf).select(
+        "url", "warc_ts", F.col("html").cast("string").alias("html_str")
+    ).write.mode("overwrite").parquet(f"{base}/pages.parquet")
+    return spark.read.parquet(f"{base}/pages.parquet")
+
+
+def q_extract_links(spark, sf_dir):
+    """HTML outlink extraction (operators/links.py): one portable
+    regexp scan + explode, resolution CASE, fragment strip, minimal
+    entity unescape — the DuckDB oracle runs the IDENTICAL regex over
+    the same seam parquet."""
+    from med_doi_feature_extraction_spark.operators.links import extract_links
+
+    pages = _links_seam(spark)
+    return extract_links(pages, html_col="html_str").select(
+        "src", "warc_ts", "dst", "anchor"
+    )
+
+
+def q_anchor_stats(spark, sf_dir):
+    """Inbound anchor-text aggregation per target URL — one hash-agg
+    on dst over the extracted link triples."""
+    from med_doi_feature_extraction_spark.operators.links import (
+        anchor_stats,
+        extract_links,
+    )
+
+    pages = _links_seam(spark)
+    out = anchor_stats(extract_links(pages, html_col="html_str"))
+    return out.select(
+        "dst",
+        F.col("in_links").cast("long").alias("in_links"),
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("n_src_hosts").cast("long").alias("n_src_hosts"),
+        "top_anchor",
+    )
+
+
+def _sql_links_with() -> str:
+    from med_doi_feature_extraction_spark.operators.links import oracle_links_cte
+
+    return "WITH " + oracle_links_cte(
+        f"{_links_base()}/pages.parquet/*.parquet"
+    )
+
+
+def _sql_extract_links() -> str:
+    return _sql_links_with() + "SELECT src, warc_ts, dst, anchor FROM links"
+
+
+def _sql_anchor_stats() -> str:
+    host = (
+        "regexp_replace(regexp_replace("
+        "lower(regexp_extract(src, '^[a-zA-Z]+://([^/?#]+)', 1)),"
+        " '^.*@', ''), ':(80|443)$', '')"
+    )
+    return _sql_links_with() + f"""
+SELECT dst,
+       CAST(count(*) AS BIGINT) AS in_links,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+       CAST(count(DISTINCT {host}) AS BIGINT) AS n_src_hosts,
+       min(CASE WHEN length(anchor) > 0 THEN anchor END) AS top_anchor
+FROM links GROUP BY dst
+"""
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -5214,6 +5294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "url_features": q_url_features,
         "hot_domains": q_hot_domains,
+        "extract_links": q_extract_links,
+        "anchor_stats": q_anchor_stats,
         "token_df": q_token_df,
         "postings": q_postings,
         "tfidf_topk": q_tfidf_topk,
@@ -5332,6 +5414,8 @@ def oracle_sql() -> dict[str, str]:
         "train_eval_split": _sql_train_eval_split(),
         "url_features": SQL_URL_FEATURES,
         "hot_domains": SQL_HOT_DOMAINS,
+        "extract_links": _sql_extract_links(),
+        "anchor_stats": _sql_anchor_stats(),
         "token_df": SQL_TOKEN_DF,
         "postings": SQL_POSTINGS,
         "tfidf_topk": SQL_TFIDF_TOPK,

@@ -1,0 +1,174 @@
+"""HTML outlink extraction and anchor-text aggregation.
+
+Web-corpus pipelines derive graph and anchor-text signals straight
+from the crawl: outlinks feed host/page-level PageRank (Common Crawl
+publishes exactly this graph; `operators/graph.py` consumes the edge
+table this module produces), and the anchor text pointing AT a page
+is a classic relevance/quality prior (it is how search engines
+described pages before content analysis). The reference repo scores
+records in isolation (`src/services/quality_service.py`); a
+corpus-scale engine needs the cross-document link structure too.
+
+Execution shape (the one that survives 100×):
+
+- Extraction is pure JVM Column algebra — ``regexp_extract_all`` over
+  the page HTML inside the scan stage (whole-stage codegen), then ONE
+  ``explode``. No Python touches the hot path; the wide ``html``
+  column never crosses a shuffle (the exploded output is the narrow
+  (src, dst, anchor) triple).
+- ``anchor_stats`` is one hash-agg keyed on the canonical target URL;
+  partial aggregation absorbs hot targets (every page linking to a
+  homepage) map-side. Deterministic representative anchor via ``min``
+  — no ordering dependence, engine-portable.
+- The regex dialect is the Java∩RE2 portable subset (same discipline
+  as `operators/pii.py`): no lookaround, no backreferences — the
+  DuckDB contract oracle runs the IDENTICAL pattern.
+
+Extraction contract (documented subset, mirrored in the oracle):
+
+- only double-quoted ``href`` attributes of ``<a>`` tags whose anchor
+  text contains no nested markup (``[^<]*``) are extracted — links
+  with nested tags in the anchor are out of scope for the signal, not
+  silently mangled;
+- absolute ``http(s)://`` hrefs are kept as-is, protocol-relative
+  ``//host/...`` resolve against the source scheme, root-relative
+  ``/path`` against the source origin; everything else
+  (``mailto:``, ``javascript:``, path-relative, empty, bare
+  fragments) is dropped — path-relative resolution needs dot-segment
+  arithmetic that buys little on crawl data where boilerplate nav
+  links are root-relative;
+- fragments are stripped from the resolved target (RFC 3986 §3.5 —
+  fragments are client-side);
+- anchor text is whitespace-trimmed and minimally entity-unescaped
+  (``&lt; &gt; &quot; &#x27; &amp;`` — amp LAST so ``&amp;lt;``
+  round-trips to the literal ``&lt;`` the author wrote).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.urls import url_host
+
+LINKS_VERSION = "links/1"
+
+# portable (Java ∩ RE2): <a ...href="..."...>anchor-without-markup</a>
+A_TAG_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+# (entity, literal) — ORDER MATTERS: &amp; must be unescaped last
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#x27;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _unescape_min(col: F.Column) -> F.Column:
+    for ent, lit in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(lit))
+    return col
+
+
+def resolve_href(src: F.Column, href: F.Column) -> F.Column:
+    """Resolve ``href`` against the source URL per the module
+    contract; NULL for unresolvable kinds. Fragment stripped."""
+    scheme = F.regexp_extract(src, r"^([a-z]+):", 1)
+    origin = F.regexp_extract(src, r"^[a-z]+://[^/?#]+", 0)
+    dst = (
+        F.when(href.rlike(r"^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    dst = F.regexp_replace(dst, r"#.*$", "")
+    return F.when(F.length(dst) > 0, dst)
+
+
+def extract_links(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src, dst, anchor) outlink triples from the HTML column (binary
+    or string). One regexp scan + one explode; rows whose href does
+    not resolve are dropped. All other input columns are pruned —
+    the wide html column must not survive into downstream shuffles."""
+    html = F.col(html_col).cast("string")
+    tags = F.explode(F.regexp_extract_all(html, F.lit(A_TAG_RE), 0))
+    x = df.select(
+        F.col(url_col).alias("src"),
+        *[F.col(c) for c in df.columns if c == "warc_ts"],
+        tags.alias("_tag"),
+    )
+    href = F.regexp_extract(F.col("_tag"), A_TAG_RE, 1)
+    anchor = _unescape_min(F.trim(F.regexp_extract(F.col("_tag"), A_TAG_RE, 2)))
+    out = x.select(
+        "src",
+        *[F.col(c) for c in x.columns if c == "warc_ts"],
+        resolve_href(F.col("src"), href).alias("dst"),
+        anchor.alias("anchor"),
+    )
+    return out.filter(F.col("dst").isNotNull())
+
+
+def anchor_stats(links: DataFrame) -> DataFrame:
+    """Per-target inbound summary: in-link count, distinct linking
+    pages/hosts, and a deterministic representative anchor (the
+    lexicographic min over non-empty anchors). One hash-agg on dst."""
+    nonempty = F.when(F.length("anchor") > 0, F.col("anchor"))
+    return links.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("in_links"),
+        F.countDistinct("src").alias("n_src"),
+        F.countDistinct(url_host(F.col("src"))).alias("n_src_hosts"),
+        F.min(nonempty).alias("top_anchor"),
+    )
+
+
+def link_edges(links: DataFrame) -> DataFrame:
+    """Host-level weighted edge table for `operators/graph.pagerank`:
+    (src, dst, weight) with self-loops dropped (a page linking within
+    its own host is navigation, not endorsement)."""
+    e = links.select(
+        url_host(F.col("src")).alias("src"),
+        url_host(F.col("dst")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def oracle_links_cte(pages_glob: str) -> str:
+    """DuckDB CTE body reproducing :func:`extract_links` over a seam
+    parquet with columns (url, warc_ts, html_str). Runs the IDENTICAL
+    portable regex and resolution CASE — keep in lockstep with the
+    Column algebra above."""
+    re_sql = A_TAG_RE.replace("'", "''")
+    return f"""
+  p AS (SELECT url, warc_ts, html_str
+        FROM read_parquet('{pages_glob}')),
+  m AS (SELECT url, warc_ts,
+               unnest(regexp_extract_all(html_str, '{re_sql}', 0)) AS tag
+        FROM p),
+  x AS (SELECT url AS src, warc_ts,
+               regexp_extract(tag, '{re_sql}', 1) AS href,
+               replace(replace(replace(replace(replace(
+                 trim(regexp_extract(tag, '{re_sql}', 2)),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#x27;', ''''), '&amp;', '&') AS anchor
+        FROM m),
+  resolved AS (
+    SELECT src, warc_ts, anchor,
+           regexp_replace(
+             CASE
+               WHEN regexp_matches(href, '^https?://') THEN href
+               WHEN href LIKE '//%' THEN
+                 regexp_extract(src, '^([a-z]+):', 1) || ':' || href
+               WHEN href LIKE '/%' THEN
+                 regexp_extract(src, '^[a-z]+://[^/?#]+', 0) || href
+               ELSE NULL
+             END, '#.*$', '') AS dst
+    FROM x),
+  links AS (SELECT src, warc_ts, dst, anchor
+            FROM resolved WHERE dst IS NOT NULL AND length(dst) > 0)
+"""

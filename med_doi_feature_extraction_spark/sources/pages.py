@@ -70,9 +70,41 @@ def _make_text(rng: np.random.Generator, page_scale: int = 1) -> list[str]:
     return lines
 
 
-def _wrap_html(lines: list[str], rng: np.random.Generator) -> bytes:
+def _make_href(rng: np.random.Generator) -> str:
+    """Deterministic synthetic href covering every resolution class
+    of `operators/links.extract_links`: absolute, protocol-relative,
+    root-relative, fragment-bearing, and the documented drop kinds
+    (mailto/javascript/path-relative)."""
+    kind = float(rng.random())
+    d = int(rng.integers(0, 8))
+    v = int(rng.integers(0, 500))
+    tld = _TLDS[d % len(_TLDS)]
+    host = f"site{d}.example.{tld}"
+    if kind < 0.40:
+        return f"https://{host}/page/{v}"
+    if kind < 0.55:
+        return f"//{host}/page/{v}"
+    if kind < 0.70:
+        return f"/page/{v}"
+    if kind < 0.78:
+        return f"https://{host}/page/{v}#sec{int(rng.integers(1, 5))}"
+    if kind < 0.86:
+        return "mailto:editor@example.com"
+    if kind < 0.94:
+        return "javascript:void(0)"
+    return f"page/{v}.html"
+
+
+def _wrap_html(
+    lines: list[str], rng: np.random.Generator, link_frac: float = 0.0
+) -> bytes:
     """Wrap ground-truth lines in template HTML whose extraction is
-    byte-identical to ``"\\n".join(lines)``."""
+    byte-identical to ``"\\n".join(lines)``. ``link_frac`` wraps that
+    fraction of paragraphs' words in ``<a href=...>`` anchors (the
+    anchor word stays extracted text, so byte-identity holds); ALL
+    link-related rng draws are guarded behind ``link_frac > 0`` so
+    the default rng stream — and every golden pinned against it — is
+    unchanged."""
     def esc(s: str) -> str:
         return _html.escape(s)
 
@@ -94,6 +126,13 @@ def _wrap_html(lines: list[str], rng: np.random.Generator) -> bytes:
     for j, line in enumerate(lines[1:], start=1):
         block = rng.choice(["p", "p", "p", "div", "h2", "li", "blockquote"])
         content = inline_mark(line) if rng.random() < 0.5 else esc(line)
+        if link_frac > 0 and rng.random() < link_frac:
+            words = content.split(" ")
+            i = int(rng.integers(0, len(words)))
+            if not words[i].startswith("<"):
+                href = _make_href(rng)
+                words[i] = f'<a href="{href}">{words[i]}</a>'
+                content = " ".join(words)
         parts.append(f"<{block}>{content}</{block}>")
         if rng.random() < 0.15:
             parts.append("</div>")  # stray close tag (malformed; extracts empty)
@@ -115,6 +154,7 @@ def generate_pages(
     session_gap_seconds: int = 3600,
     validate: bool = False,
     page_scale: int = 1,
+    link_frac: float = 0.0,
 ) -> pd.DataFrame:
     """Deterministic pages table (one row per (url, warc_ts) snapshot)."""
     rng = np.random.default_rng(seed)
@@ -141,7 +181,7 @@ def generate_pages(
                 ts = ts + timedelta(seconds=gap)
             lines = _make_text(rng, page_scale)
             text = "\n".join(lines)
-            html = _wrap_html(lines, rng)
+            html = _wrap_html(lines, rng, link_frac=link_frac)
             if validate:
                 assert extract_text(html) == text, url
             rows.append(

@@ -1,0 +1,89 @@
+"""Outlink extraction + anchor aggregation (operators/links.py).
+
+Pins the documented extraction contract: resolution classes, drop
+kinds, fragment strip, entity unescape order, and the host-level edge
+table consumed by graph.pagerank. Also pins that the pages generator's
+default rng stream is unchanged when link injection is off (golden
+stability guard for every fixture seeded before link_frac existed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.links import (
+    anchor_stats,
+    extract_links,
+    link_edges,
+)
+from med_doi_feature_extraction_spark.sources.pages import generate_pages
+
+
+def _links_df(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_resolution_classes(spark):
+    rows = [
+        ("https://a.com/x", '<a href="https://b.com/p#frag">B</a>'),
+        ("https://a.com/x", '<a href="//c.com/q">C</a>'),
+        ("https://a.com/x", '<a href="/local">L</a>'),
+        ("https://a.com/x", '<a href="mailto:z@b.com">M</a>'),
+        ("https://a.com/x", '<a href="javascript:void(0)">J</a>'),
+        ("https://a.com/x", '<a href="rel/path.html">R</a>'),
+        ("https://a.com/x", '<a href="#top">F</a>'),
+        ("https://a.com/x", '<a href="https://b.com/n"><b>nested</b></a>'),
+    ]
+    out = {
+        r["dst"]: r["anchor"]
+        for r in extract_links(_links_df(spark, rows)).collect()
+    }
+    # fragment stripped; protocol-relative takes src scheme; root-relative
+    # takes src origin; mailto/javascript/path-relative/bare-fragment and
+    # nested-markup anchors dropped
+    assert out == {
+        "https://b.com/p": "B",
+        "https://c.com/q": "C",
+        "https://a.com/local": "L",
+    }
+
+
+def test_entity_unescape_order_and_trim(spark):
+    rows = [
+        ("https://a.com/", '<a href="/p">  &amp;lt; &quot;x&#x27;  </a>'),
+    ]
+    (row,) = extract_links(_links_df(spark, rows)).collect()
+    # &amp; last: &amp;lt; -> the literal "&lt;" the author wrote
+    assert row["anchor"] == "&lt; \"x'"
+
+
+def test_anchor_stats_and_edges(spark):
+    rows = [
+        ("https://a.com/1", '<a href="https://t.com/p">zz</a>'),
+        ("https://a.com/2", '<a href="https://t.com/p">aa</a>'),
+        ("https://b.com/1", '<a href="https://t.com/p"> </a>'),
+        ("https://t.com/1", '<a href="https://t.com/p">self</a>'),
+    ]
+    links = extract_links(_links_df(spark, rows))
+    (s,) = anchor_stats(links).filter(F.col("dst") == "https://t.com/p").collect()
+    assert (s["in_links"], s["n_src"], s["n_src_hosts"]) == (4, 4, 3)
+    # deterministic representative anchor = lexicographic min of non-empty
+    assert s["top_anchor"] == "aa"
+    edges = {(r["src"], r["dst"]): r["weight"] for r in link_edges(links).collect()}
+    # t.com -> t.com self-loop dropped; a.com weight folds both pages
+    assert edges == {("a.com", "t.com"): 2, ("b.com", "t.com"): 1}
+
+
+def test_generator_default_stream_unchanged():
+    # link_frac=0.0 must draw NOTHING extra from the rng: byte-identical
+    # to the pre-link generator output (golden stability guard).
+    a = generate_pages(n_urls=10, seed=5, max_snapshots=2)
+    b = generate_pages(n_urls=10, seed=5, max_snapshots=2, link_frac=0.0)
+    assert a.equals(b)
+    c = generate_pages(n_urls=10, seed=5, max_snapshots=2, link_frac=0.8)
+    assert (c["html"].apply(lambda h: b"<a href=" in h)).any()
+
+
+def test_extracted_text_unaffected_by_links(spark):
+    # anchor word stays in extracted text: byte-identity contract holds
+    generate_pages(n_urls=6, seed=9, max_snapshots=2, link_frac=0.9, validate=True)
