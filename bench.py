@@ -102,6 +102,8 @@ def main() -> None:
         # r4 fifth-session additions (sketch family + quality kernels)
         "hll_registers", "cms_join_size", "sampled_quantiles",
         "encoding_quality", "deflate_quality",
+        # r4 sixth-session additions (link graph surface)
+        "extract_links", "anchor_stats",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
