@@ -3048,6 +3048,168 @@ FROM documents
 """
 
 
+_DSIR_DIM = 4096
+
+
+def _dsir_weights_df(spark, sf_dir):
+    from med_doi_feature_extraction_spark.operators.dsir import (
+        dsir_logweights,
+        fit_hashed_dist,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    t = fit_hashed_dist(target, "text", dim=_DSIR_DIM)
+    q = fit_hashed_dist(docs, "text", dim=_DSIR_DIM)
+    return dsir_logweights(docs, "doc_id", "text", t, q, dim=_DSIR_DIM)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (hashed unigram+bigram LLR of the
+    en-subset target distribution vs the full-corpus raw
+    distribution) — per-bucket logp rounded 6 dp so the per-doc sum
+    is engine-portable."""
+    return _dsir_weights_df(spark, sf_dir)
+
+
+def q_dsir_select(spark, sf_dir):
+    """Gumbel top-k importance resampling (weighted sample without
+    replacement) over the DSIR weights — deterministic noise keyed on
+    doc_id, TakeOrderedAndProject plan."""
+    from med_doi_feature_extraction_spark.operators.dsir import dsir_select
+
+    return dsir_select(
+        _dsir_weights_df(spark, sf_dir), 150, tau=2.0
+    ).select("doc_id", "logw", "gumbel_key")
+
+
+def _sql_dsir_weights_cte() -> str:
+    from med_doi_feature_extraction_spark.operators.dsir import (
+        oracle_dist_cte,
+        oracle_grams_cte,
+    )
+
+    d = _DSIR_DIM
+    raw = oracle_grams_cte("documents", "doc_id", "text", d, prefix="r")
+    tgt = oracle_grams_cte(
+        "(SELECT * FROM documents WHERE lang = 'en')",
+        "doc_id", "text", d, prefix="t",
+    )
+    tdist = oracle_dist_cte("tdist", "tgrams", d)
+    qdist = oracle_dist_cte("qdist", "rgrams", d)
+    return f"""WITH {raw}, {tgt}, {tdist}, {qdist},
+  scored AS (
+    SELECT g.id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(
+             coalesce(t.logp,
+               (SELECT round(ln(1.0 / (total + {d})::DOUBLE), 6) FROM tdist_t))
+             - coalesce(q.logp,
+               (SELECT round(ln(1.0 / (total + {d})::DOUBLE), 6) FROM qdist_t))
+           ), 6) AS logw
+    FROM rgrams g
+    LEFT JOIN tdist t USING (idx)
+    LEFT JOIN qdist q USING (idx)
+    GROUP BY 1
+  ),
+  weights AS (
+    SELECT d.doc_id,
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(s.logw, 0.0) AS logw
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+  )"""
+
+
+def _sql_dsir_weights() -> str:
+    return _sql_dsir_weights_cte() + "\nSELECT doc_id, n_grams, logw FROM weights"
+
+
+def _sql_dsir_select() -> str:
+    from med_doi_feature_extraction_spark.operators.dsir import (
+        oracle_gumbel_sql,
+    )
+
+    key = oracle_gumbel_sql("doc_id", "logw", tau=2.0)
+    return _sql_dsir_weights_cte() + f"""
+SELECT doc_id, logw, {key} AS gumbel_key
+FROM weights ORDER BY gumbel_key DESC, doc_id LIMIT 150
+"""
+
+
+_MIX_BUDGETS = {"en": 5000, "de": 1500, "zh": 100_000_000}
+_NTOK_SQL = (
+    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    " x -> len(x) > 0))"
+)
+
+
+def _ntok_col():
+    return F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+
+
+def q_mixture_rates(spark, sf_dir):
+    """Data-dependent mixture rates: per-language token budget vs
+    availability (en partial, zh clamped to 1.0, es/fr absent → 0)."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        mixture_rates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_rates(docs, "lang", _ntok_col(), _MIX_BUDGETS)
+
+
+def _sql_mixture_rates_cte() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_BUDGETS.items())
+    )
+    return f"""WITH a AS (
+  SELECT lang AS "group",
+         CAST(sum({_NTOK_SQL}) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY 1
+),
+rates AS (
+  SELECT "group", avail_tokens,
+         CAST(CASE "group" {cases} ELSE 0 END AS BIGINT) AS budget_tokens,
+         least(1.0, (CASE "group" {cases} ELSE 0 END)::DOUBLE
+                      / avail_tokens::DOUBLE) AS rate
+  FROM a
+)"""
+
+
+def _sql_mixture_rates() -> str:
+    return _sql_mixture_rates_cte() + "\nSELECT * FROM rates"
+
+
+def q_token_mixture(spark, sf_dir):
+    """Token-budget corpus thinning: broadcast the bounded rates
+    table, scan-stage hash filter — zero corpus shuffles."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, "doc_id", "lang", _ntok_col(), _MIX_BUDGETS
+    ).select("doc_id", "lang")
+
+
+def _sql_token_mixture() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "mix")
+    return _sql_mixture_rates_cte() + f"""
+SELECT d.doc_id, d.lang
+FROM documents d LEFT JOIN rates r ON d.lang = r."group"
+WHERE {u} < coalesce(r.rate, 0.0)
+"""
+
+
 def _synth_urls(spark, sf_dir):
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     ck = (F.col("o_custkey") % 50).cast("string")
@@ -5292,6 +5454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram": q_top_ngram,
         "stratified_sample": q_stratified_sample,
         "train_eval_split": q_train_eval_split,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "mixture_rates": q_mixture_rates,
+        "token_mixture": q_token_mixture,
         "url_features": q_url_features,
         "hot_domains": q_hot_domains,
         "extract_links": q_extract_links,
@@ -5412,6 +5578,10 @@ def oracle_sql() -> dict[str, str]:
         "top_ngram": SQL_TOP_NGRAM,
         "stratified_sample": _sql_stratified_sample(),
         "train_eval_split": _sql_train_eval_split(),
+        "dsir_weights": _sql_dsir_weights(),
+        "dsir_select": _sql_dsir_select(),
+        "mixture_rates": _sql_mixture_rates(),
+        "token_mixture": _sql_token_mixture(),
         "url_features": SQL_URL_FEATURES,
         "hot_domains": SQL_HOT_DOMAINS,
         "extract_links": _sql_extract_links(),

@@ -104,6 +104,8 @@ def main() -> None:
         "encoding_quality", "deflate_quality",
         # r4 sixth-session additions (link graph surface)
         "extract_links", "anchor_stats",
+        # r4 seventh-session additions (data-selection surface)
+        "dsir_weights", "dsir_select", "token_mixture",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -191,3 +191,69 @@ def oracle_uniform_sql(key_expr: str, salt: str = "") -> str:
         f"CAST(('0x' || substr(sha256(coalesce({key_expr}, '') || '|{salt}'), 1, 8))"
         f"::UBIGINT AS DOUBLE) / 4294967296.0"
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str | F.Column,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """(group, avail_tokens, budget_tokens, rate): per-group
+    acceptance rate ``min(1, budget/available)`` that hits a target
+    token MIXTURE in expectation — the data-mixing step of a
+    pre-training build ("200 B tokens of en, 50 B of de, …" over
+    whatever the crawl actually contains). Unlike
+    :func:`stratified_sample`'s literal rates, these are
+    DATA-DEPENDENT: one hash-agg over the corpus (groups are
+    languages/domains — a bounded table), budgets attached as a
+    plan-time literal map. Groups absent from ``budgets`` rate 0 —
+    an explicit mixture keeps nothing it doesn't name. Rates are an
+    exact double division, so the DuckDB twin reproduces them
+    bit-for-bit; NOTE rates shift when the corpus grows (that is
+    their point), so append-stability holds per-(corpus snapshot),
+    not globally — pin ``mixture_rates`` output alongside the
+    manifest when resumability matters."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    avail = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(toks.cast("long")).alias("avail_tokens")
+    )
+    budget = F.lit(None).cast("long")
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col("group") == value, F.lit(int(b))).otherwise(
+            budget
+        )
+    return avail.select(
+        "group",
+        "avail_tokens",
+        F.coalesce(budget, F.lit(0)).alias("budget_tokens"),
+        F.least(
+            F.lit(1.0),
+            F.col("budget_tokens").cast("double")
+            / F.col("avail_tokens").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    tokens_col: str | F.Column,
+    budgets: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Thin each group to its token budget: keep rows whose portable
+    uniform falls under the group's :func:`mixture_rates` rate.
+    Expected surviving tokens per group = min(budget, available).
+    Plan: the rates table is group-cardinality (bounded) ⇒ BROADCAST
+    join; the filter itself stays a scan-stage predicate — one
+    corpus-wide agg (for rates) + one broadcast, zero corpus
+    shuffles."""
+    rates = mixture_rates(df, group_col, tokens_col, budgets).select(
+        F.col("group").alias(group_col), "rate"
+    )
+    out = df.join(F.broadcast(rates), group_col, "left")
+    return out.filter(
+        hash_uniform(key_col, salt) < F.coalesce(F.col("rate"), F.lit(0.0))
+    ).drop("rate")

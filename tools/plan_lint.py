@@ -42,6 +42,10 @@ ALLOW_NLJ = {
     "lm_bigram",  # same: crossJoin(broadcast(1-row totals)) in both
     # train_*_lm stages (operators/lm.py:63,168) — bounded by design
     "cms_join_size",  # contract-only 1-row est × 1-row truth compare
+    # dsir: fit_hashed_dist crossJoins a 1-row gram-totals aggregate
+    # (the smoothing normalizer) and dsir_logweights two 1-row floor
+    # broadcasts — the same bounded attach-a-global-scalar pattern
+    "dsir_weights", "dsir_select",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
