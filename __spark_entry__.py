@@ -3210,6 +3210,155 @@ WHERE {u} < coalesce(r.rate, 0.0)
 """
 
 
+# Deterministic multi-script suffixes: the synthetic corpus is pure
+# ASCII, so the script census needs planted non-Latin spans — a
+# doc_id-keyed CASE of unicode literals both engines evaluate
+# identically (same convention as the encoding_quality plants).
+_SCRIPT_SUFFIXES = [
+    " Привет мир как дела сегодня",
+    " 你好世界欢迎光临这里",
+    " مرحبا بالعالم اليوم",
+    " γειά σου κόσμε",
+    "",
+]
+
+
+def _script_text_col():
+    c = F.lit(None).cast("string")
+    for i, s in enumerate(_SCRIPT_SUFFIXES):
+        c = F.when(F.col("doc_id") % 5 == i, F.lit(s)).otherwise(c)
+    return F.concat(F.col("text"), c)
+
+
+def _sql_script_text() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_SCRIPT_SUFFIXES)
+    )
+    return f"text || (CASE doc_id % 5 {whens} END)"
+
+
+def q_script_profile(spark, sf_dir):
+    """Unicode script census: per-script codepoint counts, dominant
+    script, dominant-share confidence — pure codepoint-range Column
+    algebra in one codegen span (the multilingual routing step that
+    runs BEFORE lang-id)."""
+    from med_doi_feature_extraction_spark.kernels.script import (
+        dominant_script,
+        script_confidence,
+        script_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    t = _script_text_col()
+    return docs.select(
+        "doc_id",
+        script_count(t, "latin").alias("latin"),
+        script_count(t, "cyrillic").alias("cyrillic"),
+        script_count(t, "han").alias("han"),
+        script_count(t, "arabic").alias("arabic"),
+        script_count(t, "greek").alias("greek"),
+        dominant_script(t).alias("dominant"),
+        script_confidence(t).alias("confidence"),
+    )
+
+
+def _sql_script_profile() -> str:
+    from med_doi_feature_extraction_spark.kernels.script import (
+        oracle_confidence_sql,
+        oracle_dominant_sql,
+        oracle_script_count_sql,
+    )
+
+    t = f"({_sql_script_text()})"
+    cols = ",\n  ".join(
+        f"{oracle_script_count_sql(t, s)} AS {s}"
+        for s in ["latin", "cyrillic", "han", "arabic", "greek"]
+    )
+    return f"""SELECT doc_id,
+  {cols},
+  {oracle_dominant_sql(t)} AS dominant,
+  {oracle_confidence_sql(t)} AS confidence
+FROM documents"""
+
+
+# C4 line filters need multi-line text: cut deterministic line breaks
+# into the single-line synthetic docs (literal replace — identical in
+# both engines) and plant one boilerplate tail line per doc_id class.
+_C4_TAILS = [
+    "Enable javascript to view this site.",
+    "lorem ipsum dolor sit amet and more words here.",
+    "short.",
+    "This planted line has terminal punctuation and enough words.",
+    "no terminal punctuation on this planted line",
+]
+
+
+def _c4_text_col():
+    base = F.replace(F.col("text"), F.lit(" a "), F.lit(".\n"))
+    tail = F.lit(None).cast("string")
+    for i, s in enumerate(_C4_TAILS):
+        tail = F.when(F.col("doc_id") % 5 == i, F.lit("\n" + s)).otherwise(
+            tail
+        )
+    return F.concat(base, tail)
+
+
+def _sql_c4_text() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN chr(10) || '{s}'" for i, s in enumerate(_C4_TAILS)
+    )
+    return (
+        "replace(text, ' a ', '.' || chr(10))"
+        f" || (CASE doc_id % 5 {whens} END)"
+    )
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 structural line filtering (Raffel 2020 §2.2): line-level
+    prose predicate (terminal punct + min words + boilerplate
+    phrases), doc rebuild from surviving lines, and the doc gate —
+    all scan-stage array algebra, no shuffle."""
+    from med_doi_feature_extraction_spark.operators.c4rules import (
+        c4_clean,
+        c4_line_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text", _c4_text_col()
+    )
+    stats = c4_line_stats(F.col("text"))
+    out = c4_clean(docs, "text", min_words=3, min_lines=2)
+    return out.select(
+        "doc_id",
+        stats["n_lines"].alias("n_lines"),
+        stats["n_kept_lines"].alias("n_kept_lines"),
+        stats["end_punct_frac"].alias("end_punct_frac"),
+        "clean_text",
+        F.col("c4_keep"),
+    )
+
+
+def _sql_c4_filters() -> str:
+    from med_doi_feature_extraction_spark.operators.c4rules import (
+        oracle_c4_sql,
+    )
+
+    m = oracle_c4_sql("t2", min_words=3, min_lines=2)
+    cols = ",\n  ".join(
+        f"{m[k]} AS {k}"
+        for k in [
+            "n_lines", "n_kept_lines", "end_punct_frac", "clean_text",
+            "c4_keep",
+        ]
+    )
+    return f"""WITH src AS (
+  SELECT doc_id, {_sql_c4_text()} AS t2 FROM documents
+)
+SELECT doc_id,
+  {cols}
+FROM src"""
+
+
 def _synth_urls(spark, sf_dir):
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     ck = (F.col("o_custkey") % 50).cast("string")
@@ -5458,6 +5607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "mixture_rates": q_mixture_rates,
         "token_mixture": q_token_mixture,
+        "script_profile": q_script_profile,
+        "c4_filters": q_c4_filters,
         "url_features": q_url_features,
         "hot_domains": q_hot_domains,
         "extract_links": q_extract_links,
@@ -5582,6 +5733,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _sql_dsir_select(),
         "mixture_rates": _sql_mixture_rates(),
         "token_mixture": _sql_token_mixture(),
+        "script_profile": _sql_script_profile(),
+        "c4_filters": _sql_c4_filters(),
         "url_features": SQL_URL_FEATURES,
         "hot_domains": SQL_HOT_DOMAINS,
         "extract_links": _sql_extract_links(),
