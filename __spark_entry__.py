@@ -3359,6 +3359,76 @@ SELECT doc_id,
 FROM src"""
 
 
+# Gopher word-stat rules need line structure + rule-triggering shapes:
+# planted bullet runs, ellipsis trails, symbol spam, stopword prose.
+_GOPHER_TAILS = [
+    "- bullet one\n- bullet two\n- bullet three",
+    "to be continued...\nand more trailing off…",
+    "#### ### ## # hash spam # # # more # tags #",
+    "the results have shown that models trained with better data be"
+    " stronger and that scale matters.",
+    "",
+]
+
+
+def _gopher_text_col():
+    base = F.replace(F.col("text"), F.lit(" a "), F.lit("\n"))
+    tail = F.lit(None).cast("string")
+    for i, s in enumerate(_GOPHER_TAILS):
+        tail = F.when(F.col("doc_id") % 5 == i, F.lit("\n" + s)).otherwise(
+            tail
+        )
+    return F.concat(base, tail)
+
+
+def _sql_gopher_text() -> str:
+    whens = " ".join(
+        "WHEN {} THEN chr(10) || '{}'".format(i, s.replace("\n", "' || chr(10) || '"))
+        for i, s in enumerate(_GOPHER_TAILS)
+    )
+    return f"replace(text, ' a ', chr(10)) || (CASE doc_id % 5 {whens} END)"
+
+
+_GOPHER_BOUNDS = {"min_words": 20, "max_words": 120, "min_stopwords": 1}
+_GOPHER_COLS = [
+    "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+    "ellipsis_frac", "alpha_frac", "n_stopwords", "fail_reasons",
+    "gopher_keep",
+]
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher word-statistics quality battery (Rae 2021 A1.1): word
+    count bounds, mean word length, symbol/bullet/ellipsis spam,
+    alphabetic-word fraction, stopword prose check — one codegen span,
+    ordered fail_reasons list + keep verdict, all hash-checkable."""
+    from med_doi_feature_extraction_spark.operators.gopher import (
+        gopher_gate,
+    )
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text", _gopher_text_col()
+    )
+    return gopher_gate(docs, "text", **_GOPHER_BOUNDS).select(
+        "doc_id", *_GOPHER_COLS
+    )
+
+
+def _sql_gopher_rules() -> str:
+    from med_doi_feature_extraction_spark.operators.gopher import (
+        oracle_gopher_sql,
+    )
+
+    m = oracle_gopher_sql("t2", **_GOPHER_BOUNDS)
+    cols = ",\n  ".join(f"{m[k]} AS {k}" for k in _GOPHER_COLS)
+    return f"""WITH src AS (
+  SELECT doc_id, {_sql_gopher_text()} AS t2 FROM documents
+)
+SELECT doc_id,
+  {cols}
+FROM src"""
+
+
 def _synth_urls(spark, sf_dir):
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     ck = (F.col("o_custkey") % 50).cast("string")
@@ -5609,6 +5679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mixture": q_token_mixture,
         "script_profile": q_script_profile,
         "c4_filters": q_c4_filters,
+        "gopher_rules": q_gopher_rules,
         "url_features": q_url_features,
         "hot_domains": q_hot_domains,
         "extract_links": q_extract_links,
@@ -5735,6 +5806,7 @@ def oracle_sql() -> dict[str, str]:
         "token_mixture": _sql_token_mixture(),
         "script_profile": _sql_script_profile(),
         "c4_filters": _sql_c4_filters(),
+        "gopher_rules": _sql_gopher_rules(),
         "url_features": SQL_URL_FEATURES,
         "hot_domains": SQL_HOT_DOMAINS,
         "extract_links": _sql_extract_links(),

@@ -365,6 +365,27 @@ def cmd_curate(args) -> dict:
             df = compressibility_gate(df, text_col).filter(
                 F.col("comp_ok")
             )
+        elif op == "gopher":
+            from med_doi_feature_extraction_spark.operators.gopher import (
+                gopher_gate,
+            )
+
+            df = (
+                gopher_gate(df, text_col, min_words=args.min_words)
+                .filter(F.col("gopher_keep"))
+                .drop("fail_reasons", "gopher_keep")
+            )
+        elif op == "c4":
+            from med_doi_feature_extraction_spark.operators.c4rules import (
+                c4_clean,
+            )
+
+            df = (
+                c4_clean(df, text_col, min_lines=args.min_lines)
+                .filter(F.col("c4_keep"))
+                .withColumn(text_col, F.col("clean_text"))
+                .drop("clean_text", "c4_keep")
+            )
         elif op == "sample":
             df = hash_sample(df, id_col, args.sample_rate, salt=args.salt)
         elif op == "split":
@@ -459,9 +480,9 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--output", required=True)
     cur.add_argument(
         "--ops", required=True,
-        help="ordered comma list: pii,repetition,encoding,compress,"
-             "exact_dedup,minhash_dedup,paragraph_dedup,decontam,"
-             "sample,split",
+        help="ordered comma list: c4,gopher,pii,repetition,encoding,"
+             "compress,exact_dedup,minhash_dedup,paragraph_dedup,"
+             "decontam,sample,split",
     )
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
@@ -477,6 +498,10 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--bench-text-col", default=None)
     cur.add_argument("--ngram", type=int, default=8)
     cur.add_argument("--min-hits", type=int, default=1)
+    cur.add_argument("--min-words", type=int, default=50,
+                     help="gopher: minimum word count bound")
+    cur.add_argument("--min-lines", type=int, default=3,
+                     help="c4: minimum surviving lines to keep a doc")
     cur.add_argument("--sample-rate", type=float, default=1.0)
     cur.add_argument("--eval-frac", type=float, default=0.01)
     cur.add_argument("--salt", default="", help="sample-op hash salt")

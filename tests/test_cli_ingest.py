@@ -263,3 +263,41 @@ def test_cli_curate_encoding_and_compress_ops(spark, tmp_path):
     assert [r["rows"] for r in res["rows_after"]] == [3, 2]
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {0, 3}
+
+
+def test_cli_curate_c4_and_gopher_ops(spark, tmp_path):
+    """The structural gates compose into the curate plan: c4 rebuilds
+    docs from prose lines and drops line-starved docs, gopher drops
+    word-stat failures — filter-early ordering ahead of any dedup."""
+    prose = (
+        "The results have shown that better data be stronger.\n"
+        "And that careful filtering of the corpus can help a lot.\n"
+        "Quality gates have to run with the scan, not after it."
+    )
+    rows = [
+        (0, prose),
+        (1, prose + "\nPlease enable javascript for this site now."),
+        (2, "no punctuation lines here\nnot one of them ends right"),
+        (3, "# # # # " + prose.replace("\n", " ")),  # symbol spam, 1 line
+    ]
+    src = str(tmp_path / "docs_c4g")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    out = str(tmp_path / "curated_c4g")
+    res = cli_main(
+        [
+            "curate", "--input", src, "--output", out,
+            "--ops", "c4,gopher", "--min-lines", "2", "--min-words", "10",
+        ]
+    )
+    assert res["rows_in"] == 4
+    assert [r["op"] for r in res["rows_after"]] == ["c4", "gopher"]
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # doc 2: no line survives the prose predicate; doc 3: one line
+    # survives but min_lines=2 — both dropped at the c4 stage
+    assert [r["rows"] for r in res["rows_after"]] == [2, 2]
+    assert set(got) == {0, 1}
+    # the javascript line was structurally removed from doc 1's text
+    assert "javascript" not in got[1]["text"]
+    assert got[1]["text"] == got[0]["text"] == prose
+    # gopher stats columns rode through for audit
+    assert got[0]["n_words"] >= 10 and got[0]["alpha_frac"] > 0.9
