@@ -3359,6 +3359,35 @@ SELECT doc_id,
 FROM src"""
 
 
+_ILEAVE_W = {"en": 0.5, "zh": 0.3, "de": 0.2}
+
+
+def q_interleave(spark, sf_dir):
+    """Deterministic proportional source interleave: the training-order
+    mixing key (sort by it → every prefix matches the weight mixture;
+    fr/es absent from the mixture are dropped). One bounded counts agg
+    + broadcast; zero corpus shuffles."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        interleave_order,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return interleave_order(docs, "lang", "doc_id", _ILEAVE_W).select(
+        "doc_id", "lang", "interleave_key"
+    )
+
+
+def _sql_interleave() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_interleave_sql,
+    )
+
+    cte = oracle_interleave_sql(
+        "documents", "lang", "CAST(doc_id AS VARCHAR)", _ILEAVE_W
+    )
+    return f"WITH {cte}\nSELECT doc_id, lang, interleave_key FROM ileave"
+
+
 # Gopher word-stat rules need line structure + rule-triggering shapes:
 # planted bullet runs, ellipsis trails, symbol spam, stopword prose.
 _GOPHER_TAILS = [
@@ -5680,6 +5709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "c4_filters": q_c4_filters,
         "gopher_rules": q_gopher_rules,
+        "interleave": q_interleave,
         "url_features": q_url_features,
         "hot_domains": q_hot_domains,
         "extract_links": q_extract_links,
@@ -5807,6 +5837,7 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _sql_script_profile(),
         "c4_filters": _sql_c4_filters(),
         "gopher_rules": _sql_gopher_rules(),
+        "interleave": _sql_interleave(),
         "url_features": SQL_URL_FEATURES,
         "hot_domains": SQL_HOT_DOMAINS,
         "extract_links": _sql_extract_links(),

@@ -106,7 +106,7 @@ def main() -> None:
         "extract_links", "anchor_stats",
         # r4 seventh-session additions (data-selection surface)
         "dsir_weights", "dsir_select", "token_mixture",
-        "script_profile", "c4_filters", "gopher_rules",
+        "script_profile", "c4_filters", "gopher_rules", "interleave",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -257,3 +257,95 @@ def token_budget_sample(
     return out.filter(
         hash_uniform(key_col, salt) < F.coalesce(F.col("rate"), F.lit(0.0))
     ).drop("rate")
+
+
+def interleave_order(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "interleave",
+    out: str = "interleave_key",
+) -> DataFrame:
+    """Deterministic proportional source interleave: attach a sort key
+    such that ordering the union by ``(interleave_key, key)`` yields
+    the sources mixed in the target ``weights`` proportions IN EVERY
+    PREFIX — the training-order mixing step (T5 / GLaM style "sample
+    sources at fixed rates"), computed as data, not as a sampler.
+
+    Construction: the engine-portable uniform ``u(key)`` is (in
+    expectation) the row's within-source quantile, so
+    ``key = round(u · n_s / p_s, 6)`` places source ``s``'s rows at
+    density ∝ ``p_s`` along the key axis (``p_s`` = normalized
+    weight, ``n_s`` = source row count). A source over-weighted
+    beyond its size simply EXHAUSTS partway through the order —
+    the honest single-epoch semantics; re-cycling (multi-epoch
+    oversampling) is the trainer's loop, not a corpus property.
+    Sources absent from ``weights`` are dropped (an explicit mixture
+    keeps nothing it doesn't name — same contract as
+    :func:`token_budget_sample`).
+
+    Scale shape: one bounded hash-agg for the per-source counts,
+    broadcast back (source spaces are small), key arithmetic on the
+    scan — zero corpus shuffles. The ORDER itself is never
+    materialized globally: writers range-partition by the key and
+    sort within partitions (``repartitionByRange(out).
+    sortWithinPartitions(out)``), which is exactly the shard-local
+    order a data loader consumes. 6 dp rounding keeps the key a sum
+    of exact multiples, hash-comparable cross-engine."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    counts = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    scale = F.lit(None).cast("double")
+    for value, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {value!r}")
+        p = float(w) / total
+        scale = F.when(
+            F.col("_src") == value,
+            F.lit(None).cast("double") if p == 0.0 else F.lit(1.0 / p),
+        ).otherwise(scale)
+    rates = counts.select("_src", (F.col("_n") * scale).alias("_np"))
+    joined = df.join(
+        F.broadcast(rates),
+        df[source_col] == rates["_src"],
+        "left",
+    ).drop("_src")
+    u = hash_uniform(key_col, salt)
+    return (
+        joined.filter(F.col("_np").isNotNull())
+        .withColumn(out, F.round(u * F.col("_np"), 6))
+        .drop("_np")
+    )
+
+
+def oracle_interleave_sql(
+    source_sql: str,
+    source_expr: str,
+    key_expr: str,
+    weights: dict[str, float],
+    salt: str = "interleave",
+) -> str:
+    """DuckDB CTE ``ileave`` reproducing :func:`interleave_order`
+    over ``source_sql`` (adds ``interleave_key`` to its columns)."""
+    total = float(sum(weights.values()))
+    u = oracle_uniform_sql(key_expr, salt)
+    whens = " ".join(
+        f"WHEN '{v}' THEN {1.0 / (w / total)!r}"
+        for v, w in sorted(weights.items())
+        if w > 0
+    )
+    return f"""
+  icounts AS (
+    SELECT {source_expr} AS _src, count(*) AS _n
+    FROM {source_sql} GROUP BY 1
+  ),
+  ileave AS (
+    SELECT s.*, round(({u}) * (c._n * (CASE c._src {whens} END)), 6)
+             AS interleave_key
+    FROM {source_sql} s JOIN icounts c ON {source_expr} = c._src
+    WHERE (CASE c._src {whens} END) IS NOT NULL
+  )"""

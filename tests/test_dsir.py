@@ -134,3 +134,55 @@ def test_token_budget_sample_budget_and_unlisted_group(spark):
         df.repartition(13), "doc_id", "lang", ntok, {"en": 1000}
     )
     assert {r["doc_id"] for r in out2.collect()} == ids1
+
+
+def test_interleave_prefix_proportions(spark):
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        interleave_order,
+    )
+
+    rows = (
+        [(i, "a") for i in range(3000)]
+        + [(10_000 + i, "b") for i in range(3000)]
+        + [(20_000 + i, "c") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    out = interleave_order(df, "src", "doc_id", {"a": 0.6, "b": 0.4})
+    got = out.orderBy("interleave_key", "doc_id").collect()
+    # source c unnamed by the mixture -> dropped entirely
+    assert {r["src"] for r in got} <= {"a", "b"}
+    # every sizeable prefix tracks the 60/40 mixture
+    for k in (1000, 2000, 4000):
+        frac_a = sum(1 for r in got[:k] if r["src"] == "a") / k
+        assert abs(frac_a - 0.6) < 0.05, (k, frac_a)
+    # deterministic across physical layout
+    got2 = (
+        interleave_order(df.repartition(17), "src", "doc_id",
+                         {"a": 0.6, "b": 0.4})
+        .orderBy("interleave_key", "doc_id")
+        .collect()
+    )
+    assert [r["doc_id"] for r in got2] == [r["doc_id"] for r in got]
+
+
+def test_interleave_exhaustion_semantics(spark):
+    """An over-weighted small source exhausts partway: the tail of the
+    order is pure majority source (single-epoch semantics)."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        interleave_order,
+    )
+
+    rows = [(i, "big") for i in range(2000)] + [
+        (10_000 + i, "tiny") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    out = (
+        interleave_order(df, "src", "doc_id", {"big": 0.5, "tiny": 0.5})
+        .orderBy("interleave_key", "doc_id")
+        .collect()
+    )
+    # tiny is spent in (roughly) the first tenth; the last half is big-only
+    tail = out[len(out) // 2:]
+    assert all(r["src"] == "big" for r in tail)
+    head = out[:220]
+    assert sum(1 for r in head if r["src"] == "tiny") > 70
