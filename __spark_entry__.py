@@ -3359,6 +3359,56 @@ SELECT doc_id,
 FROM src"""
 
 
+def _token_ids_base() -> str:
+    return "/tmp/spark_graft_token_ids_v1"
+
+
+def q_token_ids(spark, sf_dir):
+    """BPE token-id emission (the training-data export path): the
+    Arrow-batched tokenizer materializes (doc_id, ids) to a parquet
+    seam; both engines then explode the SAME seam to the positional
+    (doc_id, pos, id) stream plus a per-doc count — the id algebra is
+    hash-checked, the tokenizer itself has exact pytest goldens
+    (greedy BPE is not SQL-expressible)."""
+    from med_doi_feature_extraction_spark.kernels.bpe import (
+        default_merges,
+        tokenize_ids_udf,
+    )
+
+    base = _token_ids_base()
+    docs = _read(spark, sf_dir, "documents")
+    tok = tokenize_ids_udf(default_merges(120))
+    docs.select("doc_id", tok("text").alias("ids")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/ids.parquet")
+    seam = spark.read.parquet(f"{base}/ids.parquet")
+    return seam.select(
+        "doc_id",
+        F.size("ids").alias("n_tokens"),
+        F.posexplode_outer("ids").alias("pos", "id"),
+    )
+
+
+def _sql_token_ids() -> str:
+    base = _token_ids_base()
+    return f"""
+WITH seam AS (
+  SELECT doc_id, ids FROM read_parquet('{base}/ids.parquet/*.parquet')
+)
+SELECT doc_id,
+       CAST(len(ids) AS INT) AS n_tokens,
+       CAST(i - 1 AS INT) AS pos,
+       CAST(ids[i] AS INT) AS id
+FROM (
+  SELECT doc_id, ids, unnest(generate_series(1, len(ids))) AS i FROM seam
+)
+UNION ALL
+SELECT doc_id, CAST(len(ids) AS INT) AS n_tokens,
+       CAST(NULL AS INT) AS pos, CAST(NULL AS INT) AS id
+FROM seam WHERE len(ids) = 0
+"""
+
+
 _ILEAVE_W = {"en": 0.5, "zh": 0.3, "de": 0.2}
 
 
@@ -5710,6 +5760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "gopher_rules": q_gopher_rules,
         "interleave": q_interleave,
+        "token_ids": q_token_ids,
         "url_features": q_url_features,
         "hot_domains": q_hot_domains,
         "extract_links": q_extract_links,
@@ -5838,6 +5889,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _sql_c4_filters(),
         "gopher_rules": _sql_gopher_rules(),
         "interleave": _sql_interleave(),
+        "token_ids": _sql_token_ids(),
         "url_features": SQL_URL_FEATURES,
         "hot_domains": SQL_HOT_DOMAINS,
         "extract_links": _sql_extract_links(),

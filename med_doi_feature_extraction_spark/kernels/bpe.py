@@ -161,3 +161,108 @@ def token_count_bpe_udf(merges: list[tuple[str, str]] | tuple):
         return token_count_series(texts, m)
 
     return _udf
+
+
+# --- token-ID emission (the export surface) ---------------------------
+
+UNK_ID = 0
+PAD_ID = 1
+
+#: standalone (no-merge) base symbols: lowercase letters in both
+#: word-internal and word-final forms, digits (numbers tokenize
+#: per-digit — the GPT-style convention that keeps the vocab closed),
+#: and ASCII punctuation. Anything outside this closed set maps to
+#: UNK_ID rather than growing the vocab — id stability across corpus
+#: snapshots matters more than coverage for a fixture tokenizer.
+import string as _string
+
+_BASE_SYMBOLS = (
+    [c for c in _string.ascii_lowercase]
+    + [c + _EOW for c in _string.ascii_lowercase]
+    + list(_string.digits)
+    + list(_string.punctuation)
+)
+
+
+def vocab_from_merges(merges) -> dict[str, int]:
+    """Deterministic symbol→id table: ``<unk>``/``<pad>`` specials,
+    the fixed base alphabet, then each merge's fused output in merge
+    order (BPE ids are merge-order ids — the standard layout, so the
+    SAME merge table always yields the SAME ids)."""
+    vocab = {"<unk>": UNK_ID, "<pad>": PAD_ID}
+    nxt = 2
+    for s in _BASE_SYMBOLS:
+        vocab[s] = nxt
+        nxt += 1
+    for a, b in merges:
+        fused = a + b
+        if fused not in vocab:
+            vocab[fused] = nxt
+            nxt += 1
+    return vocab
+
+
+def tokenize_ids_series(
+    texts: pd.Series, merges, vocab: dict[str, int] | None = None
+) -> pd.Series:
+    """Token-id list per text (int32): alphabetic pre-tokens are
+    lower-cased and BPE-merged to symbol ids, numeric pre-tokens
+    emit one id per digit, symbol pre-tokens one id per char;
+    out-of-vocab symbols → UNK_ID. NULL → empty list. Shares the
+    pre-token regex with ``token_count_series`` so
+    ``len(tokenize_ids(t)) == token_count(t)`` for digit/symbol-free
+    text (counts treat a multi-digit number as ONE token, ids split
+    it — counting stays the budget surface, ids the export surface)."""
+    ranks = merge_ranks(list(merges))
+    v = vocab_from_merges(merges) if vocab is None else vocab
+    unk = v["<unk>"]
+    cache: dict[str, list[int]] = {}
+
+    def ids_one(text) -> list[int]:
+        if text is None:
+            return []
+        out: list[int] = []
+        for pre in _PRETOKEN_RE.findall(str(text)):
+            if pre[0].isalpha():
+                w = pre.lower()
+                ids = cache.get(w)
+                if ids is None:
+                    ids = [v.get(s, unk) for s in apply_bpe(w, ranks)]
+                    cache[w] = ids
+                out.extend(ids)
+            else:
+                out.extend(v.get(c, unk) for c in pre)
+        return out
+
+    return texts.map(ids_one)
+
+
+def decode_ids(ids, vocab: dict[str, int]) -> str:
+    """Inverse mapping for round-trip tests: ids → symbols, ``</w>``
+    becomes a word boundary. Case and original whitespace are not
+    recoverable (the tokenizer lower-cases and the pre-token stream
+    drops whitespace) — decode targets token-level fidelity."""
+    rev = {i: s for s, i in vocab.items()}
+    parts: list[str] = []
+    for i in ids:
+        s = rev.get(int(i), "<unk>")
+        if s.endswith(_EOW):
+            parts.append(s[: -len(_EOW)] + " ")
+        else:
+            parts.append(s)
+    return "".join(parts).rstrip()
+
+
+def tokenize_ids_udf(merges: list[tuple[str, str]] | tuple):
+    """Arrow-batched pandas UDF emitting the token-id array (the
+    training-data export path: curate → tokenize_ids → seq_pack)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = list(merges)
+    v = vocab_from_merges(m)
+
+    @pandas_udf("array<int>")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return tokenize_ids_series(texts, m, v)
+
+    return _udf

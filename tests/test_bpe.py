@@ -82,3 +82,92 @@ def test_udf_matches_driver_counts(spark):
     )
     exp = token_count_series(pdf.text, list(m))
     assert list(got.n) == list(exp)
+
+
+# --- token-ID emission ------------------------------------------------
+
+def test_vocab_layout_deterministic():
+    from med_doi_feature_extraction_spark.kernels.bpe import (
+        PAD_ID,
+        UNK_ID,
+        default_merges,
+        vocab_from_merges,
+    )
+
+    m = default_merges(60)
+    v1, v2 = vocab_from_merges(m), vocab_from_merges(m)
+    assert v1 == v2
+    assert v1["<unk>"] == UNK_ID == 0 and v1["<pad>"] == PAD_ID == 1
+    # base alphabet before merges; merge outputs in merge order
+    fused = [a + b for a, b in m]
+    ranks = [v1[f] for f in fused if f in v1]
+    assert ranks == sorted(ranks)
+
+
+def test_tokenize_ids_goldens():
+    import pandas as pd
+
+    from med_doi_feature_extraction_spark.kernels.bpe import (
+        UNK_ID,
+        decode_ids,
+        default_merges,
+        tokenize_ids_series,
+        token_count_series,
+        vocab_from_merges,
+    )
+
+    m = default_merges(60)
+    v = vocab_from_merges(m)
+    texts = pd.Series(["hello world", "Hello, WORLD!", "x 42 y", None, ""])
+    ids = tokenize_ids_series(texts, m, v)
+    a = list(ids[0])
+    b = list(ids[1])
+    # 'hello world' ids appear inside 'Hello, WORLD!' with punct ids added
+    assert set(a) <= set(b)
+    assert ids[3] == [] and ids[4] == []
+    # digit splitting: '42' emits exactly two ids, both in-vocab
+    x42 = ids[2]
+    assert len(x42) == 4  # x</w>, '4', '2', y</w>
+    assert UNK_ID not in x42
+    # decode round-trips token-level content (lower-cased)
+    assert decode_ids(ids[0], v) == "hello world"
+    # counts treat a number as ONE token, ids split digits: count+1
+    assert len(x42) == int(token_count_series(
+        pd.Series(["x 42 y"]), m)[0]) + 1
+
+
+def test_unknown_chars_map_to_unk():
+    import pandas as pd
+
+    from med_doi_feature_extraction_spark.kernels.bpe import (
+        UNK_ID,
+        default_merges,
+        tokenize_ids_series,
+    )
+
+    m = default_merges(60)
+    ids = tokenize_ids_series(pd.Series(["héllo №"]), m)
+    assert UNK_ID in ids[0]
+
+
+def test_tokenize_udf_matches_series(spark):
+    import pandas as pd
+
+    from med_doi_feature_extraction_spark.kernels.bpe import (
+        default_merges,
+        tokenize_ids_series,
+        tokenize_ids_udf,
+    )
+
+    m = default_merges(60)
+    texts = ["the quick brown fox", "jumps over 12 lazy dogs!", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    )
+    got = {
+        r["i"]: list(r["ids"])
+        for r in df.select("i", tokenize_ids_udf(m)("text").alias("ids")).collect()
+    }
+    want = tokenize_ids_series(pd.Series(texts), m)
+    for i in range(len(texts)):
+        assert got[i] == list(want[i])
