@@ -3409,6 +3409,116 @@ FROM seam WHERE len(ids) = 0
 """
 
 
+_PACK_IDS_BUDGET = 128
+_PACK_IDS_SHARDS = 8
+
+
+def _pack_ids_base() -> str:
+    return "/tmp/spark_graft_pack_ids_v1"
+
+
+def _pack_ids_seam(spark, sf_dir) -> str:
+    from med_doi_feature_extraction_spark.kernels.bpe import (
+        default_merges,
+        tokenize_ids_udf,
+    )
+
+    base = _pack_ids_base()
+    docs = _read(spark, sf_dir, "documents")
+    tok = tokenize_ids_udf(default_merges(120))
+    docs.select("doc_id", tok("text").alias("ids")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/ids.parquet")
+    return f"{base}/ids.parquet"
+
+
+def _pack_sequences_dfs(spark, sf_dir):
+    from med_doi_feature_extraction_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    seam = spark.read.parquet(_pack_ids_seam(spark, sf_dir))
+    return pack_sequences(
+        seam, "doc_id", "ids",
+        budget=_PACK_IDS_BUDGET, n_shards=_PACK_IDS_SHARDS,
+    )
+
+
+def q_pack_ids(spark, sf_dir):
+    """Packed training rows (GPT-style concatenate-and-cut over the
+    tokenizer seam): every pack exactly budget tokens except each
+    shard's final partial — the actual export artifact, id arrays
+    hash-compared whole."""
+    packs, _ = _pack_sequences_dfs(spark, sf_dir)
+    return packs
+
+
+def q_pack_spans(spark, sf_dir):
+    """Document→pack span table (attention mask / provenance):
+    which slice of each packed row belongs to which document."""
+    _, spans = _pack_sequences_dfs(spark, sf_dir)
+    return spans.withColumnRenamed("key", "doc_id")
+
+
+def _sql_pack_pieces_cte() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    b, ns = _PACK_IDS_BUDGET, _PACK_IDS_SHARDS
+    base = _pack_ids_base()
+    u = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "pack")
+    return f"""
+  seam AS (
+    SELECT doc_id, ids FROM read_parquet('{base}/ids.parquet/*.parquet')
+  ),
+  s AS (
+    SELECT doc_id, ids, len(ids) AS n, {u} AS u,
+           CAST(floor(({u}) * {ns}) AS BIGINT) AS shard
+    FROM seam
+  ),
+  c AS (
+    SELECT *, coalesce(sum(n) OVER (
+        PARTITION BY shard ORDER BY u, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+    FROM s
+  ),
+  ex AS (
+    SELECT *, unnest(generate_series(
+        CAST(floor(st / {b}) AS BIGINT),
+        CAST(floor((st + n - 1) / {b}) AS BIGINT))) AS p
+    FROM c WHERE n > 0
+  ),
+  pieces AS (
+    SELECT shard, p, doc_id,
+           greatest(st, p * {b}) - p * {b} AS start_in_pack,
+           least(st + n, (p + 1) * {b}) - greatest(st, p * {b}) AS len,
+           list_slice(ids,
+             CAST(greatest(st, p * {b}) - st + 1 AS BIGINT),
+             CAST(least(st + n, (p + 1) * {b}) - st AS BIGINT)) AS piece
+    FROM ex
+  )"""
+
+
+def _sql_pack_ids() -> str:
+    return f"""WITH {_sql_pack_pieces_cte()}
+SELECT CAST(shard * 4294967296 + p AS BIGINT) AS pack_id,
+       CAST(len(input_ids) AS INT) AS n_tokens, input_ids
+FROM (
+  SELECT shard, p,
+         flatten(list(piece ORDER BY start_in_pack)) AS input_ids
+  FROM pieces GROUP BY shard, p
+)"""
+
+
+def _sql_pack_spans() -> str:
+    return f"""WITH {_sql_pack_pieces_cte()}
+SELECT CAST(shard * 4294967296 + p AS BIGINT) AS pack_id, doc_id,
+       CAST(start_in_pack AS BIGINT) AS start_in_pack,
+       CAST(len AS BIGINT) AS len
+FROM pieces"""
+
+
 _ILEAVE_W = {"en": 0.5, "zh": 0.3, "de": 0.2}
 
 
@@ -5761,6 +5871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "interleave": q_interleave,
         "token_ids": q_token_ids,
+        "pack_ids": q_pack_ids,
+        "pack_spans": q_pack_spans,
         "url_features": q_url_features,
         "hot_domains": q_hot_domains,
         "extract_links": q_extract_links,
@@ -5890,6 +6002,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _sql_gopher_rules(),
         "interleave": _sql_interleave(),
         "token_ids": _sql_token_ids(),
+        "pack_ids": _sql_pack_ids(),
+        "pack_spans": _sql_pack_spans(),
         "url_features": SQL_URL_FEATURES,
         "hot_domains": SQL_HOT_DOMAINS,
         "extract_links": _sql_extract_links(),

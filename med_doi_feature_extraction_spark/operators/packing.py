@@ -181,3 +181,101 @@ def pack_stats(packed: DataFrame, token_col: str, budget: int) -> DataFrame:
         F.sum(token_col).alias("tokens"),
         (F.sum(token_col) / F.lit(float(budget))).alias("fill_ratio"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    ids_col: str,
+    budget: int,
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the packed TRAINING ROWS themselves: concatenate
+    each shard's token-id arrays in the deterministic hash order and
+    cut every ``budget`` tokens (the GPT-style export — documents
+    straddle; :func:`pack_chunked` computes the same layout but only
+    labels documents, this emits the sequences).
+
+    Returns ``(packs, spans)``:
+
+    - ``packs``: ``(pack_id, n_tokens, input_ids)`` — every pack is
+      exactly ``budget`` tokens except each shard's final partial
+      pack (pad at the trainer with the vocab's PAD id if needed).
+    - ``spans``: ``(pack_id, key, start_in_pack, len)`` — which slice
+      of each pack belongs to which document, the attention-mask /
+      provenance table (one row per document×pack piece).
+
+    Plan shape: cumulative offsets are ONE per-shard window (same as
+    `pack_chunked`); each document then explodes to the packs it
+    touches — ceil(n/budget)+1 pieces at most, so the explode factor
+    is ~1 — and assembly is ONE hash-agg on (shard, pack) whose
+    ``array_sort(collect_list(struct))`` orders pieces by offset
+    without a sort exchange (pack contents are ≤ budget tokens by
+    construction, so per-group state is bounded). Two exchanges
+    total, both on narrow keys; ids never cross a shuffle twice.
+    Empty-id documents get no piece (they occupy zero tokens) but
+    still appear in `pack_chunked`'s labeling if run separately."""
+    sharded = _with_shard_order(df, key_col, n_shards, salt)
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("_u", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.size(F.col(ids_col))
+    cum = F.sum(n).over(w)
+    start = (cum - n).cast("long")
+    end = cum.cast("long")
+    d = (
+        sharded.withColumn("_start", start)
+        .withColumn("_end", end)
+        .filter(F.col("_end") > F.col("_start"))
+        .withColumn(
+            "_p",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_start") / budget),
+                    F.floor((F.col("_end") - 1) / budget),
+                )
+            ),
+        )
+    )
+    lo = F.greatest(F.col("_start"), F.col("_p") * budget)
+    hi = F.least(F.col("_end"), (F.col("_p") + 1) * budget)
+    pieces = d.select(
+        F.col("_shard"),
+        F.col("_p"),
+        F.col(key_col).alias("key"),
+        (lo - F.col("_p") * budget).cast("long").alias("start_in_pack"),
+        (hi - lo).cast("long").alias("len"),
+        F.slice(
+            F.col(ids_col),
+            (lo - F.col("_start") + 1).cast("int"),
+            (hi - lo).cast("int"),
+        ).alias("piece"),
+    )
+    pack_id = (F.col("_shard") * F.lit(_SHARD_STRIDE) + F.col("_p")).cast(
+        "long"
+    )
+    packs = (
+        pieces.groupBy("_shard", "_p")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("start_in_pack", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                )
+            ).alias("input_ids")
+        )
+        .select(
+            pack_id.alias("pack_id"),
+            F.size("input_ids").alias("n_tokens"),
+            "input_ids",
+        )
+    )
+    spans = pieces.select(
+        pack_id.alias("pack_id"), "key", "start_in_pack", "len"
+    )
+    return packs, spans

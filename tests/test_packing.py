@@ -177,3 +177,77 @@ def test_bloom_prune_join_rejects_outer(spark):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         bloom_prune_join(df, df, "k", how="left")
+
+
+# --- pack_sequences (materialized training rows) ----------------------
+
+def test_pack_sequences_tiling_and_reconstruction(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from med_doi_feature_extraction_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (f"d{i}", [rng.randrange(2, 500) for _ in range(rng.randrange(0, 40))])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ids"])
+    budget, n_shards = 64, 4
+    packs, spans = pack_sequences(
+        df, "doc_id", "ids", budget=budget, n_shards=n_shards
+    )
+    pk = {r["pack_id"]: list(r["input_ids"]) for r in packs.collect()}
+    sp = spans.collect()
+
+    # tiling: within each shard every pack but the last is full
+    by_shard: dict[int, list[int]] = {}
+    for pid, ids in pk.items():
+        by_shard.setdefault(pid >> 32, []).append(pid)
+    for shard, pids in by_shard.items():
+        for pid in sorted(pids)[:-1]:
+            assert len(pk[pid]) == budget, (shard, pid)
+        assert 0 < len(pk[sorted(pids)[-1]]) <= budget
+    # pack ids are contiguous from 0 within each shard
+    for shard, pids in by_shard.items():
+        locals_ = sorted(p & 0xFFFFFFFF for p in pids)
+        assert locals_ == list(range(len(locals_)))
+
+    # reconstruction: every document's ids reassemble exactly from its
+    # spans, in pack order
+    orig = {k: v for k, v in rows}
+    got: dict[str, list[int]] = {}
+    for r in sorted(sp, key=lambda r: (r["pack_id"], r["start_in_pack"])):
+        piece = pk[r["pack_id"]][
+            r["start_in_pack"]: r["start_in_pack"] + r["len"]
+        ]
+        got.setdefault(r["key"], []).extend(piece)
+    for k, ids in got.items():
+        assert ids == orig[k], k
+    # empty docs occupy no span; total tokens conserved
+    n_empty = sum(1 for _, v in rows if not v)
+    assert len(got) == len(rows) - n_empty
+    assert sum(len(v) for v in pk.values()) == sum(len(v) for _, v in rows)
+
+    # spans tile every pack exactly (no gaps, no overlaps)
+    from collections import defaultdict
+    cover = defaultdict(list)
+    for r in sp:
+        cover[r["pack_id"]].append((r["start_in_pack"], r["len"]))
+    for pid, segs in cover.items():
+        segs.sort()
+        pos = 0
+        for s, ln in segs:
+            assert s == pos
+            pos += ln
+        assert pos == len(pk[pid])
+
+    # determinism across physical layout
+    packs2, _ = pack_sequences(
+        df.repartition(11), "doc_id", "ids", budget=budget, n_shards=n_shards
+    )
+    pk2 = {r["pack_id"]: list(r["input_ids"]) for r in packs2.collect()}
+    assert pk2 == pk
