@@ -3738,6 +3738,51 @@ FROM feat
 """
 
 
+_BLOCK_ENTRIES = [
+    "example2.com",              # registrable domain: whole subtree
+    "example1.co.uk",            # multi-label-suffix registrable domain
+    "www.shop7.example4.com.au", # exact-host entry: only that subtree
+]
+
+
+def q_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist filtering: registrable-domain
+    grouped broadcast + scan-stage suffix `exists` — survivors of the
+    synth URL corpus (zero corpus shuffles)."""
+    from med_doi_feature_extraction_spark.operators.urls import (
+        blocklist_filter,
+    )
+
+    bl = spark.createDataFrame(
+        [(e,) for e in _BLOCK_ENTRIES], ["entry"]
+    )
+    urls = _synth_urls(spark, sf_dir)
+    return blocklist_filter(urls, bl, "url").select("o_orderkey", "url")
+
+
+SQL_BLOCKLIST = rf"""
+WITH urls AS ({{synth}}),
+hosts AS (
+  SELECT o_orderkey, url,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+           '^.*@', ''), ':(80|443)$', '') AS host
+  FROM urls
+),
+bl AS (SELECT unnest([{{entries}}]) AS e)
+SELECT o_orderkey, url
+FROM hosts h
+WHERE NOT EXISTS (
+  SELECT 1 FROM bl WHERE h.host = bl.e OR suffix(h.host, '.' || bl.e)
+)
+"""
+
+
+def _sql_blocklist() -> str:
+    entries = ", ".join(f"'{e}'" for e in _BLOCK_ENTRIES)
+    return SQL_BLOCKLIST.format(synth=_SQL_SYNTH_URL, entries=entries)
+
+
 def q_hot_domains(spark, sf_dir):
     """Skew census: pages per registrable domain above a floor."""
     from med_doi_feature_extraction_spark.operators.urls import hot_domains
@@ -5875,6 +5920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_spans": q_pack_spans,
         "url_features": q_url_features,
         "hot_domains": q_hot_domains,
+        "blocklist": q_blocklist,
         "extract_links": q_extract_links,
         "anchor_stats": q_anchor_stats,
         "token_df": q_token_df,
@@ -6006,6 +6052,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_spans": _sql_pack_spans(),
         "url_features": SQL_URL_FEATURES,
         "hot_domains": SQL_HOT_DOMAINS,
+        "blocklist": _sql_blocklist(),
         "extract_links": _sql_extract_links(),
         "anchor_stats": _sql_anchor_stats(),
         "token_df": SQL_TOKEN_DF,

@@ -156,3 +156,52 @@ def hot_domains(
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .filter(F.col("n_pages") >= min_pages)
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    entry_col: str = "entry",
+) -> DataFrame:
+    """Drop pages whose URL matches a domain blocklist (the UT1-style
+    adult/malware list filtering RefinedWeb/FineWeb run before any
+    content gate). An entry blocks a page when it equals the page's
+    HOST or any DOT-SUFFIX of it (entry ``example.com`` blocks
+    ``example.com`` and ``a.b.example.com``; entry ``bad.example.com``
+    blocks only that subtree).
+
+    Scale shape — zero corpus shuffles: an entry can only match a
+    host that shares its REGISTRABLE DOMAIN (a dot-suffix pins the
+    trailing labels), so the blocklist is grouped to
+    ``(domain, entries array)`` — blocklists are O(10^6) rows, tens
+    of MB, inside the broadcast envelope — LEFT-joined on the page's
+    ``url_domain``, and the exact suffix check is a scan-stage
+    ``exists`` over the (per-domain small) entries array. One
+    broadcast join, no explode of the corpus, payload never moves.
+    Entries are lower-cased here; hosts normalized by
+    :func:`url_host`.
+
+    Contract: entries must be REGISTRABLE domains or deeper
+    (``example.com``, ``bad.example.com``) — public-suffix-wide
+    entries (``com``, ``co.uk``) do not share their victims'
+    registrable domain and are ignored by design (no real blocklist
+    blocks an entire TLD)."""
+    host = url_host(F.col(url_col))
+    dom = url_domain(host)
+    ent = F.lower(F.col(entry_col))
+    by_dom = (
+        blocklist.select(ent.alias("_e"))
+        .withColumn("_bd", url_domain(F.col("_e")))
+        .groupBy("_bd")
+        .agg(F.collect_set("_e").alias("_entries"))
+    )
+    joined = df.withColumn("_pd", dom).join(
+        F.broadcast(by_dom), F.col("_pd") == F.col("_bd"), "left"
+    )
+    h = url_host(F.col(url_col))
+    blocked = F.exists(
+        F.coalesce(F.col("_entries"), F.array().cast("array<string>")),
+        lambda e: (h == e) | h.endswith(F.concat(F.lit("."), e)),
+    )
+    return joined.filter(~blocked).drop("_pd", "_bd", "_entries")

@@ -594,3 +594,27 @@ def test_build_postings_empty_text_no_phantom_token(spark):
                                ["doc_id", "text"])
     got = build_postings(df, "doc_id", "text", cap=3).collect()
     assert {r["token"] for r in got} == {"word"}
+
+
+# ------------------------------------------------------ blocklist
+
+def test_blocklist_filter_suffix_semantics(spark):
+    from med_doi_feature_extraction_spark.operators.urls import (
+        blocklist_filter,
+    )
+
+    urls = [
+        (0, "https://example.com/x"),            # blocked: exact domain
+        (1, "https://a.b.example.com/y"),        # blocked: subtree
+        (2, "https://notexample.com/z"),         # kept: no dot boundary
+        (3, "https://bad.other.org/"),           # blocked: deep entry
+        (4, "https://good.other.org/"),          # kept: sibling subtree
+        (5, "https://WWW.Example.COM:443/u"),    # blocked: normalized host
+        (6, "https://site.co.uk/"),              # kept: TLD-wide ignored
+    ]
+    bl = spark.createDataFrame(
+        [("Example.com",), ("bad.other.org",), ("co.uk",)], ["entry"]
+    )
+    df = spark.createDataFrame(urls, ["i", "url"])
+    kept = {r["i"] for r in blocklist_filter(df, bl, "url").collect()}
+    assert kept == {2, 4, 6}
