@@ -17,6 +17,11 @@ runs today, composed from the engine's operators:
 - ``validate`` — post-hoc confidence distribution + per-field coverage
                  over a finished run, one aggregation pass
                  (``commands_post.py:179-256``).
+- ``curate``   — composable corpus curation (ordered --ops stages,
+                 one lazily-composed plan riding a single write).
+- ``export``   — terminal training-data export: curated docs →
+                 BPE token ids → packed sequences + span table,
+                 optional proportional-interleave pack order.
 - ``pages``    — the flagship resumable pages→features pipeline
                  (delegates to manifest.run_partitioned; also exposed
                  as tools/run_pipeline.py for spark-submit).
@@ -421,6 +426,75 @@ def cmd_curate(args) -> dict:
     }
 
 
+def cmd_export(args) -> dict:
+    """Terminal export: curated documents parquet → BPE token ids →
+    packed training rows (+ doc-span mask table) — ONE lazily-composed
+    plan per output; the tokenizer seam is written once and both
+    outputs derive from it. Optional --interleave-by orders packs by
+    the proportional mixing key before the write (range partition +
+    within-partition sort — the distributed total-order shape)."""
+    from pyspark.sql import Observation
+
+    from med_doi_feature_extraction_spark.kernels.bpe import (
+        default_merges,
+        tokenize_ids_udf,
+    )
+    from med_doi_feature_extraction_spark.operators.packing import (
+        pack_sequences,
+    )
+    from med_doi_feature_extraction_spark.session import get_spark
+
+    spark = get_spark("export", master=args.master)
+    df = spark.read.parquet(args.input)
+    id_col, text_col = args.id_col, args.text_col
+    tok = tokenize_ids_udf(default_merges(args.n_merges))
+    ids_path = f"{args.output}/ids.parquet"
+    keep = [id_col] + ([args.interleave_by] if args.interleave_by else [])
+    df.select(*keep, tok(text_col).alias("ids")).write.mode(
+        "overwrite"
+    ).parquet(ids_path)
+    seam = spark.read.parquet(ids_path)
+    packs, spans = pack_sequences(
+        seam, id_col, "ids", budget=args.budget, n_shards=args.n_shards
+    )
+    if args.interleave_by:
+        from med_doi_feature_extraction_spark.operators.sampling import (
+            interleave_order,
+        )
+
+        weights = json.loads(args.interleave_weights)
+        ordered_docs = interleave_order(
+            seam, args.interleave_by, id_col, weights
+        ).select(id_col, "interleave_key")
+        # a pack inherits its FIRST document's mixing key (packs are
+        # hash-ordered inside, the mixture governs pack order only)
+        first = (
+            spans.join(ordered_docs, spans["key"] == ordered_docs[id_col])
+            .groupBy("pack_id")
+            .agg(F.min("interleave_key").alias("interleave_key"))
+        )
+        packs = (
+            packs.join(first, "pack_id", "left")
+            .repartitionByRange(args.n_shards, "interleave_key")
+            .sortWithinPartitions("interleave_key", "pack_id")
+        )
+    obs = Observation("export_packs")
+    packs = packs.observe(
+        obs,
+        F.count(F.lit(1)).alias("packs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    packs.write.mode("overwrite").parquet(f"{args.output}/packs.parquet")
+    spans.write.mode("overwrite").parquet(f"{args.output}/spans.parquet")
+    return {
+        "command": "export",
+        "packs": obs.get["packs"],
+        "tokens": obs.get["tokens"],
+        "budget": args.budget,
+        "output": args.output,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="med_doi_feature_extraction_spark")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -508,6 +582,23 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--split-salt", default="split",
                      help="split-op hash salt (keep ≠ --salt)")
     cur.set_defaults(fn=cmd_curate)
+
+    exp = sub.add_parser(
+        "export", help="curated docs → token ids → packed training rows"
+    )
+    exp.add_argument("--input", required=True, help="curated docs parquet")
+    exp.add_argument("--output", required=True)
+    exp.add_argument("--id-col", default="doc_id")
+    exp.add_argument("--text-col", default="text")
+    exp.add_argument("--budget", type=int, default=4096)
+    exp.add_argument("--n-shards", type=int, default=64)
+    exp.add_argument("--n-merges", type=int, default=200)
+    exp.add_argument("--master", default=None)
+    exp.add_argument("--interleave-by", default=None,
+                     help="source column for proportional pack order")
+    exp.add_argument("--interleave-weights", default="{}",
+                     help='JSON weights, e.g. {"en":0.7,"de":0.3}')
+    exp.set_defaults(fn=cmd_export)
 
     val = sub.add_parser("validate", help="quality + coverage report")
     common(val)

@@ -301,3 +301,37 @@ def test_cli_curate_c4_and_gopher_ops(spark, tmp_path):
     assert got[1]["text"] == got[0]["text"] == prose
     # gopher stats columns rode through for audit
     assert got[0]["n_words"] >= 10 and got[0]["alpha_frac"] > 0.9
+
+
+def test_cli_export_subcommand(spark, tmp_path):
+    """The terminal export: docs -> token ids -> packed rows + spans,
+    with the proportional interleave governing pack order."""
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog again", "en")
+        for i in range(30)
+    ] + [
+        (100 + i, "der schnelle braune fuchs springt heute hoch", "de")
+        for i in range(30)
+    ]
+    src = str(tmp_path / "docs_exp")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(src)
+    out = str(tmp_path / "exported")
+    res = cli_main(
+        [
+            "export", "--input", src, "--output", out,
+            "--budget", "64", "--n-shards", "2", "--n-merges", "60",
+            "--interleave-by", "lang",
+            "--interleave-weights", '{"en": 0.5, "de": 0.5}',
+        ]
+    )
+    assert res["packs"] > 0 and res["tokens"] > 0
+    packs = spark.read.parquet(f"{out}/packs.parquet")
+    spans = spark.read.parquet(f"{out}/spans.parquet")
+    # every pack is full except at most one partial per shard
+    from pyspark.sql import functions as SF
+    partial = packs.filter(SF.col("n_tokens") != 64).count()
+    assert partial <= 2
+    # spans reference real packs and tile token counts exactly
+    tok_by_spans = spans.groupBy().agg(SF.sum("len")).first()[0]
+    assert tok_by_spans == res["tokens"]
+    assert "interleave_key" in packs.columns
