@@ -3519,6 +3519,55 @@ SELECT CAST(shard * 4294967296 + p AS BIGINT) AS pack_id, doc_id,
 FROM pieces"""
 
 
+_CARD_BOUNDS = {"min_words": 20, "max_words": 120, "min_stopwords": 1}
+
+
+def q_corpus_card(spark, sf_dir):
+    """Per-language corpus datasheet (docs, tokens, distinct-text
+    fraction, Gopher pass rate, encoding-clean rate, mean doc tokens)
+    — one scan + one lang hash-agg; the count-distinct is the only
+    corpus-sized exchange."""
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        corpus_card,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_card(docs, "text", "lang", **_CARD_BOUNDS)
+
+
+def _sql_corpus_card() -> str:
+    from med_doi_feature_extraction_spark.operators.encoding import (
+        oracle_encoding_sql,
+    )
+    from med_doi_feature_extraction_spark.operators.gopher import (
+        oracle_gopher_sql,
+    )
+
+    g = oracle_gopher_sql("text", **_CARD_BOUNDS)
+    return f"""WITH per AS (
+  SELECT lang,
+         {g['n_words']} AS n_words,
+         CASE WHEN {g['gopher_keep']} THEN 1 ELSE 0 END AS gk,
+         sha256(coalesce(text, '')) AS h,
+         {oracle_encoding_sql('text')}
+  FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         count(DISTINCT h) AS n_distinct,
+         sum(gk) AS gkeep,
+         sum(CASE WHEN enc_clean THEN 1 ELSE 0 END) AS ec
+  FROM per GROUP BY 1
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_distinct::DOUBLE / n_docs, 4) AS distinct_frac,
+       round(gkeep::DOUBLE / n_docs, 4) AS gopher_pass_rate,
+       round(ec::DOUBLE / n_docs, 4) AS enc_clean_rate,
+       round(n_tokens::DOUBLE / n_docs, 4) AS mean_doc_tokens
+FROM agg"""
+
+
 _ILEAVE_W = {"en": 0.5, "zh": 0.3, "de": 0.2}
 
 
@@ -5914,6 +5963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "c4_filters": q_c4_filters,
         "gopher_rules": q_gopher_rules,
+        "corpus_card": q_corpus_card,
         "interleave": q_interleave,
         "token_ids": q_token_ids,
         "pack_ids": q_pack_ids,
@@ -6046,6 +6096,7 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _sql_script_profile(),
         "c4_filters": _sql_c4_filters(),
         "gopher_rules": _sql_gopher_rules(),
+        "corpus_card": _sql_corpus_card(),
         "interleave": _sql_interleave(),
         "token_ids": _sql_token_ids(),
         "pack_ids": _sql_pack_ids(),

@@ -160,3 +160,58 @@ def build_postings(
         ).alias("postings"),
         (F.col("doc_freq") > F.lit(cap)).alias("truncated"),
     )
+
+
+def corpus_card(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    **gopher_bounds,
+) -> DataFrame:
+    """Per-language corpus datasheet: the one-pass health summary a
+    curation run publishes with its output (the "datasheet /
+    dataset card" numbers — Gebru et al. 2021 practice). Columns per
+    language: document and whitespace-token counts, exact distinct-
+    text fraction (1 − dup share), Gopher word-stat pass rate,
+    encoding-clean rate, mean tokens per doc.
+
+    One scan computes every per-doc signal (all scan-stage Column
+    algebra from `gopher`, `encoding`, token split), then ONE
+    hash-agg on language; the distinct-text count expands to the
+    standard two-level agg keyed on the sha2 digest (text itself
+    never shuffles) — that count-distinct is the only corpus-sized
+    exchange, everything else rides partial aggregation. Rates are
+    exact integer ratios rounded 4 dp, hash-comparable
+    cross-engine."""
+    from med_doi_feature_extraction_spark.operators.encoding import (
+        encoding_features,
+    )
+    from med_doi_feature_extraction_spark.operators.gopher import (
+        gopher_gate,
+    )
+
+    d = gopher_gate(
+        encoding_features(df, text_col), text_col, **gopher_bounds
+    )
+    n = F.count(F.lit(1))
+    agg = d.groupBy(F.col(lang_col).alias("lang")).agg(
+        n.alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.countDistinct(F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+        .alias("n_distinct"),
+        F.sum(F.col("gopher_keep").cast("long")).alias("_gk"),
+        F.sum(F.col("enc_clean").cast("long")).alias("_ec"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_docs"), 4).alias(
+            "distinct_frac"
+        ),
+        F.round(F.col("_gk") / F.col("n_docs"), 4).alias("gopher_pass_rate"),
+        F.round(F.col("_ec") / F.col("n_docs"), 4).alias("enc_clean_rate"),
+        F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias(
+            "mean_doc_tokens"
+        ),
+    )

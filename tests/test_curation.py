@@ -618,3 +618,32 @@ def test_blocklist_filter_suffix_semantics(spark):
     df = spark.createDataFrame(urls, ["i", "url"])
     kept = {r["i"] for r in blocklist_filter(df, bl, "url").collect()}
     assert kept == {2, 4, 6}
+
+
+def test_corpus_card_exact_rates(spark):
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        corpus_card,
+    )
+
+    prose = (
+        "The results have shown that models trained with better data be"
+        " stronger and that filtering of the corpus can have effect."
+    )
+    rows = [
+        (0, prose, "en"),
+        (1, prose, "en"),                     # exact dup of 0
+        (2, "tiny text here", "en"),          # fails min_words
+        (3, "café normal � damaged", "de"),  # enc damage
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["lang"]: r
+        for r in corpus_card(df, "text", "lang", min_words=10).collect()
+    }
+    en, de = out["en"], out["de"]
+    assert en["n_docs"] == 3 and de["n_docs"] == 1
+    assert en["distinct_frac"] == pytest.approx(2 / 3, abs=1e-4)
+    assert en["gopher_pass_rate"] == pytest.approx(2 / 3, abs=1e-4)
+    assert en["enc_clean_rate"] == 1.0
+    assert de["enc_clean_rate"] == 0.0  # replacement char
+    assert en["n_tokens"] == en["mean_doc_tokens"] * 3
