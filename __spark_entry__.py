@@ -5113,6 +5113,72 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_hll_overlap(spark, sf_dir):
+    """Pairwise source-overlap matrix from the per-group HLL sketches
+    (inclusion-exclusion over register-wise-max union merges) — the
+    cross-snapshot dedup planning estimate, no corpus rescans."""
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        hll_build,
+        hll_overlap,
+    )
+
+    a, b = _hll_halves(spark, sf_dir)
+    regs = hll_build(a.unionByName(b), ["grp"], "v", p=_HLL_P)
+    return hll_overlap(regs, "grp", p=_HLL_P)
+
+
+def _sql_est_expr(s_expr: str, v_expr: str) -> str:
+    p = _HLL_P
+    m = 1 << p
+    k = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << k))
+    return (
+        f"CASE WHEN ({num} / {s_expr}) <= {2.5 * m} AND {v_expr} > 0"
+        f" THEN round({float(m)} * ln({float(m)} / {v_expr}), 3)"
+        f" ELSE round({num} / {s_expr}, 3) END"
+    )
+
+
+def _sql_hll_overlap() -> str:
+    p = _HLL_P
+    m = 1 << p
+    k = 60 - p + 1
+    est = _sql_est_expr("s", "v")
+    return f"""
+WITH {_sql_hll_regs_cte()},
+gs AS (SELECT DISTINCT grp FROM regs),
+pairs AS (
+  SELECT a.grp AS ga, b.grp AS gb FROM gs a, gs b WHERE a.grp < b.grp
+),
+u AS (
+  SELECT ga, gb, idx, max(rho) AS rho FROM (
+    SELECT p.ga, p.gb, r.idx, r.rho FROM pairs p JOIN regs r ON r.grp = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, r.idx, r.rho FROM pairs p JOIN regs r ON r.grp = p.gb
+  ) GROUP BY 1, 2, 3
+),
+ue AS (
+  SELECT ga, gb,
+         CAST(sum(1::BIGINT << ({k} - rho)) + ({m} - count(*)) * (1::BIGINT << {k}) AS DOUBLE) AS s,
+         CAST({m} - count(*) AS DOUBLE) AS v
+  FROM u GROUP BY 1, 2
+),
+ge AS (
+  SELECT grp,
+         CAST(sum(1::BIGINT << ({k} - rho)) + ({m} - count(*)) * (1::BIGINT << {k}) AS DOUBLE) AS s,
+         CAST({m} - count(*) AS DOUBLE) AS v
+  FROM regs GROUP BY 1
+),
+gest AS (SELECT grp, {est} AS e FROM ge),
+uest AS (SELECT ga, gb, {est} AS est_union FROM ue)
+SELECT ga, gb, a.e AS est_a, b.e AS est_b, est_union,
+       round(greatest(0.0, a.e + b.e - est_union), 3) AS est_intersect,
+       round(greatest(0.0, a.e + b.e - est_union) / est_union, 6) AS jaccard_est
+FROM uest JOIN gest a ON a.grp = ga JOIN gest b ON b.grp = gb
+"""
+
+
 def _sql_hll_distinct() -> str:
     p = _HLL_P
     m = 1 << p
@@ -5935,6 +6001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "hll_registers": q_hll_registers,
         "hll_distinct": q_hll_distinct,
+        "hll_overlap": q_hll_overlap,
         "encoding_quality": q_encoding_quality,
         "cms_join_size": q_cms_join_size,
         "sampled_quantiles": q_sampled_quantiles,
@@ -6070,6 +6137,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _sql_cms_counts(),
         "hll_registers": _sql_hll_registers(),
         "hll_distinct": _sql_hll_distinct(),
+        "hll_overlap": _sql_hll_overlap(),
         "encoding_quality": _sql_encoding_quality(),
         "cms_join_size": _sql_cms_join_size(),
         "sampled_quantiles": _sql_sampled_quantiles(),

@@ -107,7 +107,7 @@ def main() -> None:
         # r4 seventh-session additions (data-selection surface)
         "dsir_weights", "dsir_select", "token_mixture",
         "script_profile", "c4_filters", "gopher_rules", "interleave",
-        "token_ids", "pack_ids", "blocklist", "corpus_card",
+        "token_ids", "pack_ids", "blocklist", "corpus_card", "hll_overlap",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -398,3 +398,63 @@ def hll_estimate(
         (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(raw)
     return agg.select(*keys, F.round(est, 3).alias("distinct_est"))
+
+
+def hll_overlap(
+    sketches: DataFrame, group_col: str = "grp", p: int = HLL_P
+) -> DataFrame:
+    """Pairwise source-overlap matrix from per-group HLL register
+    tables: for every unordered group pair, distinct estimates for
+    each side, their UNION (register-wise max — the HLL merge
+    identity), the inclusion-exclusion INTERSECTION estimate, and the
+    implied Jaccard. This is the cross-snapshot / cross-source dedup
+    PLANNING tool: "how much of crawl B is already in crawl A" without
+    rescanning either corpus — sketches are the only input, so the
+    matrix costs O(pairs · 2^p) rows of bounded-table algebra.
+
+    Inclusion-exclusion inherits HLL error on BOTH terms, so small
+    intersections of large sets are noisy (clamped at 0); the
+    estimate is for routing/planning, the exact answer is the dedup
+    tier's job. Plan: a pairs×registers expansion via two BROADCAST
+    equi joins of the tiny pair list (never a theta join), one
+    (pair, idx) max-agg, then the shared exact-integer estimator."""
+    groups = sketches.select(F.col(group_col).alias("_g")).distinct()
+    pairs = (
+        groups.select(F.col("_g").alias("ga"))
+        .crossJoin(groups.select(F.col("_g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    bp = F.broadcast(pairs)
+    sk = sketches.select(
+        F.col(group_col).alias("_sg"), "idx", "rho"
+    )
+    ra = bp.join(sk, F.col("_sg") == F.col("ga")).select(
+        "ga", "gb", "idx", "rho"
+    )
+    rb = bp.join(sk, F.col("_sg") == F.col("gb")).select(
+        "ga", "gb", "idx", "rho"
+    )
+    union_regs = (
+        ra.unionByName(rb).groupBy("ga", "gb", "idx").agg(
+            F.max("rho").alias("rho")
+        )
+    )
+    est_u = hll_estimate(union_regs, ["ga", "gb"], p=p).withColumnRenamed(
+        "distinct_est", "est_union"
+    )
+    est_g = hll_estimate(sketches, [group_col], p=p)
+    ea = est_g.select(
+        F.col(group_col).alias("ga"), F.col("distinct_est").alias("est_a")
+    )
+    eb = est_g.select(
+        F.col(group_col).alias("gb"), F.col("distinct_est").alias("est_b")
+    )
+    out = est_u.join(F.broadcast(ea), "ga").join(F.broadcast(eb), "gb")
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return out.select(
+        "ga", "gb", "est_a", "est_b", "est_union",
+        F.round(inter, 3).alias("est_intersect"),
+        F.round(inter / F.col("est_union"), 6).alias("jaccard_est"),
+    )

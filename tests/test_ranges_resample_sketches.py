@@ -313,3 +313,35 @@ def test_quantile_sample_merge_identity_and_error(spark):
     # true median of v is ~4999.5; rank error 4 sigma
     sigma = (0.25 / s) ** 0.5
     assert abs(est - 4999.5) <= 4 * sigma * 10_000 + 1
+
+
+def test_hll_overlap_matrix_accuracy(spark):
+    from med_doi_feature_extraction_spark.operators.sketches import (
+        hll_build,
+        hll_overlap,
+    )
+
+    # planted overlaps: A = 0..4999, B = 2500..7499 (50% of each),
+    # C = 100000..100999 (disjoint from both)
+    rows = (
+        [("A", i) for i in range(5000)]
+        + [("B", i) for i in range(2500, 7500)]
+        + [("C", i) for i in range(100_000, 101_000)]
+    )
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    regs = hll_build(df, ["grp"], "v", p=10)
+    out = {
+        (r["ga"], r["gb"]): r for r in hll_overlap(regs, "grp", p=10).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    # true: |A∪B| = 7500, |A∩B| = 2500, J = 1/3 — HLL at p=10 is ~±5%,
+    # inclusion-exclusion compounds both terms; allow a wide band
+    assert abs(ab["est_union"] / 7500 - 1) < 0.1
+    assert abs(ab["est_intersect"] / 2500 - 1) < 0.35
+    assert 0.2 < ab["jaccard_est"] < 0.5
+    # disjoint pairs: intersection clamps near zero
+    for pair in (("A", "C"), ("B", "C")):
+        r = out[pair]
+        assert r["est_intersect"] <= 0.1 * r["est_union"]
+        assert r["jaccard_est"] < 0.1

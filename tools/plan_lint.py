@@ -46,6 +46,10 @@ ALLOW_NLJ = {
     # (the smoothing normalizer) and dsir_logweights two 1-row floor
     # broadcasts — the same bounded attach-a-global-scalar pattern
     "dsir_weights", "dsir_select",
+    # hll_overlap: the group-pairs cross (distinct groups × distinct
+    # groups, a.grp < b.grp) — source spaces are mixture-sized, the
+    # cross is bounded by contract; registers join via equi joins
+    "hll_overlap",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
