@@ -5889,6 +5889,52 @@ SELECT node, pr FROM r3
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round-trip (``sources/warc.py``): documents →
+    deterministic per-record-gzip WARC export (distributed
+    applyInPandas sink) → binaryFile + mapInPandas scan → byte
+    identity checked via payload sha256 against the source table.
+    The oracle never sees the WARC bytes — it recomputes url/ts/len/
+    sha straight from ``documents``, so a green row proves the full
+    serialize→gzip→split→parse path is byte-exact."""
+    import os as _os
+
+    from med_doi_feature_extraction_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.expr(
+            "timestamp '2026-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,0, doc_id % 86400)"
+        ).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    out_dir = f"/tmp/spark_graft_warc_{_os.path.basename(sf_dir.rstrip('/'))}"
+    write_warc(pages, out_dir, n_files=8, compress=True)
+    back = read_warc(spark, out_dir)
+    return back.select(
+        "url",
+        "warc_ts",
+        F.length("html").cast("long").alias("payload_len"),
+        F.sha2(F.col("html"), 256).alias("payload_sha"),
+        F.col("http_status").cast("long").alias("http_status"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'https://example.org/doc/' || doc_id AS url,
+       TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id % 86400) AS warc_ts,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       sha256(text) AS payload_sha,
+       CAST(200 AS BIGINT) AS http_status
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6015,6 +6061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar": q_calendar,
         "profile_table": q_profile_table,
         "salted_distinct": q_salted_distinct,
+        "warc_roundtrip": q_warc_roundtrip,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -6151,6 +6198,7 @@ def oracle_sql() -> dict[str, str]:
         "calendar": SQL_CALENDAR,
         "profile_table": SQL_PROFILE_TABLE,
         "salted_distinct": SQL_SALTED_DISTINCT,
+        "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,
