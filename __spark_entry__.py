@@ -5889,6 +5889,115 @@ SELECT node, pr FROM r3
 """
 
 
+_NB_LABELS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_nb_classify(spark, sf_dir):
+    """Multinomial NB classifier (operators/classifier.py): trained on
+    the doc_id%5!=0 slice with lang labels, scored on ALL documents —
+    the held-out fifth plus empty/OOV docs exercise every path (NULL
+    pivot cell → class OOV floor, prior-only empty docs, label-
+    ascending argmax tie-break). The DuckDB oracle retrains AND
+    rescores the whole model from the same slice, so a green row
+    proves train + score end-to-end, not just the scoring join."""
+    from med_doi_feature_extraction_spark.operators.classifier import (
+        nb_score,
+        train_nb,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    model = train_nb(docs.filter(F.col("doc_id") % 5 != 0), "text", "lang")
+    assert [c.label for c in model.classes] == _NB_LABELS
+    out = nb_score(docs, model, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        *[f"score_{l}" for l in _NB_LABELS],
+        "predicted",
+        "margin",
+    )
+
+
+def _sql_nb_classify() -> str:
+    ls = _NB_LABELS
+    vocab_cols = ",\n         ".join(
+        f"max(CASE WHEN c.lang='{l}' THEN ln((n+1)::DOUBLE / c.den) END)"
+        f" AS logp_{l}"
+        for l in ls
+    )
+    agg_cols = ",\n         ".join(
+        f"sum(n * coalesce(logp_{l},"
+        f" (SELECT oov FROM consts WHERE lang='{l}'))) AS s_{l}"
+        for l in ls
+    )
+    score_cols = ",\n         ".join(
+        f"round(((SELECT prior FROM consts WHERE lang='{l}')"
+        f" + coalesce(a.s_{l}, 0.0))"
+        f" / greatest(coalesce(a.n_tokens, 0), 1)::DOUBLE, 6) AS score_{l}"
+        for l in ls
+    )
+    all_scores = ", ".join(f"score_{l}" for l in ls)
+    pred_branches = "\n              ".join(
+        f"WHEN score_{l} = greatest({all_scores}) THEN '{l}'" for l in ls
+    )
+    masked = ", ".join(
+        f"CASE WHEN predicted <> '{l}' THEN score_{l} END" for l in ls
+    )
+    return rf"""
+WITH lab AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0
+), occ0 AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM lab
+), occ AS (
+  SELECT lang, token FROM occ0 WHERE len(token) > 0
+), counts AS (
+  SELECT lang, token, count(*) AS n FROM occ GROUP BY 1, 2
+), v AS (
+  SELECT count(DISTINCT token) AS v FROM counts
+), tc AS (
+  SELECT lang, sum(n) AS t_c FROM counts GROUP BY 1
+), dc AS (
+  SELECT lang, count(*) AS docs_c FROM lab GROUP BY 1
+), dt AS (
+  SELECT sum(docs_c) AS dt FROM dc
+), consts AS (
+  SELECT tc.lang,
+         ln(dc.docs_c::DOUBLE / dt.dt) AS prior,
+         ln(1.0 / (tc.t_c + v.v)) AS oov,
+         (tc.t_c + v.v)::DOUBLE AS den
+  FROM tc JOIN dc USING (lang), v, dt
+), vocab AS (
+  SELECT token,
+         {vocab_cols}
+  FROM counts JOIN consts c USING (lang) GROUP BY token
+), docc0 AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), docc AS (
+  SELECT doc_id, token, count(*) AS n FROM docc0
+  WHERE len(token) > 0 GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         {agg_cols}
+  FROM docc LEFT JOIN vocab USING (token) GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id,
+         coalesce(a.n_tokens, 0) AS n_tokens,
+         {score_cols}
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+), pred AS (
+  SELECT *,
+         CASE {pred_branches}
+         END AS predicted
+  FROM scored
+)
+SELECT doc_id, n_tokens, {all_scores}, predicted,
+       round(greatest({all_scores}) - greatest({masked}), 6) AS margin
+FROM pred
+"""
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip (``sources/warc.py``): documents →
     deterministic per-record-gzip WARC export (distributed
@@ -6062,6 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "salted_distinct": q_salted_distinct,
         "warc_roundtrip": q_warc_roundtrip,
+        "nb_classify": q_nb_classify,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -6199,6 +6309,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_table": SQL_PROFILE_TABLE,
         "salted_distinct": SQL_SALTED_DISTINCT,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+        "nb_classify": _sql_nb_classify(),
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,
