@@ -5889,6 +5889,58 @@ SELECT node, pr FROM r3
 """
 
 
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 retrieval scoring (operators/corpus_stats.bm25_score,
+    Lucene always-positive idf) of every document against a fixed
+    query-term set; zero-match and empty docs keep score 0.0."""
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        bm25_score,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_score(docs, "doc_id", "text", ["spark", "merge", "window", "batch"])
+
+
+SQL_BM25 = r"""
+WITH toks0 AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), toks AS (
+  SELECT doc_id, token FROM toks0 WHERE len(token) > 0
+), dlt AS (
+  SELECT doc_id, count(*) AS c FROM toks GROUP BY 1
+), dl AS (
+  SELECT d.doc_id, coalesce(dlt.c, 0) AS dl
+  FROM documents d LEFT JOIN dlt USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ('batch', 'merge', 'spark', 'window') GROUP BY 1, 2
+), dfq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE
+                                     / greatest(s.avgdl, 1e-12))) AS c
+  FROM tf
+  JOIN dfq USING (token)
+  JOIN dl USING (doc_id), stats s
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS terms_matched,
+         sum(c) AS s
+  FROM contrib GROUP BY doc_id
+)
+SELECT dl.doc_id,
+       CAST(dl.dl AS BIGINT) AS dl,
+       coalesce(agg.terms_matched, 0) AS terms_matched,
+       round(coalesce(agg.s, 0.0), 6) AS bm25
+FROM dl LEFT JOIN agg USING (doc_id)
+"""
+
+
 _NB_LABELS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -6172,6 +6224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_distinct": q_salted_distinct,
         "warc_roundtrip": q_warc_roundtrip,
         "nb_classify": q_nb_classify,
+        "bm25": q_bm25,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -6310,6 +6363,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_distinct": SQL_SALTED_DISTINCT,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "nb_classify": _sql_nb_classify(),
+        "bm25": SQL_BM25,
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,

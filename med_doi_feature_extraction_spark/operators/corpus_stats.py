@@ -215,3 +215,85 @@ def corpus_card(
             "mean_doc_tokens"
         ),
     )
+
+
+def bm25_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Okapi BM25 of every document against a bounded query-term set
+    (Robertson/Sparck Jones; the Lucene always-positive idf form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``). Returns
+    ``(id, dl, terms_matched, bm25)`` for ALL documents — zero-match
+    and empty docs score 0.0, a retrieval gate must see them.
+
+    Scale shape: the query set is a plan literal, so the very first
+    operation after the scan is ``array_contains`` pruning — per-term
+    tf rows exist only for query terms (corpus × |Q| worst case, not
+    corpus × doc length). Per-term df and the tf→idf join are
+    |Q|-bounded broadcasts. Doc length comes from the same scan (no
+    second pass over text), and the only corpus-sized exchange is the
+    final per-doc sum, keyed by document id — no skew by
+    construction. ``n_docs``/``avgdl``: pass known corpus stats to
+    keep planning job-free; None computes them in ONE bounded
+    aggregate job (count + mean doc length together).
+    """
+    terms = sorted(set(query_terms))
+    qarr = F.array(*[F.lit(t) for t in terms])
+    base = docs.select(
+        F.col(id_col),
+        F.filter(
+            ngrams_all_col(text_col, 1), lambda t: F.length(t) > 0
+        ).alias("_toks"),
+    ).select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        F.filter("_toks", lambda t: F.array_contains(qarr, t)).alias("_q"),
+    )
+    if n_docs is None or avgdl is None:
+        row = base.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+        ).first()
+        n_docs = int(row["n"]) if n_docs is None else n_docs
+        avgdl = float(row["a"] or 0.0) if avgdl is None else avgdl
+    tf = (
+        base.select(id_col, "dl", F.explode("_q").alias("token"))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom_len = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl").cast("double") / F.lit(max(avgdl, 1e-12))
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0) / (F.col("tf") + denom_len)
+    )
+    agg = (
+        tf.join(F.broadcast(dfreq), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("terms_matched"),
+            F.sum(contrib).alias("_s"),
+        )
+    )
+    return (
+        base.select(id_col, "dl")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("dl").cast("long").alias("dl"),
+            F.coalesce("terms_matched", F.lit(0)).alias("terms_matched"),
+            F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("bm25"),
+        )
+    )
