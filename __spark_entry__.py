@@ -5889,6 +5889,48 @@ SELECT node, pr FROM r3
 """
 
 
+def q_sq_topk(spark, sf_dir):
+    """int8 scalar-quantized brute cosine top-k
+    (similarity.quantize_embeddings + sq_topk): per-vector max-abs
+    scaling cancels in the cosine ratio and int8 dots/norms are small
+    exact integers, so — unlike float ANN — the oracle can replicate
+    quantize + score + rank hash-exact."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.sq_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_SQ_TOPK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         CASE WHEN m > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS INT))
+              ELSE list_transform(embedding, x -> 0) END AS qv
+  FROM base
+), q AS (
+  SELECT vec_id AS qid, qv FROM qz WHERE vec_id < 8
+), s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.qv::DOUBLE[]) AS cos
+  FROM q CROSS JOIN qz e
+  WHERE e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+
 def q_bm25(spark, sf_dir):
     """Okapi BM25 retrieval scoring (operators/corpus_stats.bm25_score,
     Lucene always-positive idf) of every document against a fixed
@@ -6225,6 +6267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "nb_classify": q_nb_classify,
         "bm25": q_bm25,
+        "sq_topk": q_sq_topk,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -6364,6 +6407,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "nb_classify": _sql_nb_classify(),
         "bm25": SQL_BM25,
+        "sq_topk": SQL_SQ_TOPK,
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,

@@ -450,3 +450,84 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     )
     total = exact.count()
     return (hit.count() / total) if total else 1.0
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8 scalar quantization: ``(id, qvec array<int> in [-127,127],
+    scale)`` with per-vector max-abs scaling —
+    ``q_i = floor(v_i * 127 / maxabs + 0.5)`` (explicit floor(x+0.5)
+    so Spark and any SQL engine round identically; no banker's/HALF_UP
+    ambiguity). The all-zero vector quantizes to all zeros.
+
+    Why this matters at 100 TB: a float32[64] embedding column is the
+    widest thing in a pages table; int8 codes cut scan + shuffle bytes
+    4× while cosine survives unchanged up to quantization noise —
+    per-vector scaling cancels in the cosine ratio, so scores need NO
+    dequantization. And because int8 dots/norms are small exact
+    integers (≤ 127²·dim ≪ 2⁵³), quantized cosine is bit-reproducible
+    across engines and summation orders — the rare ANN variant whose
+    oracle can be hash-exact rather than tolerance-based.
+    """
+    maxabs = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    qv = F.when(
+        maxabs > 0,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(127.0) / maxabs + F.lit(0.5)
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        qv.alias("qvec"),
+        F.round(maxabs / 127.0, 9).alias("scale"),
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors — same contract
+    as ``cosine_topk`` (broadcast bounded query set, exclude self,
+    ties → neighbor id asc) but the corpus side scans 4×-smaller
+    codes and every dot/norm is exact integer arithmetic. Recall vs
+    the exact baseline is pinned in tests; use as the cheap first
+    pass of a rerank cascade (sq_topk at k·4 → exact cosine rerank).
+    """
+    cq = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("_cv")
+    )
+    qq = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("_qv")
+    )
+    scored = (
+        cq.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -38,6 +38,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 #    global scalar", not a quadratic join.
 ALLOW_NLJ = {
     "cosine_topk", "target_encode", "quantile_bin", "lm_quality",
+    "sq_topk",  # same bounded broadcast-probe contract as cosine_topk
     "vocab_shift",  # 1-row smoothing-totals broadcast, same pattern
     "lm_bigram",  # same: crossJoin(broadcast(1-row totals)) in both
     # train_*_lm stages (operators/lm.py:63,168) — bounded by design
