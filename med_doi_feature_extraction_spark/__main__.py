@@ -391,6 +391,28 @@ def cmd_curate(args) -> dict:
                 .withColumn(text_col, F.col("clean_text"))
                 .drop("clean_text", "c4_keep")
             )
+        elif op == "classify":
+            if not args.labels:
+                raise SystemExit("--labels required for the classify op")
+            from med_doi_feature_extraction_spark.operators.classifier import (
+                nb_score,
+                train_nb,
+            )
+
+            labeled = spark.read.parquet(args.labels)
+            model = train_nb(
+                labeled, args.label_text_col or text_col, args.label_col
+            )
+            scored = nb_score(df, model, id_col, text_col).select(
+                id_col,
+                F.col("predicted").alias("nb_class"),
+                F.col("margin").alias("nb_margin"),
+            )
+            df = df.join(scored, id_col)
+            if args.keep_class:
+                df = df.filter(F.col("nb_class") == args.keep_class)
+            if args.min_margin is not None:
+                df = df.filter(F.col("nb_margin") >= args.min_margin)
         elif op == "sample":
             df = hash_sample(df, id_col, args.sample_rate, salt=args.salt)
         elif op == "split":
@@ -556,7 +578,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--ops", required=True,
         help="ordered comma list: c4,gopher,pii,repetition,encoding,"
              "compress,exact_dedup,minhash_dedup,paragraph_dedup,"
-             "decontam,sample,split",
+             "decontam,classify,sample,split",
     )
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
@@ -581,6 +603,16 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--salt", default="", help="sample-op hash salt")
     cur.add_argument("--split-salt", default="split",
                      help="split-op hash salt (keep ≠ --salt)")
+    cur.add_argument("--labels", default=None,
+                     help="classify: labeled seed parquet (text+label)")
+    cur.add_argument("--label-col", default="label")
+    cur.add_argument("--label-text-col", default=None,
+                     help="classify: text column in --labels "
+                          "(default: --text-col)")
+    cur.add_argument("--keep-class", default=None,
+                     help="classify: drop docs not predicted this class")
+    cur.add_argument("--min-margin", type=float, default=None,
+                     help="classify: also require top-two margin ≥ this")
     cur.set_defaults(fn=cmd_curate)
 
     exp = sub.add_parser(

@@ -335,3 +335,50 @@ def test_cli_export_subcommand(spark, tmp_path):
     tok_by_spans = spans.groupBy().agg(SF.sum("len")).first()[0]
     assert tok_by_spans == res["tokens"]
     assert "interleave_key" in packs.columns
+
+
+def test_cli_curate_classify_op(spark, tmp_path):
+    """The NB model gate composes into the curate plan: trained on a
+    labeled seed parquet, docs predicted outside --keep-class (or
+    inside but under --min-margin) are dropped, and nb_class/nb_margin
+    ride the output columns for downstream audit."""
+    from med_doi_feature_extraction_spark.kernels.lang_trigram import (
+        generate_lang_corpus,
+    )
+
+    seed = generate_lang_corpus(300, 777)
+    seed["label"] = (seed["lang"] == "en").map({True: "keep", False: "toss"})
+    labels = str(tmp_path / "labels")
+    spark.createDataFrame(seed[["text", "label"]]).write.parquet(labels)
+
+    docs_pdf = generate_lang_corpus(60, 888)
+    src = str(tmp_path / "docs_cls")
+    spark.createDataFrame(
+        docs_pdf[["doc_id", "lang", "text"]]
+    ).write.parquet(src)
+
+    out = str(tmp_path / "curated_cls")
+    res = cli_main(
+        [
+            "curate", "--input", src, "--output", out,
+            "--ops", "classify",
+            "--labels", labels, "--keep-class", "keep",
+        ]
+    )
+    got = spark.read.parquet(out)
+    kept = got.collect()
+    assert res["rows_out"] == len(kept) > 0
+    assert set(r["nb_class"] for r in kept) == {"keep"}
+    # the generator's English docs should dominate the kept set
+    en_frac = sum(1 for r in kept if r["lang"] == "en") / len(kept)
+    assert en_frac > 0.8, en_frac
+    # margin floor tightens the gate monotonically
+    res2 = cli_main(
+        [
+            "curate", "--input", src, "--output", str(tmp_path / "c2"),
+            "--ops", "classify",
+            "--labels", labels, "--keep-class", "keep",
+            "--min-margin", "0.5",
+        ]
+    )
+    assert res2["rows_out"] <= res["rows_out"]
