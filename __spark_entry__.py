@@ -5931,6 +5931,59 @@ FROM s QUALIFY rank <= 5
 """
 
 
+def q_sq_rerank(spark, sf_dir):
+    """Quantized-nominate → exact-rerank cascade
+    (similarity.sq_rerank_topk): pass 1 over int8 codes picks
+    k·expand candidates, pass 2 rescores only those at full float
+    precision. Oracle replicates both stages."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.sq_rerank_topk(emb, queries, k=5, expand=4)
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_SQ_RERANK = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         CASE WHEN m > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS INT))
+              ELSE list_transform(embedding, x -> 0) END AS qv
+  FROM base
+), q AS (
+  SELECT vec_id AS qid, qv FROM qz WHERE vec_id < 8
+), s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.qv::DOUBLE[]) AS cos
+  FROM q CROSS JOIN qz e
+  WHERE e.vec_id <> q.qid
+), cand AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS r1
+  FROM s QUALIFY r1 <= 20
+), rer AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(qe.embedding::DOUBLE[],
+                                ne.embedding::DOUBLE[]) AS cos
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM rer QUALIFY rank <= 5
+"""
+
+
 def q_bm25(spark, sf_dir):
     """Okapi BM25 retrieval scoring (operators/corpus_stats.bm25_score,
     Lucene always-positive idf) of every document against a fixed
@@ -6268,6 +6321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "bm25": q_bm25,
         "sq_topk": q_sq_topk,
+        "sq_rerank": q_sq_rerank,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -6408,6 +6462,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify": _sql_nb_classify(),
         "bm25": SQL_BM25,
         "sq_topk": SQL_SQ_TOPK,
+        "sq_rerank": SQL_SQ_RERANK,
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,

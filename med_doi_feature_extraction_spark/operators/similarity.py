@@ -531,3 +531,53 @@ def sq_topk(
             "rank",
         )
     )
+
+
+def sq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    expand: int = 4,
+) -> DataFrame:
+    """Two-stage rerank cascade: int8 quantized brute pass over the
+    4×-smaller codes nominates ``k·expand`` candidates per query, then
+    ONLY those candidates are rescored at full float precision. Output
+    contract = ``cosine_topk`` (exact cosines, ties → neighbor id).
+
+    Scale shape: pass 1 scans int8 codes (the cheap full-corpus
+    touch); pass 2's candidate set is |Q|·k·expand rows — broadcast
+    back against the corpus as a semi-join, so full-precision vectors
+    are only materialized for candidates and the corpus never
+    shuffles. Recall ≥ the plain quantized search by construction
+    (reranking can only fix pass-1 ordering errors inside the
+    candidate set; ``expand`` buys back nominations lost to
+    quantization noise)."""
+    cand = sq_topk(
+        corpus, queries, id_col, vec_col, k=k * expand
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -57,3 +57,40 @@ def test_sq_recall_vs_exact(spark):
     top_approx = {r["query_id"]: r["cosine"] for r in approx if r["rank"] == 1}
     for q in top_exact:
         assert abs(top_exact[q] - top_approx[q]) < 2e-2
+
+
+def test_sq_rerank_improves_and_scores_exact(spark):
+    """Rerank returns EXACT cosines for everything it keeps, and its
+    top-k agrees with the exact baseline at least as well as the
+    plain quantized search."""
+    from pyspark.sql import functions as F
+
+    from med_doi_feature_extraction_spark.operators.similarity import (
+        sq_rerank_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    rer = sq_rerank_topk(emb, queries, k=5, expand=4).collect()
+    sq = sq_topk(emb, queries, k=5).collect()
+
+    def sets(rows):
+        d: dict = {}
+        for r in rows:
+            d.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return d
+
+    ex, re_, sq_ = sets(exact), sets(rer), sets(sq)
+    rec_re = sum(len(ex[q] & re_[q]) / len(ex[q]) for q in ex) / len(ex)
+    rec_sq = sum(len(ex[q] & sq_[q]) / len(ex[q]) for q in ex) / len(ex)
+    assert rec_re >= rec_sq
+    assert rec_re >= 0.95, (rec_re, rec_sq)
+    # returned cosines are the full-precision values, not quantized
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact
+    }
+    for r in rer:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key]

@@ -39,6 +39,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 ALLOW_NLJ = {
     "cosine_topk", "target_encode", "quantile_bin", "lm_quality",
     "sq_topk",  # same bounded broadcast-probe contract as cosine_topk
+    "sq_rerank",  # pass 1 = sq_topk shape; pass 2 broadcasts the
+    # bounded |Q|·k·expand candidate list
     "vocab_shift",  # 1-row smoothing-totals broadcast, same pattern
     "lm_bigram",  # same: crossJoin(broadcast(1-row totals)) in both
     # train_*_lm stages (operators/lm.py:63,168) — bounded by design
