@@ -5984,6 +5984,106 @@ FROM rer QUALIFY rank <= 5
 """
 
 
+def q_rank_eval(spark, sf_dir):
+    """Retrieval evaluation (operators/ranking_eval.ranking_metrics):
+    the int8-quantized search's top-5 graded against the exact cosine
+    top-5 as relevance judgments (rel = 6 − exact rank) — MRR,
+    recall, nDCG per query, entirely in-engine. Self-contained: both
+    the system under test and the qrels derive deterministically from
+    the embeddings table."""
+    from med_doi_feature_extraction_spark.operators.ranking_eval import (
+        ranking_metrics,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    results = similarity.sq_topk(emb, queries, k=5)
+    qrels = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", (F.lit(6) - F.col("rank")).alias("rel")
+    )
+    out = ranking_metrics(results, qrels, k=5)
+    return out.select(
+        "query_id", "n_retrieved", "n_relevant", "mrr", "recall", "ndcg"
+    )
+
+
+SQL_RANK_EVAL = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         CASE WHEN m > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS INT))
+              ELSE list_transform(embedding, x -> 0) END AS qv
+  FROM base
+), q AS (
+  SELECT vec_id AS qid, qv FROM qz WHERE vec_id < 8
+), sres AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qv::DOUBLE[],
+                                             e.qv::DOUBLE[]) DESC,
+                      e.vec_id) AS rank
+    FROM q CROSS JOIN qz e WHERE e.vec_id <> q.qid)
+  WHERE rank <= 5
+), eres AS (
+  SELECT query_id, neighbor_id, 6 - rank AS rel FROM (
+    SELECT qe.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY qe.vec_id
+             ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings qe CROSS JOIN embeddings e
+    WHERE qe.vec_id < 8 AND e.vec_id <> qe.vec_id)
+  WHERE rank <= 5
+), j AS (
+  SELECT s.query_id, s.rank, coalesce(e.rel, 0) AS rel
+  FROM sres s LEFT JOIN eres e USING (query_id, neighbor_id)
+), pres AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_retrieved,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         sum((pow(2.0, rel) - 1) / log2(rank::DOUBLE + 1)) AS dcg
+  FROM j GROUP BY 1
+), ideal AS (
+  SELECT query_id,
+         sum((pow(2.0, rel) - 1) / log2(ir::DOUBLE + 1)) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id) AS ir
+    FROM eres WHERE rel > 0)
+  WHERE ir <= 5 GROUP BY 1
+), nrel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+  FROM eres WHERE rel > 0 GROUP BY 1
+), spine AS (
+  SELECT DISTINCT query_id FROM (
+    SELECT query_id FROM sres UNION ALL SELECT query_id FROM eres)
+)
+SELECT spine.query_id,
+       coalesce(pres.n_retrieved, 0) AS n_retrieved,
+       coalesce(nrel.n_relevant, 0) AS n_relevant,
+       round(coalesce(1.0 / pres.first_rel, 0.0), 6) AS mrr,
+       round(CASE WHEN nrel.n_relevant > 0
+                  THEN coalesce(pres.hits, 0)::DOUBLE / nrel.n_relevant
+             END, 6) AS recall,
+       round(CASE WHEN ideal.idcg > 0
+                  THEN coalesce(pres.dcg, 0.0) / ideal.idcg
+             END, 6) AS ndcg
+FROM spine
+LEFT JOIN pres USING (query_id)
+LEFT JOIN nrel USING (query_id)
+LEFT JOIN ideal USING (query_id)
+"""
+
+
 def q_bm25(spark, sf_dir):
     """Okapi BM25 retrieval scoring (operators/corpus_stats.bm25_score,
     Lucene always-positive idf) of every document against a fixed
@@ -6322,6 +6422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "sq_topk": q_sq_topk,
         "sq_rerank": q_sq_rerank,
+        "rank_eval": q_rank_eval,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -6463,6 +6564,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": SQL_BM25,
         "sq_topk": SQL_SQ_TOPK,
         "sq_rerank": SQL_SQ_RERANK,
+        "rank_eval": SQL_RANK_EVAL,
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,

@@ -108,6 +108,8 @@ def main() -> None:
         "dsir_weights", "dsir_select", "token_mixture",
         "script_profile", "c4_filters", "gopher_rules", "interleave",
         "token_ids", "pack_ids", "blocklist", "corpus_card", "hll_overlap",
+        # r4 eighth-session additions (retrieval + model-gate surface)
+        "nb_classify", "bm25", "sq_topk", "sq_rerank", "warc_roundtrip",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

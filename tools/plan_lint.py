@@ -41,6 +41,8 @@ ALLOW_NLJ = {
     "sq_topk",  # same bounded broadcast-probe contract as cosine_topk
     "sq_rerank",  # pass 1 = sq_topk shape; pass 2 broadcasts the
     # bounded |Q|·k·expand candidate list
+    "rank_eval",  # grades the sq_topk/cosine_topk probes — same
+    # bounded broadcast-probe contract
     "vocab_shift",  # 1-row smoothing-totals broadcast, same pattern
     "lm_bigram",  # same: crossJoin(broadcast(1-row totals)) in both
     # train_*_lm stages (operators/lm.py:63,168) — bounded by design
