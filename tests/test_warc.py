@@ -124,3 +124,44 @@ def test_write_deterministic_and_guarded(spark, tmp_path):
     with pytest.raises(ValueError, match="_WARC_SINK"):
         write_warc(df, str(foreign), n_files=2)
     assert (foreign / "precious.txt").read_text() == "keep me"
+
+
+# ---------------------------------------------------------------- fuzz
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_rec = st.tuples(
+    # header-legal URLs only: WARC field values are whitespace-trimmed
+    # per the spec, so raw control/space chars can't round-trip (real
+    # writers percent-encode them); bodies below stay fully arbitrary
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("L", "N", "P", "S"),
+            blacklist_characters="\r\n",
+        ),
+        min_size=1,
+        max_size=40,
+    ).map(lambda s: "https://f.example/" + s),
+    st.binary(min_size=0, max_size=300),  # arbitrary bytes incl CRLFCRLF
+    st.booleans(),
+)
+
+
+@given(st.lists(_rec, min_size=1, max_size=8), st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_fuzz_roundtrip_bytes(recs, compress_all):
+    """Any (url, body) list survives serialize→[gzip]→parse with byte
+    identity, record order, count — regardless of CRLF/WARC-looking
+    delimiter bytes inside bodies."""
+    blobs = []
+    for url, body, _ in recs:
+        r = build_record(url, TS, body)
+        blobs.append(gzip.compress(r, mtime=0) if compress_all else r)
+    blob = b"".join(blobs)
+    rows = list(parse_warc_bytes(blob))
+    assert len(rows) == len(recs)
+    for row, (url, body, _) in zip(rows, recs):
+        assert row["url"] == url
+        assert row["html"] == body
+        assert row["http_status"] == 200
