@@ -3519,6 +3519,67 @@ SELECT CAST(shard * 4294967296 + p AS BIGINT) AS pack_id, doc_id,
 FROM pieces"""
 
 
+def q_pack_scrub(spark, sf_dir):
+    """Right-to-be-forgotten propagation (operators/forget.scrub_packs):
+    docs with doc_id%17==0 are removed; their token slices inside the
+    packed training rows are pad-masked IN PLACE via the spans
+    provenance table — pack lengths and surviving docs' offsets
+    unchanged, unaffected packs byte-identical."""
+    from med_doi_feature_extraction_spark.operators.forget import scrub_packs
+
+    packs, spans = _pack_sequences_dfs(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    removal = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("key")
+    )
+    return scrub_packs(packs, spans, removal, pad_id=0)
+
+
+def _sql_pack_scrub() -> str:
+    return f"""WITH {_sql_pack_pieces_cte()}
+SELECT pack_id, CAST(len(input_ids) AS INT) AS n_tokens, input_ids,
+       tokens_scrubbed
+FROM (
+  SELECT CAST(shard * 4294967296 + p AS BIGINT) AS pack_id,
+         flatten(list(
+           CASE WHEN doc_id % 17 = 0
+                THEN list_transform(piece, x -> 0)
+                ELSE piece END
+           ORDER BY start_in_pack)) AS input_ids,
+         CAST(sum(CASE WHEN doc_id % 17 = 0 THEN len ELSE 0 END)
+              AS BIGINT) AS tokens_scrubbed
+  FROM pieces GROUP BY shard, p
+)"""
+
+
+def q_forget_audit(spark, sf_dir):
+    """Per-pack deletion blast radius (operators/forget.removal_audit)
+    for the doc_id%17==0 takedown batch — the compliance report and
+    scrub work estimate."""
+    from med_doi_feature_extraction_spark.operators.forget import (
+        removal_audit,
+    )
+
+    _, spans = _pack_sequences_dfs(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    removal = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("key")
+    )
+    return removal_audit(spans, removal)
+
+
+def _sql_forget_audit() -> str:
+    return f"""WITH {_sql_pack_pieces_cte()}
+SELECT CAST(shard * 4294967296 + p AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS spans_total,
+       CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS spans_removed,
+       CAST(sum(CASE WHEN doc_id % 17 = 0 THEN len ELSE 0 END) AS BIGINT)
+         AS tokens_removed,
+       sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) > 0 AS affected
+FROM pieces GROUP BY shard, p"""
+
+
 _CARD_BOUNDS = {"min_words": 20, "max_words": 120, "min_stopwords": 1}
 
 
@@ -6423,6 +6484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "sq_rerank": q_sq_rerank,
         "rank_eval": q_rank_eval,
+        "pack_scrub": q_pack_scrub,
+        "forget_audit": q_forget_audit,
         # curation surface (round 3): decontamination, repetition
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
@@ -6565,6 +6628,8 @@ def oracle_sql() -> dict[str, str]:
         "sq_topk": SQL_SQ_TOPK,
         "sq_rerank": SQL_SQ_RERANK,
         "rank_eval": SQL_RANK_EVAL,
+        "pack_scrub": _sql_pack_scrub(),
+        "forget_audit": _sql_forget_audit(),
         "decontam": SQL_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,
