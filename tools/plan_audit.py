@@ -101,6 +101,16 @@ def main() -> None:
          "left-semi survivor joins chain off a single documents scan "
          "lineage; the only wide stages are the dedup aggs and the "
          "minhash-pairs seam."),
+        ("nb_classify", "NB train+score: two hash-agg train passes, "
+         "vocab-wide pivot, ONE broadcast scoring join, per-doc agg, "
+         "spine join; class constants are plan literals."),
+        ("sq_topk", "int8 quantization as Column algebra riding the "
+         "scan; bounded broadcast probe side (ALLOW_NLJ contract)."),
+        ("rank_eval", "results pre-filtered to rank<=k; (query,doc) "
+         "join fan-out <= k; qrels-only ideal-DCG window; all "
+         "reductions keyed by query id."),
+        ("pack_scrub", "broadcast takedown ranges + indexed-transform "
+         "mask: affected packs only, no corpus shuffle."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
@@ -108,6 +118,16 @@ def main() -> None:
         )
 
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
+    # manual prose audits (the "## <query> (…r4)"-style sections the
+    # build appends per round) live below the MANUAL marker and MUST
+    # survive regeneration — only the generated plan dumps above the
+    # marker are rewritten.
+    marker = "<!-- MANUAL PLAN AUDITS (preserved by plan_audit.py) -->"
+    manual = ""
+    if out.exists():
+        prev = out.read_text(encoding="utf-8")
+        if marker in prev:
+            manual = prev.split(marker, 1)[1]
     with out.open("w", encoding="utf-8") as fh:
         fh.write(
             "# PLANS — formatted physical plans of the headline queries\n\n"
@@ -116,6 +136,7 @@ def main() -> None:
         )
         for name, note, plan in sections:
             fh.write(f"\n## {name}\n\n{note}\n\n```\n{plan}\n```\n")
+        fh.write(f"\n{marker}\n{manual}")
     spark.sql("DROP TABLE IF EXISTS plan_audit_ext")
     print(f"wrote {out} ({len(sections)} plans)")
     spark.stop()
