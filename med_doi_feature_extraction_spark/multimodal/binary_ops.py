@@ -4,11 +4,13 @@ Treats image/audio/video as ``binary`` columns travelling next to a
 typed metadata struct, with decode / feature-extract / resize /
 frame-sample implemented as Arrow-batched ``mapInPandas`` operators.
 The Spark-side plumbing (schemas, batch shaping, partition sizing,
-null/corrupt handling) is real and tested; the codec calls themselves
-are STUBBED — the sandbox has no image/audio libraries — behind
-``decode_image``/``decode_audio`` which raise ``NotImplementedError``,
-with a deterministic fake (sha-seeded) used by default so pipelines
-and tests run end-to-end.
+null/corrupt handling) is real and tested. Decode is REAL for the
+containers implementable without codec libs — PNG and WAV-PCM via
+the pure-stdlib ``multimodal/codecs`` module — and entropy-coded
+formats (JPEG/MP3/video) remain honest ``NotImplementedError`` hooks
+behind ``decode_image``/``decode_audio``, with a deterministic
+sha-seeded fake as the default fallback so pipelines and tests run
+end-to-end on any payload.
 
 Batch shaping matters at scale: media blobs are MBs, so operators
 re-batch by BYTES (``max_batch_bytes``), not row count, before
@@ -50,14 +52,36 @@ MEDIA_SCHEMA = T.StructType(
 EMBED_DIM = 16
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real decoder hook (PIL/opencv). Not available in this
-    environment — swap in on a cluster with the codec libs installed."""
-    raise NotImplementedError("image codec not available in this environment")
+def decode_image(payload: bytes):
+    """Real image decode. PNG is decoded for real by the pure-stdlib
+    codec (``multimodal/codecs.decode_png`` — zlib + scanline
+    unfilter, all five filter types, CRC-checked); entropy-coded
+    formats (JPEG/WebP/…) remain honest ``NotImplementedError`` hooks
+    for a cluster with codec libs — a half-right JPEG decoder would
+    be worse than a stub."""
+    from med_doi_feature_extraction_spark.multimodal.codecs import (
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "only PNG decodes in-sandbox; other image codecs need a codec lib"
+    )
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - stub
-    raise NotImplementedError("audio codec not available in this environment")
+def decode_audio(payload: bytes):
+    """Real audio decode: RIFF/WAVE 16-bit PCM via the pure-stdlib
+    codec (``multimodal/codecs.decode_wav``); compressed audio stays
+    a hook for codec libs."""
+    from med_doi_feature_extraction_spark.multimodal.codecs import decode_wav
+
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "only WAV-PCM decodes in-sandbox; compressed audio needs a codec lib"
+    )
 
 
 def fake_decode_array(
@@ -119,6 +143,56 @@ def fake_feature_vector(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
     return [round(float(x), 6) for x in rng.standard_normal(dim)]
 
 
+def _decode_or_fake(
+    payload: bytes, width: int | None, height: int | None
+) -> tuple[np.ndarray, bool]:
+    """(pixels (H, W, 3) uint8, real?) — REAL decode for recognized
+    containers (PNG via the pure-stdlib codec; gray expanded, alpha
+    dropped, so downstream always sees RGB), the documented sha-fake
+    for everything else. Corrupt recognized containers raise
+    ``ValueError`` (the caller quarantines)."""
+    from med_doi_feature_extraction_spark.multimodal.codecs import (
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    if payload[:8] == PNG_MAGIC:
+        arr = decode_png(payload)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        elif arr.shape[2] == 4:
+            arr = arr[:, :, :3]
+        return arr, True
+    return fake_decode_array(payload, width, height), False
+
+
+def real_feature_vector(arr: np.ndarray, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic classical features from DECODED pixels (the real
+    analogue of the sha-fake): dims, per-channel mean/std, gray
+    min/max/median, 2×2 pooled gray means, horizontal edge energy —
+    16 floats, rounded 6 dp, order fixed."""
+    a = arr.astype(np.float64)
+    h, w = a.shape[:2]
+    gray = a.mean(axis=2)
+    rsp = [(0, h), (0, h)] if h == 1 else [(0, h // 2), (h // 2, h)]
+    csp = [(0, w), (0, w)] if w == 1 else [(0, w // 2), (w // 2, w)]
+    pooled = [
+        float(gray[r0:r1, c0:c1].mean()) for r0, r1 in rsp for c0, c1 in csp
+    ]
+    feats = [
+        float(h),
+        float(w),
+        *[float(a[:, :, c].mean()) for c in range(3)],
+        *[float(a[:, :, c].std()) for c in range(3)],
+        float(gray.min()),
+        float(gray.max()),
+        float(np.median(gray)),
+        *pooled,
+        float(np.abs(np.diff(gray, axis=1)).mean()) if w > 1 else 0.0,
+    ]
+    return [round(f, 6) for f in feats[:dim]]
+
+
 def _rebatch(
     batches: Iterator[pd.DataFrame], payload_col: str, max_batch_bytes: int
 ) -> Iterator[pd.DataFrame]:
@@ -146,8 +220,14 @@ def extract_media_features(
 ) -> DataFrame:
     """media → (media_id, feature vector, payload_bytes, decode_error).
 
-    Corrupt/null payloads produce a ``decode_error`` string instead of
-    failing the job (quarantine pattern, SURVEY.md M5)."""
+    Recognized containers (PNG) decode FOR REAL via the pure-stdlib
+    codec and yield classical pixel features
+    (:func:`real_feature_vector`); unrecognized payloads fall back to
+    the documented sha-fake vector, unless ``use_real_decoder=True``
+    which instead quarantines them (strict mode — a production run
+    where every payload should decode). Corrupt/null payloads produce
+    a ``decode_error`` string instead of failing the job (quarantine
+    pattern, SURVEY.md M5)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -165,11 +245,16 @@ def extract_media_features(
                     rows.append((int(mid), 0, None, "empty_payload"))
                     continue
                 try:
-                    if use_real_decoder:
-                        decode_image(bytes(payload))  # pragma: no cover
-                    vec = fake_feature_vector(bytes(payload))
+                    pixels, real = _decode_or_fake(bytes(payload), None, None)
+                    if real:
+                        vec = real_feature_vector(pixels)
+                    elif use_real_decoder:
+                        decode_image(bytes(payload))  # raises for non-PNG
+                        vec = None  # pragma: no cover - unreachable
+                    else:
+                        vec = fake_feature_vector(bytes(payload))
                     rows.append((int(mid), len(payload), vec, None))
-                except NotImplementedError as exc:
+                except (NotImplementedError, ValueError) as exc:
                     rows.append((int(mid), len(payload), None, str(exc)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "payload_bytes", "features", "decode_error"]
@@ -186,13 +271,13 @@ def resize_images(
     max_batch_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Resize: (media_id, src/target dims, resized RGB payload,
-    decode_error). The resample itself is REAL — ``bilinear_resize``,
-    pure-numpy half-pixel bilinear over the decoded (H, W, 3) array —
-    so ``resized`` is ``target_h × target_w × 3`` actual interpolated
-    bytes (row-major). Only the codec DECODE step is still the
-    documented stub (``fake_decode_array``, sha-seeded deterministic
-    pixels — no image libs in this environment); the byte-capped
-    Arrow re-batching, metadata flow, and quarantine path are the
+    decode_error). The resample is REAL (``bilinear_resize``,
+    pure-numpy half-pixel bilinear) and so is the decode for PNG
+    payloads (pure-stdlib ``codecs.decode_png`` — zlib + all five
+    scanline unfilters, CRC-checked); unrecognized containers fall
+    back to the documented sha-fake pixels, and corrupt PNGs
+    quarantine as ``decode_error`` rows. The byte-capped Arrow
+    re-batching, metadata flow, and quarantine path are the
     production shape either way. Aspect-ratio policy belongs to the
     caller (pass a target preserving it, or don't)."""
     out_schema = T.StructType(
@@ -221,7 +306,14 @@ def resize_images(
                          "empty_payload")
                     )
                     continue
-                decoded = fake_decode_array(bytes(payload), sw, sh)
+                try:
+                    decoded, _ = _decode_or_fake(bytes(payload), sw, sh)
+                except ValueError as exc:  # corrupt recognized container
+                    rows.append(
+                        (int(mid), sw, sh, target_w, target_h, None,
+                         f"decode_error: {exc}")
+                    )
+                    continue
                 resized = bilinear_resize(decoded, target_w, target_h)
                 rows.append(
                     (int(mid), sw, sh, target_w, target_h,
