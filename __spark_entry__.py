@@ -5950,6 +5950,106 @@ SELECT node, pr FROM r3
 """
 
 
+def q_kmeans(spark, sf_dir):
+    """Full-corpus distributed Lloyd k-means (operators/kmeans.py):
+    fixed 3-iteration spherical fit over every embedding — assignment
+    as whole-stage-codegen Column algebra (k dot-product folds,
+    round(cos,6) argmax, ties → lowest cell), centroid update as one
+    posexplode → (cell,pos) hash-agg per iteration with only k×dim
+    rows ever reaching the driver. The oracle RETRAINS the model:
+    DuckDB unrolls the same 3 iterations as CTEs (like pagerank)."""
+    from med_doi_feature_extraction_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, k=8, n_iter=3, init_ids=list(range(8)))
+    return out.select("vec_id", "cell")
+
+
+def q_kmeans_balance(spark, sf_dir):
+    """Cluster-balanced retention (SemDeDup/DataComp-style topic cap):
+    k-means cells from the full-corpus fit, then at most 40 survivors
+    per cell chosen by the portable deterministic hash order — the
+    kept set is layout- and append-order-independent."""
+    from med_doi_feature_extraction_spark.operators.kmeans import (
+        cluster_balanced_sample,
+        fit_kmeans,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = fit_kmeans(emb, k=8, n_iter=3, init_ids=list(range(8)))
+    kept = cluster_balanced_sample(emb, cent, cap=40, salt="kbal")
+    return kept.select("vec_id", "cell")
+
+
+def _sql_kmeans_cte(k: int, n_iter: int) -> str:
+    """WITH-clause body retraining the k-means model in DuckDB: same
+    seed (vec_id < k, cell = ascending-id order), same round(cos,6)
+    lowest-cell-tie assignment, same round(avg,6) per-dim update,
+    same empty-cell coalesce. Final assignment lands in ``afin``."""
+    cos = (
+        "round(list_dot_product(e.v, c.cv) / "
+        "(greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12) * "
+        "greatest(sqrt(list_dot_product(c.cv, c.cv)), 1e-12)), 6)"
+    )
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cell) AS rn
+    FROM nv e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        "nv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id::INT AS cell, v AS cv FROM nv WHERE vec_id < {k})",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(assign(f"a{i}", f"c{i-1}"))
+        parts.append(f"""m{i} AS (
+  SELECT cell, pos, round(avg(vv), 6) AS mv FROM (
+    SELECT a.cell, unnest(e.v) AS vv, generate_subscripts(e.v, 1) AS pos
+    FROM a{i} a JOIN nv e USING (vec_id)
+  ) GROUP BY cell, pos
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT p.cell, coalesce(mm.cv, p.cv) AS cv
+  FROM c{i-1} p LEFT JOIN (
+    SELECT cell, list(mv ORDER BY pos) AS cv FROM m{i} GROUP BY cell
+  ) mm USING (cell)
+)""")
+    parts.append(assign("afin", f"c{n_iter}"))
+    return ",\n".join(parts)
+
+
+def _sql_kmeans() -> str:
+    return f"""
+WITH {_sql_kmeans_cte(8, 3)}
+SELECT vec_id, cell FROM afin
+"""
+
+
+def _sql_kmeans_balance() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(vec_id AS VARCHAR)", "kbal")
+    return f"""
+WITH {_sql_kmeans_cte(8, 3)},
+r AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell ORDER BY {u}, vec_id) AS rk
+  FROM afin
+)
+SELECT vec_id, cell FROM r WHERE rk <= 40
+"""
+
+
 def q_sq_topk(spark, sf_dir):
     """int8 scalar-quantized brute cosine top-k
     (similarity.quantize_embeddings + sq_topk): per-vector max-abs
@@ -6453,6 +6553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
+        "kmeans": q_kmeans,
+        "kmeans_balance": q_kmeans_balance,
         "semantic_dedup": q_semantic_dedup,
         "group_kfold": q_group_kfold,
         "dedup_quality_keep": q_dedup_quality_keep,
@@ -6597,6 +6699,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": SQL_SKEW_JOIN,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "pagerank": _sql_pagerank(),
+        "kmeans": _sql_kmeans(),
+        "kmeans_balance": _sql_kmeans_balance(),
         "semantic_dedup": _sql_semantic_dedup(),
         "group_kfold": _sql_group_kfold(),
         "dedup_quality_keep": _sql_dedup_quality_keep(),
