@@ -2874,6 +2874,49 @@ FROM gset t LEFT JOIN hits h ON h.doc_id = t.doc_id
 """
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination: per corpus vector,
+    max round-6 cosine against a plan-literal benchmark matrix (Arrow
+    matmul closure — the corpus is scanned once, zero shuffles/joins),
+    lowest-bench-id attribution, threshold verdict. The n-gram
+    `decontam` query's semantic complement (paraphrase leakage)."""
+    from med_doi_feature_extraction_spark.operators.decontam import (
+        collect_bench_vectors,
+        semantic_contamination,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ids, mat = collect_bench_vectors(emb.filter(F.col("vec_id") < 25))
+    return semantic_contamination(emb, ids, mat, tau=0.35).select(
+        "vec_id", "best_bench_id", "sim", "contaminated"
+    )
+
+
+_SQL_SEMANTIC_DECONTAM = """
+WITH b AS (
+  SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+  FROM embeddings WHERE vec_id < 25
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT c.vec_id, b.bid,
+         round(list_dot_product(c.v, b.bv) /
+               (greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12) *
+                greatest(sqrt(list_dot_product(b.bv, b.bv)), 1e-12)),
+               6) AS sim
+  FROM c CROSS JOIN b
+),
+r AS (
+  SELECT vec_id, bid, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, bid) AS rn
+  FROM s
+)
+SELECT vec_id, bid AS best_bench_id, sim, sim >= 0.35 AS contaminated
+FROM r WHERE rn = 1
+"""
+
+
 def q_decontam_attrib(spark, sf_dir):
     """Decontamination with benchmark-doc attribution: which bench
     docs does each contaminated corpus doc collide with (capped
@@ -6592,6 +6635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality, deterministic sampling, url features, corpus stats
         "decontam": q_decontam,
         "decontam_attrib": q_decontam_attrib,
+        "semantic_decontam": q_semantic_decontam,
         "repetition": q_repetition,
         "top_ngram": q_top_ngram,
         "stratified_sample": q_stratified_sample,
@@ -6735,6 +6779,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_scrub": _sql_pack_scrub(),
         "forget_audit": _sql_forget_audit(),
         "decontam": SQL_DECONTAM,
+        "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
         "decontam_attrib": SQL_DECONTAM_ATTRIB,
         "repetition": SQL_REPETITION,
         "top_ngram": SQL_TOP_NGRAM,

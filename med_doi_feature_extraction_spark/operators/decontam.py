@@ -34,6 +34,8 @@ end-to-end.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -194,3 +196,121 @@ def decontaminate(
     return out.withColumn("contamination_frac", frac).withColumn(
         "contaminated", F.col("contaminated_ngrams") >= F.lit(min_hits)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space (semantic) decontamination
+# ---------------------------------------------------------------------------
+#
+# N-gram overlap misses paraphrased / translated / reformatted benchmark
+# leakage; modern eval hygiene adds an embedding pass: a corpus document
+# is contaminated when its embedding is within cosine ``tau`` of ANY
+# benchmark document's embedding. Scale shape mirrors bm25's
+# plan-literal query set: the benchmark matrix (B x dim, eval-suite
+# sized) ships inside an Arrow-batched UDF closure, so the corpus is
+# scanned ONCE with zero shuffles and zero joins — each batch is one
+# BLAS matmul against the bench matrix. For benchmark sets too big for
+# a closure literal, fall back to `similarity.embedding_near_dup`'s
+# LSH-bucketed join (documented recall tradeoff) — this exact path is
+# the hygiene default.
+
+
+def collect_bench_vectors(
+    bench: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Bounded explicit action (benchmark suites are kB-MB sized):
+    → (ids int64 array, matrix B×dim float64), rows sorted by id so
+    downstream argmax tie-breaking is deterministic (lowest bench id
+    wins, matching the oracle's ``ORDER BY sim DESC, bid ASC``)."""
+    rows = bench.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).collect()
+    rows.sort(key=lambda r: r["_id"])
+    if not rows:
+        raise ValueError("benchmark set is empty")
+    ids = np.asarray([r["_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    return ids, mat
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench_ids,
+    bench_mat,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-corpus-row max cosine against the benchmark matrix →
+    ``(id, best_bench_id, sim, contaminated)``. Plan-time job-free
+    (pass pre-collected bench vectors); sim is rounded to 6 dp before
+    the argmax AND the threshold compare — the same portable float
+    gate as operators/kmeans — so a DuckDB oracle reproduces both the
+    attribution and the verdict hash-exactly. NULL embeddings report
+    NULL sim / not-contaminated (error-as-data, like multimodal)."""
+    from pyspark.sql import types as T
+
+    ids = np.ascontiguousarray(bench_ids, dtype=np.int64)
+    mat = np.ascontiguousarray(bench_mat, dtype=np.float64)
+    bnorm = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+
+    out_t = T.StructType(
+        [
+            T.StructField("best_bench_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def best_match(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        best_id = np.full(n, -1, dtype=np.int64)
+        best_sim = np.full(n, np.nan)
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            sub = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
+            xnorm = np.maximum(np.linalg.norm(sub, axis=1), 1e-12)
+            sims = np.round(
+                (sub @ mat.T) / xnorm[:, None] / bnorm[None, :], 6
+            )
+            arg = sims.argmax(axis=1)  # first max = lowest bench id
+            best_id[mask] = ids[arg]
+            best_sim[mask] = sims[np.arange(len(sub)), arg]
+        return pd.DataFrame(
+            {
+                "best_bench_id": pd.array(
+                    [None if i < 0 else int(i) for i in best_id],
+                    dtype="Int64",
+                ),
+                "sim": best_sim,
+            }
+        )
+
+    hit = best_match(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col),
+        hit["best_bench_id"].alias("best_bench_id"),
+        hit["sim"].alias("sim"),
+        F.coalesce(hit["sim"] >= F.lit(float(tau)), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Convenience: collect the bench vectors (one bounded action) and
+    return the corpus rows that survive the cosine gate."""
+    ids, mat = collect_bench_vectors(bench, id_col, vec_col)
+    report = semantic_contamination(
+        corpus, ids, mat, tau, id_col=id_col, vec_col=vec_col
+    )
+    keep = report.filter(~F.col("contaminated")).select(F.col(id_col))
+    return corpus.join(keep, id_col, "left_semi")
