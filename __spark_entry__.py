@@ -6093,6 +6093,65 @@ SELECT vec_id, cell FROM r WHERE rk <= 40
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): per query,
+    top-5 most-cosine-similar corpus vectors excluding the broadcast
+    qrels positives (here: same-label vectors with id < 100) and the
+    query itself — ranked on the portable round-6 cosine so the
+    survivor set is engine-exact."""
+    from med_doi_feature_extraction_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    pos = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("_l")
+        )
+        .join(
+            emb.filter(F.col("vec_id") < 100).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("_l"),
+            ),
+            "_l",
+        )
+        .select("query_id", "neighbor_id")
+    )
+    return hard_negatives(emb, queries, pos, k=5)
+
+
+_SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+  FROM embeddings WHERE vec_id < 8
+),
+pos AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id
+  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id < 100
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+           AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+n AS (
+  SELECT s.* FROM s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pos p
+    WHERE p.query_id = s.query_id AND p.neighbor_id = s.neighbor_id
+  )
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+         AS rank
+FROM n QUALIFY rank <= 5
+"""
+
+
 def q_sq_topk(spark, sf_dir):
     """int8 scalar-quantized brute cosine top-k
     (similarity.quantize_embeddings + sq_topk): per-vector max-abs
@@ -6629,6 +6688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "sq_rerank": q_sq_rerank,
         "rank_eval": q_rank_eval,
+        "hard_negatives": q_hard_negatives,
         "pack_scrub": q_pack_scrub,
         "forget_audit": q_forget_audit,
         # curation surface (round 3): decontamination, repetition
@@ -6776,6 +6836,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_topk": SQL_SQ_TOPK,
         "sq_rerank": SQL_SQ_RERANK,
         "rank_eval": SQL_RANK_EVAL,
+        "hard_negatives": _SQL_HARD_NEGATIVES,
         "pack_scrub": _sql_pack_scrub(),
         "forget_audit": _sql_forget_audit(),
         "decontam": SQL_DECONTAM,

@@ -581,3 +581,53 @@ def sq_rerank_topk(
             "rank",
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per
+    query, the top-``k`` most-similar corpus vectors that are NOT
+    known positives — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; the informative
+    ones live just under the positive band).
+
+    ``positives`` is the qrels table ``(query_id, neighbor_id)``; it
+    is deduplicated and BROADCAST into a left-anti join, so the scored
+    stream never shuffles (qrels are eval/train-label sized). Query
+    side is broadcast like ``cosine_topk``. Ranking happens on the
+    round-6 cosine with an ascending-id tiebreak — fully portable, so
+    the oracle reproduces the exact survivor set (ranking on the raw
+    float would make the nominate cut engine-dependent at the ulp
+    level). Self-matches are excluded unconditionally.
+
+    Output: ``(query_id, neighbor_id, cosine, rank)``, rank 1..k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    pos = positives.select("query_id", "neighbor_id").distinct()
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(pos), ["query_id", "neighbor_id"], "left_anti")
+        .withColumn(
+            "cosine", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
