@@ -634,6 +634,52 @@ FROM events e JOIN q USING (event_type)
 """
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Robust per-group outlier gate (feateng.robust_outliers):
+    modified z-score 0.6745·(x−median)/MAD per event type — the
+    heavy-tail-safe anomaly flag (mean/stddev gates break on exactly
+    the page-size/link-count tails they police). Exact interpolated
+    percentiles over two windows sharing one exchange."""
+    from med_doi_feature_extraction_spark.operators.feateng import (
+        robust_outliers,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = robust_outliers(ev, "event_type", "value", thresh=2.0)
+    return out.select(
+        "event_id", "event_type",
+        "value_med", "value_mad", "value_rz", "value_outlier",
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+d AS (SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN m USING (event_type)),
+md AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM d GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       round(d.med, 6) AS value_med,
+       round(md.mad, 6) AS value_mad,
+       CASE WHEN md.mad > 0
+            THEN round(0.6745 * (d.value - d.med) / md.mad, 6) END
+         AS value_rz,
+       coalesce(
+         abs(CASE WHEN md.mad > 0
+                  THEN round(0.6745 * (d.value - d.med) / md.mad, 6) END)
+           > 2.0,
+         false) AS value_outlier
+FROM d JOIN md USING (event_type)
+"""
+
+
 def q_skip_limit(spark, sf_dir):
     """S3: deterministic offset/limit under a total order."""
     ev = _read(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -6596,6 +6642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_norm": q_feature_norm,
         "quantile_bin": q_quantile_bin,
         "winsorize": q_winsorize,
+        "robust_outliers": q_robust_outliers,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
         "render_template": q_render_template,
@@ -6754,6 +6801,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_norm": SQL_FEATURE_NORM,
         "quantile_bin": SQL_QUANTILE_BIN,
         "winsorize": SQL_WINSORIZE,
+        "robust_outliers": SQL_ROBUST_OUTLIERS,
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,
         "render_template": SQL_RENDER_TEMPLATE,

@@ -271,3 +271,45 @@ def test_winsorize_groups_and_global(spark):
 
     with _pt.raises(ValueError):
         winsorize(df, "g", ["x"], lower=0.9, upper=0.1)
+
+
+class TestRobustOutliers:
+    def test_hand_computed_mad(self, spark):
+        from med_doi_feature_extraction_spark.operators.feateng import (
+            robust_outliers,
+        )
+
+        # group a: values 1..5 + wild 100 → med 3.5, absdev
+        # {2.5,1.5,.5,.5,1.5,96.5} → MAD 1.5; rz(100)=0.6745*96.5/1.5
+        rows = [("a", float(v)) for v in (1, 2, 3, 4, 5, 100)]
+        rows += [("b", 7.0)] * 4          # degenerate: MAD 0
+        rows += [("a", None)]             # NULL passthrough
+        df = spark.createDataFrame(rows, "k: string, value: double")
+        out = {
+            (r["k"], r["value"]): r
+            for r in robust_outliers(df, "k", "value", thresh=3.5).collect()
+        }
+        r100 = out[("a", 100.0)]
+        assert r100["value_med"] == 3.5 and r100["value_mad"] == 1.5
+        assert r100["value_rz"] == round(0.6745 * 96.5 / 1.5, 6)
+        assert r100["value_outlier"]
+        assert not out[("a", 3.0)]["value_outlier"]
+        rb = out[("b", 7.0)]
+        assert rb["value_mad"] == 0.0 and rb["value_rz"] is None
+        assert not rb["value_outlier"]
+        rn = out[("a", None)]
+        assert rn["value_rz"] is None and not rn["value_outlier"]
+
+    def test_single_exchange(self, spark):
+        from med_doi_feature_extraction_spark.operators.feateng import (
+            robust_outliers,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "k: string, value: double"
+        )
+        plan = (
+            robust_outliers(df, "k", "value")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1  # both windows share one shuffle
