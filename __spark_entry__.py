@@ -634,6 +634,49 @@ FROM events e JOIN q USING (event_type)
 """
 
 
+def q_change_rate(spark, sf_dir):
+    """Per-entity content-churn features (windows.change_rate_features)
+    — the recrawl-scheduling signal: how often does each entity's
+    content actually change, at what cadence, and when did it last
+    change. One window + one hash-agg sharing the entity exchange."""
+    from med_doi_feature_extraction_spark.operators.windows import (
+        change_rate_features,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return change_rate_features(
+        ev, "user_id", "ts", "event_type", tiebreak=["event_id"]
+    )
+
+
+SQL_CHANGE_RATE = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER w AS pc,
+         lag(ts) OVER w AS pts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN pts IS NULL THEN false
+              ELSE NOT (event_type IS NOT DISTINCT FROM pc) END AS chg,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(pts)) AS BIGINT) AS gap
+  FROM o
+)
+SELECT user_id,
+       count(*) AS n_snapshots,
+       sum(CASE WHEN chg THEN 1 ELSE 0 END) AS n_changes,
+       CASE WHEN count(*) > 1
+            THEN round(sum(CASE WHEN chg THEN 1.0 ELSE 0.0 END)
+                       / (count(*) - 1), 6) END AS change_rate,
+       round(avg(gap), 6) AS mean_gap_sec,
+       max(CASE WHEN chg THEN ts END) AS last_change_ts
+FROM s GROUP BY user_id
+"""
+
+
 def q_robust_outliers(spark, sf_dir):
     """Robust per-group outlier gate (feateng.robust_outliers):
     modified z-score 0.6745·(x−median)/MAD per event type — the
@@ -2198,6 +2241,62 @@ def q_simhash_pairs(spark, sf_dir):
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+def q_phash_pairs(spark, sf_dir):
+    """Perceptual image near-dup (multimodal/phash.py): REAL PNG
+    decode → luma → shared bilinear 9×8 → dHash, then the simhash
+    band/cap/verify machinery reused verbatim. Oracle split like
+    simhash: the non-SQL codec half materializes signatures to a
+    seam; DuckDB reproduces banding + Hamming verify (NULL-phash
+    quarantine rows excluded on both sides)."""
+    from med_doi_feature_extraction_spark.multimodal.phash import (
+        make_image_table,
+        phash_pairs,
+        with_phash,
+    )
+
+    base = _dedup_base()
+    media = make_image_table(spark, n=40, seed=7)
+    with_phash(media).select("media_id", "phash").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/phash.parquet")
+    sigs = spark.read.parquet(f"{base}/phash.parquet")
+    out = phash_pairs(sigs, "media_id", max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _sql_phash_pairs() -> str:
+    base = _dedup_base()
+    cap = dedup.DEFAULT_MAX_BAND_BUCKET
+    return f"""
+WITH s AS (
+  SELECT media_id, phash
+  FROM read_parquet('{base}/phash.parquet/*.parquet')
+  WHERE phash IS NOT NULL
+),
+b AS (
+  SELECT media_id, phash, band,
+         (phash >> (16 * band)) & 65535 AS band_val
+  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+ok AS (
+  SELECT band, band_val FROM b GROUP BY band, band_val
+  HAVING count(*) BETWEEN 2 AND {cap}
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+         x.phash AS sa, y.phash AS sb
+  FROM b x
+  JOIN ok USING (band, band_val)
+  JOIN b y ON x.band = y.band AND x.band_val = y.band_val
+          AND x.media_id < y.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
 
 
 def _sql_simhash_pairs() -> str:
@@ -6643,6 +6742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin": q_quantile_bin,
         "winsorize": q_winsorize,
         "robust_outliers": q_robust_outliers,
+        "change_rate": q_change_rate,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
         "render_template": q_render_template,
@@ -6681,6 +6781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational downstream checked by DuckDB):
         "minhash_neardup": q_minhash_neardup,
         "simhash_pairs": q_simhash_pairs,
+        "phash_pairs": q_phash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
@@ -6802,6 +6903,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bin": SQL_QUANTILE_BIN,
         "winsorize": SQL_WINSORIZE,
         "robust_outliers": SQL_ROBUST_OUTLIERS,
+        "change_rate": SQL_CHANGE_RATE,
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,
         "render_template": SQL_RENDER_TEMPLATE,
@@ -6835,6 +6937,7 @@ def oracle_sql() -> dict[str, str]:
         "transparency": _sql_transparency(),
         "minhash_neardup": _sql_minhash_neardup(),
         "simhash_pairs": _sql_simhash_pairs(),
+        "phash_pairs": _sql_phash_pairs(),
         "lsh_topk": _sql_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
         "doc_fingerprint": _sql_doc_fingerprint(),

@@ -110,6 +110,9 @@ def main() -> None:
         "token_ids", "pack_ids", "blocklist", "corpus_card", "hll_overlap",
         # r4 eighth-session additions (retrieval + model-gate surface)
         "nb_classify", "bm25", "sq_topk", "sq_rerank", "warc_roundtrip",
+        # r4 ninth-session additions (clustering + mining + robust gates)
+        "kmeans", "kmeans_balance", "semantic_decontam",
+        "hard_negatives", "robust_outliers", "phash_pairs", "change_rate",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -197,3 +197,59 @@ def dedupe_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def change_rate_features(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    content: str,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-entity content-churn features over snapshot history — the
+    recrawl-scheduling signal (reference scores each record in
+    isolation; a crawler needs to know how often each url's content
+    actually changes to prioritize refresh budget).
+
+    Per entity (url), ordered by ``(ts, *tiebreak)``:
+
+    - ``n_snapshots`` — history length
+    - ``n_changes``   — snapshots whose ``content`` differs from the
+      previous one (null-safe compare: NULL→NULL is no change,
+      NULL↔value is a change); the first snapshot never counts
+    - ``change_rate`` — ``n_changes / (n_snapshots − 1)`` rounded to
+      6 dp; NULL for singleton histories (undefined, not 0 — the
+      NULL-vs-0 discipline of ranking_eval)
+    - ``mean_gap_sec`` — mean seconds between consecutive snapshots
+      (round 6; NULL for singletons)
+    - ``last_change_ts`` — most recent ts whose content changed (NULL
+      if the content never changed)
+
+    One window + one hash-agg, both keyed on the entity — a single
+    exchange; AQE handles hot-host skew like every entity window here.
+    """
+    w = entity_window(entity, ts, tiebreak)
+    prev_c = F.lag(F.col(content)).over(w)
+    prev_ts = F.lag(F.col(ts)).over(w)
+    changed = F.when(prev_ts.isNull(), F.lit(False)).otherwise(
+        ~F.col(content).eqNullSafe(prev_c)
+    )
+    staged = df.select(
+        F.col(entity),
+        F.col(ts).alias("_ts"),
+        changed.alias("_chg"),
+        (_epoch_seconds(F.col(ts)) - _epoch_seconds(prev_ts)).alias("_gap"),
+    )
+    n = F.count(F.lit(1))
+    return staged.groupBy(entity).agg(
+        n.alias("n_snapshots"),
+        F.sum(F.col("_chg").cast("long")).alias("n_changes"),
+        F.when(
+            n > 1,
+            F.round(
+                F.sum(F.col("_chg").cast("double")) / (n - F.lit(1)), 6
+            ),
+        ).alias("change_rate"),
+        F.round(F.avg("_gap"), 6).alias("mean_gap_sec"),
+        F.max(F.when(F.col("_chg"), F.col("_ts"))).alias("last_change_ts"),
+    )

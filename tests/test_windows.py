@@ -186,3 +186,45 @@ def test_leakage_deletion_invariance(spark, pages_pdf):
         full[serving_cols].reset_index(drop=True),
         truncated[serving_cols].reset_index(drop=True),
     )
+
+
+class TestChangeRateFeatures:
+    def test_hand_computed(self, spark):
+        from med_doi_feature_extraction_spark.operators.windows import (
+            change_rate_features,
+        )
+
+        rows = [
+            # url A: a,a,b,b,c over 4x100s gaps → 2 changes / 4
+            ("A", "2024-01-01 00:00:00", 1, "a"),
+            ("A", "2024-01-01 00:01:40", 2, "a"),
+            ("A", "2024-01-01 00:03:20", 3, "b"),
+            ("A", "2024-01-01 00:05:00", 4, "b"),
+            ("A", "2024-01-01 00:06:40", 5, "c"),
+            # url B: singleton → NULL rate, NULL gap
+            ("B", "2024-01-01 00:00:00", 6, "x"),
+            # url C: NULL→NULL no change, NULL→v change
+            ("C", "2024-01-01 00:00:00", 7, None),
+            ("C", "2024-01-01 00:01:00", 8, None),
+            ("C", "2024-01-01 00:02:00", 9, "v"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url: string, ts: string, sid: long, content: string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {
+            r["url"]: r
+            for r in change_rate_features(
+                df, "url", "ts", "content", tiebreak=["sid"]
+            ).collect()
+        }
+        a = out["A"]
+        assert a["n_snapshots"] == 5 and a["n_changes"] == 2
+        assert a["change_rate"] == 0.5 and a["mean_gap_sec"] == 100.0
+        assert str(a["last_change_ts"]) == "2024-01-01 00:06:40"
+        b = out["B"]
+        assert b["n_snapshots"] == 1 and b["n_changes"] == 0
+        assert b["change_rate"] is None and b["mean_gap_sec"] is None
+        assert b["last_change_ts"] is None
+        c = out["C"]
+        assert c["n_changes"] == 1 and c["change_rate"] == 0.5
+        assert str(c["last_change_ts"]) == "2024-01-01 00:02:00"
