@@ -111,6 +111,23 @@ def main() -> None:
          "reductions keyed by query id."),
         ("pack_scrub", "broadcast takedown ranges + indexed-transform "
          "mask: affected packs only, no corpus shuffle."),
+        ("kmeans", "final Lloyd assignment: k dot-product folds as "
+         "whole-stage codegen over the scan — zero exchanges, zero "
+         "Python (fit-iteration jobs are explicit index-build actions "
+         "with only k×dim rows collected)."),
+        ("semantic_decontam", "bench matrix rides the Arrow UDF "
+         "closure: ONE corpus scan, no joins, no shuffle."),
+        ("hard_negatives", "query side broadcast, qrels broadcast "
+         "into a left-anti; WindowGroupLimit runs BEFORE the window "
+         "exchange, so only each partition's top-k candidates per "
+         "query ever shuffle."),
+        ("phash_pairs", "codec kernel → signature seam; banding, "
+         "capped buckets and streamed pair expansion reuse the "
+         "simhash physical shape verbatim."),
+        ("robust_outliers", "two exact-percentile windows sharing "
+         "ONE hash-partitioning exchange on the group key."),
+        ("change_rate", "lag window and churn agg keyed identically "
+         "— a single entity exchange end-to-end."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
