@@ -2299,6 +2299,60 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
+def q_audio_pairs(spark, sf_dir):
+    """Audio near-dup (multimodal/phash.py audio tier): real WAV-PCM
+    decode → gain-invariant 64-bit energy-difference fingerprint →
+    the same banded Hamming machinery. Oracle split over the
+    materialized signature seam like phash/simhash."""
+    from med_doi_feature_extraction_spark.multimodal.phash import (
+        audio_pairs,
+        make_audio_table,
+        with_audio_hash,
+    )
+
+    base = _dedup_base()
+    audio = make_audio_table(spark, n=30, seed=11)
+    with_audio_hash(audio).select("media_id", "ahash").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/ahash.parquet")
+    sigs = spark.read.parquet(f"{base}/ahash.parquet")
+    out = audio_pairs(sigs, "media_id", max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _sql_audio_pairs() -> str:
+    base = _dedup_base()
+    cap = dedup.DEFAULT_MAX_BAND_BUCKET
+    return f"""
+WITH s AS (
+  SELECT media_id, ahash
+  FROM read_parquet('{base}/ahash.parquet/*.parquet')
+  WHERE ahash IS NOT NULL
+),
+b AS (
+  SELECT media_id, ahash, band,
+         (ahash >> (16 * band)) & 65535 AS band_val
+  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+ok AS (
+  SELECT band, band_val FROM b GROUP BY band, band_val
+  HAVING count(*) BETWEEN 2 AND {cap}
+),
+cand AS (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+         x.ahash AS sa, y.ahash AS sb
+  FROM b x
+  JOIN ok USING (band, band_val)
+  JOIN b y ON x.band = y.band AND x.band_val = y.band_val
+          AND x.media_id < y.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 def _sql_simhash_pairs() -> str:
     base = _dedup_base()
     cap = dedup.DEFAULT_MAX_BAND_BUCKET
@@ -6782,6 +6836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_pairs": q_simhash_pairs,
         "phash_pairs": q_phash_pairs,
+        "audio_pairs": q_audio_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
@@ -6938,6 +6993,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _sql_minhash_neardup(),
         "simhash_pairs": _sql_simhash_pairs(),
         "phash_pairs": _sql_phash_pairs(),
+        "audio_pairs": _sql_audio_pairs(),
         "lsh_topk": _sql_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
         "doc_fingerprint": _sql_doc_fingerprint(),

@@ -113,6 +113,7 @@ def main() -> None:
         # r4 ninth-session additions (clustering + mining + robust gates)
         "kmeans", "kmeans_balance", "semantic_decontam",
         "hard_negatives", "robust_outliers", "phash_pairs", "change_rate",
+        "audio_pairs",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -44,7 +44,10 @@ from med_doi_feature_extraction_spark.multimodal.codecs import (
     decode_png,
 )
 
-__all__ = ["dhash64", "with_phash", "phash_pairs"]
+__all__ = [
+    "dhash64", "with_phash", "phash_pairs", "make_image_table",
+    "ahash64", "with_audio_hash", "audio_pairs", "make_audio_table",
+]
 
 
 def dhash64(arr: np.ndarray) -> int:
@@ -178,4 +181,129 @@ def make_image_table(
             )
         if i % corrupt_every == 0:
             rows.append((i + 20_000, bytearray(b"\x89BAD" + bytes(12))))
+    return spark.createDataFrame(rows, "media_id: long, payload: binary")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (energy-difference hash) — the WAV-side analogue
+# ---------------------------------------------------------------------------
+
+
+def ahash64(samples: np.ndarray) -> int:
+    """Energy-difference fingerprint of a PCM signal → signed 64-bit.
+
+    Mono-mix (mean across channels), split into 65 equal frames,
+    per-frame RMS energy in float64, bit k (MSB-first) = frame k+1
+    strictly louder than frame k. Gain-invariant by construction
+    (both sides of every comparison scale together) and robust to
+    small additive noise the way dHash is to pixel noise — the
+    re-encoded/re-gained copy detector, not a content classifier.
+    Trailing samples that don't fill the 65-frame grid are dropped
+    (same convention as dHash's resample grid)."""
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 2:
+        a = a.mean(axis=1)
+    if a.ndim != 1:
+        raise ValueError(f"expected (n,) or (n, ch) samples, got {a.shape}")
+    n_frames = 65
+    flen = len(a) // n_frames
+    if flen < 1:
+        raise ValueError(f"need >= {n_frames} samples, got {len(a)}")
+    frames = a[: flen * n_frames].reshape(n_frames, flen)
+    energy = np.sqrt((frames * frames).mean(axis=1))
+    bits = energy[1:] > energy[:-1]  # (64,)
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def with_audio_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out: str = "ahash",
+    err_col: str = "decode_error",
+) -> DataFrame:
+    """Attach the audio fingerprint from WAV-PCM payloads; same
+    error-as-data contract as ``with_phash`` (NULL hash + message on
+    undecodable payloads)."""
+    from med_doi_feature_extraction_spark.multimodal.codecs import decode_wav
+
+    res_t = T.StructType(
+        [
+            T.StructField("ah", T.LongType()),
+            T.StructField("err", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(res_t)
+    def _ah(payloads: pd.Series) -> pd.DataFrame:
+        hs: list[int | None] = []
+        errs: list[str | None] = []
+        for p in payloads:
+            try:
+                if p is None:
+                    raise ValueError("NULL payload")
+                samples, _rate = decode_wav(bytes(p))
+                hs.append(ahash64(samples))
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — error-as-data row
+                hs.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+        return pd.DataFrame({"ah": pd.array(hs, dtype="Int64"), "err": errs})
+
+    r = _ah(F.col(payload_col))
+    return df.withColumn(out, r["ah"]).withColumn(err_col, r["err"])
+
+
+def audio_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    ahash_col: str = "ahash",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup audio pairs — same banded machinery as image/simhash."""
+    return phash_pairs(sigs, id_col, ahash_col, max_hamming, max_bucket)
+
+
+def make_audio_table(
+    spark, n: int = 30, seed: int = 11, dup_every: int = 4,
+    corrupt_every: int = 13, sr: int = 4_000,
+) -> DataFrame:
+    """Deterministic WAV fixture: n half-second tone-mixture clips with
+    per-frame amplitude envelopes (ids 0..n-1), a re-gained noisy copy
+    of every ``dup_every``-th (id + 10000), and an undecodable payload
+    every ``corrupt_every``-th (id + 20000)."""
+    from med_doi_feature_extraction_spark.multimodal.codecs import encode_wav
+
+    rng = np.random.default_rng(seed)
+    length = sr // 2
+    t = np.arange(length) / sr
+
+    def clip() -> np.ndarray:
+        f1, f2 = rng.uniform(100, 900, size=2)
+        # random per-segment gain steps give the energy hash texture
+        env = np.repeat(rng.uniform(0.2, 1.0, size=20), length // 20 + 1)[
+            :length
+        ]
+        x = env * (
+            np.sin(2 * np.pi * f1 * t) + 0.5 * np.sin(2 * np.pi * f2 * t)
+        )
+        return x
+
+    def pcm(x: np.ndarray, gain: float) -> np.ndarray:
+        return np.clip(x * gain * 12_000, -32_768, 32_767).astype(np.int16)
+
+    rows = []
+    for i in range(n):
+        x = clip()
+        rows.append((i, bytearray(encode_wav(pcm(x, 1.0), sr))))
+        if i % dup_every == 0:
+            noisy = x + rng.normal(scale=0.01, size=length)
+            rows.append(
+                (i + 10_000, bytearray(encode_wav(pcm(noisy, 0.5), sr)))
+            )
+        if i % corrupt_every == 0:
+            rows.append((i + 20_000, bytearray(b"RIFFbad!" + bytes(8))))
     return spark.createDataFrame(rows, "media_id: long, payload: binary")

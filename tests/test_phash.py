@@ -82,3 +82,44 @@ def test_phash_pairs_find_planted_dups_only(signed):
     assert len(planted) >= 5
     # distinct images never pair
     assert all(b - a == 10_000 for a, b in got)
+
+
+class TestAudioHash:
+    def test_gain_invariance_golden(self):
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=65 * 40)
+        assert ph.ahash64(x) == ph.ahash64(x * 7.5)  # gain cancels
+        # strictly louder every frame → all 64 bits set
+        ramp = np.repeat(np.arange(1, 66, dtype=np.float64), 10)
+        assert ph.ahash64(ramp) == -1
+        assert ph.ahash64(ramp[::-1].copy()) == 0
+        # stereo mono-mix == identical-channel mono
+        st = np.stack([x, x], axis=1)
+        assert ph.ahash64(st) == ph.ahash64(x)
+
+    def test_too_short_raises(self):
+        with pytest.raises(ValueError):
+            ph.ahash64(np.zeros(10))
+
+    def test_spark_pairs_and_quarantine(self, spark):
+        audio = ph.make_audio_table(spark, n=30, seed=11)
+        signed = ph.with_audio_hash(audio).cache()
+        rows = {r["media_id"]: r for r in signed.collect()}
+        bad = [m for m in rows if m >= 20_000]
+        assert bad and all(rows[m]["ahash"] is None for m in bad)
+        hashes = {
+            m: r["ahash"] for m, r in rows.items() if r["ahash"] is not None
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in ph.audio_pairs(signed, "media_id", max_hamming=3).collect()
+        }
+        expect = {}
+        ids = sorted(hashes)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                d = _ham(hashes[a], hashes[b])
+                if d <= 3:
+                    expect[(a, b)] = d
+        assert got == expect and len(got) >= 5
+        assert all(b - a == 10_000 for a, b in got)  # only planted dups
