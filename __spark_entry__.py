@@ -858,6 +858,94 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_quality_topfrac(spark, sf_dir):
+    """Per-language adaptive quality cut (sampling.
+    top_fraction_per_group): keep the best ceil(0.3·n) docs per lang
+    by score — the FineWeb-style per-group threshold (a global cut
+    over mixed languages deletes the low-resource ones). Rank-based:
+    kept count exact under ties; (score DESC, id ASC) total order."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        top_fraction_per_group,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return top_fraction_per_group(
+        docs, "lang", "n_chars", frac=0.3, key_col="doc_id"
+    )
+
+
+SQL_QUALITY_TOPFRAC = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rk <= ceil(0.3 * n)
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority variant on this schema): selective
+    dim filter → broadcast customer ⋈ orders, shuffle join to
+    lineitem on orderkey, decimal revenue agg, top-10. The classic
+    multi-join planning shape: both filters reach their scans, the
+    small filtered dim broadcasts, and the only big exchange is the
+    lineitem⋈orders key."""
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    out = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(price * (F.lit(1).cast(_DEC) - disc)).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+    return out
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 SQL_TPCH_Q1 = """
 WITH a AS (
   SELECT l_returnflag, l_linestatus,
@@ -6803,6 +6891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "normalize_choices": q_normalize_choices,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "quality_topfrac": q_quality_topfrac,
         "topk_per_group": q_topk_per_group,
         "upsert": q_upsert,
         "anti_join": q_anti_join,
@@ -6965,6 +7055,8 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "normalize_choices": _sql_normalize(),
         "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3": SQL_TPCH_Q3,
+        "quality_topfrac": SQL_QUALITY_TOPFRAC,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "upsert": SQL_UPSERT,
         "anti_join": SQL_ANTI_JOIN,

@@ -349,3 +349,43 @@ def oracle_interleave_sql(
     FROM {source_sql} s JOIN icounts c ON {source_expr} = c._src
     WHERE (CASE c._src {whens} END) IS NOT NULL
   )"""
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str | F.Column,
+    score_col: str,
+    frac: float,
+    key_col: str,
+) -> DataFrame:
+    """Adaptive per-group quality threshold: keep the best
+    ``ceil(frac · n)`` rows of each group by ``score_col`` (FineWeb-
+    style "top X% per language by classifier score" — a GLOBAL score
+    cut over mixed languages just deletes the low-resource ones).
+
+    Rank-based rather than percentile-threshold so the kept count per
+    group is exact regardless of score ties; ties and layout are
+    resolved by ``(score DESC, key ASC)`` — fully deterministic and
+    append-order-independent given stable scores. NULL scores are
+    never kept (a row with no score has no claim on the quality
+    budget — drop explicitly upstream if that's not wanted).
+
+    One exchange on the group key; both windows (rank + group size)
+    share it. Same mega-group caveat as ``group_cap``.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    from pyspark.sql import Window
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    w = Window.partitionBy(g).orderBy(
+        F.col(score_col).desc(), F.col(key_col).asc()
+    )
+    wn = Window.partitionBy(g)
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_rk") <= F.ceil(F.lit(float(frac)) * F.col("_n")))
+        .drop("_rk", "_n")
+    )

@@ -251,3 +251,47 @@ def test_pack_sequences_tiling_and_reconstruction(spark):
     )
     pk2 = {r["pack_id"]: list(r["input_ids"]) for r in packs2.collect()}
     assert pk2 == pk
+
+
+class TestTopFractionPerGroup:
+    def test_exact_counts_ties_and_nulls(self, spark):
+        from med_doi_feature_extraction_spark.operators.sampling import (
+            top_fraction_per_group,
+        )
+
+        rows = [("en", i, float(i % 4)) for i in range(10)]   # heavy ties
+        rows += [("de", 100 + i, float(i)) for i in range(7)]
+        rows += [("fr", 200, None)]                           # null score
+        df = spark.createDataFrame(
+            rows, "lang: string, doc_id: long, score: double"
+        )
+        kept = top_fraction_per_group(df, "lang", "score", 0.3, "doc_id")
+        got = sorted(
+            (r["lang"], r["doc_id"]) for r in kept.collect()
+        )
+        # en: ceil(0.3*10)=3 best by (score desc, id asc): score 3 ->
+        # ids 3,7 then score 2 -> id 2
+        # de: ceil(0.3*7)=3 -> ids 106,105,104; fr: null never kept
+        assert got == [
+            ("de", 104), ("de", 105), ("de", 106),
+            ("en", 2), ("en", 3), ("en", 7),
+        ]
+        # layout independence
+        got2 = sorted(
+            (r["lang"], r["doc_id"])
+            for r in top_fraction_per_group(
+                df.repartition(7), "lang", "score", 0.3, "doc_id"
+            ).collect()
+        )
+        assert got2 == got
+
+    def test_frac_one_keeps_all_scored(self, spark):
+        from med_doi_feature_extraction_spark.operators.sampling import (
+            top_fraction_per_group,
+        )
+
+        df = spark.createDataFrame(
+            [("en", 1, 1.0), ("en", 2, None)],
+            "lang: string, doc_id: long, score: double",
+        )
+        assert top_fraction_per_group(df, "lang", "score", 1.0, "doc_id").count() == 1
