@@ -283,3 +283,157 @@ def ewma_stateful(
         "append",
         timeout,
     )
+
+
+CHANGE_RATE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("prev_c", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("changes", T.LongType()),
+        T.StructField("gap_sum", T.DoubleType()),
+        T.StructField("last_change_us", T.LongType()),
+        T.StructField("p_ts", T.ArrayType(T.LongType())),
+        T.StructField("p_c", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _change_rate_output_schema(entity: str, ts: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(entity, T.LongType()),
+            T.StructField("n_snapshots", T.LongType()),
+            T.StructField("n_changes", T.LongType()),
+            T.StructField("change_rate", T.DoubleType()),
+            T.StructField("mean_gap_sec", T.DoubleType()),
+            T.StructField("last_change_ts", T.TimestampType()),
+        ]
+    )
+
+
+def change_rate_stateful(
+    events: DataFrame,
+    entity: str,
+    ts: str,
+    content: str,
+    watermark: str = "1 hour",
+    buffer_late: bool = False,
+) -> DataFrame:
+    """Streaming per-entity content-churn features — the streaming
+    twin of ``operators.windows.change_rate_features`` with O(1) state
+    per entity: (last ts, previous content value, snapshot/change
+    counts, gap sum, last-change ts). Each microbatch emits the
+    entity's RUNNING feature row (update semantics — pair with
+    ``outputMode("update")``); after the final batch the last emission
+    per entity equals the batch operator's aggregate exactly (pinned
+    in tests).
+
+    Same delivery contract as the other stateful ops here: default
+    mode assumes per-entity non-decreasing ts across microbatches;
+    ``buffer_late=True`` holds rows in state until the event watermark
+    passes them, so bounded out-of-order arrival still yields the
+    batch answer. Null-safe change semantics match the batch op:
+    NULL→NULL is no change, NULL↔value is a change, the first snapshot
+    never counts. Gap seconds use the same whole-second floor as the
+    batch epoch cast.
+    """
+    NULL_MARK = "\x00<null>"
+
+    def _r6(x: float) -> float:
+        # Spark's round() is HALF_UP; Python's is banker's — they
+        # diverge at exact 5e-7 tails (e.g. 1/128), so replicate
+        # HALF_UP for non-negative inputs
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def step(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (last_ts_us, prev_c, n, changes, gap_sum, last_change_us,
+             p_ts, p_c) = state.get
+            pending = list(zip(p_ts or [], p_c or []))
+        else:
+            last_ts_us, prev_c = None, None
+            n, changes, gap_sum, last_change_us = 0, 0, 0.0, None
+            pending = []
+
+        new_rows: list[tuple[int, str]] = []
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                ts_us = (
+                    pdf[ts].to_numpy(dtype="datetime64[ns]").astype("int64")
+                    // 1000
+                )
+                cs = [
+                    NULL_MARK if c is None or c != c else str(c)
+                    for c in pdf[content].tolist()
+                ]
+                new_rows.extend(zip(ts_us.tolist(), cs))
+
+        if buffer_late:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            pending = sorted(pending + new_rows, key=lambda p: p[0])
+            ready = [p for p in pending if p[0] <= wm_us]
+            pending = [p for p in pending if p[0] > wm_us]
+        else:
+            ready = sorted(new_rows, key=lambda p: p[0])
+            pending = []
+
+        for t_us, c in ready:
+            if n > 0:
+                # whole-second gap (batch op floors via epoch cast)
+                gap_sum += float(t_us // 1_000_000 - last_ts_us // 1_000_000)
+                if c != prev_c:
+                    changes += 1
+                    last_change_us = t_us
+            n += 1
+            last_ts_us = t_us
+            prev_c = c
+
+        state.update(
+            (
+                last_ts_us, prev_c, n, changes, gap_sum, last_change_us,
+                [p[0] for p in pending], [p[1] for p in pending],
+            )
+        )
+        if buffer_late and pending:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(min(p[0] for p in pending) // 1000, wm_ms + 1)
+            )
+        if ready:
+            yield pd.DataFrame(
+                {
+                    entity: [key[0]],
+                    "n_snapshots": [n],
+                    "n_changes": [changes],
+                    "change_rate": [
+                        _r6(changes / (n - 1)) if n > 1 else None
+                    ],
+                    "mean_gap_sec": [
+                        _r6(gap_sum / (n - 1)) if n > 1 else None
+                    ],
+                    "last_change_ts": [
+                        pd.to_datetime(last_change_us, unit="us")
+                        if last_change_us is not None
+                        else pd.NaT
+                    ],
+                }
+            )
+
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    if events.isStreaming:
+        events = events.withWatermark(ts, watermark)
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if buffer_late
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(entity).applyInPandasWithState(
+        step,
+        _change_rate_output_schema(entity, ts),
+        CHANGE_RATE_STATE_SCHEMA,
+        "update",
+        timeout,
+    )

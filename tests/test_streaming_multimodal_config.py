@@ -525,3 +525,74 @@ def test_stateful_ewma_out_of_order_and_nan(spark, tmp_path):
     ).all()
     # the NaN row still emits the carried mean, not NaN
     assert got["value_ewma"].iloc[3] == got["value_ewma"].iloc[2]
+
+
+def test_stateful_change_rate_matches_batch(spark, tmp_path):
+    """Streaming O(1)-state churn features: after the last microbatch,
+    each entity's final update-mode emission equals the batch
+    windows.change_rate_features aggregate exactly."""
+    from med_doi_feature_extraction_spark.operators.windows import (
+        change_rate_features,
+    )
+    from med_doi_feature_extraction_spark.streaming.stateful import (
+        change_rate_stateful,
+    )
+
+    src = str(tmp_path / "cr_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # 4 files in ts order → 4 microbatches under maxFilesPerTrigger=1
+    ordered = events.orderBy("ts").select("user_id", "ts", "event_type")
+    pdf = ordered.toPandas()
+    import os
+
+    os.makedirs(src)
+    step = len(pdf) // 4 + 1
+    for i in range(4):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        if len(chunk):
+            spark.createDataFrame(chunk).coalesce(1).write.parquet(
+                f"{src}/part{i}", mode="overwrite"
+            )
+    stream = (
+        spark.readStream.schema(ordered.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = change_rate_stateful(stream, "user_id", "ts", "event_type")
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("cr_stream").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql(
+        "SELECT * FROM cr_stream"
+    ).toPandas()
+    assert len(emitted) > len(emitted["user_id"].unique())  # true updates
+    # last emission per entity = the one with max n_snapshots
+    last = (
+        emitted.sort_values("n_snapshots")
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        change_rate_features(events, "user_id", "ts", "event_type")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(last) == len(batch)
+    for col in ["n_snapshots", "n_changes"]:
+        assert (last[col].to_numpy() == batch[col].to_numpy()).all(), col
+    import numpy as np
+
+    for col in ["change_rate", "mean_gap_sec"]:
+        a = last[col].astype(float).to_numpy()
+        b = batch[col].astype(float).to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), col
+    assert (
+        pd.to_datetime(last["last_change_ts"]).to_numpy()
+        == pd.to_datetime(batch["last_change_ts"]).to_numpy()
+    ).all()
