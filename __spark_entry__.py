@@ -6439,6 +6439,86 @@ FROM n QUALIFY rank <= 5
 """
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (ranking_eval.
+    rrf_fuse): cosine top-10 and inner-product top-10 (two genuinely
+    different rankings when vector norms vary) fused with
+    1/(60+rank), top-5 per query. Fusion is post-retrieval: input is
+    |Q|·k·systems rows, the corpus is never touched again."""
+    from med_doi_feature_extraction_spark.operators.ranking_eval import (
+        rrf_fuse,
+    )
+    from med_doi_feature_extraction_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    sys_a = cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dot").desc(), F.col("neighbor_id").asc()
+    )
+    sys_b = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_dot", F.round(dot, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    return rrf_fuse([sys_a, sys_b], k=60, topn=5)
+
+
+_SQL_HYBRID_RRF = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+sa AS (
+  SELECT qid AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY list_cosine_similarity(q.qv, e.embedding::DOUBLE[])
+                      DESC, e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+  QUALIFY rank <= 10
+),
+sb AS (
+  SELECT qid AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 6)
+                      DESC, e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+  QUALIFY rank <= 10
+),
+u AS (SELECT * FROM sa UNION ALL SELECT * FROM sb),
+f AS (
+  SELECT query_id, neighbor_id,
+         round(sum(1.0 / (60 + rank)), 6) AS rrf
+  FROM u GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rrf,
+       CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank
+FROM f QUALIFY rank <= 5
+"""
+
+
 def q_sq_topk(spark, sf_dir):
     """int8 scalar-quantized brute cosine top-k
     (similarity.quantize_embeddings + sq_topk): per-vector max-abs
@@ -6982,6 +7062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_rerank": q_sq_rerank,
         "rank_eval": q_rank_eval,
         "hard_negatives": q_hard_negatives,
+        "hybrid_rrf": q_hybrid_rrf,
         "pack_scrub": q_pack_scrub,
         "forget_audit": q_forget_audit,
         # curation surface (round 3): decontamination, repetition
@@ -7136,6 +7217,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_rerank": SQL_SQ_RERANK,
         "rank_eval": SQL_RANK_EVAL,
         "hard_negatives": _SQL_HARD_NEGATIVES,
+        "hybrid_rrf": _SQL_HYBRID_RRF,
         "pack_scrub": _sql_pack_scrub(),
         "forget_audit": _sql_forget_audit(),
         "decontam": SQL_DECONTAM,

@@ -28,6 +28,8 @@ an engine that silently drops empty result lists inflates its means.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -125,3 +127,51 @@ def ranking_metrics(
             6,
         ).alias("ndcg"),
     )
+
+
+def rrf_fuse(
+    results: Sequence[DataFrame],
+    k: int = 60,
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N
+    retrieval systems' ranked lists → one hybrid ranking per query.
+
+    Each input is ``(query_id, neighbor_id, rank)`` (rank 1-based, as
+    every retrieval op here emits). ``rrf(d) = Σ_systems 1/(k +
+    rank_s(d))`` — documents missing from a system's list simply
+    contribute nothing, which is the whole point of RRF: no score
+    calibration across systems (BM25 logits vs cosine vs quantized
+    dots fuse without normalization). Scores round to 6 dp before the
+    final ranking (ties → ascending neighbor_id) so the fused order is
+    engine-exact.
+
+    Shape: unionByName of the bounded per-query lists (each already
+    ≤ top-k per system) → one hash-agg on (query_id, neighbor_id) →
+    per-query rank window. Every stage is keyed by query id; input
+    volume is |Q|·k·systems, independent of corpus size — fusion is a
+    post-retrieval operator and never touches the corpus.
+    """
+    if not results:
+        raise ValueError("need at least one result list")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = ["query_id", "neighbor_id", "rank"]
+    u = results[0].select(*cols)
+    for r in results[1:]:
+        u = u.unionByName(r.select(*cols))
+    fused = (
+        u.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))), 6
+            ).alias("rrf")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if topn is not None:
+        out = out.filter(F.col("rank") <= topn)
+    return out.select("query_id", "neighbor_id", "rrf", "rank")

@@ -75,3 +75,42 @@ def test_perfect_ranking_is_one(spark):
     assert r["mrr"] == 1.0
     assert r["recall"] == 1.0
     assert r["ndcg"] == 1.0
+
+
+class TestRRFFuse:
+    def test_hand_computed_fusion(self, spark):
+        from med_doi_feature_extraction_spark.operators.ranking_eval import (
+            rrf_fuse,
+        )
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id: long, neighbor_id: long, rank: long",
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2)],
+            "query_id: long, neighbor_id: long, rank: long",
+        )
+        got = {
+            r["neighbor_id"]: r
+            for r in rrf_fuse([a, b], k=60).collect()
+        }
+        # doc 11 in both lists: 1/62 + 1/61; others single-system
+        assert got[11]["rrf"] == round(1 / 62 + 1 / 61, 6)
+        assert got[10]["rrf"] == round(1 / 61, 6)
+        assert got[13]["rrf"] == round(1 / 62, 6)
+        assert got[12]["rrf"] == round(1 / 63, 6)
+        order = sorted(got.values(), key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in order] == [11, 10, 13, 12]
+
+    def test_tie_breaks_by_id_and_topn(self, spark):
+        from med_doi_feature_extraction_spark.operators.ranking_eval import (
+            rrf_fuse,
+        )
+
+        a = spark.createDataFrame(
+            [(1, 20, 1), (1, 21, 1)],  # identical ranks → rrf tie
+            "query_id: long, neighbor_id: long, rank: long",
+        )
+        rows = rrf_fuse([a], k=60, topn=1).collect()
+        assert len(rows) == 1 and rows[0]["neighbor_id"] == 20
