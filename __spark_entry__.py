@@ -677,6 +677,85 @@ FROM s GROUP BY user_id
 """
 
 
+def q_crawl_priority(spark, sf_dir):
+    """Recrawl scheduler composition (operators/crawl.py): Cho-style
+    freshness priority = pagerank authority × (1 − exp(−λ·age)) with
+    λ from the churn features — three operators (change-rate window,
+    3-iteration pagerank, Column-algebra scheduler) in ONE lazy plan,
+    and the oracle retrains ALL of it (churn window + unrolled
+    pagerank + the formula) in DuckDB."""
+    from med_doi_feature_extraction_spark.operators.crawl import (
+        crawl_priority,
+    )
+    from med_doi_feature_extraction_spark.operators.graph import pagerank
+    from med_doi_feature_extraction_spark.operators.windows import (
+        change_rate_features,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    churn = change_rate_features(
+        ev, "user_id", "ts", "event_type", tiebreak=["event_id"]
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 600).alias("dst"),
+    )
+    pr = pagerank(edges, n_iter=3)
+    out = crawl_priority(churn, pr, as_of="2024-02-01", entity="user_id")
+    return out.select("user_id", "change_rate", "authority", "priority")
+
+
+def _sql_crawl_priority() -> str:
+    iters = ",".join(_sql_pagerank_iter(str(i), str(i + 1)) for i in range(3))
+    return f"""
+WITH e AS (
+  SELECT l_orderkey % 500 AS src, l_partkey % 600 AS dst FROM lineitem
+),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+),
+deg AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes, nn),
+{iters},
+o AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER w AS pc,
+         lag(ts) OVER w AS pts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN pts IS NULL THEN false
+              ELSE NOT (event_type IS NOT DISTINCT FROM pc) END AS chg,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(pts)) AS BIGINT) AS gap
+  FROM o
+),
+cr AS (
+  SELECT user_id,
+         CASE WHEN count(*) > 1
+              THEN round(sum(CASE WHEN chg THEN 1.0 ELSE 0.0 END)
+                         / (count(*) - 1), 6) END AS change_rate,
+         round(avg(gap), 6) AS mean_gap_sec,
+         max(CASE WHEN chg THEN ts END) AS last_change_ts
+  FROM s GROUP BY user_id
+)
+SELECT cr.user_id,
+       cr.change_rate,
+       coalesce(r3.pr, CAST(0 AS DOUBLE)) AS authority,
+       round(coalesce(r3.pr, CAST(0 AS DOUBLE))
+             * (1 - exp(-(cr.change_rate / cr.mean_gap_sec)
+                        * (CAST(floor(epoch(TIMESTAMP '2024-02-01')) AS BIGINT)
+                           - CAST(floor(epoch(cr.last_change_ts)) AS BIGINT)))),
+             6) AS priority
+FROM cr LEFT JOIN r3 ON r3.node = cr.user_id
+"""
+
+
 def q_robust_outliers(spark, sf_dir):
     """Robust per-group outlier gate (feateng.robust_outliers):
     modified z-score 0.6745·(x−median)/MAD per event type — the
@@ -6965,6 +7044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "robust_outliers": q_robust_outliers,
         "change_rate": q_change_rate,
+        "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
         "render_template": q_render_template,
@@ -7130,6 +7210,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": SQL_WINSORIZE,
         "robust_outliers": SQL_ROBUST_OUTLIERS,
         "change_rate": SQL_CHANGE_RATE,
+        "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,
         "render_template": SQL_RENDER_TEMPLATE,

@@ -113,7 +113,8 @@ def main() -> None:
         # r4 ninth-session additions (clustering + mining + robust gates)
         "kmeans", "kmeans_balance", "semantic_decontam",
         "hard_negatives", "robust_outliers", "phash_pairs", "change_rate",
-        "audio_pairs",
+        "audio_pairs", "hybrid_rrf", "tpch_q3", "quality_topfrac",
+        "crawl_priority",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
