@@ -6321,6 +6321,59 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_score_prop(spark, sf_dir):
+    """Label-propagation quality smoothing (graph.score_propagation):
+    2 rounds of s' = 0.5·anchor + 0.5·in-neighbor mean over a
+    lineitem-derived edge graph, anchors = doc length scores. The
+    noisy per-page quality signal averaged with its link
+    neighborhood — same join shape as pagerank; oracle unrolls the
+    identical rounds."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        score_propagation,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    scores = docs.select(
+        F.col("doc_id").alias("node"),
+        F.round(F.col("n_chars") / 1000.0, 6).alias("score"),
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    )
+    return score_propagation(scores, edges, n_iter=2, alpha=0.5)
+
+
+def _sql_score_prop() -> str:
+    def it(prev: str, cur: str) -> str:
+        return f"""
+n{cur} AS (
+  SELECT e.dst AS node, avg(s.score) AS nbr
+  FROM e JOIN s{prev} s ON e.src = s.node GROUP BY e.dst
+),
+s{cur} AS (
+  SELECT a.node,
+         0.5 * a.s0 + 0.5 * coalesce(n.nbr, s.score) AS score
+  FROM anchor a
+  JOIN s{prev} s USING (node)
+  LEFT JOIN n{cur} n USING (node)
+)"""
+
+    iters = ",".join(it(str(i), str(i + 1)) for i in range(2))
+    return f"""
+WITH e AS (
+  SELECT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem
+),
+anchor AS (
+  SELECT doc_id AS node, round(n_chars / 1000.0, 6) AS s0 FROM documents
+),
+s0 AS (SELECT node, s0 AS score FROM anchor),
+{iters}
+SELECT node, round(score, 6) AS score FROM s2
+"""
+
+
 def _sql_pagerank_iter(prev: str, cur: str) -> str:
     return f"""
 c{cur} AS (
@@ -7108,6 +7161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
+        "score_prop": q_score_prop,
         "kmeans": q_kmeans,
         "kmeans_balance": q_kmeans_balance,
         "semantic_dedup": q_semantic_dedup,
@@ -7264,6 +7318,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": SQL_SKEW_JOIN,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "pagerank": _sql_pagerank(),
+        "score_prop": _sql_score_prop(),
         "kmeans": _sql_kmeans(),
         "kmeans_balance": _sql_kmeans_balance(),
         "semantic_dedup": _sql_semantic_dedup(),

@@ -148,3 +148,64 @@ def degree_join(
         .join(in_d, node_col, "left")
         .fillna(0, subset=["out_deg", "in_deg"])
     )
+
+
+def score_propagation(
+    scores: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    alpha: float = 0.5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Semi-supervised score smoothing over the link graph (label
+    propagation): per iteration::
+
+        s'(v) = (1−α)·s0(v) + α·mean_{u→v} s(u)
+
+    where ``s0`` is the node's own (anchor) score and the mean runs
+    over in-neighbors; nodes with no in-edges keep their current score
+    in the α term (coalesce) so isolation never decays an anchor. The
+    quality-gate use: a page's classifier score is noisy, its
+    neighborhood's average is less so — FineWeb-Edu-style smoothing of
+    per-page quality with host/link structure, built from the same
+    join shape as :func:`pagerank` (one edges⋈scores shuffle join +
+    one dst-keyed hash-agg per iteration, lineage truncated per
+    round). Fixed ``n_iter`` and ra single final round-6 keep it
+    CTE-unrollable by an oracle. (Intermediate values are NOT rounded:
+    rounding each iteration parks half the degree-2 nodes exactly on
+    the 5e-7 rounding grid — the mean of two 6-dp values — where
+    engine round() implementations may disagree; full-precision
+    intermediates keep the float noise ~1e-16, far inside the final
+    6-dp gate. Found by the contract harness, kept as a warning.)
+
+    Input ``scores``: (node, score). Output: (node, score) after
+    ``n_iter`` rounds — same schema, composable.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cur = scores.select("node", F.col("score").cast("double").alias("score"))
+    anchor = cur.select("node", F.col("score").alias("_s0"))
+    for _ in range(n_iter):
+        nbr = (
+            e.join(cur, e.src == cur.node)
+            .groupBy("dst")
+            .agg(F.avg("score").alias("_nbr"))
+        )
+        cur = (
+            anchor.join(cur, "node")
+            .join(nbr, anchor.node == nbr.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - alpha) * F.col("_s0")
+                    + F.lit(alpha)
+                    * F.coalesce(F.col("_nbr"), F.col("score"))
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur.select("node", F.round("score", 6).alias("score"))

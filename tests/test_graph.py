@@ -81,3 +81,40 @@ def test_graph_nodes_and_degree_join(spark, edges_df):
 def test_pagerank_rejects_zero_iterations(spark, edges_df):
     with pytest.raises(ValueError):
         pagerank(edges_df, n_iter=0)
+
+
+class TestScorePropagation:
+    def test_hand_computed_two_rounds(self, spark):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            score_propagation,
+        )
+
+        scores = spark.createDataFrame(
+            [(1, 0.0), (2, 1.0), (3, 0.4)], "node: long, score: double"
+        )
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 1)], "src: long, dst: long"
+        )  # node 1 hears from 2 and 3; 2 and 3 are isolated anchors
+        out = {
+            r["node"]: r["score"]
+            for r in score_propagation(
+                scores, edges, n_iter=2, alpha=0.5
+            ).collect()
+        }
+        # round 1: s(1) = 0.5*0 + 0.5*avg(1.0, 0.4) = 0.35
+        #          s(2) = 0.5*1 + 0.5*1 = 1.0 (no in-edges: keeps own)
+        # round 2: s(1) = 0.5*0 + 0.5*avg(1.0, 0.4) = 0.35 (anchors fixed)
+        assert out[1] == 0.35
+        assert out[2] == 1.0 and out[3] == 0.4
+
+    def test_isolated_node_never_decays(self, spark):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            score_propagation,
+        )
+
+        scores = spark.createDataFrame(
+            [(7, 0.9)], "node: long, score: double"
+        )
+        edges = spark.createDataFrame([], "src: long, dst: long")
+        out = score_propagation(scores, edges, n_iter=3).collect()
+        assert out[0]["score"] == 0.9
