@@ -2729,6 +2729,62 @@ FROM documents d LEFT JOIN lab l USING (doc_id)
 """
 
 
+def q_dedup_aware_split(spark, sf_dir):
+    """Leakage-safe eval split DOWN TO NEAR-DUPS: minhash pairs →
+    connected components → GroupKFold on the CLUSTER id, so
+    near-identical documents can never straddle train/eval (id- or
+    domain-keyed splits leak paraphrased copies). Composition of
+    three oracle-checked operators; DuckDB re-resolves the CC closure
+    and recomputes the portable fold hash."""
+    base = _dedup_base()
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+    pairs.select("id_a", "id_b").write.mode("overwrite").parquet(
+        f"{base}/split_pairs.parquet"
+    )
+    labeled = dedup.dedup_decisions(
+        docs, "doc_id", spark.read.parquet(f"{base}/split_pairs.parquet")
+    )
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        group_kfold,
+    )
+
+    folds = group_kfold(
+        labeled, F.col("cluster_id").cast("string"), k=5, salt="split"
+    )
+    return folds.select("doc_id", "cluster_id", "fold")
+
+
+def _sql_dedup_aware_split() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_kfold_sql,
+    )
+
+    base = _dedup_base()
+    fold = oracle_kfold_sql("CAST(cluster_id AS VARCHAR)", 5, "split")
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT id_a AS a, id_b AS b
+  FROM read_parquet('{base}/split_pairs.parquet/*.parquet')
+  UNION
+  SELECT id_b, id_a FROM read_parquet('{base}/split_pairs.parquet/*.parquet')
+),
+reach(s, d) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d
+),
+lab AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+),
+c AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l USING (doc_id)
+)
+SELECT doc_id, cluster_id, {fold} AS fold FROM c
+"""
+
+
 def q_fuzzy_join(spark, sf_dir):
     """Fuzzy self-join of customer names at levenshtein <= 1 via
     symmetric-deletion blocking (exact: max_bucket=None), verified
@@ -7144,6 +7200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_decisions": q_dedup_decisions,
+        "dedup_aware_split": q_dedup_aware_split,
         "incremental_neardup": q_incremental_neardup,
         "containment": q_containment,
         "containment_exact": q_containment_exact,
@@ -7306,6 +7363,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _sql_ivf_topk(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_decisions": _sql_dedup_decisions(),
+        "dedup_aware_split": _sql_dedup_aware_split(),
         "incremental_neardup": _sql_incremental_neardup(),
         "containment": _sql_containment(),
         "containment_exact": SQL_CONTAINMENT_EXACT,

@@ -95,3 +95,32 @@ def test_group_kfold_rejects_k1(spark):
     df = spark.createDataFrame([(1, "a")], "id long, dom string")
     with pytest.raises(ValueError):
         group_kfold(df, "dom", k=1)
+
+
+def test_dedup_aware_split_keeps_near_dups_together(spark):
+    """Composition pin: cluster members (near-dups via CC) always land
+    in the same fold — the split can't leak a paraphrase across
+    train/eval."""
+    from med_doi_feature_extraction_spark.operators.dedup import (
+        dedup_decisions,
+    )
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        group_kfold,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id: long"
+    )
+    # two clusters: {0,1,2} (chained) and {10,11}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a: long, id_b: long"
+    )
+    labeled = dedup_decisions(docs, "doc_id", pairs)
+    folds = group_kfold(
+        labeled, F.col("cluster_id").cast("string"), k=3, salt="split"
+    )
+    got = {r["doc_id"]: r["fold"] for r in folds.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11]
+    assert set(got.values()) == {0, 1, 2}  # all folds used over 30 docs
