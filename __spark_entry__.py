@@ -802,6 +802,58 @@ FROM d JOIN md USING (event_type)
 """
 
 
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency audit (profile.fd_violations): customers
+    whose orders carry more than one distinct priority — the
+    data-contract check ("url determines domain"-shaped) as one
+    hash-agg with capped sorted-prefix example values."""
+    from med_doi_feature_extraction_spark.operators.profile import (
+        fd_violations,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    return fd_violations(orders, "o_custkey", "o_orderpriority", sample=3)
+
+
+SQL_FD_CHECK = """
+SELECT o_custkey,
+       count(*) AS n_rows,
+       count(DISTINCT o_orderpriority) AS n_values,
+       array_to_string(
+         list_sort(list(DISTINCT CAST(o_orderpriority AS VARCHAR)))[1:3],
+         ',') AS examples
+FROM orders
+GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority) > 1
+"""
+
+
+def q_fk_check(spark, sf_dir):
+    """Referential-integrity audit (profile.fk_orphans): order rows
+    whose customer key is missing from a (deliberately thinned)
+    customer dim — per-key orphan counts via key-only left-anti."""
+    from med_doi_feature_extraction_spark.operators.profile import (
+        fk_orphans,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    dim = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    )
+    return fk_orphans(orders, dim, "o_custkey", "c_custkey")
+
+
+SQL_FK_CHECK = """
+SELECT o_custkey, count(*) AS n_orphans
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey
+)
+GROUP BY o_custkey
+"""
+
+
 def q_skip_limit(spark, sf_dir):
     """S3: deterministic offset/limit under a total order."""
     ev = _read(spark, sf_dir, "events").select("event_id", "ts", "event_type")
@@ -7245,6 +7297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_runs": q_scd2_runs,
         "calendar": q_calendar,
         "profile_table": q_profile_table,
+        "fd_check": q_fd_check,
+        "fk_check": q_fk_check,
         "salted_distinct": q_salted_distinct,
         "warc_roundtrip": q_warc_roundtrip,
         "nb_classify": q_nb_classify,
@@ -7403,6 +7457,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_runs": SQL_SCD2_RUNS,
         "calendar": SQL_CALENDAR,
         "profile_table": SQL_PROFILE_TABLE,
+        "fd_check": SQL_FD_CHECK,
+        "fk_check": SQL_FK_CHECK,
         "salted_distinct": SQL_SALTED_DISTINCT,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "nb_classify": _sql_nb_classify(),

@@ -124,3 +124,56 @@ def profile(
         F.col("n_distinct").cast("long").alias("n_distinct"),
         "min_num", "max_num", "mean", "min_len", "max_len", "avg_len",
     )
+
+
+def fd_violations(
+    df: DataFrame, lhs: list[str] | str, rhs: str, sample: int = 3
+) -> DataFrame:
+    """Functional-dependency audit: report every LHS key whose rows
+    carry MORE than one distinct ``rhs`` value — the data-contract
+    check behind "url determines registrable domain", "doi determines
+    title", "(url, warc_ts) determines content hash". Returns
+    ``(lhs..., n_rows, n_values, examples)`` for violating keys only
+    (empty result == dependency holds).
+
+    One hash-agg on the LHS (partial agg absorbs hot keys);
+    ``examples`` is a deterministic sorted prefix of ``sample``
+    distinct offending values (same capped-sorted-prefix convention as
+    decontam attribution), so the report is bounded however hot the
+    key and stays oracle-reproducible."""
+    keys = [lhs] if isinstance(lhs, str) else list(lhs)
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col(rhs)).alias("n_values"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_set(F.col(rhs).cast("string"))),
+                    1,
+                    sample,
+                ),
+                ",",
+            ).alias("examples"),
+        )
+        .filter(F.col("n_values") > 1)
+    )
+
+
+def fk_orphans(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Referential-integrity audit: fact rows whose key has NO match
+    in the dimension (orphaned foreign keys), aggregated per missing
+    key → ``(fact_key, n_orphans)``. Left-anti join — AQE broadcasts
+    the dim key set when it fits, else a key-only shuffle (the fact
+    side projects to the single key column before moving). NULL fact
+    keys are reported under NULL (they can never match; a contract
+    that allows them filters first)."""
+    dim_keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    return (
+        fact.select(fact_key)
+        .join(dim_keys, fact_key, "left_anti")
+        .groupBy(fact_key)
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )

@@ -73,3 +73,41 @@ def test_profile_single_scan_plan(spark, small):
     # exact path trades one Expand for exact distincts, still one scan
     plan_exact = profile(small, approx=False)._jdf.queryExecution().executedPlan().toString()
     assert plan_exact.count("Scan") <= 1
+
+
+class TestDataContracts:
+    def test_fd_violations_hand_case(self, spark):
+        from med_doi_feature_extraction_spark.operators.profile import (
+            fd_violations,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("u1", "a"), ("u1", "a"),           # holds
+                ("u2", "a"), ("u2", "b"), ("u2", "c"), ("u2", "d"),
+                ("u3", None), ("u3", "x"),          # null + value
+            ],
+            "k: string, v: string",
+        )
+        got = {r["k"]: r for r in fd_violations(df, "k", "v", sample=2).collect()}
+        assert "u1" not in got
+        u2 = got["u2"]
+        assert u2["n_rows"] == 4 and u2["n_values"] == 4
+        assert u2["examples"] == "a,b"  # sorted prefix, capped at 2
+        # countDistinct ignores NULL: u3 has 1 distinct value → holds
+        assert "u3" not in got
+
+    def test_fk_orphans_nulls_and_counts(self, spark):
+        from med_doi_feature_extraction_spark.operators.profile import (
+            fk_orphans,
+        )
+
+        fact = spark.createDataFrame(
+            [(1,), (1,), (2,), (99,), (None,)], "fk: long"
+        )
+        dim = spark.createDataFrame([(1,), (2,)], "pk: long")
+        got = {
+            r["fk"]: r["n_orphans"]
+            for r in fk_orphans(fact, dim, "fk", "pk").collect()
+        }
+        assert got == {99: 1, None: 1}
