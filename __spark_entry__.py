@@ -4535,6 +4535,45 @@ FROM t WHERE len(token) > 0 GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_trending(spark, sf_dir):
+    """Token burst detection (corpus_stats.trending_tokens): per
+    (bucket, token) df vs the token's trailing-3-bucket mean;
+    deterministic synthetic day = doc_id % 7. Lift divides the
+    UNROUNDED trailing mean (round-6 on output only)."""
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        trending_tokens,
+    )
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "day", F.col("doc_id") % 7
+    )
+    return trending_tokens(docs, "text", "day", trail=3, min_count=3)
+
+
+SQL_TRENDING = r"""
+WITH t AS (
+  SELECT doc_id % 7 AS bucket,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+           AS token
+  FROM documents
+),
+c AS (
+  SELECT bucket, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM t WHERE len(token) > 0 GROUP BY bucket, token
+),
+w AS (
+  SELECT bucket, token, cnt,
+         avg(cnt) OVER (PARTITION BY token ORDER BY bucket
+                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ta
+  FROM c
+)
+SELECT bucket, token, cnt,
+       round(ta, 6) AS trail_avg,
+       round(cnt / (ta + 1.0), 6) AS lift
+FROM w WHERE cnt >= 3
+"""
+
+
 def q_postings(spark, sf_dir):
     """Capped inverted index (cap=7 smallest doc ids per token,
     4 salts): deterministic cap semantics make the salted two-stage
@@ -7337,6 +7376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "anchor_stats": q_anchor_stats,
         "token_df": q_token_df,
+        "trending": q_trending,
         "postings": q_postings,
         "tfidf_topk": q_tfidf_topk,
         "pii": q_pii,
@@ -7495,6 +7535,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": _sql_extract_links(),
         "anchor_stats": _sql_anchor_stats(),
         "token_df": SQL_TOKEN_DF,
+        "trending": SQL_TRENDING,
         "postings": SQL_POSTINGS,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "pii": _sql_pii(),

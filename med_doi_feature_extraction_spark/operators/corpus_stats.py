@@ -297,3 +297,55 @@ def bm25_score(
             F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("bm25"),
         )
     )
+
+
+def trending_tokens(
+    df: DataFrame,
+    text_col: str,
+    bucket_col: str,
+    trail: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Burst / trend detection over time buckets: per ``(bucket,
+    token)`` document frequency vs the token's trailing mean over its
+    previous ``trail`` OBSERVED buckets → ``lift = cnt/(trail_avg+1)``
+    (the +1 damps tiny-history explosions; a token with no history at
+    all keeps NULL trail/lift — "new", not "bursting", and the caller
+    decides which matters). The corpus-monitoring twin of
+    ``lm.vocab_shift``: shift compares two whole snapshots, this
+    ranks WHERE and WHEN the drift concentrates.
+
+    Shape: one explode → (bucket, token) hash-agg (partial agg
+    absorbs Zipf heat exactly like ``document_frequency``), then a
+    rows-frame window partitioned by token — buckets per token are
+    unique post-agg, so the frame is well-defined; the window input
+    is the aggregated (buckets × vocab) table, not the corpus.
+    Trailing frame = previous observed buckets, NOT calendar-adjacent
+    ones (a token absent from a bucket contributes no zero row —
+    densify upstream with ``operators.resample`` if gaps must count).
+
+    Floats: lift/trail_avg round-6 on OUTPUT only; the lift divides
+    the unrounded trailing mean (the score_propagation lesson —
+    rounding intermediates parks results on the rounding grid).
+    """
+    from med_doi_feature_extraction_spark.operators.dedup import tokens_col
+
+    toks = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("bucket", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("token")
+        .orderBy("bucket")
+        .rowsBetween(-trail, -1)
+    )
+    ta = F.avg("cnt").over(w)
+    return (
+        counts.withColumn("trail_avg", F.round(ta, 6))
+        .withColumn("lift", F.round(F.col("cnt") / (ta + F.lit(1.0)), 6))
+        .filter(F.col("cnt") >= min_count)
+        .select("bucket", "token", "cnt", "trail_avg", "lift")
+    )

@@ -58,3 +58,34 @@ def test_bm25_known_stats_matches_computed(spark):
         docs, "doc_id", "text", ["a", "b"], n_docs=4, avgdl=2.0
     ).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, fixed))
+
+
+class TestTrendingTokens:
+    def test_hand_computed_lift(self, spark):
+        from med_doi_feature_extraction_spark.operators.corpus_stats import (
+            trending_tokens,
+        )
+
+        # token "hot" df per bucket: b0=2, b1=2, b2=2, b3=8 (burst)
+        rows = []
+        did = 0
+        for b, n in [(0, 2), (1, 2), (2, 2), (3, 8)]:
+            for _ in range(n):
+                rows.append((did, b, "hot word")); did += 1
+        # token "flat": 3 per bucket
+        for b in range(4):
+            for _ in range(3):
+                rows.append((did, b, "flat filler")); did += 1
+        df = spark.createDataFrame(rows, "doc_id: long, day: long, text: string")
+        got = {
+            (r["bucket"], r["token"]): r
+            for r in trending_tokens(df, "text", "day", trail=3, min_count=2).collect()
+        }
+        burst = got[(3, "hot")]
+        assert burst["cnt"] == 8 and burst["trail_avg"] == 2.0
+        assert burst["lift"] == round(8 / 3.0, 6)
+        flat = got[(3, "flat")]
+        assert flat["lift"] == round(3 / 4.0, 6)
+        # first bucket: no history → NULL trail/lift ("new", not burst)
+        assert got[(0, "hot")]["trail_avg"] is None
+        assert got[(0, "hot")]["lift"] is None
