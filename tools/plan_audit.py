@@ -128,6 +128,17 @@ def main() -> None:
          "ONE hash-partitioning exchange on the group key."),
         ("change_rate", "lag window and churn agg keyed identically "
          "— a single entity exchange end-to-end."),
+        ("hybrid_rrf", "fusion input is |Q|·k·systems rows: union → "
+         "one (query,doc) hash-agg → per-query window; the corpus "
+         "appears only inside the two bounded retrieval subplans."),
+        ("score_prop", "per-iteration edges⋈scores join + dst-keyed "
+         "agg (pagerank's shape); anchors re-join on the node key."),
+        ("trending", "explode → (bucket,token) hash-agg; the trailing "
+         "window runs over the aggregated vocab table, not the "
+         "corpus."),
+        ("crawl_priority", "two slim per-entity inputs joined "
+         "broadcast-style; all corpus-sized work happened inside the "
+         "churn/authority subplans."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
