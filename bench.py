@@ -114,7 +114,7 @@ def main() -> None:
         "kmeans", "kmeans_balance", "semantic_decontam",
         "hard_negatives", "robust_outliers", "phash_pairs", "change_rate",
         "audio_pairs", "hybrid_rrf", "tpch_q3", "quality_topfrac",
-        "crawl_priority",
+        "crawl_priority", "score_prop", "trending", "fd_check", "fk_check",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
