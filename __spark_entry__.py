@@ -677,6 +677,127 @@ FROM s GROUP BY user_id
 """
 
 
+def _snapshot_fixture(spark, sf_dir):
+    """Deterministic multi-snapshot corpus for the drift operators:
+    3 snapshots per document; snapshot k keeps the first
+    ``max(1, n − k·⌊n/4⌋)`` whitespace tokens — graded shrinkage so
+    consecutive-snapshot similarity varies with document length.
+    Mirrored verbatim by the ``snap`` CTE in the oracles."""
+    docs = _read(spark, sf_dir, "documents")
+    ks = spark.range(3).select(F.col("id").cast("int").alias("k"))
+    toks = F.split(F.col("text"), r"\s+")
+    keep = F.greatest(
+        F.lit(1),
+        F.size(toks)
+        - F.col("k") * F.floor(F.size(toks) / 4).cast("int"),
+    )
+    return docs.crossJoin(F.broadcast(ks)).select(
+        F.col("doc_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_dt_interval(k)"
+        ).alias("ts"),
+        F.array_join(F.slice(toks, 1, keep), " ").alias("text"),
+    )
+
+
+_SQL_SNAPSHOT_FIXTURE = r"""
+base AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+),
+snap AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 1 DAY AS ts,
+         array_to_string(
+           list_slice(toks, 1,
+             greatest(1, len(toks)
+                         - k * CAST(floor(len(toks) / 4) AS INT))),
+           ' ') AS text
+  FROM base CROSS JOIN range(3) t(k)
+),
+tok AS (
+  SELECT doc_id, ts,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
+  FROM snap
+),
+lagd AS (
+  SELECT doc_id, ts, tk,
+         lag(tk) OVER (PARTITION BY doc_id ORDER BY ts) AS pk
+  FROM tok
+),
+d AS (
+  SELECT doc_id, ts,
+         CAST(len(list_intersect(pk, tk)) AS DOUBLE)
+           / (len(pk) + len(tk) - len(list_intersect(pk, tk))) AS j
+  FROM lagd
+)
+"""
+
+
+def q_snapshot_drift(spark, sf_dir):
+    """Consecutive-snapshot content-drift magnitude per entity
+    (windows.snapshot_drift) — the graded companion to change_rate:
+    token-set Jaccard vs the PREVIOUS snapshot only (zero temporal
+    leakage), NULL for history heads. Tokenize once at scan, lag the
+    token array across the single entity exchange, Jaccard via
+    array_intersect algebra — no UDF."""
+    from med_doi_feature_extraction_spark.operators.windows import (
+        snapshot_drift,
+    )
+
+    snap = _snapshot_fixture(spark, sf_dir)
+    return snapshot_drift(snap, "doc_id", "ts", "text")
+
+
+SQL_SNAPSHOT_DRIFT = (
+    "WITH " + _SQL_SNAPSHOT_FIXTURE + """
+SELECT doc_id, ts,
+       round(j, 6) AS jaccard_prev,
+       round(1.0 - j, 6) AS drift
+FROM d
+"""
+)
+
+
+def q_drift_summary(spark, sf_dir):
+    """Per-entity drift rollup (windows.drift_summary): mean/max drift
+    over the snapshot history plus the ts of the largest rewrite
+    (argmax on the 6-dp-rounded drift, earliest-ts tiebreak so both
+    engines pick the same snapshot). Window + argmax window + hash-agg
+    all share one entity exchange."""
+    from med_doi_feature_extraction_spark.operators.windows import (
+        drift_summary,
+    )
+
+    snap = _snapshot_fixture(spark, sf_dir)
+    return drift_summary(snap, "doc_id", "ts", "text")
+
+
+SQL_DRIFT_SUMMARY = (
+    "WITH " + _SQL_SNAPSHOT_FIXTURE + """,
+dd AS (SELECT doc_id, ts, 1.0 - j AS d, round(1.0 - j, 6) AS d6
+       FROM d WHERE j IS NOT NULL),
+agg AS (
+  SELECT doc_id, count(*) AS n_snapshots,
+         round(avg(d), 6) AS mean_drift,
+         round(max(d), 6) AS max_drift
+  FROM (SELECT doc_id, 1.0 - j AS d FROM d)
+  GROUP BY doc_id
+),
+arg AS (
+  SELECT doc_id, ts AS max_drift_ts FROM (
+    SELECT doc_id, ts,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY d6 DESC, ts) AS rn
+    FROM dd
+  ) WHERE rn = 1
+)
+SELECT agg.doc_id, agg.n_snapshots, agg.mean_drift, agg.max_drift,
+       arg.max_drift_ts
+FROM agg LEFT JOIN arg USING (doc_id)
+"""
+)
+
+
 def q_crawl_priority(spark, sf_dir):
     """Recrawl scheduler composition (operators/crawl.py): Cho-style
     freshness priority = pagerank authority × (1 − exp(−λ·age)) with
@@ -7244,6 +7365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "robust_outliers": q_robust_outliers,
         "change_rate": q_change_rate,
+        "snapshot_drift": q_snapshot_drift,
+        "drift_summary": q_drift_summary,
         "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
@@ -7415,6 +7538,8 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": SQL_WINSORIZE,
         "robust_outliers": SQL_ROBUST_OUTLIERS,
         "change_rate": SQL_CHANGE_RATE,
+        "snapshot_drift": SQL_SNAPSHOT_DRIFT,
+        "drift_summary": SQL_DRIFT_SUMMARY,
         "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,

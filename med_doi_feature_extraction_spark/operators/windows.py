@@ -199,6 +199,113 @@ def dedupe_latest(
     )
 
 
+def _tokens_col(text: str) -> Column:
+    """Whitespace token SET of lower(trim(text)) — the engine-portable
+    tokenization shared with dedup.jaccard oracles (DuckDB twin:
+    ``list_distinct(string_split_regex(lower(trim(x)), '\\s+'))``)."""
+    return F.array_distinct(F.split(F.lower(F.trim(F.col(text))), r"\s+"))
+
+
+def snapshot_drift(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    text: str,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-snapshot content-drift MAGNITUDE vs the previous snapshot of
+    the same entity — the graded companion of ``change_rate_features``
+    (which only detects *whether* content changed, reference scores
+    records in isolation: ``/root/reference/src/services/
+    quality_service.py`` has no cross-snapshot signal at all).
+
+    Output per input row: ``(entity, ts, jaccard_prev, drift)`` where
+    ``jaccard_prev`` is the whitespace-token-set Jaccard similarity to
+    the entity's previous snapshot (NULL for the first snapshot — the
+    NULL-vs-0 discipline: "no previous" is undefined, not "completely
+    different") and ``drift = 1 − jaccard`` (both rounded to 6 dp from
+    the same unrounded value — outputs only, never intermediates).
+
+    Temporal contract: row at ``ts`` depends only on the snapshot
+    strictly before ``ts`` — zero leakage by construction.
+
+    Scale: tokenize ONCE per row at scan stage (JVM codegen), then a
+    single ``lag`` moves the token ARRAY across the one entity
+    exchange; Jaccard is ``array_intersect``/``size`` algebra — no
+    UDF, no second pass over the text. Hot entities are bounded by
+    snapshots-per-url exactly like every window here.
+    """
+    w = entity_window(entity, ts, tiebreak)
+    toks = _tokens_col(text)
+    staged = df.select(
+        F.col(entity), F.col(ts), toks.alias("_toks"),
+        *[F.col(c) for c in (tiebreak or [])],
+    )
+    prev = F.lag(F.col("_toks")).over(w)
+    inter = F.size(F.array_intersect(prev, F.col("_toks")))
+    union = F.size(prev) + F.size(F.col("_toks")) - inter
+    j = inter.cast("double") / union
+    return staged.select(
+        F.col(entity),
+        F.col(ts),
+        F.round(j, 6).alias("jaccard_prev"),
+        F.round(F.lit(1.0) - j, 6).alias("drift"),
+    )
+
+
+def drift_summary(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    text: str,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-entity drift rollup over the full snapshot history: how MUCH
+    does this url's content move per recrawl, and when was the biggest
+    rewrite — the magnitude signal a recrawl scheduler pairs with
+    ``change_rate_features``' cadence signal (see crawl.crawl_priority).
+
+    Columns: ``n_snapshots``, ``mean_drift`` / ``max_drift`` (round 6;
+    NULL for singleton histories), ``max_drift_ts`` — the ts of the
+    largest drift, ties broken toward the EARLIEST ts under the
+    6-dp-rounded drift so both engines pick the same snapshot.
+
+    Scale: the drift window, the argmax window and the hash-agg are
+    all keyed on the entity — one exchange shared by all three
+    (windows sort once; AQE handles hot hosts).
+    """
+    w = entity_window(entity, ts, tiebreak)
+    toks = _tokens_col(text)
+    staged = df.select(
+        F.col(entity), F.col(ts), toks.alias("_toks"),
+        *[F.col(c) for c in (tiebreak or [])],
+    )
+    prev = F.lag(F.col("_toks")).over(w)
+    inter = F.size(F.array_intersect(prev, F.col("_toks")))
+    union = F.size(prev) + F.size(F.col("_toks")) - inter
+    drift = F.lit(1.0) - inter.cast("double") / union
+    rows = staged.select(
+        F.col(entity), F.col(ts), drift.alias("_d"),
+        F.round(drift, 6).alias("_d6"),
+        *[F.col(c) for c in (tiebreak or [])],
+    )
+    agg = rows.groupBy(entity).agg(
+        F.count(F.lit(1)).alias("n_snapshots"),
+        F.round(F.avg("_d"), 6).alias("mean_drift"),
+        F.round(F.max("_d"), 6).alias("max_drift"),
+    )
+    aw = Window.partitionBy(entity).orderBy(
+        F.col("_d6").desc(), *_order_cols(ts, tiebreak)
+    )
+    arg = (
+        rows.where(F.col("_d").isNotNull())
+        .withColumn("_rn", F.row_number().over(aw))
+        .where(F.col("_rn") == 1)
+        .select(F.col(entity), F.col(ts).alias("max_drift_ts"))
+    )
+    return agg.join(arg, entity, "left")
+
+
 def change_rate_features(
     df: DataFrame,
     entity: str,

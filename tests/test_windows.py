@@ -228,3 +228,71 @@ class TestChangeRateFeatures:
         c = out["C"]
         assert c["n_changes"] == 1 and c["change_rate"] == 0.5
         assert str(c["last_change_ts"]) == "2024-01-01 00:02:00"
+
+
+class TestSnapshotDrift:
+    def _df(self, spark):
+        rows = [
+            # url A: {a b c d} → {a b c} (j=3/4) → {x y} (j=0)
+            ("A", "2024-01-01 00:00:00", "a b c d"),
+            ("A", "2024-01-02 00:00:00", "a  B c"),   # ws+case normalize
+            ("A", "2024-01-03 00:00:00", "x y"),
+            # url B: singleton → NULL head only
+            ("B", "2024-01-01 00:00:00", "solo"),
+            # url C: two equal-drift rewrites → argmax tie → EARLIEST ts
+            ("C", "2024-01-01 00:00:00", "a"),
+            ("C", "2024-01-02 00:00:00", "b"),
+            ("C", "2024-01-03 00:00:00", "c"),
+        ]
+        return spark.createDataFrame(
+            rows, "url: string, ts: string, text: string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_per_row_hand_computed(self, spark):
+        from med_doi_feature_extraction_spark.operators.windows import (
+            snapshot_drift,
+        )
+
+        out = {
+            (r["url"], str(r["ts"])): (r["jaccard_prev"], r["drift"])
+            for r in snapshot_drift(self._df(spark), "url", "ts", "text").collect()
+        }
+        assert out[("A", "2024-01-01 00:00:00")] == (None, None)
+        assert out[("A", "2024-01-02 00:00:00")] == (0.75, 0.25)
+        assert out[("A", "2024-01-03 00:00:00")] == (0.0, 1.0)
+        assert out[("B", "2024-01-01 00:00:00")] == (None, None)
+        assert out[("C", "2024-01-02 00:00:00")] == (0.0, 1.0)
+
+    def test_summary_hand_computed(self, spark):
+        from med_doi_feature_extraction_spark.operators.windows import (
+            drift_summary,
+        )
+
+        out = {
+            r["url"]: r
+            for r in drift_summary(self._df(spark), "url", "ts", "text").collect()
+        }
+        a = out["A"]
+        assert a["n_snapshots"] == 3
+        assert a["mean_drift"] == 0.625 and a["max_drift"] == 1.0
+        assert str(a["max_drift_ts"]) == "2024-01-03 00:00:00"
+        b = out["B"]
+        assert b["n_snapshots"] == 1
+        assert b["mean_drift"] is None and b["max_drift"] is None
+        assert b["max_drift_ts"] is None
+        # tie on max drift → earliest rewrite wins in both engines
+        assert str(out["C"]["max_drift_ts"]) == "2024-01-02 00:00:00"
+
+    def test_leakage_deletion_invariance(self, spark):
+        """Dropping FUTURE snapshots never changes a past row's drift."""
+        from med_doi_feature_extraction_spark.operators.windows import (
+            snapshot_drift,
+        )
+
+        df = self._df(spark)
+        full = snapshot_drift(df, "url", "ts", "text")
+        cut = F.to_timestamp(F.lit("2024-01-02 12:00:00"))
+        trunc = snapshot_drift(df.where(F.col("ts") <= cut), "url", "ts", "text")
+        f = sorted(map(tuple, full.where(F.col("ts") <= cut).collect()))
+        t = sorted(map(tuple, trunc.collect()))
+        assert f == t
