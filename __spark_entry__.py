@@ -798,6 +798,108 @@ FROM agg LEFT JOIN arg USING (doc_id)
 )
 
 
+def _funnel_stages():
+    """Ordered gate cascade for the funnel contract queries — lazy
+    Spark Column builders (oracle_sql() runs without a live
+    SparkContext) and their verbatim DuckDB twins (same order; first
+    failure wins the attribution)."""
+    return [
+        ("min_chars", lambda: F.col("n_chars") >= 120,
+         "n_chars >= 120"),
+        ("lang_latin",
+         lambda: F.col("lang").isin("en", "es", "de", "fr"),
+         "lang IN ('en','es','de','fr')"),
+        ("min_words",
+         lambda: F.size(F.split(F.col("text"), r"\s+")) >= 60,
+         r"len(string_split_regex(text, '\s+')) >= 60"),
+        ("max_chars", lambda: F.col("n_chars") <= 500,
+         "n_chars <= 500"),
+    ]
+
+
+def _sql_funnel_ff() -> str:
+    whens = "\n       ".join(
+        f"WHEN NOT coalesce({sql}, false) THEN '{name}'"
+        for name, _, sql in _funnel_stages()
+    )
+    return f"""
+ff AS (
+  SELECT doc_id,
+         CASE {whens} END AS first_failed
+  FROM documents
+)
+"""
+
+
+def q_funnel_audit(spark, sf_dir):
+    """Per-doc filter-funnel attribution (operators/funnel.py): which
+    gate dropped each document — first-match CASE over the ordered
+    cascade, every predicate evaluated in ONE codegen scan, NULL
+    predicate = fail. Reference applies gates record-at-a-time
+    (src/services/quality_service.py); this is the corpus view."""
+    from med_doi_feature_extraction_spark.operators.funnel import (
+        funnel_audit,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    stages = [(n, mk()) for n, mk, _ in _funnel_stages()]
+    return funnel_audit(docs, stages).select(
+        "doc_id", "first_failed", "kept"
+    )
+
+
+SQL_FUNNEL_AUDIT = (
+    "WITH " + _sql_funnel_ff() + """
+SELECT doc_id, first_failed, first_failed IS NULL AS kept FROM ff
+"""
+)
+
+
+def q_funnel_summary(spark, sf_dir):
+    """Per-stage funnel table (funnel.funnel_summary): entering /
+    dropped / surviving per gate in cascade order — ONE corpus
+    hash-agg on first_failed (≤ n_stages+1 groups, map-side partial
+    absorbs everything); join + cumsum window run on the tiny
+    aggregated frame."""
+    from med_doi_feature_extraction_spark.operators.funnel import (
+        funnel_summary,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    stages = [(n, mk()) for n, mk, _ in _funnel_stages()]
+    return funnel_summary(docs, stages)
+
+
+def _sql_funnel_summary() -> str:
+    vals = ",".join(
+        f"({i}, '{name}')"
+        for i, (name, _, _) in enumerate(_funnel_stages())
+    )
+    return (
+        "WITH " + _sql_funnel_ff() + f""",
+c AS (SELECT first_failed, count(*) AS n FROM ff GROUP BY first_failed),
+s AS (SELECT * FROM (VALUES {vals}) v(stage_idx, stage)),
+j AS (
+  SELECT s.stage_idx, s.stage, coalesce(c.n, 0) AS dropped
+  FROM s LEFT JOIN c ON c.first_failed = s.stage
+),
+t AS (SELECT coalesce(sum(n), 0) AS total FROM c),
+cum AS (
+  SELECT stage_idx, stage, dropped,
+         coalesce(sum(dropped) OVER (ORDER BY stage_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM j
+)
+SELECT cum.stage_idx, cum.stage,
+       t.total - cum.before AS entering,
+       cum.dropped,
+       t.total - cum.before - cum.dropped AS surviving
+FROM cum, t
+"""
+    )
+
+
 def q_crawl_priority(spark, sf_dir):
     """Recrawl scheduler composition (operators/crawl.py): Cho-style
     freshness priority = pagerank authority × (1 − exp(−λ·age)) with
@@ -7367,6 +7469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": q_change_rate,
         "snapshot_drift": q_snapshot_drift,
         "drift_summary": q_drift_summary,
+        "funnel_audit": q_funnel_audit,
+        "funnel_summary": q_funnel_summary,
         "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
@@ -7540,6 +7644,8 @@ def oracle_sql() -> dict[str, str]:
         "change_rate": SQL_CHANGE_RATE,
         "snapshot_drift": SQL_SNAPSHOT_DRIFT,
         "drift_summary": SQL_DRIFT_SUMMARY,
+        "funnel_audit": SQL_FUNNEL_AUDIT,
+        "funnel_summary": _sql_funnel_summary(),
         "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,

@@ -116,7 +116,8 @@ def main() -> None:
         "audio_pairs", "hybrid_rrf", "tpch_q3", "quality_topfrac",
         "crawl_priority", "score_prop", "trending", "fd_check", "fk_check",
         # r4 tenth-session additions (snapshot-history feature surface)
-        "snapshot_drift", "drift_summary",
+        "snapshot_drift", "drift_summary", "funnel_audit",
+        "funnel_summary",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
