@@ -900,6 +900,62 @@ FROM cum, t
     )
 
 
+def q_pmi(spark, sf_dir):
+    """Collocation extraction (corpus_stats.pmi_collocations): top-k
+    bigrams by pointwise mutual information — two explode→hash-agg
+    passes (Zipf heat absorbed map-side), 1-row totals broadcast, the
+    min_count-pruned bigram table joins the vocab table twice, bounded
+    TakeOrderedAndProject under (round(pmi,6) DESC, gram) total
+    order. Oracle recomputes every count and the identical ln()
+    expression shape."""
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        pmi_collocations,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5, k=100)
+
+
+SQL_PMI = r"""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM toks)
+  WHERE len(w) > 0 GROUP BY w
+),
+big AS (
+  SELECT gram,
+         string_split(gram, ' ')[1] AS w1,
+         string_split(gram, ' ')[2] AS w2,
+         count(*) AS c_ab
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+             i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))
+           AS gram
+    FROM toks
+  )
+  WHERE len(string_split(gram, ' ')[1]) > 0
+    AND len(string_split(gram, ' ')[2]) > 0
+  GROUP BY 1, 2, 3
+),
+t1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM uni),
+t2 AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n2 FROM big)
+SELECT b.gram, b.c_ab, a.c AS c_a, bb.c AS c_b,
+       round(ln((CAST(b.c_ab AS DOUBLE) * t1.n1 * t1.n1)
+                / (t2.n2 * CAST(a.c AS DOUBLE)
+                   * CAST(bb.c AS DOUBLE))), 6) AS pmi
+FROM big b
+JOIN uni a ON a.w = b.w1
+JOIN uni bb ON bb.w = b.w2
+CROSS JOIN t1 CROSS JOIN t2
+WHERE b.c_ab >= 5
+ORDER BY pmi DESC, gram ASC
+LIMIT 100
+"""
+
+
 def q_crawl_priority(spark, sf_dir):
     """Recrawl scheduler composition (operators/crawl.py): Cho-style
     freshness priority = pagerank authority × (1 − exp(−λ·age)) with
@@ -7471,6 +7527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_summary": q_drift_summary,
         "funnel_audit": q_funnel_audit,
         "funnel_summary": q_funnel_summary,
+        "pmi": q_pmi,
         "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
@@ -7646,6 +7703,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_summary": SQL_DRIFT_SUMMARY,
         "funnel_audit": SQL_FUNNEL_AUDIT,
         "funnel_summary": _sql_funnel_summary(),
+        "pmi": SQL_PMI,
         "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,

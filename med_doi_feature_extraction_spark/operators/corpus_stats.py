@@ -349,3 +349,86 @@ def trending_tokens(
         .filter(F.col("cnt") >= min_count)
         .select("bucket", "token", "cnt", "trail_avg", "lift")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Collocation extraction: top-k word bigrams by pointwise mutual
+    information — ``pmi(a,b) = ln( P(ab) / (P(a)·P(b)) )`` with
+    occurrence-frequency estimates ``P(ab)=c_ab/N2``, ``P(w)=c_w/N1``
+    (Church & Hanks 1990). The vocabulary-building companion of
+    ``document_frequency``: high-PMI bigrams are the multi-word units
+    a tokenizer/phrase-merger should treat as one symbol.
+
+    Shape at 10^12 docs: two explode→hash-agg passes (unigram and
+    bigram occurrence counts — Zipf heat absorbed map-side exactly
+    like ``document_frequency``), two 1-row totals broadcast by
+    crossJoin, then the surviving (``c_ab ≥ min_count``) bigram table
+    joins the unigram table twice on its two words — vocabulary-sized
+    build sides, AQE broadcast-converts when they fit, ``min_count``
+    prunes the probe side hard (Zipf: most bigrams are rare). Final
+    top-k is a bounded TakeOrderedAndProject under the total order
+    ``(round(pmi,6) DESC, gram ASC)`` — deterministic across engines.
+
+    Floats: the PMI ln() runs on full-precision counts in ONE
+    expression shape shared verbatim with the DuckDB oracle
+    (``ln(c_ab·N1·N1 / (N2·c_a·c_b))``), rounded 6 dp on output only.
+    Empty tokens (blank docs) are filtered from both unigram and
+    bigram streams, mirrored in the oracle.
+    """
+    from med_doi_feature_extraction_spark.operators.dedup import (
+        ngrams_all_col,
+    )
+
+    uni = (
+        df.select(F.explode(ngrams_all_col(text_col, 1)).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    parts = F.split(F.col("gram"), " ")
+    big = (
+        df.select(F.explode(ngrams_all_col(text_col, 2)).alias("gram"))
+        .select(
+            "gram",
+            F.element_at(parts, 1).alias("w1"),
+            F.element_at(parts, 2).alias("w2"),
+        )
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("gram", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n1 = uni.agg(F.sum("c").cast("double").alias("_n1"))
+    n2 = big.agg(F.sum("c_ab").cast("double").alias("_n2"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        big.where(F.col("c_ab") >= min_count)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.col("_n1") * F.col("_n1"))
+        / (
+            F.col("_n2")
+            * F.col("c_a").cast("double")
+            * F.col("c_b").cast("double")
+        )
+    )
+    return (
+        scored.select(
+            "gram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("gram").asc())
+        .limit(k)
+    )

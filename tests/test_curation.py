@@ -647,3 +647,49 @@ def test_corpus_card_exact_rates(spark):
     assert en["enc_clean_rate"] == 1.0
     assert de["enc_clean_rate"] == 0.0  # replacement char
     assert en["n_tokens"] == en["mean_doc_tokens"] * 3
+
+
+class TestPmiCollocations:
+    def test_hand_computed(self, spark):
+        import math
+
+        from med_doi_feature_extraction_spark.operators.corpus_stats import (
+            pmi_collocations,
+        )
+
+        # unigrams a:3 b:2 c:1 (N1=6); bigrams "a b":2 "a c":1 (N2=3)
+        docs = spark.createDataFrame(
+            [("a b",), ("a b",), ("a c",)], "text: string"
+        )
+        rows = pmi_collocations(docs, "text", min_count=1, k=10).collect()
+        # both grams: pmi = ln(4); tie → gram ASC order
+        assert [r["gram"] for r in rows] == ["a b", "a c"]
+        ab, ac = rows
+        assert (ab["c_ab"], ab["c_a"], ab["c_b"]) == (2, 3, 2)
+        assert (ac["c_ab"], ac["c_a"], ac["c_b"]) == (1, 3, 1)
+        want = round(math.log(4.0), 6)
+        assert ab["pmi"] == want and ac["pmi"] == want
+
+    def test_min_count_prunes(self, spark):
+        from med_doi_feature_extraction_spark.operators.corpus_stats import (
+            pmi_collocations,
+        )
+
+        docs = spark.createDataFrame(
+            [("a b",), ("a b",), ("a c",)], "text: string"
+        )
+        rows = pmi_collocations(docs, "text", min_count=2, k=10).collect()
+        assert [r["gram"] for r in rows] == ["a b"]
+
+    def test_blank_docs_ignored(self, spark):
+        from med_doi_feature_extraction_spark.operators.corpus_stats import (
+            pmi_collocations,
+        )
+
+        docs = spark.createDataFrame(
+            [("a b",), ("a b",), ("   ",), ("",)], "text: string"
+        )
+        rows = pmi_collocations(docs, "text", min_count=1, k=10).collect()
+        assert [r["gram"] for r in rows] == ["a b"]
+        # blank docs contribute nothing: counts as if absent
+        assert rows[0]["c_a"] == 2 and rows[0]["c_ab"] == 2
