@@ -956,6 +956,73 @@ LIMIT 100
 """
 
 
+def q_feature_matrix(spark, sf_dir):
+    """Point-in-time training-matrix assembly (asof.feature_matrix):
+    THREE feature tables attached to the purchase-event label spine in
+    ONE union + ONE entity window (vs 3 as-of joins = 4 exchanges);
+    per-feature backward as-of with zero leakage. Feature tables are
+    aggregated to unique (entity, ts) first (max/min per ts), mirrored
+    in the oracle's lateral subqueries."""
+    from med_doi_feature_extraction_spark.operators.asof import (
+        feature_matrix,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def feat(etype, agg):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id", "ts")
+            .agg(agg(F.col("value")).alias("v"))
+        )
+
+    feats = {
+        "err_value": (feat("error", F.max), "ts", "v"),
+        "click_value": (feat("click", F.max), "ts", "v"),
+        "signup_value": (feat("signup", F.min), "ts", "v"),
+    }
+    out = feature_matrix(labels, feats, "user_id", "ts")
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        "err_value", "click_value", "signup_value",
+    )
+
+
+SQL_FEATURE_MATRIX = """
+WITH err AS (
+  SELECT user_id, ts, max(value) AS v FROM events
+  WHERE event_type = 'error' GROUP BY user_id, ts
+),
+clk AS (
+  SELECT user_id, ts, max(value) AS v FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts
+),
+sgn AS (
+  SELECT user_id, ts, min(value) AS v FROM events
+  WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT e.user_id, e.event_id, e.ts, e.value,
+       a.v AS err_value, b.v AS click_value, c.v AS signup_value
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT v FROM err WHERE err.user_id = e.user_id AND err.ts <= e.ts
+  ORDER BY err.ts DESC LIMIT 1
+) a ON true
+LEFT JOIN LATERAL (
+  SELECT v FROM clk WHERE clk.user_id = e.user_id AND clk.ts <= e.ts
+  ORDER BY clk.ts DESC LIMIT 1
+) b ON true
+LEFT JOIN LATERAL (
+  SELECT v FROM sgn WHERE sgn.user_id = e.user_id AND sgn.ts <= e.ts
+  ORDER BY sgn.ts DESC LIMIT 1
+) c ON true
+WHERE e.event_type = 'purchase'
+"""
+
+
 def q_crawl_priority(spark, sf_dir):
     """Recrawl scheduler composition (operators/crawl.py): Cho-style
     freshness priority = pagerank authority × (1 − exp(−λ·age)) with
@@ -7528,6 +7595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_audit": q_funnel_audit,
         "funnel_summary": q_funnel_summary,
         "pmi": q_pmi,
+        "feature_matrix": q_feature_matrix,
         "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
@@ -7704,6 +7772,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_audit": SQL_FUNNEL_AUDIT,
         "funnel_summary": _sql_funnel_summary(),
         "pmi": SQL_PMI,
+        "feature_matrix": SQL_FEATURE_MATRIX,
         "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,

@@ -357,3 +357,93 @@ def asof_join_sorted(
 
     result = both.groupBy(*group_keys).applyInPandas(merge_bucket, schema=out_schema)
     return result
+
+
+def feature_matrix(
+    labels: DataFrame,
+    features: "dict[str, tuple[DataFrame, str, str]]",
+    on: str,
+    label_ts: str,
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """Point-in-time training-matrix assembly: attach N feature tables
+    to a label spine in ONE union + ONE entity window — the
+    feature-store pattern built on the union-and-window as-of engine.
+
+    ``features`` maps output column name → ``(df, ts_col, value_col)``;
+    each label row ``(entity, label_ts)`` gets, per feature, the value
+    of that feature's latest row with ``ts <= label_ts`` (backward
+    as-of, exact matches allowed), NULL when none exists — zero
+    temporal leakage by construction, the same contract as
+    ``asof_join_window``. ``tolerance_sec`` bounds staleness per
+    feature (a match older than ``label_ts − tolerance`` reverts to
+    NULL), compared on fractional-second doubles like the single-table
+    build.
+
+    Why not N ``asof_join_window`` calls: each call shuffles the spine
+    on the entity key again — N feature tables cost N+1 exchanges and
+    N sorts of the (large) label spine. Here every feature table is
+    tagged into ONE union, so the whole matrix costs a single exchange
+    on ``on`` and a single sort of ``(_ts, _side)``, with one
+    ``last(ignorenulls)`` per feature running over the same sorted
+    partition — the per-feature cost is a column, not a shuffle.
+
+    Each feature rides its OWN struct column (null on rows of other
+    sources), so features with different dtypes coexist and a feature
+    row whose value is legitimately NULL still wins its as-of match
+    (the struct is non-null — same rule as the single-table build).
+
+    Ties: rows of the SAME feature at equal ``(on, ts)`` are not
+    disambiguated here — pre-dedupe with ``windows.dedupe_latest``
+    (the contract fixture aggregates to unique (entity, ts) first).
+    Feature rows always sort BEFORE label rows at equal ts (side
+    0 < 1) so an observation stamped exactly at ``label_ts`` is
+    visible.
+    """
+    if not features:
+        raise ValueError("feature_matrix needs at least one feature")
+    l = labels.withColumn("_ts", F.col(label_ts)).withColumn(
+        "_side", F.lit(1)
+    )
+    unioned = l
+    for name, (fdf, ts_col, val_col) in features.items():
+        fields = [F.col(val_col).alias("v")]
+        if tolerance_sec is not None:
+            fields.append(
+                F.col(ts_col).cast("double").alias("__match_ts")
+            )
+        r = fdf.select(
+            F.col(on),
+            F.col(ts_col).alias("_ts"),
+            F.lit(0).alias("_side"),
+            F.struct(*fields).alias(f"_f_{name}"),
+        )
+        unioned = unioned.unionByName(r, allowMissingColumns=True)
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    for name in features:
+        out = out.withColumn(
+            f"_m_{name}",
+            F.last(f"_f_{name}", ignorenulls=True).over(wb),
+        )
+    keep = {}
+    for name in features:
+        m = F.col(f"_m_{name}")
+        if tolerance_sec is None:
+            keep[name] = m["v"]
+        else:
+            fresh = (
+                F.col("_ts").cast("double") - m["__match_ts"]
+            ) <= F.lit(float(tolerance_sec))
+            keep[name] = F.when(fresh, m["v"])
+    out = out.filter(F.col("_side") == 1).withColumns(keep)
+    drop = (
+        ["_ts", "_side"]
+        + [f"_f_{n}" for n in features]
+        + [f"_m_{n}" for n in features]
+    )
+    return out.drop(*drop)

@@ -238,3 +238,125 @@ def test_asof_forward_exact_match_inclusive(spark):
     )
     assert got.v.iloc[0] == "x"
     assert pd.isna(got.v.iloc[1])
+
+
+class TestFeatureMatrix:
+    def _inputs(self, spark):
+        labels = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00"),
+                (1, "2024-01-01 12:00:00"),
+                (2, "2024-01-01 10:00:00"),
+            ],
+            "uid: long, ts: string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        fa = spark.createDataFrame(
+            [
+                (1, "2024-01-01 09:00:00", 10.0),
+                (1, "2024-01-01 12:00:00", 20.0),  # exact-ts visible
+                (2, "2024-01-01 11:00:00", 30.0),  # future for 2@10:00
+            ],
+            "uid: long, ts: string, v: double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        fb = spark.createDataFrame(
+            [(1, "2024-01-01 09:30:00", 7.0)],
+            "uid: long, ts: string, v: double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        return labels, fa, fb
+
+    def test_hand_computed(self, spark):
+        from med_doi_feature_extraction_spark.operators.asof import (
+            feature_matrix,
+        )
+
+        labels, fa, fb = self._inputs(spark)
+        out = feature_matrix(
+            labels,
+            {"a": (fa, "ts", "v"), "b": (fb, "ts", "v")},
+            "uid",
+            "ts",
+        )
+        got = {
+            (r["uid"], str(r["ts"])): (r["a"], r["b"])
+            for r in out.collect()
+        }
+        assert got[(1, "2024-01-01 10:00:00")] == (10.0, 7.0)
+        assert got[(1, "2024-01-01 12:00:00")] == (20.0, 7.0)
+        assert got[(2, "2024-01-01 10:00:00")] == (None, None)
+
+    def test_tolerance(self, spark):
+        from med_doi_feature_extraction_spark.operators.asof import (
+            feature_matrix,
+        )
+
+        labels, fa, fb = self._inputs(spark)
+        out = feature_matrix(
+            labels,
+            {"a": (fa, "ts", "v"), "b": (fb, "ts", "v")},
+            "uid",
+            "ts",
+            tolerance_sec=1800,
+        )
+        got = {
+            (r["uid"], str(r["ts"])): (r["a"], r["b"])
+            for r in out.collect()
+        }
+        # a@09:00 is 3600s stale for 10:00 → NULL; b@09:30 is exactly
+        # 1800s → fresh (<=). exact-ts match always fresh.
+        assert got[(1, "2024-01-01 10:00:00")] == (None, 7.0)
+        assert got[(1, "2024-01-01 12:00:00")] == (20.0, None)
+
+    def test_matches_n_single_asof_joins(self, spark):
+        """Matrix == composing asof_join_window once per feature."""
+        from med_doi_feature_extraction_spark.operators.asof import (
+            asof_join_window,
+            feature_matrix,
+        )
+
+        ev = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        )
+        labels = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        feats = {}
+        for nm, et in [("ev_err", "error"), ("ev_clk", "click")]:
+            feats[nm] = (
+                ev.where(F.col("event_type") == et)
+                .groupBy("user_id", "ts")
+                .agg(F.max("value").alias("v")),
+                "ts",
+                "v",
+            )
+        mat = feature_matrix(labels, feats, "user_id", "ts")
+        ref = labels
+        for nm, (fdf, tsc, vc) in feats.items():
+            ref = asof_join_window(
+                ref,
+                fdf.withColumnRenamed(vc, nm),
+                "user_id",
+                "ts",
+                tsc,
+                [nm],
+            )
+        key = ["user_id", "event_id", "ts", "ev_err", "ev_clk"]
+        a = sorted(map(tuple, mat.select(*key).collect()))
+        b = sorted(map(tuple, ref.select(*key).collect()))
+        assert a == b
+
+    def test_single_exchange(self, spark):
+        """N features cost ONE shuffle of the spine, not N+1."""
+        from med_doi_feature_extraction_spark.operators.asof import (
+            feature_matrix,
+        )
+
+        labels, fa, fb = self._inputs(spark)
+        out = feature_matrix(
+            labels,
+            {"a": (fa, "ts", "v"), "b": (fb, "ts", "v")},
+            "uid",
+            "ts",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        assert n_shuffles == 1, plan
