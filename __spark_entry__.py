@@ -1023,6 +1023,86 @@ WHERE e.event_type = 'purchase'
 """
 
 
+_CDC_FOOTER = " standard legal footer for crawl pages "
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup profile (operators/cdc.py): the
+    Gear-rolling-hash kernel materializes the chunk table (doc_id,
+    chunk_idx, offset, length, chunk_hash) to the seam; the oracle
+    RECOMPUTES every chunk hash from (offset, length) + the source
+    text via substring+sha256 — only boundary positions come from the
+    kernel, identity and all downstream stats are independently
+    verified (corpus is ASCII, so char offsets == byte offsets).
+    Fixture plants a per-source repeated footer so cross-doc chunk
+    sharing is real; `covered` pins exact byte coverage."""
+    from med_doi_feature_extraction_spark.operators.cdc import (
+        cdc_dup_stats,
+        with_cdc_chunks,
+    )
+
+    base = "/tmp/spark_graft_cdc_v1"
+    docs = _read(spark, sf_dir, "documents")
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.repeat(F.concat(F.col("source"), F.lit(_CDC_FOOTER)), 8),
+        ).alias("payload"),
+    )
+    chunks = with_cdc_chunks(
+        fixture, "doc_id", "payload", 64, 256, 1024
+    )
+    chunks.write.mode("overwrite").parquet(f"{base}/chunks.parquet")
+    seam = spark.read.parquet(f"{base}/chunks.parquet")
+    stats = cdc_dup_stats(seam, "doc_id")
+    plen = fixture.select(
+        "doc_id", F.length("payload").cast("long").alias("_plen")
+    )
+    return stats.join(plen, "doc_id").select(
+        "doc_id", "n_chunks", "total_bytes", "dup_chunks",
+        "dup_bytes", "dup_frac",
+        (F.col("total_bytes") == F.col("_plen")).alias("covered"),
+    )
+
+
+def _sql_cdc_dedup() -> str:
+    base = "/tmp/spark_graft_cdc_v1"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' ' || repeat(source || '{_CDC_FOOTER}', 8) AS payload
+  FROM documents
+),
+c AS (
+  SELECT s.doc_id, s.offset, s.length,
+         substr(sha256(substring(p.payload,
+                CAST(s.offset AS BIGINT) + 1, s.length)), 1, 16)
+           AS chunk_hash
+  FROM read_parquet('{base}/chunks.parquet/*.parquet') s
+  JOIN p USING (doc_id)
+),
+d AS (
+  SELECT chunk_hash, count(DISTINCT doc_id) AS docs
+  FROM c GROUP BY chunk_hash
+)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       sum(c.length) AS total_bytes,
+       sum(CASE WHEN d.docs > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+       sum(CASE WHEN d.docs > 1 THEN c.length ELSE 0 END) AS dup_bytes,
+       round(CAST(sum(CASE WHEN d.docs > 1 THEN c.length ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum(c.length) AS DOUBLE), 6) AS dup_frac,
+       sum(c.length) = max(length(p2.payload)) AS covered
+FROM c
+JOIN d USING (chunk_hash)
+JOIN p p2 ON p2.doc_id = c.doc_id
+GROUP BY c.doc_id
+"""
+
+
 def q_crawl_priority(spark, sf_dir):
     """Recrawl scheduler composition (operators/crawl.py): Cho-style
     freshness priority = pagerank authority × (1 − exp(−λ·age)) with
@@ -7596,6 +7676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_summary": q_funnel_summary,
         "pmi": q_pmi,
         "feature_matrix": q_feature_matrix,
+        "cdc_dedup": q_cdc_dedup,
         "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
@@ -7773,6 +7854,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_summary": _sql_funnel_summary(),
         "pmi": SQL_PMI,
         "feature_matrix": SQL_FEATURE_MATRIX,
+        "cdc_dedup": _sql_cdc_dedup(),
         "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,
