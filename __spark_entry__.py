@@ -6894,6 +6894,59 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (graph.hits): 2 sequential iterations
+    (hub update sees the NEW authority) with L2 normalization via
+    1-row broadcast aggregates, over the same lineitem-derived edge
+    table as pagerank. The oracle unrolls the identical iterations as
+    CTEs — the whole power method is recomputed in DuckDB."""
+    from med_doi_feature_extraction_spark.operators.graph import hits
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 600).alias("dst"),
+    )
+    return hits(edges, n_iter=2)
+
+
+def _sql_hits_half(prev: str, cur: str, frm: str, to: str) -> str:
+    return f"""
+{cur}r AS (
+  SELECT nd.node, coalesce(s.s, CAST(0 AS DOUBLE)) AS v
+  FROM nodes nd LEFT JOIN (
+    SELECT e.{to} AS node, sum(p.v) AS s
+    FROM e JOIN {prev} p ON p.node = e.{frm} GROUP BY e.{to}
+  ) s ON s.node = nd.node
+),
+{cur}n AS (SELECT greatest(sqrt(sum(v * v)), 1e-12) AS nn FROM {cur}r),
+{cur} AS (SELECT node, v / nn AS v FROM {cur}r, {cur}n)"""
+
+
+def _sql_hits() -> str:
+    halves = []
+    prev_h = "h0"
+    last_a = last_h = None
+    for i in range(1, 3):
+        halves.append(_sql_hits_half(prev_h, f"a{i}", "src", "dst"))
+        halves.append(_sql_hits_half(f"a{i}", f"h{i}", "dst", "src"))
+        prev_h, last_a, last_h = f"h{i}", f"a{i}", f"h{i}"
+    body = ",".join(halves)
+    return f"""
+WITH e AS (
+  SELECT l_orderkey % 500 AS src, l_partkey % 600 AS dst FROM lineitem
+),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+),
+h0 AS (SELECT node, CAST(1 AS DOUBLE) AS v FROM nodes),
+{body}
+SELECT a.node, round(a.v, 6) AS authority, round(h.v, 6) AS hub
+FROM {last_a} a JOIN {last_h} h USING (node)
+"""
+
+
 def q_score_prop(spark, sf_dir):
     """Label-propagation quality smoothing (graph.score_propagation):
     2 rounds of s' = 0.5·anchor + 0.5·in-neighbor mean over a
@@ -7677,6 +7730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi": q_pmi,
         "feature_matrix": q_feature_matrix,
         "cdc_dedup": q_cdc_dedup,
+        "hits": q_hits,
         "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
@@ -7855,6 +7909,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi": SQL_PMI,
         "feature_matrix": SQL_FEATURE_MATRIX,
         "cdc_dedup": _sql_cdc_dedup(),
+        "hits": _sql_hits(),
         "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,

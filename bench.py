@@ -117,7 +117,7 @@ def main() -> None:
         "crawl_priority", "score_prop", "trending", "fd_check", "fk_check",
         # r4 tenth-session additions (snapshot-history feature surface)
         "snapshot_drift", "drift_summary", "funnel_audit",
-        "funnel_summary", "pmi", "feature_matrix", "cdc_dedup",
+        "funnel_summary", "pmi", "feature_matrix", "cdc_dedup", "hits",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

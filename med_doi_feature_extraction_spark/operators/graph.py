@@ -209,3 +209,71 @@ def score_propagation(
             .localCheckpoint(eager=False)
         )
     return cur.select("node", F.round("score", 6).alias("score"))
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) → ``(node, authority,
+    hub)``, both L2-normalized, rounded 6 dp on output only.
+
+    The directional complement of ``pagerank`` for crawl-frontier
+    scoring: authorities are pages many hubs point AT (fetch these),
+    hubs are pages that point at many good authorities (mine these
+    for outlinks) — PageRank's single score can't separate the two
+    roles. Update per iteration (hub uses the NEW authority, the
+    standard sequential form)::
+
+        auth'(v) = Σ_{u→v} hub(u)      then L2-normalize
+        hub'(u)  = Σ_{u→v} auth'(v)    then L2-normalize
+
+    Plan shape mirrors ``pagerank``: each half-step is one edge⋈score
+    join + one hash-agg on the receiving endpoint; the L2 norm is a
+    1-row aggregate broadcast back (no driver collect); per-iteration
+    lineage truncated with localCheckpoint. Fixed ``n_iter`` keeps
+    the job graph static and the result engine-portable — the oracle
+    unrolls the same iterations as CTEs. Parallel edges weight
+    contributions (a repeated link counts twice), like ``pagerank``.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = graph_nodes(e).localCheckpoint(eager=False)
+    floor = F.lit(1e-12)
+
+    def _half(scores: DataFrame, frm: str, to: str) -> DataFrame:
+        summed = (
+            e.join(scores, e[frm] == scores.node)
+            .groupBy(to)
+            .agg(F.sum("v").alias("_s"))
+        )
+        raw = nodes.join(
+            summed, nodes.node == summed[to], "left"
+        ).select("node", F.coalesce(F.col("_s"), F.lit(0.0)).alias("v"))
+        norm = raw.agg(
+            F.greatest(F.sqrt(F.sum(F.col("v") * F.col("v"))), floor)
+            .alias("_n")
+        )
+        return (
+            raw.crossJoin(F.broadcast(norm))
+            .select("node", (F.col("v") / F.col("_n")).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+
+    hubs = nodes.select("node", F.lit(1.0).alias("v"))
+    auth = None
+    for _ in range(n_iter):
+        auth = _half(hubs, "src", "dst")
+        hubs = _half(auth, "dst", "src")
+    return (
+        auth.select("node", F.round("v", 6).alias("authority"))
+        .join(
+            hubs.select("node", F.round("v", 6).alias("hub")), "node"
+        )
+    )

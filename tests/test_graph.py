@@ -118,3 +118,46 @@ class TestScorePropagation:
         edges = spark.createDataFrame([], "src: long, dst: long")
         out = score_propagation(scores, edges, n_iter=3).collect()
         assert out[0]["score"] == 0.9
+
+
+class TestHits:
+    def test_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+
+        from med_doi_feature_extraction_spark.operators.graph import hits
+
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (0, 2)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        got = {
+            r["node"]: (r["authority"], r["hub"])
+            for r in hits(df, n_iter=4).collect()
+        }
+        nodes = sorted({n for e in edges for n in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for s, d in edges:
+            A[idx[s], idx[d]] += 1.0  # parallel edges weight
+        h = np.ones(len(nodes))
+        for _ in range(4):
+            a = A.T @ h
+            a /= max(np.linalg.norm(a), 1e-12)
+            h = A @ a
+            h /= max(np.linalg.norm(h), 1e-12)
+        for n in nodes:
+            assert abs(got[n][0] - a[idx[n]]) < 1e-6, n
+            assert abs(got[n][1] - h[idx[n]]) < 1e-6, n
+
+    def test_roles_separate(self, spark):
+        """A pure hub (only outlinks) has hub>0, authority 0; a pure
+        authority (only inlinks) the reverse."""
+        from med_doi_feature_extraction_spark.operators.graph import hits
+
+        df = spark.createDataFrame(
+            [(10, 20), (10, 21), (11, 20)], "src: long, dst: long"
+        )
+        got = {
+            r["node"]: (r["authority"], r["hub"])
+            for r in hits(df, n_iter=3).collect()
+        }
+        assert got[10][0] == 0.0 and got[10][1] > 0
+        assert got[20][0] > 0 and got[20][1] == 0.0
