@@ -1023,6 +1023,102 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def q_leakage_audit(spark, sf_dir):
+    """Temporal-leakage audit (asof.leakage_audit) over a matrix with
+    per-feature match-ts provenance (feature_matrix emit_match_ts):
+    one feature's provenance is deliberately pushed 2 h into the
+    future on every 5th label row, so the audit reports REAL nonzero
+    leak counts and worst lead seconds; the clean features report 0.
+    One stack unpivot + one hash-agg — a single scan audits all
+    features."""
+    from med_doi_feature_extraction_spark.operators.asof import (
+        feature_matrix,
+        leakage_audit,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+
+    def feat(etype, agg):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id", "ts")
+            .agg(agg(F.col("value")).alias("v"))
+        )
+
+    feats = {
+        "err_value": (feat("error", F.max), "ts", "v"),
+        "click_value": (feat("click", F.max), "ts", "v"),
+        "signup_value": (feat("signup", F.min), "ts", "v"),
+    }
+    mat = feature_matrix(
+        labels, feats, "user_id", "ts", emit_match_ts=True
+    )
+    corrupt = F.when(
+        (F.col("event_id") % 5 == 0)
+        & F.col("err_value__ts").isNotNull(),
+        F.col("err_value__ts") + F.expr("INTERVAL 2 HOURS"),
+    ).otherwise(F.col("err_value__ts"))
+    bad = mat.withColumn("err_value__ts", corrupt)
+    return leakage_audit(
+        bad,
+        "ts",
+        ["err_value__ts", "click_value__ts", "signup_value__ts"],
+    )
+
+
+SQL_LEAKAGE_AUDIT = """
+WITH err AS (
+  SELECT user_id, ts, max(value) AS v FROM events
+  WHERE event_type = 'error' GROUP BY user_id, ts
+),
+clk AS (
+  SELECT user_id, ts, max(value) AS v FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts
+),
+sgn AS (
+  SELECT user_id, ts, min(value) AS v FROM events
+  WHERE event_type = 'signup' GROUP BY user_id, ts
+),
+m AS (
+  SELECT e.ts,
+         CASE WHEN e.event_id % 5 = 0 AND a.ts IS NOT NULL
+              THEN a.ts + INTERVAL 2 HOUR ELSE a.ts END AS err_ts,
+         b.ts AS clk_ts, c.ts AS sgn_ts
+  FROM events e
+  LEFT JOIN LATERAL (
+    SELECT ts FROM err WHERE err.user_id = e.user_id AND err.ts <= e.ts
+    ORDER BY ts DESC LIMIT 1
+  ) a ON true
+  LEFT JOIN LATERAL (
+    SELECT ts FROM clk WHERE clk.user_id = e.user_id AND clk.ts <= e.ts
+    ORDER BY ts DESC LIMIT 1
+  ) b ON true
+  LEFT JOIN LATERAL (
+    SELECT ts FROM sgn WHERE sgn.user_id = e.user_id AND sgn.ts <= e.ts
+    ORDER BY ts DESC LIMIT 1
+  ) c ON true
+  WHERE e.event_type = 'purchase'
+),
+u AS (
+  SELECT ts, 'err_value__ts' AS feature, err_ts AS ots FROM m
+  UNION ALL SELECT ts, 'click_value__ts', clk_ts FROM m
+  UNION ALL SELECT ts, 'signup_value__ts', sgn_ts FROM m
+)
+SELECT feature,
+       count(*) AS n_rows,
+       count(ots) AS n_matched,
+       sum(CASE WHEN ots > ts THEN 1 ELSE 0 END) AS n_leaks,
+       max(CASE WHEN ots > ts
+                THEN CAST(floor(epoch(ots)) AS BIGINT)
+                     - CAST(floor(epoch(ts)) AS BIGINT) END)
+         AS max_lead_sec
+FROM u GROUP BY feature
+"""
+
+
 _CDC_FOOTER = " standard legal footer for crawl pages "
 
 
@@ -7731,6 +7827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_matrix": q_feature_matrix,
         "cdc_dedup": q_cdc_dedup,
         "hits": q_hits,
+        "leakage_audit": q_leakage_audit,
         "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
@@ -7910,6 +8007,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_matrix": SQL_FEATURE_MATRIX,
         "cdc_dedup": _sql_cdc_dedup(),
         "hits": _sql_hits(),
+        "leakage_audit": SQL_LEAKAGE_AUDIT,
         "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,

@@ -365,10 +365,17 @@ def feature_matrix(
     on: str,
     label_ts: str,
     tolerance_sec: float | None = None,
+    emit_match_ts: bool = False,
 ) -> DataFrame:
     """Point-in-time training-matrix assembly: attach N feature tables
     to a label spine in ONE union + ONE entity window — the
     feature-store pattern built on the union-and-window as-of engine.
+
+    ``emit_match_ts=True`` adds a ``<name>__ts`` provenance column per
+    feature (the timestamp of the matched observation, NULL when the
+    value is NULL) so downstream audits can PROVE the leakage contract
+    on the materialized matrix (``leakage_audit``) instead of trusting
+    the join.
 
     ``features`` maps output column name → ``(df, ts_col, value_col)``;
     each label row ``(entity, label_ts)`` gets, per feature, the value
@@ -412,6 +419,8 @@ def feature_matrix(
             fields.append(
                 F.col(ts_col).cast("double").alias("__match_ts")
             )
+        if emit_match_ts:
+            fields.append(F.col(ts_col).alias("__obs_ts"))
         r = fdf.select(
             F.col(on),
             F.col(ts_col).alias("_ts"),
@@ -435,11 +444,15 @@ def feature_matrix(
         m = F.col(f"_m_{name}")
         if tolerance_sec is None:
             keep[name] = m["v"]
+            if emit_match_ts:
+                keep[f"{name}__ts"] = m["__obs_ts"]
         else:
             fresh = (
                 F.col("_ts").cast("double") - m["__match_ts"]
             ) <= F.lit(float(tolerance_sec))
             keep[name] = F.when(fresh, m["v"])
+            if emit_match_ts:
+                keep[f"{name}__ts"] = F.when(fresh, m["__obs_ts"])
     out = out.filter(F.col("_side") == 1).withColumns(keep)
     drop = (
         ["_ts", "_side"]
@@ -447,3 +460,47 @@ def feature_matrix(
         + [f"_m_{n}" for n in features]
     )
     return out.drop(*drop)
+
+
+def leakage_audit(
+    matrix: DataFrame,
+    label_ts: str,
+    feature_ts_cols: Sequence[str],
+) -> DataFrame:
+    """Temporal-leakage audit over a MATERIALIZED feature matrix: per
+    provenance column, ``(feature, n_rows, n_matched, n_leaks,
+    max_lead_sec)`` where a leak is an observation timestamp STRICTLY
+    AFTER the label timestamp — the data-contract check that proves
+    the zero-leakage property on the artifact itself (train-time
+    joins drift; the audit runs on what the model actually reads).
+    Pair with ``feature_matrix(..., emit_match_ts=True)``'s
+    ``<name>__ts`` columns, or any feature store's provenance.
+
+    ``n_matched`` counts non-NULL provenance; ``max_lead_sec`` is the
+    worst future-peek in whole seconds (NULL when the feature is
+    clean). One codegen ``stack`` unpivot + one hash-agg on the
+    n_features-ary feature key — a single corpus scan regardless of
+    how many features are audited.
+    """
+    if not feature_ts_cols:
+        raise ValueError("need at least one feature ts column")
+    pairs = ", ".join(f"'{c}', `{c}`" for c in feature_ts_cols)
+    melted = matrix.select(
+        F.col(label_ts).alias("_lts"),
+        F.expr(
+            f"stack({len(feature_ts_cols)}, {pairs}) AS (feature, _ots)"
+        ),
+    )
+    leak = F.col("_ots") > F.col("_lts")
+    # TIMESTAMP_NTZ needs the two-step epoch cast (session TZ pinned
+    # UTC, so the value is preserved — same as windows._epoch_seconds)
+    lead_sec = (
+        F.col("_ots").cast("timestamp").cast("long")
+        - F.col("_lts").cast("timestamp").cast("long")
+    )
+    return melted.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_ots").alias("n_matched"),
+        F.sum(F.when(leak, 1).otherwise(0)).alias("n_leaks"),
+        F.max(F.when(leak, lead_sec)).alias("max_lead_sec"),
+    )

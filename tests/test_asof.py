@@ -360,3 +360,59 @@ class TestFeatureMatrix:
         plan = out._jdf.queryExecution().executedPlan().toString()
         n_shuffles = plan.count("Exchange hashpartitioning")
         assert n_shuffles == 1, plan
+
+
+class TestLeakageAudit:
+    def test_clean_matrix_and_planted_leak(self, spark):
+        from med_doi_feature_extraction_spark.operators.asof import (
+            feature_matrix,
+            leakage_audit,
+        )
+
+        labels = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")],
+            "uid: long, ts: string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        fa = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", 1.0)],
+            "uid: long, ts: string, v: double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        mat = feature_matrix(
+            labels, {"a": (fa, "ts", "v")}, "uid", "ts",
+            emit_match_ts=True,
+        )
+        assert "a__ts" in mat.columns
+        clean = leakage_audit(mat, "ts", ["a__ts"]).collect()[0]
+        assert clean["n_rows"] == 2 and clean["n_matched"] == 2
+        assert clean["n_leaks"] == 0 and clean["max_lead_sec"] is None
+        # plant a 30-min future peek on one row
+        bad = mat.withColumn(
+            "a__ts",
+            F.when(
+                F.col("ts") == F.to_timestamp(
+                    F.lit("2024-01-01 10:00:00")
+                ),
+                F.col("ts") + F.expr("INTERVAL 30 MINUTES"),
+            ).otherwise(F.col("a__ts")),
+        )
+        leaked = leakage_audit(bad, "ts", ["a__ts"]).collect()[0]
+        assert leaked["n_leaks"] == 1
+        assert leaked["max_lead_sec"] == 1800
+
+    def test_provenance_null_when_no_match(self, spark):
+        from med_doi_feature_extraction_spark.operators.asof import (
+            feature_matrix,
+        )
+
+        labels = spark.createDataFrame(
+            [(2, "2024-01-01 08:00:00")], "uid: long, ts: string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        fa = spark.createDataFrame(
+            [(2, "2024-01-01 09:00:00", 1.0)],
+            "uid: long, ts: string, v: double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        row = feature_matrix(
+            labels, {"a": (fa, "ts", "v")}, "uid", "ts",
+            emit_match_ts=True,
+        ).collect()[0]
+        assert row["a"] is None and row["a__ts"] is None

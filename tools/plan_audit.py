@@ -139,6 +139,29 @@ def main() -> None:
         ("crawl_priority", "two slim per-entity inputs joined "
          "broadcast-style; all corpus-sized work happened inside the "
          "churn/authority subplans."),
+        ("snapshot_drift", "tokenize once at the scan; the lag "
+         "window moves the token ARRAY across ONE entity exchange; "
+         "Jaccard is array_intersect codegen — no UDF, no second "
+         "text pass."),
+        ("feature_matrix", "N feature tables union into ONE spine "
+         "exchange + one (ts, side) sort; one last(ignorenulls) "
+         "column per feature — adding a feature adds a column, not "
+         "a shuffle."),
+        ("funnel_summary", "all gates evaluated in one codegen scan "
+         "projection; the corpus-wide agg keys on first_failed "
+         "(<= n_stages+1 groups, map-side partials); join + cumsum "
+         "window run on the tiny aggregated frame."),
+        ("pmi", "two explode→hash-agg passes with map-side partial "
+         "combine absorbing Zipf heat; 1-row totals broadcast; "
+         "min_count-pruned bigram probe joins the vocab build side "
+         "twice (AQE owns broadcast-vs-shuffle); bounded "
+         "TakeOrderedAndProject top-k."),
+        ("cdc_dedup", "Arrow mapInPandas chunking rides the scan — "
+         "the payload column never shuffles; only the 16-hex "
+         "chunk_hash key crosses the two dedup-stat exchanges."),
+        ("hits", "per half-step: edge⋈score join + endpoint "
+         "hash-agg; L2 norms are 1-row broadcast aggregates; "
+         "localCheckpoint truncates per-iteration lineage."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
