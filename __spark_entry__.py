@@ -1023,6 +1023,67 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def q_logreg(spark, sf_dir):
+    """In-engine logistic-regression quality gate (operators/logreg):
+    3 full-batch GD iterations trained AND scored in one lazy plan —
+    the model is a 1-row DataFrame broadcast per iteration, weights
+    round-6 gated so the oracle can retrain the identical model by
+    unrolling the same iterations as CTEs (kmeans/lm idiom)."""
+    from med_doi_feature_extraction_spark.operators.logreg import (
+        logreg_score,
+        train_logreg,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (F.size(toks) / 100.0).alias("x2"),
+        (F.col("n_chars") >= 300).cast("double").alias("y"),
+    )
+    w = train_logreg(feats, ["x1", "x2"], "y", n_iter=3, lr=1.0)
+    out = logreg_score(feats, w, ["x1", "x2"])
+    return out.select("doc_id", "y", "score", "keep")
+
+
+def _sql_logreg() -> str:
+    sig = "1.0 / (1.0 + exp(-({w}.b + {w}.w1 * x1 + {w}.w2 * x2)))"
+    its = []
+    for i in range(3):
+        p = sig.format(w=f"it{i}")
+        its.append(f"""
+g{i + 1} AS (
+  SELECT avg(p - y) AS gb,
+         avg((p - y) * x1) AS gx1,
+         avg((p - y) * x2) AS gx2
+  FROM (SELECT {p} AS p, y, x1, x2 FROM f, it{i})
+),
+it{i + 1} AS (
+  SELECT round(it{i}.b - 1.0 * gb, 6) AS b,
+         round(it{i}.w1 - 1.0 * gx1, 6) AS w1,
+         round(it{i}.w2 - 1.0 * gx2, 6) AS w2
+  FROM it{i}, g{i + 1}
+)""")
+    final = sig.format(w="it3")
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+         n_chars / 500.0 AS x1,
+         len(string_split_regex(text, '\s+')) / 100.0 AS x2,
+         CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+it0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1,
+               CAST(0 AS DOUBLE) AS w2),
+{",".join(its)}
+SELECT doc_id, y,
+       round({final}, 6) AS score,
+       round({final}, 6) >= 0.5 AS keep
+FROM f, it3
+"""
+
+
 def q_leakage_audit(spark, sf_dir):
     """Temporal-leakage audit (asof.leakage_audit) over a matrix with
     per-feature match-ts provenance (feature_matrix emit_match_ts):
@@ -7828,6 +7889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "hits": q_hits,
         "leakage_audit": q_leakage_audit,
+        "logreg_gate": q_logreg,
         "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
@@ -8008,6 +8070,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup": _sql_cdc_dedup(),
         "hits": _sql_hits(),
         "leakage_audit": SQL_LEAKAGE_AUDIT,
+        "logreg_gate": _sql_logreg(),
         "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,
