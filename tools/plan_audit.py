@@ -162,6 +162,13 @@ def main() -> None:
         ("hits", "per half-step: edge⋈score join + endpoint "
          "hash-agg; L2 norms are 1-row broadcast aggregates; "
          "localCheckpoint truncates per-iteration lineage."),
+        ("leakage_audit", "one codegen stack unpivot + one "
+         "first_failed-style hash-agg — auditing N provenance "
+         "columns costs a single scan."),
+        ("logreg_gate", "per GD iteration: broadcast 1-row weights + "
+         "one k+1-average full-scan aggregate (map-side partials); "
+         "scoring is scan-stage sigmoid algebra under the broadcast "
+         "model."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
