@@ -1023,6 +1023,70 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def q_temp_rates(spark, sf_dir):
+    """Temperature-scaled source mixing (sampling.temperature_rates,
+    T5/mT5 α-sampling): per-lang acceptance rates from q ∝ (n/N)^α —
+    one corpus hash-agg, 1-row total + normalizer broadcast back;
+    q/rate round-6 gated so both engines commit to identical rates."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        temperature_rates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_rates(
+        docs, "lang", alpha=0.3, target_rows=300
+    )
+
+
+_SQL_TEMP_R = """
+s AS (SELECT lang AS "group", count(*) AS n_rows
+      FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS nn FROM s),
+p AS (SELECT "group", n_rows, pow(n_rows / t.nn, 0.3) AS qr FROM s, t),
+z AS (SELECT sum(qr) AS z FROM p),
+r AS (
+  SELECT "group", n_rows,
+         round(qr / z.z, 6) AS q,
+         round(least(1.0, 300.0 * (qr / z.z) / n_rows), 6) AS rate
+  FROM p, z
+)
+"""
+
+SQL_TEMP_RATES = "WITH " + _SQL_TEMP_R + 'SELECT * FROM r'
+
+
+def q_temp_sample(spark, sf_dir):
+    """Materialized temperature mixture (sampling.temperature_sample):
+    broadcast the bounded rates table, keep rows whose portable
+    sha256 uniform falls under their group's round-6-gated rate —
+    scan-stage filter, zero corpus shuffles."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = temperature_sample(
+        docs, "doc_id", "lang", alpha=0.3, target_rows=300,
+        salt="temp",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _sql_temp_sample() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "temp")
+    return (
+        "WITH " + _SQL_TEMP_R + f"""
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON r."group" = d.lang
+WHERE {u} < r.rate
+"""
+    )
+
+
 def q_logreg(spark, sf_dir):
     """In-engine logistic-regression quality gate (operators/logreg):
     3 full-batch GD iterations trained AND scored in one lazy plan —
@@ -7890,6 +7954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "leakage_audit": q_leakage_audit,
         "logreg_gate": q_logreg,
+        "temp_rates": q_temp_rates,
+        "temp_sample": q_temp_sample,
         "crawl_priority": q_crawl_priority,
         "skip_limit": q_skip_limit,
         "json_extract": q_json_extract,
@@ -8071,6 +8137,8 @@ def oracle_sql() -> dict[str, str]:
         "hits": _sql_hits(),
         "leakage_audit": SQL_LEAKAGE_AUDIT,
         "logreg_gate": _sql_logreg(),
+        "temp_rates": SQL_TEMP_RATES,
+        "temp_sample": _sql_temp_sample(),
         "crawl_priority": _sql_crawl_priority(),
         "skip_limit": SQL_SKIP_LIMIT,
         "json_extract": SQL_JSON_EXTRACT,

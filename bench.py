@@ -118,7 +118,7 @@ def main() -> None:
         # r4 tenth-session additions (snapshot-history feature surface)
         "snapshot_drift", "drift_summary", "funnel_audit",
         "funnel_summary", "pmi", "feature_matrix", "cdc_dedup", "hits",
-        "leakage_audit", "logreg_gate",
+        "leakage_audit", "logreg_gate", "temp_sample",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

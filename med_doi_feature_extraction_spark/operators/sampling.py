@@ -389,3 +389,87 @@ def top_fraction_per_group(
         .filter(F.col("_rk") <= F.ceil(F.lit(float(frac)) * F.col("_n")))
         .drop("_rk", "_n")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    target_rows: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the T5/mT5 multilingual
+    sampling rule, Raffel 2020 §3.4.3): sample probability
+    ``q_s ∝ (n_s/N)^α`` — α<1 flattens the source distribution so
+    head languages/domains stop drowning the tail without the tail
+    being oversampled to repetition. α=1 is proportional, α=0
+    uniform-over-groups.
+
+    Returns ``(group, n_rows, q, rate)`` where ``rate = min(1,
+    target_rows·q/n_s)`` is the per-group ACCEPTANCE rate whose
+    expected surviving total is ``target_rows`` (groups the rule
+    would oversample saturate at 1 — the honest exhaustion contract
+    of ``interleave_order``). ``q`` and ``rate`` are round-6 gated so
+    both engines commit to identical rates before any row is
+    filtered on them.
+
+    Shape: one corpus hash-agg to group sizes (bounded table), then
+    1-row total + 1-row normalizer broadcast back — no corpus-sized
+    work after the first agg. Unlike :func:`mixture_rates` (explicit
+    per-group budgets) the mixture here is DERIVED from corpus
+    composition, so rates shift as the corpus grows — pin the rates
+    table beside the manifest when resuming.
+    """
+    sizes = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = sizes.agg(
+        F.sum("n_rows").cast("double").alias("_nn")
+    )
+    with_p = sizes.crossJoin(F.broadcast(total)).withColumn(
+        "_q_raw",
+        F.pow(F.col("n_rows").cast("double") / F.col("_nn"), alpha),
+    )
+    z = with_p.agg(F.sum("_q_raw").alias("_z"))
+    q = F.col("_q_raw") / F.col("_z")
+    return (
+        with_p.crossJoin(F.broadcast(z))
+        .select(
+            "group",
+            "n_rows",
+            F.round(q, 6).alias("q"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_rows))
+                    * q
+                    / F.col("n_rows").cast("double"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+    target_rows: int = 1_000_000,
+    salt: str = "temp",
+) -> DataFrame:
+    """Materialize the temperature mixture: keep rows whose portable
+    uniform falls under their group's :func:`temperature_rates` rate.
+    Rates table is group-cardinality ⇒ BROADCAST join; the filter is
+    a scan-stage predicate — one corpus agg + one broadcast, zero
+    corpus shuffles. Deterministic per (key, salt): append-stable
+    for a fixed rates table."""
+    rates = temperature_rates(df, group_col, alpha, target_rows)
+    return (
+        df.join(
+            F.broadcast(rates.select(F.col("group"), "rate")),
+            df[group_col] == F.col("group"),
+        )
+        .where(hash_uniform(key_col, salt) < F.col("rate"))
+        .drop("group", "rate")
+    )

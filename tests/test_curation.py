@@ -693,3 +693,81 @@ class TestPmiCollocations:
         assert [r["gram"] for r in rows] == ["a b"]
         # blank docs contribute nothing: counts as if absent
         assert rows[0]["c_a"] == 2 and rows[0]["c_ab"] == 2
+
+
+class TestTemperatureSampling:
+    def _df(self, spark):
+        # head lang 800 rows, mid 150, tail 50
+        rows = [(i, "en") for i in range(800)]
+        rows += [(1000 + i, "de") for i in range(150)]
+        rows += [(2000 + i, "fi") for i in range(50)]
+        return spark.createDataFrame(rows, "doc_id: long, lang: string")
+
+    def test_alpha_one_is_proportional(self, spark):
+        from med_doi_feature_extraction_spark.operators.sampling import (
+            temperature_rates,
+        )
+
+        r = {
+            x["group"]: x
+            for x in temperature_rates(
+                self._df(spark), "lang", alpha=1.0, target_rows=100
+            ).collect()
+        }
+        assert r["en"]["q"] == 0.8 and r["fi"]["q"] == 0.05
+        assert r["en"]["rate"] == r["de"]["rate"] == r["fi"]["rate"] == 0.1
+
+    def test_alpha_zero_is_uniform_over_groups(self, spark):
+        from med_doi_feature_extraction_spark.operators.sampling import (
+            temperature_rates,
+        )
+
+        r = {
+            x["group"]: x
+            for x in temperature_rates(
+                self._df(spark), "lang", alpha=0.0, target_rows=90
+            ).collect()
+        }
+        for g in ("en", "de", "fi"):
+            assert abs(r[g]["q"] - 1 / 3) < 1e-6
+        # 30 expected rows per group: tail rate saturates? 30/50=0.6
+        assert r["fi"]["rate"] == 0.6
+        assert abs(r["en"]["rate"] - 30 / 800) < 1e-6
+
+    def test_flattening_between(self, spark):
+        """0<α<1 boosts the tail's share and shrinks the head's."""
+        from med_doi_feature_extraction_spark.operators.sampling import (
+            temperature_rates,
+        )
+
+        r = {
+            x["group"]: x
+            for x in temperature_rates(
+                self._df(spark), "lang", alpha=0.3, target_rows=100
+            ).collect()
+        }
+        assert r["fi"]["q"] > 0.05  # above population share
+        assert r["en"]["q"] < 0.8  # below population share
+        assert abs(sum(x["q"] for x in r.values()) - 1.0) < 1e-5
+
+    def test_sample_deterministic_and_sized(self, spark):
+        from med_doi_feature_extraction_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        df = self._df(spark)
+        a = sorted(
+            r["doc_id"]
+            for r in temperature_sample(
+                df, "doc_id", "lang", alpha=0.3, target_rows=200
+            ).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_sample(
+                df, "doc_id", "lang", alpha=0.3, target_rows=200
+            ).collect()
+        )
+        assert a == b  # pure function of (key, salt, rates)
+        assert 150 <= len(a) <= 250  # expectation 200, binomial spread
+        assert set(a) <= {r["doc_id"] for r in df.collect()}
