@@ -169,6 +169,10 @@ def main() -> None:
          "one k+1-average full-scan aggregate (map-side partials); "
          "scoring is scan-stage sigmoid algebra under the broadcast "
          "model."),
+        ("temp_sample", "one corpus hash-agg to group sizes, 1-row "
+         "total + normalizer broadcast, bounded rates table "
+         "broadcast back; the keep filter is a scan-stage "
+         "sha256-uniform predicate — zero corpus shuffles."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
