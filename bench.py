@@ -119,6 +119,8 @@ def main() -> None:
         "snapshot_drift", "drift_summary", "funnel_audit",
         "funnel_summary", "pmi", "feature_matrix", "cdc_dedup", "hits",
         "leakage_audit", "logreg_gate", "temp_sample",
+        # r5 additions (real JPEG codec end-to-end)
+        "jpeg_roundtrip",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -6,11 +6,12 @@ frame-sample implemented as Arrow-batched ``mapInPandas`` operators.
 The Spark-side plumbing (schemas, batch shaping, partition sizing,
 null/corrupt handling) is real and tested. Decode is REAL for the
 containers implementable without codec libs — PNG and WAV-PCM via
-the pure-stdlib ``multimodal/codecs`` module — and entropy-coded
-formats (JPEG/MP3/video) remain honest ``NotImplementedError`` hooks
-behind ``decode_image``/``decode_audio``, with a deterministic
-sha-seeded fake as the default fallback so pipelines and tests run
-end-to-end on any payload.
+the pure-stdlib ``multimodal/codecs`` module, baseline sequential
+JPEG via ``multimodal/jpeg`` — while remaining entropy-coded formats
+(MP3/video/WebP) stay honest ``NotImplementedError`` hooks behind
+``decode_image``/``decode_audio``, with a deterministic sha-seeded
+fake as the default fallback so pipelines and tests run end-to-end
+on any payload.
 
 Batch shaping matters at scale: media blobs are MBs, so operators
 re-batch by BYTES (``max_batch_bytes``), not row count, before
@@ -53,21 +54,30 @@ EMBED_DIM = 16
 
 
 def decode_image(payload: bytes):
-    """Real image decode. PNG is decoded for real by the pure-stdlib
-    codec (``multimodal/codecs.decode_png`` — zlib + scanline
-    unfilter, all five filter types, CRC-checked); entropy-coded
-    formats (JPEG/WebP/…) remain honest ``NotImplementedError`` hooks
-    for a cluster with codec libs — a half-right JPEG decoder would
-    be worse than a stub."""
+    """Real image decode, pure stdlib + numpy. PNG via
+    ``multimodal/codecs.decode_png`` (zlib + scanline unfilter, all
+    five filter types, CRC-checked); baseline sequential JPEG via
+    ``multimodal/jpeg.decode_jpeg`` (file-supplied DQT/DHT, restart
+    markers, up to 2x2 sampling — progressive/arithmetic raise).
+    Remaining formats (WebP/AVIF/…) stay honest
+    ``NotImplementedError`` hooks for a cluster with codec libs — a
+    half-right decoder would be worse than a stub."""
     from med_doi_feature_extraction_spark.multimodal.codecs import (
         PNG_MAGIC,
         decode_png,
     )
+    from med_doi_feature_extraction_spark.multimodal.jpeg import (
+        JPEG_MAGIC,
+        decode_jpeg,
+    )
 
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:3] == JPEG_MAGIC:
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG decodes in-sandbox; other image codecs need a codec lib"
+        "only PNG and baseline JPEG decode in-sandbox; other image "
+        "codecs need a codec lib"
     )
 
 

@@ -416,8 +416,14 @@ def feature_matrix(
     for name, (fdf, ts_col, val_col) in features.items():
         fields = [F.col(val_col).alias("v")]
         if tolerance_sec is not None:
+            # two-step cast via TIMESTAMP so TIMESTAMP_NTZ inputs
+            # work too (Spark disallows NTZ -> double directly; the
+            # _gap_secs idiom at line ~210)
             fields.append(
-                F.col(ts_col).cast("double").alias("__match_ts")
+                F.col(ts_col)
+                .cast("timestamp")
+                .cast("double")
+                .alias("__match_ts")
             )
         if emit_match_ts:
             fields.append(F.col(ts_col).alias("__obs_ts"))
@@ -448,7 +454,8 @@ def feature_matrix(
                 keep[f"{name}__ts"] = m["__obs_ts"]
         else:
             fresh = (
-                F.col("_ts").cast("double") - m["__match_ts"]
+                F.col("_ts").cast("timestamp").cast("double")
+                - m["__match_ts"]
             ) <= F.lit(float(tolerance_sec))
             keep[name] = F.when(fresh, m["v"])
             if emit_match_ts:

@@ -170,6 +170,11 @@ def fit_kmeans(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
     if init_ids is not None:
+        if len(set(init_ids)) != k:
+            raise ValueError(
+                f"init_ids must supply exactly k={k} distinct ids, "
+                f"got {len(set(init_ids))}"
+            )
         seed_rows = base.filter(F.col("_id").isin(list(init_ids))).collect()
         if len(seed_rows) != len(set(init_ids)):
             raise ValueError("init_ids must all exist (and be distinct)")

@@ -278,8 +278,45 @@ def generate_pages_spark(
     pages_path = os.path.join(out_dir, "pages.parquet")
     pages.write.mode("overwrite").parquet(pages_path)
 
-    sample = (
-        spark.read.parquet(pages_path).select("url", "warc_ts").toPandas()
+    # Dim generation needs (a) the distinct domain set, (b) the exact
+    # global ts range, (c) a pool of REAL page timestamps for
+    # exact-tie injection — never the full (url, warc_ts) table,
+    # which the old path pulled with a whole-table toPandas() and
+    # which would OOM the driver on a 100x fixture. Every collect
+    # below is bounded: |domains| rows, 1 agg row, and a
+    # deterministic hash-sampled ts pool capped near ``tie_cap``.
+    from pyspark.sql import functions as F
+
+    pg = spark.read.parquet(pages_path).select("url", "warc_ts")
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    domains = sorted(
+        r["d"] for r in pg.select(host.alias("d")).distinct().collect()
+    )
+    rng_row = pg.agg(
+        F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+    ).first()
+    tie_cap = 20_000
+    k = max(1, n_urls // tie_cap)
+    pool = (
+        pg.where(F.pmod(F.xxhash64("url", "warc_ts"), F.lit(k)) == 0)
+        .orderBy("url", "warc_ts")  # seed-stable pool order
+        .limit(tie_cap)
+        .toPandas()
+    )
+    pin_url = f"https://{domains[0]}/"
+    sample = pd.concat(
+        [
+            pool,
+            pd.DataFrame(
+                {
+                    "url": [f"https://{d}/" for d in domains]
+                    + [pin_url, pin_url],
+                    "warc_ts": [rng_row["lo"]] * len(domains)
+                    + [rng_row["lo"], rng_row["hi"]],
+                }
+            ),
+        ],
+        ignore_index=True,
     )
     dim = generate_dim_snapshots(sample, seed=seed + 1)
     dim_path = os.path.join(out_dir, "dim_snapshots.parquet")

@@ -68,8 +68,13 @@ def test_decode_hooks_route_and_stay_honest():
 
     arr = _img(6, 5, 3, seed=3)
     np.testing.assert_array_equal(decode_image(encode_png(arr)), arr)
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG now decodes for real (multimodal/jpeg.py); a
+    # JPEG-magic blob with garbage inside must fail loudly, not
+    # fall through to a fake
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpegish")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFX????WEBPxxxx")  # non-PNG/JPEG codec
     mono = np.arange(10, dtype=np.int16)
     s, _ = decode_audio(encode_wav(mono))
     np.testing.assert_array_equal(s, mono)

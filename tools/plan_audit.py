@@ -173,6 +173,10 @@ def main() -> None:
          "total + normalizer broadcast, bounded rates table "
          "broadcast back; the keep filter is a scan-stage "
          "sha256-uniform predicate — zero corpus shuffles."),
+        ("jpeg_roundtrip", "knife-edge filter is scan-stage Column "
+         "algebra (no exchange); the codec runs in ONE Arrow "
+         "mapInPandas riding the filtered scan — encode+decode per "
+         "row, no shuffle anywhere in the plan."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(

@@ -55,6 +55,26 @@ ALLOW_NLJ = {
     # groups, a.grp < b.grp) — source spaces are mixture-sized, the
     # cross is bounded by contract; registers join via equi joins
     "hll_overlap",
+    # snapshot_drift / drift_summary: the fixture crossJoins a
+    # broadcast 3-row snapshot-index frame onto documents to build
+    # the multi-snapshot corpus — build side is exactly 3 rows
+    "snapshot_drift", "drift_summary",
+    # pmi: 1-row unigram/bigram-totals broadcast (the ln(N) terms)
+    "pmi",
+    # logreg_gate: each unrolled GD iteration crossJoins the 1-row
+    # weight frame (b,w1,w2) back onto features — the model is a
+    # single broadcast row by construction (operators/logreg.py)
+    "logreg_gate",
+    # temp_rates / temp_sample: 1-row alpha-normalizer totals
+    # broadcast (T5 temperature mixing), same attach-a-scalar shape
+    "temp_rates", "temp_sample",
+    # funnel_summary: 1-row grand-total crossJoin onto the
+    # <= n_stages+1-row attribution table
+    "funnel_summary",
+    # hard_negatives / hybrid_rrf: bounded broadcast probe/result
+    # sets by contract (|Q| queries × k results), corpus-side never
+    # on the build side — same contract as cosine_topk/rank_eval
+    "hard_negatives", "hybrid_rrf",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
@@ -63,7 +83,13 @@ ALLOW_NLJ = {
 #    operator replaces — the operator itself is asserted
 #    SinglePartition-free in pytest; the contract query returns a
 #    deterministic small page via offset/limit (bounded output).
-ALLOW_SINGLE = {"skip_limit", "length_quantiles"}
+ALLOW_SINGLE = {
+    "skip_limit", "length_quantiles",
+    # funnel_summary: the cumulative-drop window runs over the
+    # already-aggregated attribution table (<= n_stages+1 rows) —
+    # a single partition of a handful of rows, not a corpus sort
+    "funnel_summary",
+}
 
 
 def lint_plan(name: str, plan: str) -> list[str]:
