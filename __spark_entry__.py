@@ -5949,8 +5949,9 @@ FROM c
 def q_seq_pack_greedy(spark, sf_dir):
     """No-straddle greedy packing — the running remaining-capacity
     fold is not a window function (state resets), so this is the
-    applyInPandas kernel; rows-only here, exact parity with the
-    pure-Python reference pinned in tests/test_packing.py."""
+    applyInPandas kernel; exact parity with the pure-Python reference
+    pinned in tests/test_packing.py AND a hash-exact recursive-CTE
+    DuckDB oracle (one recursion step per PACK, not per row)."""
     from med_doi_feature_extraction_spark.operators.packing import (
         pack_greedy,
     )
@@ -5960,6 +5961,64 @@ def q_seq_pack_greedy(spark, sf_dir):
         docs, "doc_id", "n_chars", budget=2048, n_shards=8, salt="pack"
     )
     return out.select("doc_id", "pack_id", "pack_offset", "oversized")
+
+
+def _sql_seq_pack_greedy() -> str:
+    """Recursive-CTE twin of the greedy fold. The fold's state reset
+    ("close the pack when the next doc would overflow, or when it is
+    exactly full") defeats plain window functions, but each pack is a
+    maximal prefix run, so the bin END for a bin starting at row ``s``
+    is closed-form over the shard cumsum:
+
+        e(s) = least( first rn with cum-cum0 >= budget,
+                      last  rn with cum-cum0 <= budget )   [>= s]
+
+    (the ``min`` term implements close-on-exactly-full, the ``max``
+    term implements no-straddle; an oversized first doc makes both
+    terms degenerate and ``coalesce`` pins e = s). ``nxt``
+    precomputes e(s) for EVERY candidate start via a bounded
+    intra-shard self-join, so the recursion itself is one plain join
+    per PACK (~budget/mean_doc rows each), never per row, and DuckDB
+    runs all shards' chains in the same iteration."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    u = oracle_uniform_sql("CAST(doc_id AS VARCHAR)", "pack")
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, n_chars, {u} AS u,
+         CAST(floor({u} * 8) AS BIGINT) AS shard
+  FROM documents
+), r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS rn,
+         CAST(SUM(n_chars) OVER (PARTITION BY shard ORDER BY u, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM d
+), nxt AS (
+  SELECT a.shard, a.rn AS s,
+         coalesce(least(
+           min(CASE WHEN b.cum - (a.cum - a.n_chars) >= 2048 THEN b.rn END),
+           max(CASE WHEN b.cum - (a.cum - a.n_chars) <= 2048 THEN b.rn END)
+         ), a.rn) AS e
+  FROM r a JOIN r b ON b.shard = a.shard AND b.rn >= a.rn
+  GROUP BY a.shard, a.rn, a.cum, a.n_chars
+), bins(shard, s, e, pack) AS (
+  SELECT shard, s, e, CAST(0 AS BIGINT) FROM nxt WHERE s = 1
+  UNION ALL
+  SELECT n.shard, n.s, n.e, b.pack + 1
+  FROM bins b JOIN nxt n ON n.shard = b.shard AND n.s = b.e + 1
+)
+SELECT r.doc_id,
+       CAST(b.shard * 4294967296 + b.pack AS BIGINT) AS pack_id,
+       CAST((r.cum - r.n_chars) - (rs.cum - rs.n_chars) AS BIGINT)
+         AS pack_offset,
+       r.n_chars > 2048 AS oversized
+FROM r
+JOIN bins b ON b.shard = r.shard AND r.rn BETWEEN b.s AND b.e
+JOIN r rs ON rs.shard = b.shard AND rs.rn = b.s
+"""
 
 
 def q_weighted_sample(spark, sf_dir):
@@ -8340,6 +8399,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_exact": SQL_CONTAINMENT_EXACT,
         "fuzzy_join": SQL_FUZZY_JOIN,
         "seq_pack": _sql_seq_pack(),
+        "seq_pack_greedy": _sql_seq_pack_greedy(),
         "weighted_sample": _sql_weighted_sample(),
         "domain_cap": _sql_domain_cap(),
         "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
