@@ -64,6 +64,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Vacuous-pass guards: a typo'd sf_dir or query name must be a
+    # loud error, never a silent "all queries match" over zero rows.
+    if not Path(sf_dir).is_dir():
+        print(f"error: sf_dir {sf_dir!r} is not a directory "
+              "(usage: check_contract.py [SF_DIR] [QUERY ...])")
+        return 2
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"error: unknown query names: {sorted(unknown)}")
+        return 2
+
     spark = get_spark("check_contract")
     con = duckdb.connect()
     for t in TABLES:
