@@ -8105,6 +8105,50 @@ FROM documents
 """
 
 
+def q_readability(spark, sf_dir):
+    """Readability + lexical-diversity battery
+    (operators/readability.py): Flesch reading ease / Flesch-Kincaid
+    grade, syllable counts, type-token ratio, long-word fraction and
+    the gate verdict - one codegen span, no shuffle, no UDF. Every
+    score is rounded with the module's portable
+    sign*floor(|x|*1e4+0.5)/1e4 rule, executed identically by the
+    DuckDB oracle - the native round() functions disagree exactly at
+    the x.xxxx5 boundaries this formula's constants generate."""
+    from med_doi_feature_extraction_spark.operators.readability import (
+        readability_gate,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_gate(docs).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "words_per_sentence",
+        "syllables_per_word",
+        "mean_word_len",
+        "long_word_frac",
+        "type_token_ratio",
+        "flesch",
+        "fk_grade",
+        "readable",
+    )
+
+
+def _sql_readability() -> str:
+    from med_doi_feature_extraction_spark.operators.readability import (
+        oracle_readability_sql,
+    )
+
+    exprs = oracle_readability_sql("text")
+    select = ",\n       ".join(f"{e} AS {k}" for k, e in exprs.items())
+    return f"""
+SELECT doc_id,
+       {select}
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8310,6 +8354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "lang_source_pivot": q_lang_source_pivot,
         "lang_source_cube": q_lang_source_cube,
+        "readability": q_readability,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8482,4 +8527,5 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
         "lang_source_cube": SQL_LANG_SOURCE_CUBE,
+        "readability": _sql_readability(),
     }

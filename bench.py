@@ -121,6 +121,8 @@ def main() -> None:
         "leakage_audit", "logreg_gate", "temp_sample",
         # r5 additions (real JPEG codec end-to-end)
         "jpeg_roundtrip",
+        # r5 second-session additions (prose-shape + drift surface)
+        "readability",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
