@@ -8149,6 +8149,76 @@ FROM documents
 """
 
 
+def _drift_sides(spark, sf_dir):
+    """Two deterministic snapshot sides over documents: baseline =
+    even doc_id (v = n_chars), new = odd doc_id with a planted
+    location shift (v = n_chars + doc_id %% 37) — drift the PSI/KS
+    statistics must register, identically constructed by the
+    oracle."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("n_chars").cast("double").alias("v")
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("n_chars") + F.col("doc_id") % 37)
+        .cast("double")
+        .alias("v")
+    )
+    return base, new
+
+
+_DRIFT_BASE_SQL = (
+    "(SELECT (n_chars)::DOUBLE AS v FROM documents WHERE doc_id % 2 = 0)"
+)
+_DRIFT_NEW_SQL = (
+    "(SELECT (n_chars + doc_id % 37)::DOUBLE AS v FROM documents"
+    " WHERE doc_id % 2 = 1)"
+)
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population-stability-index drift decomposition
+    (operators/drift.py psi_table): baseline-percentile bins (exact
+    F.percentile == quantile_cont), per-bin fractions and PSI terms
+    in exact 1e-6 micro-units summed as BIGINT — no float-order
+    sensitivity anywhere, hash-exact vs the DuckDB twin."""
+    from med_doi_feature_extraction_spark.operators.drift import (
+        psi_table,
+    )
+
+    base, new = _drift_sides(spark, sf_dir)
+    return psi_table(base, new, "v", n_bins=10)
+
+
+def _sql_psi_drift() -> str:
+    from med_doi_feature_extraction_spark.operators.drift import (
+        oracle_psi_sql,
+    )
+
+    return oracle_psi_sql(_DRIFT_BASE_SQL, _DRIFT_NEW_SQL, "v", n_bins=10)
+
+
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic
+    (operators/drift.py ks_2samp): per-value counts → range-exchange
+    global prefix sums (operators/order.py global_cumsum — NO
+    single-reducer window; pytest pins that) → 1-row
+    TakeOrderedAndProject with a deterministic smallest-value argmax
+    tiebreak on the micro-unit scale."""
+    from med_doi_feature_extraction_spark.operators.drift import ks_2samp
+
+    base, new = _drift_sides(spark, sf_dir)
+    return ks_2samp(base, new, "v")
+
+
+def _sql_ks_drift() -> str:
+    from med_doi_feature_extraction_spark.operators.drift import (
+        oracle_ks_sql,
+    )
+
+    return oracle_ks_sql(_DRIFT_BASE_SQL, _DRIFT_NEW_SQL, "v")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8355,6 +8425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_pivot": q_lang_source_pivot,
         "lang_source_cube": q_lang_source_cube,
         "readability": q_readability,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8528,4 +8600,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
         "lang_source_cube": SQL_LANG_SOURCE_CUBE,
         "readability": _sql_readability(),
+        "psi_drift": _sql_psi_drift(),
+        "ks_drift": _sql_ks_drift(),
     }

@@ -1,0 +1,307 @@
+"""Distribution-drift statistics between two corpus snapshots:
+PSI (population stability index) over quantile bins and the exact
+two-sample Kolmogorov–Smirnov statistic.
+
+A recurring crawl re-extracts features every snapshot; before a new
+snapshot's features feed training, the pipeline checks whether their
+DISTRIBUTION moved — per-entity churn (``windows.snapshot_churn``)
+and vocabulary drift (``lm.vocab_shift``) cover content, this module
+covers numeric feature columns (lengths, scores, token counts). PSI
+is the industry-standard binned divergence (> 0.2 = major shift); KS
+is the exact nonparametric test statistic. The reference repo has no
+analogue (single-snapshot records) — web-scale surface, same
+disposition as gopher.py.
+
+Execution shape, 100 TB lens:
+
+- :func:`psi_table` — bin edges are ONE exact-percentile aggregate
+  row over the baseline, broadcast back to both scans (the
+  ``quantile_bin`` attach-a-global-scalar pattern; swap in
+  ``approx_percentile`` at corpus scale, the rest is unchanged); bin
+  assignment is a JVM array probe; the only aggregation is a
+  hash-agg onto ≤ ``n_bins`` groups. Zero corpus-sized shuffles
+  beyond the partial-agg exchange.
+- :func:`ks_2samp` — per-value counts (ONE corpus hash-agg on the
+  value), then :func:`~.order.global_cumsum`'s range-exchange
+  prefix sums — the distinct-value table never funnels through a
+  single-reducer window. The max/argmax is a 1-row
+  ``TakeOrderedAndProject``.
+
+Cross-engine determinism: every emitted float is an integer number
+of micro-units (``floor(|x|·10⁶ + 0.5)`` on identically-computed
+doubles, summed as BIGINT where a total is needed — double addition
+is not associative, BIGINT addition is), so the DuckDB oracle
+matches hash-for-hash with no boundary class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: PSI per-bin probability floor (standard practice: empty bins
+#: contribute a large-but-finite term instead of ±inf).
+PSI_EPS = 1e-6
+
+
+def _micro(c: Column) -> Column:
+    """``round(x, 6)`` as an exact integer micro-unit count — the
+    identical IEEE sequence the oracle runs (readability.py
+    precedent), summable without float-order sensitivity."""
+    m = F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return F.when(c < 0, -m).otherwise(m)
+
+
+def _oracle_micro(expr: str) -> str:
+    m = f"CAST(floor(abs({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+    return f"(CASE WHEN ({expr}) < 0 THEN -{m} ELSE {m} END)"
+
+
+def psi_table(
+    df_base: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin PSI decomposition of ``col`` between a baseline and a
+    new snapshot. Bin edges are the baseline's exact ``i/n_bins``
+    percentiles; bin ``i`` (1-based) collects values where exactly
+    ``i-1`` edges are strictly below (ties belong to the LOWER bin —
+    the ``feateng.quantile_bin`` convention). NULL values are
+    dropped from both sides (documented contract; profile the null
+    rate separately via ``operators/profile.py``).
+
+    Output, one row per OCCUPIED bin plus totals repeated per row:
+    ``bin, n_base, n_new, frac_base, frac_new, psi_term, psi_total``
+    (fractions/terms 6 dp exact micro-units; term uses
+    :data:`PSI_EPS`-floored probabilities; ``psi_total`` is the
+    BIGINT micro-unit sum over ALL bins — order-free, identical in
+    the oracle).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    x = F.col(col).cast("double")
+    edges = (
+        df_base.filter(x.isNotNull())
+        .agg(
+            F.percentile(x, F.lit(fracs).cast("array<double>")).alias(
+                "_edges"
+            )
+        )
+    )
+    tagged = (
+        df_base.filter(x.isNotNull())
+        .select(x.alias("_v"), F.lit(1).alias("_is_base"))
+        .unionByName(
+            df_new.filter(x.isNotNull()).select(
+                x.alias("_v"), F.lit(0).alias("_is_base")
+            )
+        )
+    )
+    binned = tagged.crossJoin(F.broadcast(edges)).select(
+        (
+            F.size(F.filter(F.col("_edges"), lambda e: F.col("_v") > e))
+            + 1
+        ).alias("bin"),
+        "_is_base",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("_is_base").cast("long").alias("n_base"),
+        F.sum(1 - F.col("_is_base")).cast("long").alias("n_new"),
+    )
+    totals = counts.agg(
+        F.sum("n_base").cast("double").alias("_tb"),
+        F.sum("n_new").cast("double").alias("_tn"),
+    )
+    eps = F.lit(PSI_EPS)
+    pb = F.greatest(F.col("n_base") / F.col("_tb"), eps)
+    pn = F.greatest(F.col("n_new") / F.col("_tn"), eps)
+    term_u = _micro((pb - pn) * F.log(pb / pn))
+    with_term = counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_base",
+        "n_new",
+        (_micro(F.col("n_base") / F.col("_tb")) / 1e6).alias("frac_base"),
+        (_micro(F.col("n_new") / F.col("_tn")) / 1e6).alias("frac_new"),
+        term_u.alias("_term_u"),
+    )
+    total_u = with_term.agg(
+        F.sum("_term_u").cast("long").alias("_total_u")
+    )
+    return (
+        with_term.crossJoin(F.broadcast(total_u))
+        .select(
+            "bin",
+            "n_base",
+            "n_new",
+            "frac_base",
+            "frac_new",
+            (F.col("_term_u") / 1e6).alias("psi_term"),
+            (F.col("_total_u") / 1e6).alias("psi_total"),
+        )
+    )
+
+
+def ks_2samp(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic on ``col``:
+    ``D = max over observed values of |F_a(v) − F_b(v)|`` with the
+    empirical CDFs evaluated at every distinct value (right-
+    continuous: the cumulative INCLUDES the value). NULLs dropped.
+
+    Returns ONE row: ``ks_stat`` (6 dp micro-units), ``at_value``
+    (the smallest value attaining the max on the micro-unit scale —
+    deterministic tiebreak), ``n_a``, ``n_b``.
+
+    Distributed shape: one hash-agg to per-value counts, then
+    :func:`~.order.global_cumsum` (range exchange + bounded
+    per-partition-totals collect — no single-reducer window), then a
+    1-row ``TakeOrderedAndProject``. Totals ``n_a``/``n_b`` are a
+    1-row aggregate over the (distinct-value-sized) cumsum frame,
+    broadcast back — the attach-a-global-scalar pattern.
+    """
+    from med_doi_feature_extraction_spark.operators.order import (
+        global_cumsum,
+    )
+
+    x = F.col(col).cast("double")
+    tagged = (
+        df_a.filter(x.isNotNull())
+        .select(x.alias("v"), F.lit(1).alias("_a"))
+        .unionByName(
+            df_b.filter(x.isNotNull()).select(
+                x.alias("v"), F.lit(0).alias("_a")
+            )
+        )
+    )
+    per_value = tagged.groupBy("v").agg(
+        F.sum("_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("_a")).cast("long").alias("cb"),
+    )
+    cum = global_cumsum(
+        per_value, ["v"], ["ca", "cb"], num_partitions=num_partitions
+    )
+    # totals = the final prefix values; recompute from the same
+    # bounded aggregate rather than re-scanning the corpus
+    tot = cum.agg(
+        F.max("ca_cum").cast("double").alias("na"),
+        F.max("cb_cum").cast("double").alias("nb"),
+    )
+    diff_u = _micro(
+        F.abs(
+            F.col("ca_cum") / F.col("na") - F.col("cb_cum") / F.col("nb")
+        )
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        diff_u.alias("_du"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+    )
+    return (
+        scored.orderBy(F.col("_du").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            (F.col("_du") / 1e6).alias("ks_stat"),
+            F.col("v").alias("at_value"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
+# --- DuckDB twins -----------------------------------------------------
+
+def oracle_psi_sql(
+    base_sql: str, new_sql: str, col: str, n_bins: int = 10
+) -> str:
+    """DuckDB query mirroring :func:`psi_table` — edges via
+    ``quantile_cont`` (the ``F.percentile`` interpolation twin),
+    identical bin rule, identical micro-unit arithmetic.
+    ``base_sql``/``new_sql`` are relation expressions each exposing
+    ``col``."""
+    fracs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    pb = f"greatest(n_base / tb, {PSI_EPS})"
+    pn = f"greatest(n_new / tn, {PSI_EPS})"
+    term = f"({pb} - {pn}) * ln({pb} / {pn})"
+    return f"""
+WITH base AS (SELECT ({col})::DOUBLE AS v FROM {base_sql} WHERE {col} IS NOT NULL),
+newer AS (SELECT ({col})::DOUBLE AS v FROM {new_sql} WHERE {col} IS NOT NULL),
+edges AS (SELECT quantile_cont(v, [{fracs}]) AS e FROM base),
+tagged AS (
+  SELECT v, 1 AS is_base FROM base
+  UNION ALL SELECT v, 0 AS is_base FROM newer
+),
+binned AS (
+  SELECT len(list_filter(edges.e, x -> v > x)) + 1 AS bin, is_base
+  FROM tagged, edges
+),
+counts AS (
+  SELECT bin,
+         CAST(sum(is_base) AS BIGINT) AS n_base,
+         CAST(sum(1 - is_base) AS BIGINT) AS n_new
+  FROM binned GROUP BY bin
+),
+totals AS (
+  SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+         CAST(sum(n_new) AS DOUBLE) AS tn
+  FROM counts
+),
+terms AS (
+  SELECT bin, n_base, n_new,
+         {_oracle_micro('n_base / tb')} AS fb_u,
+         {_oracle_micro('n_new / tn')} AS fn_u,
+         {_oracle_micro(term)} AS term_u
+  FROM counts, totals
+)
+SELECT bin, n_base, n_new,
+       fb_u / 1000000.0 AS frac_base,
+       fn_u / 1000000.0 AS frac_new,
+       term_u / 1000000.0 AS psi_term,
+       (SELECT CAST(sum(term_u) AS BIGINT) FROM terms) / 1000000.0
+         AS psi_total
+FROM terms
+"""
+
+
+def oracle_ks_sql(a_sql: str, b_sql: str, col: str) -> str:
+    """DuckDB query mirroring :func:`ks_2samp` (single-node window
+    cumsum — the shape :func:`~.order.global_cumsum` replaces)."""
+    diff = "ca_cum / na - cb_cum / nb"
+    return f"""
+WITH a AS (SELECT ({col})::DOUBLE AS v FROM {a_sql} WHERE {col} IS NOT NULL),
+b AS (SELECT ({col})::DOUBLE AS v FROM {b_sql} WHERE {col} IS NOT NULL),
+tagged AS (
+  SELECT v, 1 AS is_a FROM a UNION ALL SELECT v, 0 AS is_a FROM b
+),
+per_value AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+         CAST(sum(1 - is_a) AS BIGINT) AS cb
+  FROM tagged GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca_cum,
+         CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb_cum
+  FROM per_value
+),
+tot AS (
+  SELECT CAST(max(ca_cum) AS DOUBLE) AS na,
+         CAST(max(cb_cum) AS DOUBLE) AS nb
+  FROM cum
+),
+scored AS (
+  SELECT v, {_oracle_micro(f'abs({diff})')} AS du,
+         CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+  FROM cum, tot
+)
+SELECT du / 1000000.0 AS ks_stat, v AS at_value, n_a, n_b
+FROM scored
+ORDER BY du DESC, v ASC
+LIMIT 1
+"""

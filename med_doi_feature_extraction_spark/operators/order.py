@@ -92,3 +92,73 @@ def skip_limit_ranged(
     return rn.filter(
         (F.col(name) > skip) & (F.col(name) <= skip + limit)
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add inclusive global running totals ``<c>_cum`` (one per
+    ``sum_cols`` entry, integral columns) under the total order
+    ``order_cols`` — the prefix-sum generalization of
+    :func:`global_row_number`, built the same way so a corpus-sized
+    cumulative never funnels through one reducer:
+
+    1. range exchange on ``order_cols``;
+    2. ONE bounded job: per-partition SUMS of each ``sum_cols``
+       column (``n_partitions`` rows to the driver — the sanctioned
+       bounded-collect class);
+    3. exclusive-prefix the partition sums into per-partition offsets
+       (a plan-literal map, no join), then an in-partition running
+       window plus the offset.
+
+    Identical to ``SUM(c) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` whenever ``order_cols`` is a total order, which is
+    what the DuckDB oracle checks hash-for-hash (ks_drift). NULLs in
+    ``sum_cols`` count as 0.
+    """
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []), *cols
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    part_sums = {
+        r["_pid"]: r
+        for r in ranged.groupBy("_pid")
+        .agg(
+            *[
+                F.sum(F.coalesce(F.col(c), F.lit(0))).alias(c)
+                for c in sum_cols
+            ]
+        )
+        .collect()
+    }
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged
+    for c in sum_cols:
+        acc = 0
+        offsets = {}
+        for pid in sorted(part_sums):
+            offsets[pid] = acc
+            acc += part_sums[pid][c] or 0
+        omap = F.create_map(
+            *[
+                F.lit(x)
+                for pid in sorted(offsets)
+                for x in (pid, offsets[pid])
+            ]
+        )
+        out = out.withColumn(
+            f"{c}_cum",
+            (
+                F.coalesce(omap[F.col("_pid")], F.lit(0))
+                + F.sum(F.coalesce(F.col(c), F.lit(0))).over(w)
+            ).cast("long"),
+        )
+    return out.drop("_pid")

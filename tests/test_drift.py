@@ -1,0 +1,213 @@
+"""PSI / two-sample KS drift (operators/drift.py) + the
+global_cumsum prefix-sum primitive (operators/order.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.drift import (
+    PSI_EPS,
+    ks_2samp,
+    psi_table,
+)
+from med_doi_feature_extraction_spark.operators.order import global_cumsum
+
+
+def _df(spark, vals, col="x"):
+    return spark.createDataFrame([(float(v),) for v in vals], f"{col} double")
+
+
+# --- global_cumsum ----------------------------------------------------
+
+
+def test_global_cumsum_matches_single_window(spark):
+    rows = [(i * 7 % 101, i % 5, (i * 3) % 4) for i in range(200)]
+    df = spark.createDataFrame(rows, "v long, a long, b long")
+    got = (
+        global_cumsum(df, ["v", "a", "b"], ["a", "b"], num_partitions=7)
+        .orderBy("v", "a", "b")
+        .collect()
+    )
+    w = (
+        Window.orderBy("v", "a", "b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = (
+        df.withColumn("a_cum", F.sum("a").over(w))
+        .withColumn("b_cum", F.sum("b").over(w))
+        .orderBy("v", "a", "b")
+        .collect()
+    )
+    assert [(r["a_cum"], r["b_cum"]) for r in got] == [
+        (r["a_cum"], r["b_cum"]) for r in want
+    ]
+
+
+def test_global_cumsum_no_single_partition_window(spark):
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(50)], "v long, c long"
+    )
+    plan = (
+        global_cumsum(df, ["v"], ["c"], num_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 2): i])
+            assert not re.search(r"\b(Window|Sort)\b", ctx), plan
+
+
+def test_global_cumsum_null_counts_as_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "v long, c long"
+    )
+    got = {
+        r["v"]: r["c_cum"]
+        for r in global_cumsum(df, ["v"], ["c"]).collect()
+    }
+    assert got == {1: 5, 2: 5, 3: 12}
+
+
+# --- PSI ----------------------------------------------------------------
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    vals = [i % 50 for i in range(500)]
+    out = psi_table(_df(spark, vals), _df(spark, vals), "x").collect()
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert all(r["psi_total"] == 0.0 for r in out)
+    # identical sides: per-bin counts match
+    assert all(r["n_base"] == r["n_new"] for r in out)
+
+
+def test_psi_matches_python_reference(spark):
+    base = [(i * 13) % 97 for i in range(400)]
+    new = [((i * 13) % 97) + (15 if i % 3 == 0 else 0) for i in range(380)]
+    n_bins = 10
+    out = {
+        r["bin"]: r
+        for r in psi_table(
+            _df(spark, base), _df(spark, new), "x", n_bins=n_bins
+        ).collect()
+    }
+
+    # reference: numpy-free replication of the documented algorithm
+    def quantile_cont(sorted_vals, q):
+        # Spark F.percentile / DuckDB quantile_cont interpolation
+        h = (len(sorted_vals) - 1) * q
+        lo = math.floor(h)
+        hi = min(lo + 1, len(sorted_vals) - 1)
+        return sorted_vals[lo] + (h - lo) * (
+            sorted_vals[hi] - sorted_vals[lo]
+        )
+
+    sb = sorted(float(v) for v in base)
+    edges = [quantile_cont(sb, i / n_bins) for i in range(1, n_bins)]
+
+    def bin_of(v):
+        return sum(1 for e in edges if v > e) + 1
+
+    cb: dict[int, int] = {}
+    cn: dict[int, int] = {}
+    for v in base:
+        cb[bin_of(v)] = cb.get(bin_of(v), 0) + 1
+    for v in new:
+        cn[bin_of(v)] = cn.get(bin_of(v), 0) + 1
+    tb, tn = float(len(base)), float(len(new))
+
+    def micro(x):
+        m = math.floor(abs(x) * 1e6 + 0.5)
+        return -m if x < 0 else m
+
+    total_u = 0
+    for b in sorted(set(cb) | set(cn)):
+        nb_, nn_ = cb.get(b, 0), cn.get(b, 0)
+        pb = max(nb_ / tb, PSI_EPS)
+        pn = max(nn_ / tn, PSI_EPS)
+        term_u = micro((pb - pn) * math.log(pb / pn))
+        total_u += term_u
+        row = out[b]
+        assert row["n_base"] == nb_ and row["n_new"] == nn_
+        assert row["psi_term"] == pytest.approx(term_u / 1e6, abs=1e-12)
+        assert row["frac_base"] == pytest.approx(
+            micro(nb_ / tb) / 1e6, abs=1e-12
+        )
+    assert out[1]["psi_total"] == pytest.approx(total_u / 1e6, abs=1e-12)
+    assert out[1]["psi_total"] > 0.05  # the planted shift registers
+
+
+def test_psi_ties_go_to_lower_bin(spark):
+    # all values equal -> every edge equals the value -> v > e false
+    # everywhere -> everything lands in bin 1
+    out = psi_table(
+        _df(spark, [5] * 100), _df(spark, [5] * 50), "x", n_bins=4
+    ).collect()
+    assert [r["bin"] for r in out] == [1]
+
+
+def test_psi_nulls_dropped(spark):
+    base = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,)], "x double"
+    )
+    out = psi_table(base, base, "x").collect()
+    assert sum(r["n_base"] for r in out) == 2
+
+
+def test_psi_rejects_bad_bins(spark):
+    with pytest.raises(ValueError):
+        psi_table(_df(spark, [1]), _df(spark, [1]), "x", n_bins=1)
+
+
+# --- KS -----------------------------------------------------------------
+
+
+def _ks_ref(a, b):
+    va, vb = sorted(a), sorted(b)
+    points = sorted(set(va) | set(vb))
+    na, nb = len(va), len(vb)
+    best_u, best_v = -1, None
+    import bisect
+
+    for v in points:
+        fa = bisect.bisect_right(va, v) / na
+        fb = bisect.bisect_right(vb, v) / nb
+        du = math.floor(abs(fa - fb) * 1e6 + 0.5)
+        if du > best_u:
+            best_u, best_v = du, v
+    return best_u / 1e6, best_v
+
+
+def test_ks_matches_python_reference(spark):
+    a = [(i * 17) % 211 for i in range(300)]
+    b = [((i * 29) % 211) + 30 for i in range(280)]
+    row = ks_2samp(_df(spark, a), _df(spark, b), "x").collect()[0]
+    want_d, want_v = _ks_ref([float(v) for v in a], [float(v) for v in b])
+    assert row["ks_stat"] == pytest.approx(want_d, abs=1e-12)
+    assert row["at_value"] == want_v
+    assert row["n_a"] == 300 and row["n_b"] == 280
+
+
+def test_ks_identical_is_zero_disjoint_is_one(spark):
+    a = list(range(100))
+    same = ks_2samp(_df(spark, a), _df(spark, a), "x").collect()[0]
+    assert same["ks_stat"] == 0.0
+    disj = ks_2samp(
+        _df(spark, range(100)), _df(spark, range(1000, 1100)), "x"
+    ).collect()[0]
+    assert disj["ks_stat"] == 1.0
+    # smallest value attaining the max: the last value of side a
+    assert disj["at_value"] == 99.0
+
+
+def test_ks_argmax_tiebreak_smallest_value(spark):
+    # a = {0}, b = {10}: every v in [0,10) has |1-0| = 1 -> at_value
+    # must be the SMALLEST observed value attaining it, i.e. 0
+    row = ks_2samp(_df(spark, [0]), _df(spark, [10]), "x").collect()[0]
+    assert row["ks_stat"] == 1.0 and row["at_value"] == 0.0

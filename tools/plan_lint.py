@@ -75,6 +75,13 @@ ALLOW_NLJ = {
     # sets by contract (|Q| queries × k results), corpus-side never
     # on the build side — same contract as cosine_topk/rank_eval
     "hard_negatives", "hybrid_rrf",
+    # psi_drift: the quantile_bin pattern — 1-row percentile-edges
+    # broadcast onto both scans, then 1-row totals / psi_total
+    # broadcasts onto the <= n_bins-row bin table
+    "psi_drift",
+    # ks_drift: 1-row n_a/n_b totals broadcast onto the
+    # distinct-value cumsum frame (attach-a-global-scalar)
+    "ks_drift",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
