@@ -8219,6 +8219,37 @@ def _sql_ks_drift() -> str:
     return oracle_ks_sql(_DRIFT_BASE_SQL, _DRIFT_NEW_SQL, "v")
 
 
+def q_chi2_tokens(spark, sf_dir):
+    """Token-label feature selection (operators/featsel.py): per-token
+    chi-squared + presence mutual information against the binary
+    "is-English" label - distinct-token explode, ONE Zipf-absorbing
+    hash-agg, 1-row label-totals broadcast, micro-unit rounding with
+    a token-ascending tiebreak, bounded top-k. Both statistics and the
+    ranking are hash-exact vs the DuckDB twin."""
+    from med_doi_feature_extraction_spark.operators.featsel import (
+        chi2_tokens,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "text", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return chi2_tokens(docs, "text", "y", top_k=50, min_df=5)
+
+
+def _sql_chi2_tokens() -> str:
+    from med_doi_feature_extraction_spark.operators.featsel import (
+        oracle_chi2_sql,
+    )
+
+    return oracle_chi2_sql(
+        "(SELECT text, CAST(lang = 'en' AS INT) AS y FROM documents)",
+        "text",
+        "y",
+        top_k=50,
+        min_df=5,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8427,6 +8458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "chi2_tokens": q_chi2_tokens,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8602,4 +8634,5 @@ def oracle_sql() -> dict[str, str]:
         "readability": _sql_readability(),
         "psi_drift": _sql_psi_drift(),
         "ks_drift": _sql_ks_drift(),
+        "chi2_tokens": _sql_chi2_tokens(),
     }

@@ -122,7 +122,7 @@ def main() -> None:
         # r5 additions (real JPEG codec end-to-end)
         "jpeg_roundtrip",
         # r5 second-session additions (prose-shape + drift surface)
-        "readability", "psi_drift", "ks_drift",
+        "readability", "psi_drift", "ks_drift", "chi2_tokens",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -82,6 +82,9 @@ ALLOW_NLJ = {
     # ks_drift: 1-row n_a/n_b totals broadcast onto the
     # distinct-value cumsum frame (attach-a-global-scalar)
     "ks_drift",
+    # chi2_tokens: 1-row label-totals broadcast onto the per-token
+    # contingency table (attach-a-global-scalar)
+    "chi2_tokens",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
