@@ -8250,6 +8250,31 @@ def _sql_chi2_tokens() -> str:
     )
 
 
+def q_column_entropy(spark, sf_dir):
+    """Per-column Shannon entropy profile (operators/profile.py
+    column_entropy): stack melt -> per-(column, value) hash-agg ->
+    broadcast totals join; terms summed as 1e-6 micro-unit BIGINTs so
+    the entropy is addition-order-free cross-engine. String/integer
+    columns only (float string casts aren't engine-portable - the
+    operator docstring says bin floats first)."""
+    from med_doi_feature_extraction_spark.operators.profile import (
+        column_entropy,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return column_entropy(docs, ["lang", "source", "n_chars"])
+
+
+def _sql_column_entropy() -> str:
+    from med_doi_feature_extraction_spark.operators.profile import (
+        oracle_column_entropy_sql,
+    )
+
+    return oracle_column_entropy_sql(
+        "documents", ["lang", "source", "n_chars"]
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8459,6 +8484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "chi2_tokens": q_chi2_tokens,
+        "column_entropy": q_column_entropy,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8635,4 +8661,5 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _sql_psi_drift(),
         "ks_drift": _sql_ks_drift(),
         "chi2_tokens": _sql_chi2_tokens(),
+        "column_entropy": _sql_column_entropy(),
     }

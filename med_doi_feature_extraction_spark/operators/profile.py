@@ -177,3 +177,118 @@ def fk_orphans(
         .groupBy(fact_key)
         .agg(F.count(F.lit(1)).alias("n_orphans"))
     )
+
+
+def column_entropy(
+    df: DataFrame, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """Per-column Shannon entropy of the VALUE distribution — the
+    data-quality signal :func:`profile` doesn't capture: a column can
+    be 100%% non-null and still carry one bit of information (constant
+    fields, degenerate enums, near-duplicate snapshot columns). One
+    row per column: ``column, n_rows`` (non-null), ``n_nulls,
+    n_distinct, entropy`` (nats, 6 dp), ``entropy_norm``
+    (entropy / ln(n_distinct), NULL when n_distinct < 2).
+
+    Values are compared on their exact string cast (the melt needs a
+    common type); bin or round float columns FIRST — their string
+    forms are not engine-portable, integers and strings are.
+    Columns with ZERO non-null values are omitted from the output
+    (no distribution to measure) — check ``profile`` for null rates
+    first.
+
+    Shape, 100 TB lens: the ``stack`` melt multiplies rows by
+    ``len(columns)`` BEFORE partial aggregation absorbs them into
+    per-(column, value) counts — the same Expand-shape cost class as
+    exact ``profile(approx=False)``; the per-column totals join is a
+    broadcast of ``len(columns)`` rows. Entropy terms are summed as
+    1e-6 micro-unit BIGINTs (drift.py discipline), so the result is
+    addition-order-free and hash-exact cross-engine.
+    """
+    cols = list(columns or df.columns)
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    melted = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS (column, value)"
+    )
+    counts = (
+        melted.filter(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nulls = (
+        melted.groupBy("column")
+        .agg(
+            F.sum(F.col("value").isNull().cast("long")).alias("n_nulls")
+        )
+    )
+    totals = counts.groupBy("column").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n_rows").cast("double")
+    term = -(p * F.log(p))
+    term_u = F.floor(F.abs(term) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ent = (
+        counts.join(F.broadcast(totals), "column")
+        .groupBy("column")
+        .agg(F.sum(term_u).cast("long").alias("_ent_u"))
+    )
+    ent_d = F.col("_ent_u") / 1e6
+    norm = ent_d / F.log(F.col("n_distinct").cast("double"))
+    norm_u = F.floor(F.abs(norm) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        totals.join(ent, "column")
+        .join(F.broadcast(nulls), "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            ent_d.alias("entropy"),
+            F.when(F.col("n_distinct") >= 2, norm_u / 1e6)
+            .otherwise(F.lit(None).cast("double"))
+            .alias("entropy_norm"),
+        )
+    )
+
+
+def oracle_column_entropy_sql(rel_sql: str, columns: Sequence[str]) -> str:
+    """DuckDB twin of :func:`column_entropy` — one UNION ALL branch
+    per column, identical micro-unit arithmetic."""
+    branches = []
+    for c in columns:
+        branches.append(f"""
+SELECT '{c}' AS column, * FROM (
+  WITH vals AS (
+    SELECT CAST("{c}" AS VARCHAR) AS value FROM {rel_sql}
+  ),
+  counts AS (
+    SELECT value, CAST(count(*) AS BIGINT) AS c
+    FROM vals WHERE value IS NOT NULL GROUP BY value
+  ),
+  tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM counts
+  ),
+  ent AS (
+    SELECT CAST(sum(CAST(floor(abs(-((c)::DOUBLE / (n_rows)::DOUBLE)
+             * ln((c)::DOUBLE / (n_rows)::DOUBLE)) * 1000000.0 + 0.5)
+             AS BIGINT)) AS BIGINT) AS ent_u
+    FROM counts, tot
+  )
+  SELECT tot.n_rows,
+         (SELECT CAST(count(*) - count(value) AS BIGINT) FROM vals)
+           AS n_nulls,
+         tot.n_distinct,
+         ent.ent_u / 1000000.0 AS entropy,
+         CASE WHEN tot.n_distinct >= 2 THEN
+           CAST(floor(abs((ent.ent_u / 1000000.0)
+             / ln((tot.n_distinct)::DOUBLE)) * 1000000.0 + 0.5)
+             AS BIGINT) / 1000000.0
+         ELSE NULL END AS entropy_norm
+  FROM tot, ent
+)""")
+    return "\nUNION ALL\n".join(branches)
