@@ -8275,6 +8275,60 @@ def _sql_column_entropy() -> str:
     )
 
 
+def q_pearson_matrix(spark, sf_dir):
+    """All-pairs Pearson correlation (operators/assoc.py): ONE
+    full-scan 1-row aggregate of exact BIGINT moment sums per pair
+    (pairwise-complete), one fixed-order double formula, micro-unit
+    rounding. Fixture features: n_chars, a doc_id residue, and the
+    text's space count - all engine-portable integers."""
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        pearson_matrix,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("chars"),
+        (F.col("doc_id") % 101).alias("resid"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).alias("spaces"),
+    )
+    return pearson_matrix(docs, ["chars", "resid", "spaces"])
+
+
+def _sql_pearson_matrix() -> str:
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        oracle_pearson_sql,
+    )
+
+    rel = (
+        "(SELECT n_chars AS chars, doc_id % 101 AS resid,"
+        " length(text) - length(replace(text, ' ', '')) AS spaces"
+        " FROM documents)"
+    )
+    return oracle_pearson_sql(rel, ["chars", "resid", "spaces"])
+
+
+def q_cramers_assoc(spark, sf_dir):
+    """Cramér's V between the lang and source categoricals
+    (operators/assoc.py cramers_v): bounded contingency hash-agg,
+    broadcast row/col totals, chi-squared from observed cells only
+    (unobserved cells contribute exactly their expectation), cell
+    terms as micro-unit BIGINTs before the order-free sum."""
+    from med_doi_feature_extraction_spark.operators.assoc import cramers_v
+
+    docs = _read(spark, sf_dir, "documents")
+    return cramers_v(docs, "lang", "source")
+
+
+def _sql_cramers_assoc() -> str:
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        oracle_cramers_sql,
+    )
+
+    return oracle_cramers_sql("documents", "lang", "source")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8485,6 +8539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "chi2_tokens": q_chi2_tokens,
         "column_entropy": q_column_entropy,
+        "pearson_matrix": q_pearson_matrix,
+        "cramers_assoc": q_cramers_assoc,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8662,4 +8718,6 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _sql_ks_drift(),
         "chi2_tokens": _sql_chi2_tokens(),
         "column_entropy": _sql_column_entropy(),
+        "pearson_matrix": _sql_pearson_matrix(),
+        "cramers_assoc": _sql_cramers_assoc(),
     }

@@ -123,7 +123,7 @@ def main() -> None:
         "jpeg_roundtrip",
         # r5 second-session additions (prose-shape + drift surface)
         "readability", "psi_drift", "ks_drift", "chi2_tokens",
-        "column_entropy",
+        "column_entropy", "pearson_matrix", "cramers_assoc",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

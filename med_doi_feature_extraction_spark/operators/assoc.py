@@ -1,0 +1,250 @@
+"""Column-association profilers: all-pairs Pearson correlation for
+integer-valued features and Cramér's V for categorical pairs.
+
+After feature engineering (``operators/feateng.py``) and before a
+model gate trains, the pipeline checks which engineered features are
+redundant (|r| ≈ 1 → drop one) and which categorical fields are
+confounded (V ≈ 1 → leakage suspects, e.g. a "source" column that
+fully determines the label). Complements
+``profile.column_entropy`` (per-column information) with the
+pairwise view. No reference analogue — web-scale surface,
+gopher.py disposition.
+
+Execution shape, 100 TB lens:
+
+- :func:`pearson_matrix` — ONE full-scan 1-row aggregate computing
+  the six moment sums for every pair (pairwise-complete rows):
+  ``k(k−1)/2 × 6`` partial-agg cells, map-side combined, then the
+  correlation formula runs on the 1-row result. No joins, no
+  shuffle beyond the 1-row final merge.
+- :func:`cramers_v` — per pair: one column-pruned scan to the
+  bounded (a, b) contingency (hash-agg; cardinality bounded by
+  contract — these are categorical fields), row/col totals as
+  broadcast joins on the TINY cell table. A pair list runs one scan
+  each — k cheap pruned scans beat one rid-keyed self-join shuffle
+  of the melted corpus at scale.
+
+Cross-engine determinism: moment sums stay in BIGINT (exact,
+order-free — callers pre-scale float features to integer units, the
+``column_entropy`` discipline; the docstring states the overflow
+envelope), each statistic is ONE fixed-order double expression,
+then 1e-6 micro-unit rounding; chi² cell terms are micro-unit
+BIGINTs before summation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _micro(c: Column) -> Column:
+    m = F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return F.when(c < 0, -m).otherwise(m)
+
+
+def _oracle_micro(expr: str) -> str:
+    m = f"CAST(floor(abs({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+    return f"(CASE WHEN ({expr}) < 0 THEN -{m} ELSE {m} END)"
+
+
+def pearson_matrix(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Pearson correlation for every pair of integer-valued
+    ``columns``, pairwise-complete (a pair's sums use exactly the
+    rows where BOTH sides are non-null). Output, one row per
+    unordered pair (``col_x < col_y`` lexicographically): ``col_x,
+    col_y, n_pairs, r`` (6 dp; NULL when either side is constant on
+    the pairwise-complete rows — zero variance has no correlation).
+
+    Exactness envelope: sums are BIGINT — safe while
+    ``n · max|x|² < 2⁶³`` (e.g. 10⁹ rows of |x| ≤ 10⁶ at 10¹²-row
+    scale, profile a deterministic :mod:`~.sampling` sample or
+    pre-scale). Float features: scale to integer units first (their
+    raw sums would be addition-order-dependent).
+    """
+    cols = sorted(columns)
+    if len(cols) < 2:
+        raise ValueError("pearson_matrix needs >= 2 columns")
+    aggs = []
+    pairs = []
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            pairs.append((cx, cy))
+            both = F.col(cx).isNotNull() & F.col(cy).isNotNull()
+            x = F.when(both, F.col(cx).cast("long")).otherwise(F.lit(None))
+            y = F.when(both, F.col(cy).cast("long")).otherwise(F.lit(None))
+            tag = f"{cx}__{cy}"
+            aggs += [
+                F.count(x).alias(f"_n_{tag}"),
+                F.sum(x).alias(f"_sx_{tag}"),
+                F.sum(y).alias(f"_sy_{tag}"),
+                F.sum(x * y).alias(f"_sxy_{tag}"),
+                F.sum(x * x).alias(f"_sxx_{tag}"),
+                F.sum(y * y).alias(f"_syy_{tag}"),
+            ]
+    row = df.agg(*aggs)
+    outs = []
+    for cx, cy in pairs:
+        tag = f"{cx}__{cy}"
+        n = F.col(f"_n_{tag}")
+        sx, sy = F.col(f"_sx_{tag}"), F.col(f"_sy_{tag}")
+        sxy, sxx, syy = (
+            F.col(f"_sxy_{tag}"),
+            F.col(f"_sxx_{tag}"),
+            F.col(f"_syy_{tag}"),
+        )
+        # all-BIGINT numerators/variances, ONE double expression
+        cov = (n * sxy - sx * sy).cast("double")
+        vx = (n * sxx - sx * sx).cast("double")
+        vy = (n * syy - sy * sy).cast("double")
+        r = F.when(
+            (vx > 0) & (vy > 0),
+            cov / (F.sqrt(vx) * F.sqrt(vy)),
+        )
+        outs.append(
+            F.struct(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.coalesce(n, F.lit(0)).cast("long").alias("n_pairs"),
+                (_micro(r) / 1e6).alias("r"),
+            )
+        )
+    return row.select(
+        F.explode(F.array(*outs)).alias("_p")
+    ).select("_p.*")
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V between two categorical columns (rows with a NULL
+    on either side dropped). One row: ``col_a, col_b, n, n_a, n_b``
+    (distinct levels), ``chi2, v`` (6 dp; ``v`` NULL when either
+    side has a single level).
+
+    χ² over the full r×c grid is computed from OBSERVED cells only
+    via ``Σ_all (o−e)²/e = n + Σ_obs ((o−e)²/e − e)`` (unobserved
+    cells contribute exactly their expectation, which sums to
+    ``n − Σ_obs e``) — no dense grid materialization. Cell terms are
+    1e-6 micro-unit BIGINTs before the sum (order-free)."""
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
+    rt = cells.groupBy("_a").agg(F.sum("_o").cast("long").alias("_rt"))
+    ct = cells.groupBy("_b").agg(F.sum("_o").cast("long").alias("_ct"))
+    tot = cells.agg(
+        F.sum("_o").cast("long").alias("_n"),
+        F.countDistinct("_a").cast("long").alias("n_a"),
+        F.countDistinct("_b").cast("long").alias("n_b"),
+    )
+    j = (
+        cells.join(F.broadcast(rt), "_a")
+        .join(F.broadcast(ct), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("_o").cast("double")
+    e = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term_u = _micro((o - e) * (o - e) / e - e)
+    agg = j.groupBy("_n", "n_a", "n_b").agg(
+        F.sum(term_u).cast("long").alias("_sum_u")
+    )
+    chi2 = F.col("_n").cast("double") + F.col("_sum_u") / 1e6
+    mindim = F.least(F.col("n_a"), F.col("n_b")) - 1
+    v = F.when(
+        mindim >= 1,
+        F.sqrt(chi2 / (F.col("_n").cast("double") * mindim.cast("double"))),
+    )
+    return agg.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.col("_n").alias("n"),
+        "n_a",
+        "n_b",
+        (_micro(chi2) / 1e6).alias("chi2"),
+        (_micro(v) / 1e6).alias("v"),
+    )
+
+
+# --- DuckDB twins -----------------------------------------------------
+
+def oracle_pearson_sql(rel_sql: str, columns: Sequence[str]) -> str:
+    """DuckDB twin of :func:`pearson_matrix` — identical BIGINT
+    moments and fixed-order double formula, one UNION ALL branch per
+    pair."""
+    cols = sorted(columns)
+    branches = []
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            r = "cov / (sqrt(vx) * sqrt(vy))"
+            branches.append(f"""
+SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN vx > 0 AND vy > 0
+            THEN {_oracle_micro(r)} / 1000000.0 END AS r
+FROM (
+  SELECT n, sx, sy,
+         (n * sxy - sx * sy)::DOUBLE AS cov,
+         (n * sxx - sx * sx)::DOUBLE AS vx,
+         (n * syy - sy * sy)::DOUBLE AS vy
+  FROM (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM (
+      SELECT CAST("{cx}" AS BIGINT) AS x, CAST("{cy}" AS BIGINT) AS y
+      FROM {rel_sql}
+      WHERE "{cx}" IS NOT NULL AND "{cy}" IS NOT NULL
+    )
+  )
+)""")
+    return "\nUNION ALL\n".join(branches)
+
+
+def oracle_cramers_sql(rel_sql: str, col_a: str, col_b: str) -> str:
+    """DuckDB twin of :func:`cramers_v`."""
+    # fully parenthesized: this fragment is interpolated after "/"
+    # and "-" below, where an unwrapped a*b/c would re-associate
+    e = "((rt)::DOUBLE * (ct)::DOUBLE / (n)::DOUBLE)"
+    term = f"((o)::DOUBLE - {e}) * ((o)::DOUBLE - {e}) / {e} - {e}"
+    chi2 = "(n)::DOUBLE + sum_u / 1000000.0"
+    v = f"sqrt(({chi2}) / ((n)::DOUBLE * (least(n_a, n_b) - 1)::DOUBLE))"
+    return f"""
+WITH cells AS (
+  SELECT "{col_a}" AS a, "{col_b}" AS b,
+         CAST(count(*) AS BIGINT) AS o
+  FROM {rel_sql}
+  WHERE "{col_a}" IS NOT NULL AND "{col_b}" IS NOT NULL
+  GROUP BY a, b
+),
+rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+         CAST(count(DISTINCT b) AS BIGINT) AS n_b
+  FROM cells
+),
+summed AS (
+  SELECT n, n_a, n_b,
+         CAST(sum({_oracle_micro(term)}) AS BIGINT) AS sum_u
+  FROM cells
+  JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+  GROUP BY n, n_a, n_b
+)
+SELECT '{col_a}' AS col_a, '{col_b}' AS col_b, n, n_a, n_b,
+       {_oracle_micro(chi2)} / 1000000.0 AS chi2,
+       CASE WHEN least(n_a, n_b) >= 2
+            THEN {_oracle_micro(v)} / 1000000.0 END AS v
+FROM summed
+"""

@@ -1,0 +1,172 @@
+"""Pairwise association profilers (operators/assoc.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from med_doi_feature_extraction_spark.operators.assoc import (
+    cramers_v,
+    pearson_matrix,
+)
+
+
+def _micro(x):
+    m = math.floor(abs(x) * 1e6 + 0.5)
+    return -m if x < 0 else m
+
+
+def _pearson_ref(xs, ys):
+    pairs = [(x, y) for x, y in zip(xs, ys) if x is not None and y is not None]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    cov = float(n * sxy - sx * sy)
+    vx = float(n * sxx - sx * sx)
+    vy = float(n * syy - sy * sy)
+    if vx <= 0 or vy <= 0:
+        return n, None
+    return n, _micro(cov / (math.sqrt(vx) * math.sqrt(vy))) / 1e6
+
+
+ROWS = [
+    (i, 2 * i + 3, (i * 7) % 13, 5, None if i % 4 == 0 else i % 6)
+    for i in range(60)
+]
+COLS = ["a", "b", "c", "const", "gappy"]
+
+
+@pytest.fixture(scope="module")
+def pm(spark):
+    df = spark.createDataFrame(
+        ROWS, "a long, b long, c long, const long, gappy long"
+    )
+    return {
+        (r["col_x"], r["col_y"]): r
+        for r in pearson_matrix(df, COLS).collect()
+    }
+
+
+def test_matches_python_reference(pm):
+    data = {name: [row[i] for row in ROWS] for i, name in enumerate(COLS)}
+    names = sorted(COLS)
+    for i, cx in enumerate(names):
+        for cy in names[i + 1:]:
+            n, r = _pearson_ref(data[cx], data[cy])
+            row = pm[(cx, cy)]
+            assert row["n_pairs"] == n, (cx, cy)
+            if r is None:
+                assert row["r"] is None, (cx, cy)
+            else:
+                assert row["r"] == pytest.approx(r, abs=1e-12), (cx, cy)
+
+
+def test_perfect_linear_correlation(pm):
+    assert pm[("a", "b")]["r"] == 1.0  # b = 2a + 3
+
+
+def test_constant_column_null_r(pm):
+    assert pm[("a", "const")]["r"] is None
+    assert pm[("b", "const")]["r"] is None
+
+
+def test_pairwise_deletion(pm):
+    # gappy is null on every 4th row: those rows drop from its pairs
+    assert pm[("a", "gappy")]["n_pairs"] == 45
+    assert pm[("a", "b")]["n_pairs"] == 60
+
+
+def test_all_pairs_present(pm):
+    assert len(pm) == 10  # C(5, 2)
+
+
+def test_rejects_single_column(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError):
+        pearson_matrix(df, ["a"])
+
+
+def test_single_scan_one_row_agg(spark):
+    df = spark.createDataFrame(ROWS[:5], "a long, b long, c long, const long, gappy long")
+    plan = (
+        pearson_matrix(df, COLS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan  # one aggregate, no joins
+    assert "BatchEvalPython" not in plan
+
+
+# --- Cramér's V --------------------------------------------------------
+
+
+def _cramers_ref(pairs):
+    pairs = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(pairs)
+    from collections import Counter
+
+    cells = Counter(pairs)
+    rt = Counter(a for a, _ in pairs)
+    ct = Counter(b for _, b in pairs)
+    sum_u = 0
+    for (a, b), o in cells.items():
+        e = rt[a] * ct[b] / n
+        sum_u += _micro((o - e) * (o - e) / e - e)
+    chi2 = n + sum_u / 1e6
+    na, nb = len(rt), len(ct)
+    v = (
+        math.sqrt(chi2 / (n * (min(na, nb) - 1)))
+        if min(na, nb) >= 2
+        else None
+    )
+    return (
+        n, na, nb, _micro(chi2) / 1e6,
+        None if v is None else _micro(v) / 1e6,
+    )
+
+
+def test_cramers_matches_reference(spark):
+    pairs = [
+        ((i * 3) % 4, (i * 5) % 3 if i % 7 else None) for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(str(a), None if b is None else str(b)) for a, b in pairs],
+        "x string, y string",
+    )
+    row = cramers_v(df, "x", "y").collect()[0]
+    n, na, nb, chi2, v = _cramers_ref(
+        [(str(a), None if b is None else str(b)) for a, b in pairs]
+    )
+    assert (row["n"], row["n_a"], row["n_b"]) == (n, na, nb)
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-9)
+    assert row["v"] == pytest.approx(v, abs=1e-9)
+
+
+def test_cramers_identical_columns_v_one(spark):
+    df = spark.createDataFrame(
+        [(str(i % 5), str(i % 5)) for i in range(100)], "x string, y string"
+    )
+    row = cramers_v(df, "x", "y").collect()[0]
+    assert row["v"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cramers_independent_blocks_v_zero(spark):
+    # perfectly balanced independent columns -> chi2 = 0 -> v = 0
+    df = spark.createDataFrame(
+        [(str(i % 2), str((i // 2) % 3)) for i in range(60)],
+        "x string, y string",
+    )
+    row = cramers_v(df, "x", "y").collect()[0]
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-6)
+    assert row["v"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_cramers_single_level_null_v(spark):
+    df = spark.createDataFrame(
+        [("k", str(i % 3)) for i in range(30)], "x string, y string"
+    )
+    row = cramers_v(df, "x", "y").collect()[0]
+    assert row["v"] is None and row["n_a"] == 1

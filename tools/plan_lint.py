@@ -85,6 +85,9 @@ ALLOW_NLJ = {
     # chi2_tokens: 1-row label-totals broadcast onto the per-token
     # contingency table (attach-a-global-scalar)
     "chi2_tokens",
+    # cramers_assoc: 1-row grand-total/level-count broadcast onto the
+    # bounded contingency-cell table (attach-a-global-scalar)
+    "cramers_assoc",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
