@@ -8329,6 +8329,68 @@ def _sql_cramers_assoc() -> str:
     return oracle_cramers_sql("documents", "lang", "source")
 
 
+def q_mannwhitney_drift(spark, sf_dir):
+    """Two-sample Mann-Whitney U rank test (operators/drift.py
+    mannwhitney_u) on the same planted-shift snapshot sides as
+    psi_drift/ks_drift: per-value counts -> global_cumsum prefix sums
+    -> exact BIGINT doubled-unit midranks + tie correction, one
+    fixed-order double z expression, micro-unit rounding."""
+    from med_doi_feature_extraction_spark.operators.drift import (
+        mannwhitney_u,
+    )
+
+    base, new = _drift_sides(spark, sf_dir)
+    return mannwhitney_u(base, new, "v")
+
+
+def _sql_mannwhitney_drift() -> str:
+    from med_doi_feature_extraction_spark.operators.drift import (
+        oracle_mannwhitney_sql,
+    )
+
+    return oracle_mannwhitney_sql(_DRIFT_BASE_SQL, _DRIFT_NEW_SQL, "v")
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa agreement (operators/assoc.py cohens_kappa)
+    between two engine-portable boolean "rater" gates over documents
+    (length-based, correlated through the text) - exact BIGINT
+    diagonal/marginal sums, ONE BIGINT-ratio double division,
+    micro-unit rounding."""
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        cohens_kappa,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("n_chars") > 300).cast("string").alias("rater_a"),
+        (
+            (
+                F.length("text")
+                - F.length(
+                    F.replace(F.col("text"), F.lit(" "), F.lit(""))
+                )
+            )
+            > 54
+        )
+        .cast("string")
+        .alias("rater_b"),
+    )
+    return cohens_kappa(docs, "rater_a", "rater_b")
+
+
+def _sql_cohens_kappa() -> str:
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        oracle_kappa_sql,
+    )
+
+    rel = (
+        "(SELECT CAST(n_chars > 300 AS VARCHAR) AS rater_a,"
+        " CAST(length(text) - length(replace(text, ' ', '')) > 54"
+        " AS VARCHAR) AS rater_b FROM documents)"
+    )
+    return oracle_kappa_sql(rel, "rater_a", "rater_b")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8541,6 +8603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "pearson_matrix": q_pearson_matrix,
         "cramers_assoc": q_cramers_assoc,
+        "mannwhitney_drift": q_mannwhitney_drift,
+        "cohens_kappa": q_cohens_kappa,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8720,4 +8784,6 @@ def oracle_sql() -> dict[str, str]:
         "column_entropy": _sql_column_entropy(),
         "pearson_matrix": _sql_pearson_matrix(),
         "cramers_assoc": _sql_cramers_assoc(),
+        "mannwhitney_drift": _sql_mannwhitney_drift(),
+        "cohens_kappa": _sql_cohens_kappa(),
     }

@@ -248,3 +248,91 @@ SELECT '{col_a}' AS col_a, '{col_b}' AS col_b, n, n_a, n_b,
             THEN {_oracle_micro(v)} / 1000000.0 END AS v
 FROM summed
 """
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's κ agreement between two categorical "rater" columns —
+    the standard check that two quality gates (a heuristic battery
+    vs a trained classifier, or two classifier generations) agree
+    beyond chance before one replaces the other in the pipeline.
+    Rows with a NULL on either side are dropped.
+
+    One row: ``col_a, col_b, n, po, pe, kappa`` (6 dp; ``kappa``
+    NULL when chance agreement is 1, i.e. both columns constant).
+
+    Exactness: ``po = d/n`` and ``pe = s/n²`` with ``d`` (diagonal
+    count) and ``s = Σ_level rt·ct`` exact BIGINTs, so
+    ``κ = (d·n − s) / (n² − s)`` is ONE BIGINT-ratio double division
+    before micro-rounding. Shape: one bounded contingency hash-agg,
+    level-keyed broadcast joins on the tiny marginal tables.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
+    rt = cells.groupBy(F.col("_a").alias("_lvl")).agg(
+        F.sum("_o").cast("long").alias("_rt")
+    )
+    ct = cells.groupBy(F.col("_b").alias("_lvl")).agg(
+        F.sum("_o").cast("long").alias("_ct")
+    )
+    n_row = cells.agg(F.sum("_o").cast("long").alias("_n"))
+    d_row = cells.filter(F.col("_a") == F.col("_b")).agg(
+        F.coalesce(F.sum("_o"), F.lit(0)).cast("long").alias("_d")
+    )
+    s_row = (
+        rt.join(ct, "_lvl")
+        .agg(
+            F.coalesce(F.sum(F.col("_rt") * F.col("_ct")), F.lit(0))
+            .cast("long")
+            .alias("_s")
+        )
+    )
+    j = n_row.crossJoin(d_row).crossJoin(s_row)
+    n, d, s = F.col("_n"), F.col("_d"), F.col("_s")
+    po = d.cast("double") / n.cast("double")
+    pe = s.cast("double") / (n * n).cast("double")
+    kappa = F.when(
+        n * n - s > 0,
+        (d * n - s).cast("double") / (n * n - s).cast("double"),
+    )
+    return j.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        n.alias("n"),
+        (_micro(po) / 1e6).alias("po"),
+        (_micro(pe) / 1e6).alias("pe"),
+        (_micro(kappa) / 1e6).alias("kappa"),
+    )
+
+
+def oracle_kappa_sql(rel_sql: str, col_a: str, col_b: str) -> str:
+    """DuckDB twin of :func:`cohens_kappa`."""
+    return f"""
+WITH cells AS (
+  SELECT "{col_a}" AS a, "{col_b}" AS b,
+         CAST(count(*) AS BIGINT) AS o
+  FROM {rel_sql}
+  WHERE "{col_a}" IS NOT NULL AND "{col_b}" IS NOT NULL
+  GROUP BY a, b
+),
+rt AS (SELECT a AS lvl, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+ct AS (SELECT b AS lvl, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+parts AS (
+  SELECT (SELECT CAST(sum(o) AS BIGINT) FROM cells) AS n,
+         (SELECT CAST(coalesce(sum(o), 0) AS BIGINT)
+          FROM cells WHERE a = b) AS d,
+         (SELECT CAST(coalesce(sum(rt * ct), 0) AS BIGINT)
+          FROM rt JOIN ct USING (lvl)) AS s
+)
+SELECT '{col_a}' AS col_a, '{col_b}' AS col_b, n,
+       {_oracle_micro('(d)::DOUBLE / (n)::DOUBLE')} / 1000000.0 AS po,
+       {_oracle_micro('(s)::DOUBLE / (n * n)::DOUBLE')} / 1000000.0 AS pe,
+       CASE WHEN n * n - s > 0 THEN
+         {_oracle_micro('(d * n - s)::DOUBLE / (n * n - s)::DOUBLE')}
+           / 1000000.0
+       END AS kappa
+FROM parts
+"""

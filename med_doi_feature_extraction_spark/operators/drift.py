@@ -305,3 +305,147 @@ FROM scored
 ORDER BY du DESC, v ASC
 LIMIT 1
 """
+
+
+def mannwhitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (rank-sum) test on ``col`` — the
+    robust companion to :func:`ks_2samp`: KS reacts to any CDF gap,
+    U specifically to a location shift, and both run off the same
+    per-value-counts + :func:`~.order.global_cumsum` frame. NULLs
+    dropped. Midranks handle ties exactly.
+
+    Returns ONE row: ``u_a, u_b`` (exact, .5-granular — carried as
+    doubles from exact BIGINT doubled-units), ``z`` (normal
+    approximation with the tie correction, 6 dp micro-units; NULL
+    when the variance is 0, i.e. every value tied), ``n_a, n_b``.
+
+    Exactness: midranks in DOUBLED units are integers
+    (``2·before + t + 1``), so the rank sum is an exact BIGINT; the
+    tie term ``Σ(t³−t)`` is BIGINT; ``z`` is one fixed-order double
+    expression over those integers — identical cross-engine.
+    """
+    from med_doi_feature_extraction_spark.operators.order import (
+        global_cumsum,
+    )
+
+    x = F.col(col).cast("double")
+    tagged = (
+        df_a.filter(x.isNotNull())
+        .select(x.alias("v"), F.lit(1).alias("_a"))
+        .unionByName(
+            df_b.filter(x.isNotNull()).select(
+                x.alias("v"), F.lit(0).alias("_a")
+            )
+        )
+    )
+    per_value = tagged.groupBy("v").agg(
+        F.sum("_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("_a")).cast("long").alias("cb"),
+    )
+    t = (F.col("ca") + F.col("cb")).cast("long")
+    cum = global_cumsum(
+        per_value.withColumn("t", t),
+        ["v"],
+        ["ca", "cb", "t"],
+        num_partitions=num_partitions,
+    )
+    # doubled-unit midrank of value v: 2*(#values below) + t + 1
+    mid2 = 2 * (F.col("t_cum") - F.col("t")) + F.col("t") + 1
+    sums = cum.agg(
+        F.sum(F.col("ca") * mid2).cast("long").alias("_ra2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("_ties"),
+        F.max("ca_cum").cast("long").alias("_na"),
+        F.max("cb_cum").cast("long").alias("_nb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    u2_a = F.col("_ra2") - na * (na + 1)  # 2*U_a, exact BIGINT
+    u_a = u2_a.cast("double") / F.lit(2.0)
+    u_b = (na * nb).cast("double") - u_a
+    mu = (na * nb).cast("double") / F.lit(2.0)
+    var = (
+        (na * nb).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("_ties").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = F.when(var > 0, (u_a - mu) / F.sqrt(var))
+    zm = F.floor(F.abs(z) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    z6 = F.when(z < 0, -zm).otherwise(zm) / 1e6
+    return sums.select(
+        u_a.alias("u_a"),
+        u_b.alias("u_b"),
+        z6.alias("z"),
+        na.alias("n_a"),
+        nb.alias("n_b"),
+    )
+
+
+def oracle_mannwhitney_sql(a_sql: str, b_sql: str, col: str) -> str:
+    """DuckDB twin of :func:`mannwhitney_u` (single-node window
+    cumsum — the shape global_cumsum replaces)."""
+    z = (
+        "(u2a::DOUBLE / 2.0 - (na * nb)::DOUBLE / 2.0)"
+        " / sqrt((na * nb)::DOUBLE / 12.0 * ((na + nb + 1)::DOUBLE"
+        " - (ties)::DOUBLE / ((na + nb)::DOUBLE * (na + nb - 1)::DOUBLE)))"
+    )
+    return f"""
+WITH a AS (SELECT ({col})::DOUBLE AS v FROM {a_sql} WHERE {col} IS NOT NULL),
+b AS (SELECT ({col})::DOUBLE AS v FROM {b_sql} WHERE {col} IS NOT NULL),
+tagged AS (
+  SELECT v, 1 AS is_a FROM a UNION ALL SELECT v, 0 AS is_a FROM b
+),
+per_value AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+         CAST(sum(1 - is_a) AS BIGINT) AS cb,
+         CAST(count(*) AS BIGINT) AS t
+  FROM tagged GROUP BY v
+),
+cum AS (
+  SELECT v, ca, cb, t,
+         CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS t_cum,
+         CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS ca_cum,
+         CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cb_cum
+  FROM per_value
+),
+sums AS (
+  SELECT CAST(sum(ca * (2 * (t_cum - t) + t + 1)) AS BIGINT) AS ra2,
+         CAST(sum(t * t * t - t) AS BIGINT) AS ties,
+         CAST(max(ca_cum) AS BIGINT) AS na,
+         CAST(max(cb_cum) AS BIGINT) AS nb
+  FROM cum
+),
+stats AS (
+  SELECT ra2 - na * (na + 1) AS u2a, ties, na, nb FROM sums
+),
+vard AS (
+  SELECT u2a, na, nb,
+         (na * nb)::DOUBLE / 12.0 * ((na + nb + 1)::DOUBLE
+           - (ties)::DOUBLE / ((na + nb)::DOUBLE * (na + nb - 1)::DOUBLE))
+           AS var, ties
+  FROM stats
+)
+SELECT u2a::DOUBLE / 2.0 AS u_a,
+       (na * nb)::DOUBLE - u2a::DOUBLE / 2.0 AS u_b,
+       CASE WHEN var > 0 THEN
+         (CASE WHEN ({z}) < 0
+               THEN -CAST(floor(abs({z}) * 1000000.0 + 0.5) AS BIGINT)
+               ELSE CAST(floor(abs({z}) * 1000000.0 + 0.5) AS BIGINT)
+          END) / 1000000.0
+       END AS z,
+       na AS n_a, nb AS n_b
+FROM vard
+"""

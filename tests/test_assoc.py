@@ -170,3 +170,80 @@ def test_cramers_single_level_null_v(spark):
     )
     row = cramers_v(df, "x", "y").collect()[0]
     assert row["v"] is None and row["n_a"] == 1
+
+
+# --- Cohen's kappa -------------------------------------------------------
+
+
+def _kappa_ref(pairs):
+    pairs = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(pairs)
+    from collections import Counter
+
+    rt = Counter(a for a, _ in pairs)
+    ct = Counter(b for _, b in pairs)
+    d = sum(1 for a, b in pairs if a == b)
+    s = sum(rt[k] * ct.get(k, 0) for k in rt)
+    po = _micro(d / n) / 1e6
+    pe = _micro(s / (n * n)) / 1e6
+    kappa = (
+        _micro((d * n - s) / (n * n - s)) / 1e6 if n * n != s else None
+    )
+    return n, po, pe, kappa
+
+
+def test_kappa_matches_reference(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        cohens_kappa,
+    )
+
+    pairs = [
+        (str(i % 3), str(i % 3 if i % 5 else (i + 1) % 3))
+        for i in range(90)
+    ] + [(None, "0"), ("1", None)]
+    df = spark.createDataFrame(pairs, "x string, y string")
+    row = cohens_kappa(df, "x", "y").collect()[0]
+    n, po, pe, kappa = _kappa_ref(pairs)
+    assert row["n"] == n
+    assert row["po"] == pytest.approx(po, abs=1e-12)
+    assert row["pe"] == pytest.approx(pe, abs=1e-12)
+    assert row["kappa"] == pytest.approx(kappa, abs=1e-12)
+    assert row["kappa"] > 0.5  # raters mostly agree
+
+
+def test_kappa_perfect_agreement(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i % 4), str(i % 4)) for i in range(80)], "x string, y string"
+    )
+    row = cohens_kappa(df, "x", "y").collect()[0]
+    assert row["po"] == 1.0 and row["kappa"] == 1.0
+
+
+def test_kappa_chance_level_is_zero(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        cohens_kappa,
+    )
+
+    # independent balanced raters: po == pe -> kappa == 0
+    df = spark.createDataFrame(
+        [(str(i % 2), str((i // 2) % 2)) for i in range(40)],
+        "x string, y string",
+    )
+    row = cohens_kappa(df, "x", "y").collect()[0]
+    assert row["kappa"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_kappa_degenerate_both_constant(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(
+        [("k", "k")] * 10, "x string, y string"
+    )
+    row = cohens_kappa(df, "x", "y").collect()[0]
+    assert row["kappa"] is None and row["po"] == 1.0

@@ -211,3 +211,70 @@ def test_ks_argmax_tiebreak_smallest_value(spark):
     # must be the SMALLEST observed value attaining it, i.e. 0
     row = ks_2samp(_df(spark, [0]), _df(spark, [10]), "x").collect()[0]
     assert row["ks_stat"] == 1.0 and row["at_value"] == 0.0
+
+
+# --- Mann-Whitney U ------------------------------------------------------
+
+
+def _mw_ref(a, b):
+    vals = sorted(set(a) | set(b))
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    na, nb = len(a), len(b)
+    before = 0
+    ra2 = 0
+    ties = 0
+    for v in vals:
+        t = ca.get(v, 0) + cb.get(v, 0)
+        mid2 = 2 * before + t + 1
+        ra2 += ca.get(v, 0) * mid2
+        ties += t * t * t - t
+        before += t
+    u2a = ra2 - na * (na + 1)
+    u_a = u2a / 2.0
+    n = na + nb
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u_a - na * nb / 2.0) / math.sqrt(var) if var > 0 else None
+    if z is not None:
+        m = math.floor(abs(z) * 1e6 + 0.5)
+        z = (-m if z < 0 else m) / 1e6
+    return u_a, na * nb - u_a, z
+
+
+def test_mannwhitney_matches_python_reference(spark):
+    from med_doi_feature_extraction_spark.operators.drift import (
+        mannwhitney_u,
+    )
+
+    a = [float((i * 17) % 50) for i in range(120)]  # heavy ties
+    b = [float(((i * 29) % 50) + 7) for i in range(100)]
+    row = mannwhitney_u(_df(spark, a), _df(spark, b), "x").collect()[0]
+    u_a, u_b, z = _mw_ref(a, b)
+    assert row["u_a"] == u_a and row["u_b"] == u_b
+    assert row["z"] == pytest.approx(z, abs=1e-12)
+    assert row["n_a"] == 120 and row["n_b"] == 100
+    assert row["z"] < -3  # b is shifted up -> a's ranks are low
+
+
+def test_mannwhitney_identical_sides(spark):
+    from med_doi_feature_extraction_spark.operators.drift import (
+        mannwhitney_u,
+    )
+
+    a = [float(i % 10) for i in range(100)]
+    row = mannwhitney_u(_df(spark, a), _df(spark, a), "x").collect()[0]
+    assert row["u_a"] == row["u_b"] == 5000.0  # na*nb/2
+    assert row["z"] == 0.0
+
+
+def test_mannwhitney_all_tied_null_z(spark):
+    from med_doi_feature_extraction_spark.operators.drift import (
+        mannwhitney_u,
+    )
+
+    row = mannwhitney_u(
+        _df(spark, [5.0] * 20), _df(spark, [5.0] * 30), "x"
+    ).collect()[0]
+    assert row["z"] is None  # zero variance
+    assert row["u_a"] == 20 * 30 / 2.0  # all midranks equal

@@ -88,6 +88,9 @@ ALLOW_NLJ = {
     # cramers_assoc: 1-row grand-total/level-count broadcast onto the
     # bounded contingency-cell table (attach-a-global-scalar)
     "cramers_assoc",
+    # cohens_kappa: three 1-row aggregates (n / diagonal / marginal
+    # product) crossJoined into the single output row
+    "cohens_kappa",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
