@@ -8391,6 +8391,58 @@ def _sql_cohens_kappa() -> str:
     return oracle_kappa_sql(rel, "rater_a", "rater_b")
 
 
+def q_bootstrap_means(spark, sf_dir):
+    """Deterministic Poisson-bootstrap replicate means
+    (operators/bootstrap.py): per-replicate Poisson(1) weights from
+    the house sha256 uniform via a shared-constant inverse-CDF CASE
+    ladder; n_boot weighted sums in ONE aggregate scan, exact BIGINT
+    Sums, micro-rounded means - every replicate hash-exact vs the
+    DuckDB twin."""
+    from med_doi_feature_extraction_spark.operators.bootstrap import (
+        poisson_bootstrap_means,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return poisson_bootstrap_means(
+        docs, "doc_id", "n_chars", n_boot=25, salt="cq"
+    )
+
+
+def _sql_bootstrap_means() -> str:
+    from med_doi_feature_extraction_spark.operators.bootstrap import (
+        oracle_bootstrap_means_sql,
+    )
+
+    return oracle_bootstrap_means_sql(
+        "documents", "doc_id", "n_chars", n_boot=25, salt="cq"
+    )
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Percentile-bootstrap confidence interval for the corpus mean
+    (operators/bootstrap.py bootstrap_ci): exact F.percentile ==
+    quantile_cont over the replicate means, full-sample mean as one
+    BIGINT-ratio division."""
+    from med_doi_feature_extraction_spark.operators.bootstrap import (
+        bootstrap_ci,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return bootstrap_ci(
+        docs, "doc_id", "n_chars", n_boot=40, alpha=0.1, salt="cq"
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    from med_doi_feature_extraction_spark.operators.bootstrap import (
+        oracle_bootstrap_ci_sql,
+    )
+
+    return oracle_bootstrap_ci_sql(
+        "documents", "doc_id", "n_chars", n_boot=40, alpha=0.1, salt="cq"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8605,6 +8657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_assoc": q_cramers_assoc,
         "mannwhitney_drift": q_mannwhitney_drift,
         "cohens_kappa": q_cohens_kappa,
+        "bootstrap_means": q_bootstrap_means,
+        "bootstrap_ci": q_bootstrap_ci,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8786,4 +8840,6 @@ def oracle_sql() -> dict[str, str]:
         "cramers_assoc": _sql_cramers_assoc(),
         "mannwhitney_drift": _sql_mannwhitney_drift(),
         "cohens_kappa": _sql_cohens_kappa(),
+        "bootstrap_means": _sql_bootstrap_means(),
+        "bootstrap_ci": _sql_bootstrap_ci(),
     }

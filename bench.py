@@ -124,7 +124,7 @@ def main() -> None:
         # r5 second-session additions (prose-shape + drift surface)
         "readability", "psi_drift", "ks_drift", "chi2_tokens",
         "column_entropy", "pearson_matrix", "cramers_assoc",
-        "mannwhitney_drift", "cohens_kappa",
+        "mannwhitney_drift", "cohens_kappa", "bootstrap_ci",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

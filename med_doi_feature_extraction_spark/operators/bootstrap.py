@@ -1,0 +1,215 @@
+"""Poisson-bootstrap uncertainty for corpus statistics.
+
+A curation report that says "mean quality 0.62" on a 10¹²-doc corpus
+needs an error bar before anyone acts on a 0.01 shift between
+snapshots. The classical bootstrap (resample n rows with
+replacement, B times) cannot run distributed — but the **Poisson
+bootstrap** (Chamandy et al. 2012, "Estimating uncertainty for
+massive data streams") can: give every row an independent
+Poisson(1) weight per replicate and the weighted statistic is a
+bootstrap draw. Each weight here is DETERMINISTIC — the inverse
+Poisson CDF applied to ``sampling.hash_uniform(key, salt·replicate)``
+— so replicates are reproducible, layout-independent and
+append-stable, the same contract as every sampler in this engine.
+
+Execution shape, 100 TB lens: ONE full scan computing ``n_boot``
+weighted (Σw, Σw·x) pairs in a single aggregate — all map-side
+partial aggregation, no shuffle beyond the 1-row merge, no UDF (the
+weight is a CASE ladder over plan-literal CDF constants). This is
+exactly the method Google built for this job; B=100 replicates cost
+B extra agg cells per partition, not B scans.
+
+Cross-engine determinism: weights are small integers from the
+shared-constant CASE ladder (the cumulative-CDF doubles are emitted
+from ONE Python list into both engines); ``x`` is integer by
+contract (pre-scale floats — the assoc.py/column_entropy
+discipline), so every Σw / Σw·x is an exact BIGINT and each
+replicate mean is a single double division, micro-rounded.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Poisson(1) CDF, cumulative; weights cap at ``len(_CDF)`` (the
+#: residual mass beyond k=12 is < 1e-12 — unreachable from a 32-bit
+#: uniform anyway).
+_CDF = [
+    sum(math.exp(-1.0) / math.factorial(j) for j in range(k + 1))
+    for k in range(13)
+]
+
+
+def _micro(c: Column) -> Column:
+    m = F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return F.when(c < 0, -m).otherwise(m)
+
+
+def _poisson_weight(u: Column) -> Column:
+    """Inverse Poisson(1) CDF of a uniform — smallest k with u < CDF(k)."""
+    expr = F.lit(len(_CDF))
+    for k in range(len(_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr.cast("long")
+
+
+def _oracle_weight(u_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN ({u_expr}) < {c!r} THEN {k}" for k, c in enumerate(_CDF)
+    )
+    return f"(CASE {whens} ELSE {len(_CDF)} END)"
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    n_boot: int = 100,
+    salt: str = "boot",
+) -> DataFrame:
+    """``n_boot`` deterministic Poisson-bootstrap replicates of the
+    mean of integer column ``val_col`` (NULL values dropped). One
+    output row per replicate: ``boot_id, n_eff`` (Σ weights),
+    ``mean`` (6 dp; NULL for the measure-zero case Σw = 0).
+
+    Keys must identify rows (the ``hash_uniform`` contract);
+    replicate ``i`` uses salt ``f"{salt}:{i}"``.
+    """
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    if n_boot < 1:
+        raise ValueError("n_boot must be >= 1")
+    x = F.col(val_col).cast("long")
+    rows = df.filter(x.isNotNull()).select(
+        F.col(key_col).alias("_k"), x.alias("_x")
+    )
+    aggs = []
+    for i in range(n_boot):
+        w = _poisson_weight(hash_uniform(F.col("_k"), f"{salt}:{i}"))
+        aggs.append(F.sum(w).cast("long").alias(f"_w_{i}"))
+        aggs.append(F.sum(w * F.col("_x")).cast("long").alias(f"_wx_{i}"))
+    row = rows.agg(*aggs)
+    outs = []
+    for i in range(n_boot):
+        w = F.col(f"_w_{i}")
+        wx = F.col(f"_wx_{i}")
+        mean = F.when(w > 0, wx.cast("double") / w.cast("double"))
+        outs.append(
+            F.struct(
+                F.lit(i).alias("boot_id"),
+                F.coalesce(w, F.lit(0)).cast("long").alias("n_eff"),
+                (_micro(mean) / 1e6).alias("mean"),
+            )
+        )
+    return row.select(F.explode(F.array(*outs)).alias("_b")).select("_b.*")
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    integer ``val_col``: ONE row — ``mean`` (full-sample, 6 dp),
+    ``ci_lo, ci_hi`` (the ``alpha/2`` / ``1 − alpha/2`` exact
+    percentiles of the :func:`poisson_bootstrap_means` replicate
+    means — ``F.percentile`` == ``quantile_cont`` interpolation),
+    ``n`` (rows), ``n_boot``."""
+    reps = poisson_bootstrap_means(df, key_col, val_col, n_boot, salt)
+    x = F.col(val_col).cast("long")
+    full = df.filter(x.isNotNull()).agg(
+        F.count(x).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("_sx"),
+    )
+    qs = F.lit([alpha / 2.0, 1.0 - alpha / 2.0]).cast("array<double>")
+    ci = reps.agg(F.percentile("mean", qs).alias("_ci"))
+    j = full.crossJoin(F.broadcast(ci))
+    mean = F.col("_sx").cast("double") / F.col("n").cast("double")
+    return j.select(
+        (_micro(mean) / 1e6).alias("mean"),
+        (_micro(F.col("_ci")[0]) / 1e6).alias("ci_lo"),
+        (_micro(F.col("_ci")[1]) / 1e6).alias("ci_hi"),
+        "n",
+        F.lit(n_boot).cast("long").alias("n_boot"),
+    )
+
+
+# --- DuckDB twins -----------------------------------------------------
+
+def _oracle_micro(expr: str) -> str:
+    m = f"CAST(floor(abs({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+    return f"(CASE WHEN ({expr}) < 0 THEN -{m} ELSE {m} END)"
+
+
+def oracle_bootstrap_means_sql(
+    rel_sql: str,
+    key_expr: str,
+    val_expr: str,
+    n_boot: int = 100,
+    salt: str = "boot",
+) -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_means` — same uniform,
+    same CDF-constant CASE ladder, same exact BIGINT sums."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_uniform_sql,
+    )
+
+    branches = []
+    w = _oracle_weight("u")  # the uniform is computed once per row
+    for i in range(n_boot):
+        u = oracle_uniform_sql(f"CAST({key_expr} AS VARCHAR)", f"{salt}:{i}")
+        branches.append(f"""
+SELECT {i} AS boot_id,
+       CAST(coalesce(sum(w), 0) AS BIGINT) AS n_eff,
+       CASE WHEN coalesce(sum(w), 0) > 0 THEN
+         {_oracle_micro('(sum(w * x))::DOUBLE / (sum(w))::DOUBLE')}
+           / 1000000.0
+       END AS mean
+FROM (
+  SELECT {w} AS w, x FROM (
+    SELECT {u} AS u, CAST({val_expr} AS BIGINT) AS x
+    FROM {rel_sql} WHERE {val_expr} IS NOT NULL
+  )
+)""")
+    return "\nUNION ALL\n".join(branches)
+
+
+def oracle_bootstrap_ci_sql(
+    rel_sql: str,
+    key_expr: str,
+    val_expr: str,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> str:
+    """DuckDB twin of :func:`bootstrap_ci`."""
+    reps = oracle_bootstrap_means_sql(
+        rel_sql, key_expr, val_expr, n_boot, salt
+    )
+    mean = "(sx)::DOUBLE / (n)::DOUBLE"
+    return f"""
+WITH reps AS ({reps}),
+full_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST({val_expr} AS BIGINT)) AS BIGINT) AS sx
+  FROM {rel_sql} WHERE {val_expr} IS NOT NULL
+),
+ci AS (
+  SELECT quantile_cont(mean, {alpha / 2.0!r}) AS lo,
+         quantile_cont(mean, {1.0 - alpha / 2.0!r}) AS hi
+  FROM reps
+)
+SELECT {_oracle_micro(mean)} / 1000000.0 AS mean,
+       {_oracle_micro('lo')} / 1000000.0 AS ci_lo,
+       {_oracle_micro('hi')} / 1000000.0 AS ci_hi,
+       n, CAST({n_boot} AS BIGINT) AS n_boot
+FROM full_agg, ci
+"""

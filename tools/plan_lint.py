@@ -91,6 +91,9 @@ ALLOW_NLJ = {
     # cohens_kappa: three 1-row aggregates (n / diagonal / marginal
     # product) crossJoined into the single output row
     "cohens_kappa",
+    # bootstrap_ci: 1-row replicate-percentile aggregate crossJoined
+    # onto the 1-row full-sample aggregate
+    "bootstrap_ci",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
