@@ -8443,6 +8443,102 @@ def _sql_bootstrap_ci() -> str:
     )
 
 
+def _cls_fixture(spark, sf_dir):
+    """Deterministic prediction/score/label fixture over documents:
+    pred = lang with every 7th doc mis-predicted as 'en'; score =
+    integer-derived [0,1) double; label = 1 where a second integer
+    stream falls under the score (so the score is roughly calibrated
+    by construction). Identical expressions in the oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("lang").alias("truth"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("en"))
+        .otherwise(F.col("lang"))
+        .alias("pred"),
+        ((F.col("doc_id") * 37) % 1000).cast("double").alias("_s1000"),
+        ((F.col("doc_id") * 11) % 1000).alias("_y1000"),
+    ).select(
+        "truth",
+        "pred",
+        (F.col("_s1000") / 1000.0).alias("score"),
+        (F.col("_y1000") < F.col("_s1000")).cast("int").alias("label"),
+    )
+
+
+_CLS_FIXTURE_SQL = """(
+  SELECT lang AS truth,
+         CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS pred,
+         (CAST((doc_id * 37) % 1000 AS DOUBLE)) / 1000.0 AS score,
+         CAST((doc_id * 11) % 1000
+              < CAST((doc_id * 37) % 1000 AS DOUBLE) AS INT) AS label
+  FROM documents
+)"""
+
+
+def q_cls_report(spark, sf_dir):
+    """Per-class precision/recall/F1 vs truth (operators/evalcls.py
+    classification_report): bounded confusion-cell hash-agg, exact
+    BIGINT tp/fp/fn, F1 via the single-division identity
+    2tp/(2tp+fp+fn) - every metric hash-exact vs DuckDB."""
+    from med_doi_feature_extraction_spark.operators.evalcls import (
+        classification_report,
+    )
+
+    return classification_report(
+        _cls_fixture(spark, sf_dir), "truth", "pred"
+    )
+
+
+def _sql_cls_report() -> str:
+    from med_doi_feature_extraction_spark.operators.evalcls import (
+        oracle_cls_report_sql,
+    )
+
+    return oracle_cls_report_sql(_CLS_FIXTURE_SQL, "truth", "pred")
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram table (operators/evalcls.py
+    calibration_table): per-bin count, mean score (per-row micro-unit
+    BIGINTs before the mean - order-free) and observed positive
+    rate."""
+    from med_doi_feature_extraction_spark.operators.evalcls import (
+        calibration_table,
+    )
+
+    return calibration_table(
+        _cls_fixture(spark, sf_dir), "score", "label", n_bins=10
+    )
+
+
+def _sql_calibration_bins() -> str:
+    from med_doi_feature_extraction_spark.operators.evalcls import (
+        oracle_calibration_sql,
+    )
+
+    return oracle_calibration_sql(
+        _CLS_FIXTURE_SQL, "score", "label", n_bins=10
+    )
+
+
+def q_brier(spark, sf_dir):
+    """Brier score (operators/evalcls.py brier_score): per-row
+    squared-error micro-units summed as BIGINT, one double division."""
+    from med_doi_feature_extraction_spark.operators.evalcls import (
+        brier_score,
+    )
+
+    return brier_score(_cls_fixture(spark, sf_dir), "score", "label")
+
+
+def _sql_brier() -> str:
+    from med_doi_feature_extraction_spark.operators.evalcls import (
+        oracle_brier_sql,
+    )
+
+    return oracle_brier_sql(_CLS_FIXTURE_SQL, "score", "label")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8659,6 +8755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "bootstrap_means": q_bootstrap_means,
         "bootstrap_ci": q_bootstrap_ci,
+        "cls_report": q_cls_report,
+        "calibration_bins": q_calibration_bins,
+        "brier": q_brier,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8842,4 +8941,7 @@ def oracle_sql() -> dict[str, str]:
         "cohens_kappa": _sql_cohens_kappa(),
         "bootstrap_means": _sql_bootstrap_means(),
         "bootstrap_ci": _sql_bootstrap_ci(),
+        "cls_report": _sql_cls_report(),
+        "calibration_bins": _sql_calibration_bins(),
+        "brier": _sql_brier(),
     }
