@@ -8539,6 +8539,24 @@ def _sql_brier() -> str:
     return oracle_brier_sql(_CLS_FIXTURE_SQL, "score", "label")
 
 
+def q_roc_auc(spark, sf_dir):
+    """Exact ROC-AUC via the rank identity AUC = U+/(n+ * n-)
+    (operators/evalcls.py roc_auc on the mannwhitney_u machinery):
+    midrank ties, exact BIGINT doubled-unit rank sums, one double
+    division - the exact AUC with no corpus sort and no sampling."""
+    from med_doi_feature_extraction_spark.operators.evalcls import roc_auc
+
+    return roc_auc(_cls_fixture(spark, sf_dir), "score", "label")
+
+
+def _sql_roc_auc() -> str:
+    from med_doi_feature_extraction_spark.operators.evalcls import (
+        oracle_roc_auc_sql,
+    )
+
+    return oracle_roc_auc_sql(_CLS_FIXTURE_SQL, "score", "label")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8758,6 +8776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cls_report": q_cls_report,
         "calibration_bins": q_calibration_bins,
         "brier": q_brier,
+        "roc_auc": q_roc_auc,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8944,4 +8963,5 @@ def oracle_sql() -> dict[str, str]:
         "cls_report": _sql_cls_report(),
         "calibration_bins": _sql_calibration_bins(),
         "brier": _sql_brier(),
+        "roc_auc": _sql_roc_auc(),
     }

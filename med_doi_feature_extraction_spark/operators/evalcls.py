@@ -248,3 +248,62 @@ WITH agg AS (
 SELECT {_oracle_micro(brier)} / 1000000.0 AS brier, n
 FROM agg
 """
+
+
+def roc_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a 0/1 label via the
+    rank-statistic identity ``AUC = U⁺ / (n⁺·n⁻)`` (ties count ½ —
+    the midrank convention), computed on the
+    :func:`~.drift.mannwhitney_u` machinery: per-value counts →
+    ``global_cumsum`` prefix sums → exact BIGINT doubled-unit rank
+    sums. No sort-the-corpus, no single-reducer window, no sampling —
+    the exact AUC at any scale. NULLs dropped.
+
+    ONE row: ``auc`` (6 dp), ``n_pos, n_neg`` (``auc`` NULL when a
+    class is empty)."""
+    from med_doi_feature_extraction_spark.operators.drift import (
+        mannwhitney_u,
+    )
+
+    y = F.col(label_col).cast("int")
+    pos = df.filter(y == 1)
+    neg = df.filter(y == 0)
+    mw = mannwhitney_u(pos, neg, score_col)
+    denom = (F.col("n_a") * F.col("n_b")).cast("double")
+    auc = F.when(denom > 0, F.col("u_a") / denom)
+    return mw.select(
+        (_micro(auc) / 1e6).alias("auc"),
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+    )
+
+
+def oracle_roc_auc_sql(
+    rel_sql: str, score_expr: str, label_expr: str
+) -> str:
+    """DuckDB twin of :func:`roc_auc` — the mannwhitney oracle with
+    the AUC projection on top."""
+    from med_doi_feature_extraction_spark.operators.drift import (
+        oracle_mannwhitney_sql,
+    )
+
+    pos = (
+        f"(SELECT {score_expr} AS s FROM {rel_sql}"
+        f" WHERE CAST({label_expr} AS INT) = 1)"
+    )
+    neg = (
+        f"(SELECT {score_expr} AS s FROM {rel_sql}"
+        f" WHERE CAST({label_expr} AS INT) = 0)"
+    )
+    mw = oracle_mannwhitney_sql(pos, neg, "s")
+    auc = "u_a / (n_a * n_b)::DOUBLE"
+    return f"""
+WITH mw AS ({mw})
+SELECT CASE WHEN n_a * n_b > 0 THEN
+         {_oracle_micro(auc)} / 1000000.0
+       END AS auc,
+       n_a AS n_pos, n_b AS n_neg
+FROM mw
+"""

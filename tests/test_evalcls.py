@@ -126,3 +126,61 @@ def test_rejects_bad_bins(spark):
     df = spark.createDataFrame([(0.5, 1)], "s double, y int")
     with pytest.raises(ValueError):
         calibration_table(df, "s", "y", n_bins=1)
+
+
+def _auc_ref(pairs):
+    pos = sorted(s for s, y in pairs if y == 1)
+    neg = sorted(s for s, y in pairs if y == 0)
+    import bisect
+
+    total = 0.0
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        total += lo + (hi - lo) / 2.0
+    auc = total / (len(pos) * len(neg))
+    return _micro(auc) / 1e6
+
+
+def test_roc_auc_matches_reference(spark):
+    from med_doi_feature_extraction_spark.operators.evalcls import roc_auc
+
+    pairs = [
+        ((i * 13 % 40) / 40.0 + (0.3 if i % 3 == 0 else 0.0), i % 3 == 0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(s, int(y)) for s, y in pairs], "s double, y int"
+    )
+    row = roc_auc(df, "s", "y").collect()[0]
+    want = _auc_ref([(s, int(y)) for s, y in pairs])
+    assert row["auc"] == pytest.approx(want, abs=1e-12)
+    assert row["auc"] > 0.7  # the planted signal separates
+
+
+def test_roc_auc_perfect_random_inverted(spark):
+    from med_doi_feature_extraction_spark.operators.evalcls import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)],
+        "s double, y int",
+    )
+    assert roc_auc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    const = spark.createDataFrame(
+        [(0.5, i % 2) for i in range(100)], "s double, y int"
+    )
+    assert const.count() == 100
+    assert roc_auc(const, "s", "y").collect()[0]["auc"] == 0.5  # all ties
+    inv = spark.createDataFrame(
+        [(float(-i), 1 if i >= 50 else 0) for i in range(100)],
+        "s double, y int",
+    )
+    assert roc_auc(inv, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_roc_auc_empty_class_null(spark):
+    from med_doi_feature_extraction_spark.operators.evalcls import roc_auc
+
+    df = spark.createDataFrame([(0.5, 1), (0.7, 1)], "s double, y int")
+    row = roc_auc(df, "s", "y").collect()[0]
+    assert row["auc"] is None and row["n_neg"] == 0
