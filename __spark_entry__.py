@@ -8557,6 +8557,28 @@ def _sql_roc_auc() -> str:
     return oracle_roc_auc_sql(_CLS_FIXTURE_SQL, "score", "label")
 
 
+def q_concentration(spark, sf_dir):
+    """Corpus concentration card (operators/diversity.py): Gini +
+    HHI + top-share of documents across sources - one hash-agg to
+    per-group counts, global_row_number rank (no single-reducer
+    window), exact BIGINT identities reduced to one double division
+    each."""
+    from med_doi_feature_extraction_spark.operators.diversity import (
+        concentration,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return concentration(docs, "source")
+
+
+def _sql_concentration() -> str:
+    from med_doi_feature_extraction_spark.operators.diversity import (
+        oracle_concentration_sql,
+    )
+
+    return oracle_concentration_sql("documents", "source")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8777,6 +8799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "brier": q_brier,
         "roc_auc": q_roc_auc,
+        "concentration": q_concentration,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8964,4 +8987,5 @@ def oracle_sql() -> dict[str, str]:
         "calibration_bins": _sql_calibration_bins(),
         "brier": _sql_brier(),
         "roc_auc": _sql_roc_auc(),
+        "concentration": _sql_concentration(),
     }

@@ -125,7 +125,7 @@ def main() -> None:
         "readability", "psi_drift", "ks_drift", "chi2_tokens",
         "column_entropy", "pearson_matrix", "cramers_assoc",
         "mannwhitney_drift", "cohens_kappa", "bootstrap_ci",
-        "cls_report", "calibration_bins", "roc_auc",
+        "cls_report", "calibration_bins", "roc_auc", "concentration",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per
