@@ -177,6 +177,53 @@ def main() -> None:
          "algebra (no exchange); the codec runs in ONE Arrow "
          "mapInPandas riding the filtered scan — encode+decode per "
          "row, no shuffle anywhere in the plan."),
+        ("readability", "entire battery in ONE codegen span over the "
+         "scan — the word array is computed once; no exchange, no "
+         "UDF."),
+        ("psi_drift", "1-row percentile-edges broadcast onto both "
+         "snapshot scans (quantile_bin shape); the only aggregation "
+         "keys on <= n_bins groups; totals/psi_total are 1-row "
+         "broadcasts over that tiny frame."),
+        ("ks_drift", "per-value hash-agg, then global_cumsum's "
+         "range exchange + _pid-partitioned window (NO "
+         "single-reducer window) + plan-literal offsets; the answer "
+         "is a 1-row TakeOrderedAndProject."),
+        ("mannwhitney_drift", "same per-value-counts + prefix-sum "
+         "frame as ks_drift; midranks in exact doubled units fold "
+         "into ONE 1-row aggregate."),
+        ("chi2_tokens", "distinct-token explode → Zipf-absorbing "
+         "hash-agg on token → 1-row label-totals broadcast → "
+         "bounded TakeOrderedAndProject; corpus text never crosses "
+         "a shuffle."),
+        ("column_entropy", "stack melt multiplies rows x k BEFORE "
+         "partial agg absorbs them into per-(column,value) counts; "
+         "per-column totals join broadcast; entropy terms are "
+         "BIGINT micro-units (no float-order sensitivity)."),
+        ("pearson_matrix", "every pair's six moment sums in ONE "
+         "full-scan 1-row aggregate — zero joins in the plan "
+         "(pytest-pinned), zero shuffles beyond the 1-row merge."),
+        ("cramers_assoc", "bounded contingency hash-agg; row/col "
+         "marginals broadcast onto the tiny cell table; chi2 from "
+         "observed cells only via the n + sum((o-e)^2/e - e) "
+         "identity."),
+        ("cohens_kappa", "three 1-row aggregates (n, diagonal, "
+         "marginal product) crossJoined into the single output row."),
+        ("bootstrap_ci", "n_boot weighted (sum w, sum w*x) pairs in "
+         "ONE aggregate scan (map-side partials); the CI is an "
+         "exact percentile over the n_boot-row replicate frame."),
+        ("cls_report", "bounded confusion-cell hash-agg; truth/pred "
+         "marginals broadcast; F1 is the single-division "
+         "2tp/(2tp+fp+fn) identity."),
+        ("calibration_bins", "bin assignment + per-row micro-unit "
+         "score ride the scan; ONE hash-agg on <= n_bins groups."),
+        ("roc_auc", "mannwhitney machinery on the label-split "
+         "sides: per-value counts, range-exchange prefix sums, "
+         "1-row AUC projection — the exact AUC with no corpus "
+         "sort."),
+        ("concentration", "per-group counts → global_row_number "
+         "rank (range exchange + plan-literal offsets) → 1-row "
+         "aggregate; Gini/HHI are exact-BIGINT identities reduced "
+         "to one division each."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
