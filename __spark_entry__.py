@@ -8579,6 +8579,33 @@ def _sql_concentration() -> str:
     return oracle_concentration_sql("documents", "source")
 
 
+def q_trend(spark, sf_dir):
+    """Per-entity OLS trend of event value against time
+    (operators/trend.py): ONE hash-agg of six exact BIGINT moment
+    sums per user, closed-form slope/intercept/R^2 as fixed-order
+    double expressions micro-rounded - no window, no join, no UDF."""
+    from med_doi_feature_extraction_spark.operators.trend import (
+        trend_features,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return trend_features(
+        ev, ["user_id"], "ts", "value",
+        ref_epoch=1704067200, val_scale=1000,
+    )
+
+
+def _sql_trend() -> str:
+    from med_doi_feature_extraction_spark.operators.trend import (
+        oracle_trend_sql,
+    )
+
+    return oracle_trend_sql(
+        "events", ["user_id"], "ts", "value",
+        ref_epoch=1704067200, val_scale=1000,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8800,6 +8827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "roc_auc": q_roc_auc,
         "concentration": q_concentration,
+        "trend": q_trend,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -8988,4 +9016,5 @@ def oracle_sql() -> dict[str, str]:
         "brier": _sql_brier(),
         "roc_auc": _sql_roc_auc(),
         "concentration": _sql_concentration(),
+        "trend": _sql_trend(),
     }

@@ -1,0 +1,147 @@
+"""Per-entity OLS trend features (operators/trend.py)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+
+from med_doi_feature_extraction_spark.operators.trend import trend_features
+
+REF = datetime(2024, 1, 1)
+REF_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def _micro(x):
+    m = math.floor(abs(x) * 1e6 + 0.5)
+    return -m if x < 0 else m
+
+
+def _fit_ref(points, scale=1000):
+    # points: (t_sec, value)
+    ys = []
+    for t, v in points:
+        m = math.floor(abs(v) * float(scale) + 0.5)
+        ys.append((t, -m if v < 0 else m))
+    n = len(ys)
+    st = sum(t for t, _ in ys)
+    sy = sum(y for _, y in ys)
+    stt = sum(t * t for t, _ in ys)
+    sty = sum(t * y for t, y in ys)
+    syy = sum(y * y for _, y in ys)
+    num = float(n * sty - st * sy)
+    den = float(n * stt - st * st)
+    deny = float(n * syy - sy * sy)
+    if den <= 0:
+        return None, None, None
+    slope = _micro(num / den * 86400.0 / float(scale)) / 1e6
+    intercept = _micro((sy - num / den * st) / n / float(scale)) / 1e6
+    r2 = (
+        _micro(num * num / (den * deny)) / 1e6 if deny > 0 else None
+    )
+    return slope, intercept, r2
+
+
+def _rows(spec):
+    # spec: {entity: [(day_offset, value), ...]}
+    out = []
+    for ent, pts in spec.items():
+        for d, v in pts:
+            out.append((ent, REF + timedelta(days=d), float(v)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    spec = {
+        "grow": [(i, 100.0 + 40.0 * i) for i in range(10)],
+        "noisy": [(i, 50.0 + 3.0 * i + ((i * 7) % 5 - 2) * 0.25)
+                  for i in range(12)],
+        "flat": [(i, 7.5) for i in range(6)],
+        "point": [(3, 9.0), (3, 11.0)],
+        "shrink": [(2 * i, 1000.0 - 12.5 * i) for i in range(8)],
+    }
+    df = spark.createDataFrame(
+        _rows(spec), "url string, ts timestamp, v double"
+    )
+    got = {
+        r["url"]: r
+        for r in trend_features(
+            df, ["url"], "ts", "v", ref_epoch=REF_EPOCH
+        ).collect()
+    }
+    return spec, got
+
+
+def test_matches_python_reference(fitted):
+    spec, got = fitted
+    for ent, pts in spec.items():
+        secs = [(d * 86400, v) for d, v in pts]
+        slope, intercept, r2 = _fit_ref(secs)
+        row = got[ent]
+        assert row["n_obs"] == len(pts), ent
+        if slope is None:
+            assert row["slope_per_day"] is None, ent
+        else:
+            assert row["slope_per_day"] == pytest.approx(
+                slope, abs=1e-12
+            ), ent
+            assert row["intercept"] == pytest.approx(
+                intercept, abs=1e-12
+            ), ent
+        if r2 is None:
+            assert row["r2"] is None, ent
+        else:
+            assert row["r2"] == pytest.approx(r2, abs=1e-12), ent
+
+
+def test_perfect_line(fitted):
+    _, got = fitted
+    row = got["grow"]
+    assert row["slope_per_day"] == pytest.approx(40.0)
+    assert row["intercept"] == pytest.approx(100.0)
+    assert row["r2"] == pytest.approx(1.0)
+    down = got["shrink"]
+    assert down["slope_per_day"] == pytest.approx(-6.25)  # -12.5 / 2 days
+    assert down["r2"] == pytest.approx(1.0)
+
+
+def test_flat_value_zero_slope_null_r2(fitted):
+    _, got = fitted
+    row = got["flat"]
+    assert row["slope_per_day"] == 0.0
+    assert row["r2"] is None  # zero variance in y
+
+
+def test_single_timestamp_null_fit(fitted):
+    _, got = fitted
+    row = got["point"]
+    assert row["slope_per_day"] is None
+    assert row["t_span_sec"] == 0
+
+
+def test_nulls_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", REF, 1.0), ("a", None, 2.0),
+         ("a", REF + timedelta(days=1), None),
+         ("a", REF + timedelta(days=2), 3.0)],
+        "url string, ts timestamp, v double",
+    )
+    row = trend_features(
+        df, ["url"], "ts", "v", ref_epoch=REF_EPOCH
+    ).collect()[0]
+    assert row["n_obs"] == 2
+
+
+def test_one_hashagg_no_window_no_join(spark):
+    df = spark.createDataFrame(
+        _rows({"a": [(0, 1.0), (1, 2.0)]}),
+        "url string, ts timestamp, v double",
+    )
+    plan = (
+        trend_features(df, ["url"], "ts", "v", ref_epoch=REF_EPOCH)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan
