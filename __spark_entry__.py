@@ -8606,6 +8606,52 @@ def _sql_trend() -> str:
     )
 
 
+def q_psi_by_lang(spark, sf_dir):
+    """Segmented PSI (operators/drift.py psi_by_group): one PSI per
+    language, each binned by its OWN baseline percentiles; drift is
+    planted in two languages only (en/de get a doc_id%%600 shift;
+    n_bins=4 keeps small per-group samples out of the empty-bin
+    epsilon regime) so the per-group attribution is itself under
+    test: planted groups must read far above unplanted ones."""
+    from med_doi_feature_extraction_spark.operators.drift import (
+        psi_by_group,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", F.col("n_chars").cast("double").alias("v")
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "lang",
+        (
+            F.col("n_chars")
+            + F.when(
+                F.col("lang").isin("en", "de"), F.col("doc_id") % 600
+            ).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("v"),
+    )
+    return psi_by_group(base, new, "v", "lang", n_bins=4)
+
+
+def _sql_psi_by_lang() -> str:
+    from med_doi_feature_extraction_spark.operators.drift import (
+        oracle_psi_by_group_sql,
+    )
+
+    base = (
+        "(SELECT lang, (n_chars)::DOUBLE AS v FROM documents"
+        " WHERE doc_id % 2 = 0)"
+    )
+    new = (
+        "(SELECT lang, (n_chars + CASE WHEN lang IN ('en', 'de')"
+        " THEN doc_id % 600 ELSE 0 END)::DOUBLE AS v FROM documents"
+        " WHERE doc_id % 2 = 1)"
+    )
+    return oracle_psi_by_group_sql(base, new, "v", "lang", n_bins=4)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8828,6 +8874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": q_roc_auc,
         "concentration": q_concentration,
         "trend": q_trend,
+        "psi_by_lang": q_psi_by_lang,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9017,4 +9064,5 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc": _sql_roc_auc(),
         "concentration": _sql_concentration(),
         "trend": _sql_trend(),
+        "psi_by_lang": _sql_psi_by_lang(),
     }

@@ -449,3 +449,140 @@ SELECT u2a::DOUBLE / 2.0 AS u_a,
        na AS n_a, nb AS n_b
 FROM vard
 """
+
+
+def psi_by_group(
+    df_base: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    group_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Segmented :func:`psi_table`: one PSI total per ``group_col``
+    level (language, source, shard...), with each group binned by its
+    OWN baseline percentiles — the "which segment drifted?" dashboard
+    row. Groups present only in the new snapshot are skipped (no
+    baseline to bin against — they are new-segment alerts for
+    ``profile``/``concentration``, not drift). NULL values/groups
+    dropped.
+
+    Output, one row per group: ``group, n_base, n_new, psi``
+    (6 dp micro-unit BIGINT sum over that group's bins — order-free).
+
+    Shape: per-group exact percentiles are ONE bounded aggregate
+    (groups × (n_bins−1) doubles) broadcast back to both scans; the
+    corpus reduces through a (group, bin) hash-agg — ≤ groups·n_bins
+    rows; everything after is joins on that tiny frame.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    x = F.col(col).cast("double")
+    g = F.col(group_col)
+    edges = (
+        df_base.filter(x.isNotNull() & g.isNotNull())
+        .groupBy(g.alias("_g"))
+        .agg(
+            F.percentile(x, F.lit(fracs).cast("array<double>")).alias(
+                "_edges"
+            )
+        )
+    )
+    tagged = (
+        df_base.filter(x.isNotNull() & g.isNotNull())
+        .select(g.alias("_g"), x.alias("_v"), F.lit(1).alias("_is_base"))
+        .unionByName(
+            df_new.filter(x.isNotNull() & g.isNotNull()).select(
+                g.alias("_g"), x.alias("_v"), F.lit(0).alias("_is_base")
+            )
+        )
+    )
+    binned = tagged.join(F.broadcast(edges), "_g").select(
+        "_g",
+        (
+            F.size(F.filter(F.col("_edges"), lambda e: F.col("_v") > e))
+            + 1
+        ).alias("_bin"),
+        "_is_base",
+    )
+    counts = binned.groupBy("_g", "_bin").agg(
+        F.sum("_is_base").cast("long").alias("_nb"),
+        F.sum(1 - F.col("_is_base")).cast("long").alias("_nn"),
+    )
+    totals = counts.groupBy("_g").agg(
+        F.sum("_nb").cast("double").alias("_tb"),
+        F.sum("_nn").cast("double").alias("_tn"),
+    )
+    eps = F.lit(PSI_EPS)
+    j = counts.join(F.broadcast(totals), "_g")
+    pb = F.greatest(F.col("_nb") / F.col("_tb"), eps)
+    pn = F.when(
+        F.col("_tn") > 0,
+        F.greatest(F.col("_nn") / F.col("_tn"), eps),
+    ).otherwise(eps)
+    term_u = _micro((pb - pn) * F.log(pb / pn))
+    agg = j.groupBy("_g").agg(
+        F.sum(term_u).cast("long").alias("_psi_u"),
+        F.sum("_nb").cast("long").alias("n_base"),
+        F.sum("_nn").cast("long").alias("n_new"),
+    )
+    return agg.select(
+        F.col("_g").alias("group"),
+        "n_base",
+        "n_new",
+        (F.col("_psi_u") / 1e6).alias("psi"),
+    )
+
+
+def oracle_psi_by_group_sql(
+    base_sql: str,
+    new_sql: str,
+    col: str,
+    group_expr: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`psi_by_group`."""
+    fracs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    pb = f"greatest(nb / tb, {PSI_EPS})"
+    pn = (
+        f"(CASE WHEN tn > 0 THEN greatest(nn / tn, {PSI_EPS})"
+        f" ELSE {PSI_EPS} END)"
+    )
+    term = f"({pb} - {pn}) * ln({pb} / {pn})"
+    return f"""
+WITH base AS (
+  SELECT {group_expr} AS g, ({col})::DOUBLE AS v FROM {base_sql}
+  WHERE {col} IS NOT NULL AND {group_expr} IS NOT NULL
+),
+newer AS (
+  SELECT {group_expr} AS g, ({col})::DOUBLE AS v FROM {new_sql}
+  WHERE {col} IS NOT NULL AND {group_expr} IS NOT NULL
+),
+edges AS (SELECT g, quantile_cont(v, [{fracs}]) AS e FROM base GROUP BY g),
+tagged AS (
+  SELECT g, v, 1 AS is_base FROM base
+  UNION ALL SELECT g, v, 0 AS is_base FROM newer
+),
+binned AS (
+  SELECT tagged.g AS g,
+         len(list_filter(edges.e, x -> v > x)) + 1 AS bin, is_base
+  FROM tagged JOIN edges ON tagged.g = edges.g
+),
+counts AS (
+  SELECT g, bin,
+         CAST(sum(is_base) AS BIGINT) AS nb,
+         CAST(sum(1 - is_base) AS BIGINT) AS nn
+  FROM binned GROUP BY g, bin
+),
+totals AS (
+  SELECT g, CAST(sum(nb) AS DOUBLE) AS tb,
+         CAST(sum(nn) AS DOUBLE) AS tn
+  FROM counts GROUP BY g
+)
+SELECT counts.g AS "group",
+       CAST(sum(nb) AS BIGINT) AS n_base,
+       CAST(sum(nn) AS BIGINT) AS n_new,
+       CAST(sum({_oracle_micro(term)}) AS BIGINT) / 1000000.0 AS psi
+FROM counts JOIN totals ON counts.g = totals.g
+GROUP BY counts.g
+"""

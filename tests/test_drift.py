@@ -278,3 +278,73 @@ def test_mannwhitney_all_tied_null_z(spark):
     ).collect()[0]
     assert row["z"] is None  # zero variance
     assert row["u_a"] == 20 * 30 / 2.0  # all midranks equal
+
+
+# --- per-group PSI -------------------------------------------------------
+
+
+def _gdf(spark, rows):
+    return spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, x double"
+    )
+
+
+def test_psi_by_group_matches_ungrouped_per_slice(spark):
+    from med_doi_feature_extraction_spark.operators.drift import (
+        psi_by_group,
+    )
+
+    base = [("en", (i * 13) % 97) for i in range(300)] + [
+        ("de", (i * 7) % 50) for i in range(200)
+    ]
+    new = [("en", ((i * 13) % 97) + 20) for i in range(280)] + [
+        ("de", (i * 7) % 50) for i in range(150)
+    ]
+    got = {
+        r["group"]: r
+        for r in psi_by_group(
+            _gdf(spark, base), _gdf(spark, new), "x", "g"
+        ).collect()
+    }
+    # each group must equal the ungrouped psi_table run on its slice
+    for g in ("en", "de"):
+        tbl = psi_table(
+            _gdf(spark, [r for r in base if r[0] == g]),
+            _gdf(spark, [r for r in new if r[0] == g]),
+            "x",
+        ).collect()
+        assert got[g]["psi"] == pytest.approx(
+            tbl[0]["psi_total"], abs=1e-12
+        ), g
+    assert got["de"]["psi"] == 0.0  # unchanged slice
+    assert got["en"]["psi"] > 0.05  # shifted slice registers
+
+
+def test_psi_by_group_new_only_group_skipped(spark):
+    from med_doi_feature_extraction_spark.operators.drift import (
+        psi_by_group,
+    )
+
+    base = [("en", i % 10) for i in range(50)]
+    new = [("en", i % 10) for i in range(50)] + [
+        ("fr", i % 10) for i in range(30)
+    ]
+    got = {
+        r["group"]
+        for r in psi_by_group(
+            _gdf(spark, base), _gdf(spark, new), "x", "g"
+        ).collect()
+    }
+    assert got == {"en"}  # no baseline for fr -> skipped
+
+
+def test_psi_by_group_vanished_group_max_drift(spark):
+    from med_doi_feature_extraction_spark.operators.drift import (
+        psi_by_group,
+    )
+
+    base = [("gone", i % 5) for i in range(40)]
+    empty = spark.createDataFrame([], "g string, x double")
+    row = psi_by_group(_gdf(spark, base), empty, "x", "g").collect()[0]
+    assert row["n_new"] == 0
+    assert row["psi"] > 5  # every bin's mass collapsed to eps
