@@ -8652,6 +8652,26 @@ def _sql_psi_by_lang() -> str:
     return oracle_psi_by_group_sql(base, new, "v", "lang", n_bins=4)
 
 
+def q_theils_u(spark, sf_dir):
+    """Theil's uncertainty coefficient between lang and source
+    (operators/assoc.py theils_u) - the asymmetric association
+    measure: entropies and conditional entropies as micro-unit
+    BIGINT sums over the bounded contingency, each U one double
+    ratio."""
+    from med_doi_feature_extraction_spark.operators.assoc import theils_u
+
+    docs = _read(spark, sf_dir, "documents")
+    return theils_u(docs, "lang", "source")
+
+
+def _sql_theils_u() -> str:
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        oracle_theils_u_sql,
+    )
+
+    return oracle_theils_u_sql("documents", "lang", "source")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8875,6 +8895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration": q_concentration,
         "trend": q_trend,
         "psi_by_lang": q_psi_by_lang,
+        "theils_u": q_theils_u,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9065,4 +9086,5 @@ def oracle_sql() -> dict[str, str]:
         "concentration": _sql_concentration(),
         "trend": _sql_trend(),
         "psi_by_lang": _sql_psi_by_lang(),
+        "theils_u": _sql_theils_u(),
     }

@@ -126,7 +126,7 @@ def main() -> None:
         "column_entropy", "pearson_matrix", "cramers_assoc",
         "mannwhitney_drift", "cohens_kappa", "bootstrap_ci",
         "cls_report", "calibration_bins", "roc_auc", "concentration",
-        "trend", "psi_by_lang",
+        "trend", "psi_by_lang", "theils_u",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

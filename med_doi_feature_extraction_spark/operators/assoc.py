@@ -336,3 +336,137 @@ SELECT '{col_a}' AS col_a, '{col_b}' AS col_b, n,
        END AS kappa
 FROM parts
 """
+
+
+def theils_u(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Theil's uncertainty coefficient between two categoricals —
+    the ASYMMETRIC member of the association family: ``U(a|b) =
+    (H(a) − H(a|b)) / H(a)`` answers "how much of a's uncertainty
+    does knowing b remove?", which :func:`cramers_v` (symmetric)
+    cannot — e.g. source→lang can be near 1 while lang→source stays
+    near 0. Rows with a NULL on either side dropped.
+
+    One row: ``col_a, col_b, n, h_a, h_b`` (entropies, nats),
+    ``u_a_given_b, u_b_given_a`` (6 dp; NULL when the conditioned
+    entropy is 0 — a constant column has no uncertainty to remove).
+
+    Shape: the bounded contingency hash-agg plus marginal joins
+    (cramers_v's plan); every entropy is a micro-unit BIGINT sum
+    (order-free), each U one double ratio.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
+    rt = cells.groupBy("_a").agg(F.sum("_o").cast("long").alias("_rt"))
+    ct = cells.groupBy("_b").agg(F.sum("_o").cast("long").alias("_ct"))
+    tot = cells.agg(F.sum("_o").cast("long").alias("_n"))
+    nd = F.col("_n").cast("double")
+
+    def ent_u(cnt: Column) -> Column:
+        p = cnt.cast("double") / nd
+        return F.floor(F.abs(-(p * F.log(p))) * F.lit(1e6) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    h_a = (
+        rt.crossJoin(F.broadcast(tot))
+        .agg(F.sum(ent_u(F.col("_rt"))).cast("long").alias("_ha_u"))
+    )
+    h_b = (
+        ct.crossJoin(F.broadcast(tot))
+        .agg(F.sum(ent_u(F.col("_ct"))).cast("long").alias("_hb_u"))
+    )
+    # H(a|b) = -Σ_cells (o/n)·ln(o/ct);  H(b|a) symmetric
+    j = (
+        cells.join(F.broadcast(rt), "_a")
+        .join(F.broadcast(ct), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("_o").cast("double")
+
+    def cond_u(margin: Column) -> Column:
+        t = -(o / nd * F.log(o / margin.cast("double")))
+        return F.floor(F.abs(t) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    conds = j.agg(
+        F.sum(cond_u(F.col("_ct"))).cast("long").alias("_hab_u"),
+        F.sum(cond_u(F.col("_rt"))).cast("long").alias("_hba_u"),
+    )
+    out = (
+        tot.crossJoin(F.broadcast(h_a))
+        .crossJoin(F.broadcast(h_b))
+        .crossJoin(F.broadcast(conds))
+    )
+
+    def u(h_u: Column, cond: Column) -> Column:
+        val = F.when(
+            h_u > 0, (h_u - cond).cast("double") / h_u.cast("double")
+        )
+        m = F.floor(F.abs(val) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return F.when(val < 0, -m).otherwise(m) / 1e6
+
+    return out.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.col("_n").alias("n"),
+        (F.col("_ha_u") / 1e6).alias("h_a"),
+        (F.col("_hb_u") / 1e6).alias("h_b"),
+        u(F.col("_ha_u"), F.col("_hab_u")).alias("u_a_given_b"),
+        u(F.col("_hb_u"), F.col("_hba_u")).alias("u_b_given_a"),
+    )
+
+
+def oracle_theils_u_sql(rel_sql: str, col_a: str, col_b: str) -> str:
+    """DuckDB twin of :func:`theils_u`."""
+
+    def ent(cnt: str) -> str:
+        p = f"(({cnt})::DOUBLE / (n)::DOUBLE)"
+        return (
+            f"CAST(floor(abs(-({p} * ln({p}))) * 1000000.0 + 0.5)"
+            f" AS BIGINT)"
+        )
+
+    def cond(margin: str) -> str:
+        t = (
+            f"(-((o)::DOUBLE / (n)::DOUBLE"
+            f" * ln((o)::DOUBLE / ({margin})::DOUBLE)))"
+        )
+        return f"CAST(floor(abs({t}) * 1000000.0 + 0.5) AS BIGINT)"
+
+    def u(h: str, c: str) -> str:
+        val = f"(({h} - {c})::DOUBLE / ({h})::DOUBLE)"
+        m = f"CAST(floor(abs({val}) * 1000000.0 + 0.5) AS BIGINT)"
+        signed = f"(CASE WHEN {val} < 0 THEN -{m} ELSE {m} END)"
+        return f"CASE WHEN {h} > 0 THEN {signed} / 1000000.0 END"
+
+    return f"""
+WITH cells AS (
+  SELECT "{col_a}" AS a, "{col_b}" AS b,
+         CAST(count(*) AS BIGINT) AS o
+  FROM {rel_sql}
+  WHERE "{col_a}" IS NOT NULL AND "{col_b}" IS NOT NULL
+  GROUP BY a, b
+),
+rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+parts AS (
+  SELECT
+    (SELECT n FROM tot) AS n,
+    (SELECT CAST(sum({ent('rt')}) AS BIGINT) FROM rt, tot) AS ha_u,
+    (SELECT CAST(sum({ent('ct')}) AS BIGINT) FROM ct, tot) AS hb_u,
+    (SELECT CAST(sum({cond('ct')}) AS BIGINT)
+     FROM cells JOIN rt USING (a) JOIN ct USING (b), tot) AS hab_u,
+    (SELECT CAST(sum({cond('rt')}) AS BIGINT)
+     FROM cells JOIN rt USING (a) JOIN ct USING (b), tot) AS hba_u
+)
+SELECT '{col_a}' AS col_a, '{col_b}' AS col_b, n,
+       ha_u / 1000000.0 AS h_a,
+       hb_u / 1000000.0 AS h_b,
+       {u('ha_u', 'hab_u')} AS u_a_given_b,
+       {u('hb_u', 'hba_u')} AS u_b_given_a
+FROM parts
+"""

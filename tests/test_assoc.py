@@ -247,3 +247,96 @@ def test_kappa_degenerate_both_constant(spark):
     )
     row = cohens_kappa(df, "x", "y").collect()[0]
     assert row["kappa"] is None and row["po"] == 1.0
+
+
+# --- Theil's U -----------------------------------------------------------
+
+
+def _theil_ref(pairs):
+    pairs = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(pairs)
+    from collections import Counter
+
+    cells = Counter(pairs)
+    rt = Counter(a for a, _ in pairs)
+    ct = Counter(b for _, b in pairs)
+
+    def ent_u(counter):
+        return sum(
+            math.floor(abs(-(c / n * math.log(c / n))) * 1e6 + 0.5)
+            for c in counter.values()
+        )
+
+    ha_u, hb_u = ent_u(rt), ent_u(ct)
+    hab_u = sum(
+        math.floor(
+            abs(-(o / n * math.log(o / ct[b]))) * 1e6 + 0.5
+        )
+        for (a, b), o in cells.items()
+    )
+    hba_u = sum(
+        math.floor(
+            abs(-(o / n * math.log(o / rt[a]))) * 1e6 + 0.5
+        )
+        for (a, b), o in cells.items()
+    )
+
+    def u(h, c):
+        if h <= 0:
+            return None
+        return _micro((h - c) / h) / 1e6
+
+    return n, ha_u / 1e6, hb_u / 1e6, u(ha_u, hab_u), u(hb_u, hba_u)
+
+
+def test_theils_u_matches_reference(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import theils_u
+
+    pairs = [
+        (str((i * 3) % 4), str((i * 5) % 3) if i % 7 else None)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(pairs, "x string, y string")
+    row = theils_u(df, "x", "y").collect()[0]
+    n, ha, hb, uab, uba = _theil_ref(pairs)
+    assert row["n"] == n
+    assert row["h_a"] == pytest.approx(ha, abs=1e-12)
+    assert row["h_b"] == pytest.approx(hb, abs=1e-12)
+    assert row["u_a_given_b"] == pytest.approx(uab, abs=1e-9)
+    assert row["u_b_given_a"] == pytest.approx(uba, abs=1e-9)
+
+
+def test_theils_u_is_asymmetric(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import theils_u
+
+    # y determines x (x = y mod 2) but x does not determine y
+    df = spark.createDataFrame(
+        [(str(i % 4 % 2), str(i % 4)) for i in range(80)],
+        "x string, y string",
+    )
+    row = theils_u(df, "x", "y").collect()[0]
+    assert row["u_a_given_b"] == pytest.approx(1.0)  # b fixes a
+    assert 0.0 < row["u_b_given_a"] < 1.0
+
+
+def test_theils_u_independent_near_zero(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import theils_u
+
+    df = spark.createDataFrame(
+        [(str(i % 2), str((i // 2) % 3)) for i in range(120)],
+        "x string, y string",
+    )
+    row = theils_u(df, "x", "y").collect()[0]
+    assert abs(row["u_a_given_b"]) < 1e-4
+    assert abs(row["u_b_given_a"]) < 1e-4
+
+
+def test_theils_u_constant_column_null(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import theils_u
+
+    df = spark.createDataFrame(
+        [("k", str(i % 3)) for i in range(30)], "x string, y string"
+    )
+    row = theils_u(df, "x", "y").collect()[0]
+    assert row["u_a_given_b"] is None  # H(a) = 0
+    assert row["u_b_given_a"] is not None

@@ -94,6 +94,9 @@ ALLOW_NLJ = {
     # bootstrap_ci: 1-row replicate-percentile aggregate crossJoined
     # onto the 1-row full-sample aggregate
     "bootstrap_ci",
+    # theils_u: four 1-row entropy aggregates + the 1-row total
+    # crossJoined into the single output row (cohens_kappa shape)
+    "theils_u",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
