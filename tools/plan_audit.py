@@ -224,6 +224,15 @@ def main() -> None:
          "rank (range exchange + plan-literal offsets) → 1-row "
          "aggregate; Gini/HHI are exact-BIGINT identities reduced "
          "to one division each."),
+        ("trend", "ONE corpus hash-agg of six BIGINT moment sums "
+         "per entity; slope/intercept/R² are closed-form "
+         "projections of the aggregate — no window, no join."),
+        ("psi_by_lang", "per-group percentile edges are one bounded "
+         "aggregate broadcast back; the corpus reduces through a "
+         "(group, bin) hash-agg ≤ groups·n_bins rows."),
+        ("theils_u", "bounded contingency + marginal broadcasts; "
+         "four 1-row entropy aggregates crossJoined (allowlisted "
+         "cohens_kappa shape)."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
