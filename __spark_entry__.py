@@ -8672,6 +8672,42 @@ def _sql_theils_u() -> str:
     return oracle_theils_u_sql("documents", "lang", "source")
 
 
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation between event time and value
+    (operators/assoc.py spearman): exact tie-corrected average ranks
+    from per-value count tables (cumulative over the bounded
+    distinct-value frame, never a corpus-wide rank window), centered
+    double-ranks, decimal(38,0)-exact moment sums, one double
+    expression micro-rounded."""
+    from med_doi_feature_extraction_spark.operators.assoc import spearman
+
+    ev = _read(spark, sf_dir, "events")
+    milli = F.floor(F.abs(F.col("value")) * 1000 + F.lit(0.5)).cast(
+        "long"
+    )
+    prep = ev.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("ts").cast("timestamp").cast("long").alias("t_sec"),
+        F.when(F.col("value") < 0, -milli)
+        .otherwise(milli)
+        .alias("v_milli"),
+    )
+    return spearman(prep, "t_sec", "v_milli")
+
+
+def _sql_spearman() -> str:
+    from med_doi_feature_extraction_spark.operators.assoc import (
+        oracle_spearman_sql,
+    )
+
+    m = "CAST(floor(abs(value) * 1000.0 + 0.5) AS BIGINT)"
+    rel = f"""(SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t_sec,
+  (CASE WHEN value < 0 THEN -{m} ELSE {m} END) AS v_milli
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL) r"""
+    return oracle_spearman_sql(rel, "t_sec", "v_milli")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -8896,6 +8932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend": q_trend,
         "psi_by_lang": q_psi_by_lang,
         "theils_u": q_theils_u,
+        "spearman": q_spearman,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9087,4 +9124,5 @@ def oracle_sql() -> dict[str, str]:
         "trend": _sql_trend(),
         "psi_by_lang": _sql_psi_by_lang(),
         "theils_u": _sql_theils_u(),
+        "spearman": _sql_spearman(),
     }

@@ -470,3 +470,143 @@ SELECT '{col_a}' AS col_a, '{col_b}' AS col_b, n,
        {u('hb_u', 'hba_u')} AS u_b_given_a
 FROM parts
 """
+
+
+def spearman(
+    df: DataFrame, col_x: str, col_y: str
+) -> DataFrame:
+    """Spearman rank correlation between two integer-valued columns
+    (pairwise-complete rows), the monotone-association complement to
+    :func:`pearson_matrix`: a quality score that *ranks* documents
+    the same way as a reference signal scores ρ ≈ 1 even when the
+    relationship is non-linear — the right agreement check before
+    swapping one gate's threshold semantics for another's. Ties get
+    average ranks (the exact tie-corrected statistic, not the Σd²
+    shortcut, which is wrong under ties).
+
+    One row: ``col_x, col_y, n, rho`` (6 dp; NULL when either side
+    is constant).
+
+    Execution shape, 100 TB lens: three column-pruned corpus
+    hash-aggs (per-x counts, per-y counts, (x, y) cells — map-side
+    partials absorb everything; the cell table is bounded by the
+    product of distinct values, small by contract for quantized /
+    categorical-ordinal features). Average ranks come from a
+    cumulative count over the BOUNDED per-value tables (single
+    partition over distinct values — never over the corpus), which
+    then broadcast-join back onto the cell table. No corpus-wide
+    sort, no per-row rank window.
+
+    Exactness: double-ranks ``dr = 2·cum_less + cnt + 1`` (twice the
+    average rank — integer even under ties) are centered by the
+    exact constant ``n+1`` (Σdr = n(n+1)), so
+    ``ρ = Σc·ex·ey / √(Σc·ex² · Σc·ey²)`` needs no mean-subtraction
+    products; the three sums accumulate in decimal(38,0) ↔ DuckDB
+    HUGEINT (exact, order-free) with envelope ``n³ < 10³⁸``
+    (n ≤ 4·10¹²), then ONE fixed-order double expression,
+    micro-rounded. Float features: pre-scale to integer units
+    (module discipline, see :func:`pearson_matrix`).
+    """
+    from pyspark.sql.window import Window
+
+    x, y = F.col(col_x), F.col(col_y)
+    rows = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.cast("long").alias("_x"), y.cast("long").alias("_y")
+    )
+    n_row = rows.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    def _ranks(col: str, out: str) -> DataFrame:
+        cnt = rows.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        w = (
+            Window.orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("long")
+        return cnt.select(
+            F.col("_v").alias(col),
+            (2 * cum + F.col("_c") + 1).cast("long").alias(out),
+        )
+
+    cells = rows.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_cxy")
+    )
+    j = (
+        cells.join(F.broadcast(_ranks("_x", "_drx")), "_x")
+        .join(F.broadcast(_ranks("_y", "_dry")), "_y")
+        .crossJoin(F.broadcast(n_row))
+    )
+    dec = "decimal(18,0)"
+    ex = (F.col("_drx") - (F.col("_n") + 1)).cast(dec)
+    ey = (F.col("_dry") - (F.col("_n") + 1)).cast(dec)
+    c = F.col("_cxy").cast(dec)
+    agg = j.agg(
+        F.first("_n").alias("_n2"),
+        F.sum(c * ex * ey).alias("_sxy"),
+        F.sum(c * ex * ex).alias("_sxx"),
+        F.sum(c * ey * ey).alias("_syy"),
+    )
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    rho = F.when(
+        (F.col("_sxx") > 0) & (F.col("_syy") > 0),
+        sxy / (F.sqrt(sxx) * F.sqrt(syy)),
+    )
+    return agg.select(
+        F.lit(col_x).alias("col_x"),
+        F.lit(col_y).alias("col_y"),
+        F.col("_n2").alias("n"),
+        (_micro(rho) / 1e6).alias("rho"),
+    )
+
+
+def oracle_spearman_sql(rel_sql: str, col_x: str, col_y: str) -> str:
+    """DuckDB twin of :func:`spearman` — identical double-rank
+    construction, HUGEINT ↔ decimal(38,0) exact sums, same
+    fixed-order final expression."""
+    rho = "(sxy)::DOUBLE / (sqrt((sxx)::DOUBLE) * sqrt((syy)::DOUBLE))"
+    return f"""
+WITH rows_ AS (
+  SELECT CAST("{col_x}" AS BIGINT) AS x, CAST("{col_y}" AS BIGINT) AS y
+  FROM {rel_sql}
+  WHERE "{col_x}" IS NOT NULL AND "{col_y}" IS NOT NULL
+),
+n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rows_),
+rx AS (
+  SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + c + 1 AS BIGINT) AS drx
+  FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+        FROM rows_ GROUP BY x)
+),
+ry AS (
+  SELECT v, CAST(2 * coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + c + 1 AS BIGINT) AS dry
+  FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS c
+        FROM rows_ GROUP BY y)
+),
+cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+  FROM rows_ GROUP BY x, y
+),
+s AS (
+  SELECT max(n) AS n,
+         sum(CAST(cxy AS HUGEINT) * (drx - (n + 1)) * (dry - (n + 1)))
+           AS sxy,
+         sum(CAST(cxy AS HUGEINT) * (drx - (n + 1)) * (drx - (n + 1)))
+           AS sxx,
+         sum(CAST(cxy AS HUGEINT) * (dry - (n + 1)) * (dry - (n + 1)))
+           AS syy
+  FROM cells
+  JOIN rx ON cells.x = rx.v
+  JOIN ry ON cells.y = ry.v
+  CROSS JOIN n_
+)
+SELECT '{col_x}' AS col_x, '{col_y}' AS col_y, n,
+       CASE WHEN sxx > 0 AND syy > 0
+            THEN {_oracle_micro(rho)} / 1000000.0 END AS rho
+FROM s
+"""

@@ -340,3 +340,86 @@ def test_theils_u_constant_column_null(spark):
     row = theils_u(df, "x", "y").collect()[0]
     assert row["u_a_given_b"] is None  # H(a) = 0
     assert row["u_b_given_a"] is not None
+
+
+# ---------------------------------------------------------------- spearman
+
+
+def _rank_avg(vals):
+    """Average ranks (1-based) with ties, Python reference."""
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+            j += 1
+        r = (i + j) / 2 + 1
+        for k in range(i, j + 1):
+            ranks[order[k]] = r
+        i = j + 1
+    return ranks
+
+
+def _spearman_ref(xs, ys):
+    pairs = [
+        (x, y) for x, y in zip(xs, ys) if x is not None and y is not None
+    ]
+    rx = _rank_avg([p[0] for p in pairs])
+    ry = _rank_avg([p[1] for p in pairs])
+    n = len(pairs)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    if vx <= 0 or vy <= 0:
+        return n, None
+    return n, _micro(cov / math.sqrt(vx * vy)) / 1e6
+
+
+def test_spearman_matches_reference_with_ties(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import spearman
+
+    xs = [(i * 13) % 7 for i in range(80)]
+    ys = [((i * 5) % 11) for i in range(80)]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    row = spearman(df, "x", "y").collect()[0]
+    n, rho = _spearman_ref(xs, ys)
+    assert row["n"] == n
+    assert row["rho"] == pytest.approx(rho, abs=1e-6)
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import spearman
+
+    rows = [(i, i * i * i) for i in range(-20, 21)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    assert spearman(df, "x", "y").collect()[0]["rho"] == 1.0
+    rev = spark.createDataFrame(
+        [(x, -y) for x, y in rows], "x long, y long"
+    )
+    assert spearman(rev, "x", "y").collect()[0]["rho"] == -1.0
+
+
+def test_spearman_constant_side_null(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import spearman
+
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(10)], "x long, y long"
+    )
+    row = spearman(df, "x", "y").collect()[0]
+    assert row["rho"] is None and row["n"] == 10
+
+
+def test_spearman_null_rows_dropped(spark):
+    from med_doi_feature_extraction_spark.operators.assoc import spearman
+
+    rows = [(1, 1), (2, None), (None, 3), (4, 4), (5, 2)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    row = spearman(df, "x", "y").collect()[0]
+    n, rho = _spearman_ref(
+        [r[0] for r in rows], [r[1] for r in rows]
+    )
+    assert row["n"] == 3 == n
+    assert row["rho"] == pytest.approx(rho, abs=1e-6)

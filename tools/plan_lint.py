@@ -97,6 +97,9 @@ ALLOW_NLJ = {
     # theils_u: four 1-row entropy aggregates + the 1-row total
     # crossJoined into the single output row (cohens_kappa shape)
     "theils_u",
+    # spearman: 1-row n broadcast crossJoined onto the bounded
+    # (x, y) cell table (attach-a-global-scalar)
+    "spearman",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
@@ -111,6 +114,10 @@ ALLOW_SINGLE = {
     # already-aggregated attribution table (<= n_stages+1 rows) —
     # a single partition of a handful of rows, not a corpus sort
     "funnel_summary",
+    # spearman: the average-rank cumulative-count window runs over
+    # the per-value count tables (bounded by distinct values of the
+    # quantized feature), never over the corpus rows
+    "spearman",
 }
 
 
