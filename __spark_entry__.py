@@ -8672,6 +8672,38 @@ def _sql_theils_u() -> str:
     return oracle_theils_u_sql("documents", "lang", "source")
 
 
+def q_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence between two corpus snapshots
+    (operators/lm.py js_divergence) — the hash-exact upgrade of the
+    pytest-pinned corpus_divergence: per-token nano-quantized BIGINT
+    terms make the vocabulary sum order-free, so both KLs, the JSD
+    and its ln2-normalized form oracle-check exactly. Same planted
+    drift split as vocab_shift."""
+    from med_doi_feature_extraction_spark.operators.lm import (
+        js_divergence,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" drifttoken"))
+    )
+    return js_divergence(a, b, "text")
+
+
+def _sql_jsd() -> str:
+    from med_doi_feature_extraction_spark.operators.lm import (
+        oracle_js_divergence_sql,
+    )
+
+    return oracle_js_divergence_sql(
+        "(SELECT text FROM documents WHERE doc_id % 2 = 0) a",
+        "(SELECT text || ' drifttoken' AS text FROM documents"
+        " WHERE doc_id % 2 = 1) b",
+        "text",
+    )
+
+
 def q_spearman(spark, sf_dir):
     """Spearman rank correlation between event time and value
     (operators/assoc.py spearman): exact tie-corrected average ranks
@@ -8933,6 +8965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_by_lang": q_psi_by_lang,
         "theils_u": q_theils_u,
         "spearman": q_spearman,
+        "jsd": q_jsd,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9125,4 +9158,5 @@ def oracle_sql() -> dict[str, str]:
         "psi_by_lang": _sql_psi_by_lang(),
         "theils_u": _sql_theils_u(),
         "spearman": _sql_spearman(),
+        "jsd": _sql_jsd(),
     }

@@ -328,3 +328,153 @@ def bigram_quality_score(
     )
     agg = agg.withColumn("ppl", F.round(F.exp(-F.col("logp_per_token")), 3))
     return docs.select(id_col).join(agg, id_col, "left")
+
+
+def js_divergence(
+    corpus_a: DataFrame, corpus_b: DataFrame, text_col: str
+) -> DataFrame:
+    """Hash-exact corpus divergence summary — the oracle-checkable
+    upgrade of :func:`corpus_divergence`: Jensen–Shannon divergence
+    and both KLs between the two snapshots' smoothed unigram
+    distributions, in ONE row ``(v, total_a, total_b, kl_b_from_a,
+    kl_a_from_b, jsd, jsd_norm)`` with ``jsd_norm = jsd/ln 2 ∈ [0,1]``
+    (6 dp each).
+
+    Distributions are :func:`vocab_shift`'s: add-one smoothed over
+    the union vocabulary, ``p_x = (c_x+1)/(total_x+V)`` — every token
+    has nonzero mass under both, so all logs are finite.
+
+    Cross-engine determinism: a float sum over the vocabulary is
+    addition-order-dependent, which is exactly why
+    :func:`corpus_divergence` is pytest-pinned rather than oracled.
+    Here each per-token term (``p_b·ln(p_b/m)`` etc., ``m`` the
+    mixture) is quantized to nano-units (1e-9) as a BIGINT FIRST, the
+    sums are exact integer aggregates (order-free; |term| ≤ ln 2·p ⇒
+    Σ|terms| ≤ ln 2 ⇒ nano sums < 10⁹, no overflow), and the final
+    division + 6 dp round is one fixed-order double expression. The
+    ~1e-9-per-term quantization bias is documented, bounded by
+    V·1e-9/2, and identical in both engines — determinism over the
+    last three decimal places of accuracy.
+
+    Plan: one explode + hash-agg per corpus (Zipf absorbed map-side),
+    full-outer join of the vocabulary-sized count tables, 1-row
+    totals broadcast, ONE 1-row final aggregate. No corpus-sized
+    shuffle after the counts.
+    """
+    ca = (
+        _occurrences(corpus_a, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    cb = (
+        _occurrences(corpus_b, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+    both = ca.join(cb, "token", "full_outer").select(
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    totals = both.agg(
+        F.sum("c_a").cast("long").alias("_ta"),
+        F.sum("c_b").cast("long").alias("_tb"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    p_a = (F.col("c_a") + F.lit(1.0)) / (
+        F.col("_ta") + F.col("_v")
+    ).cast("double")
+    p_b = (F.col("c_b") + F.lit(1.0)) / (
+        F.col("_tb") + F.col("_v")
+    ).cast("double")
+    m = (p_a + p_b) / F.lit(2.0)
+
+    def _nano(c):
+        q = F.floor(F.abs(c) * F.lit(1e9) + F.lit(0.5)).cast("long")
+        return F.when(c < 0, -q).otherwise(q)
+
+    terms = both.crossJoin(F.broadcast(totals)).select(
+        F.col("_ta"),
+        F.col("_tb"),
+        F.col("_v"),
+        _nano(p_b * F.log(p_b / p_a)).alias("_kl_ba"),
+        _nano(p_a * F.log(p_a / p_b)).alias("_kl_ab"),
+        _nano(p_a * F.log(p_a / m)).alias("_js_a"),
+        _nano(p_b * F.log(p_b / m)).alias("_js_b"),
+    )
+    agg = terms.agg(
+        F.first("_v").alias("_v2"),
+        F.first("_ta").alias("_ta2"),
+        F.first("_tb").alias("_tb2"),
+        F.sum("_kl_ba").alias("_sba"),
+        F.sum("_kl_ab").alias("_sab"),
+        F.sum("_js_a").alias("_sja"),
+        F.sum("_js_b").alias("_sjb"),
+    )
+    jsd = (
+        (F.col("_sja") + F.col("_sjb")).cast("double") / F.lit(2e9)
+    )
+    return agg.select(
+        F.col("_v2").alias("v"),
+        F.col("_ta2").alias("total_a"),
+        F.col("_tb2").alias("total_b"),
+        F.round(F.col("_sba").cast("double") / F.lit(1e9), 6).alias(
+            "kl_b_from_a"
+        ),
+        F.round(F.col("_sab").cast("double") / F.lit(1e9), 6).alias(
+            "kl_a_from_b"
+        ),
+        F.round(jsd, 6).alias("jsd"),
+        F.round(jsd / F.lit(0.6931471805599453), 6).alias("jsd_norm"),
+    )
+
+
+def oracle_js_divergence_sql(a_sql: str, b_sql: str, text_col: str) -> str:
+    """DuckDB twin of :func:`js_divergence` — identical smoothing,
+    per-token nano-quantized BIGINT terms, same fixed-order finals.
+    ``a_sql``/``b_sql`` are relation expressions for the two corpus
+    snapshots."""
+
+    def nano(expr: str) -> str:
+        q = f"CAST(floor(abs({expr}) * 1000000000.0 + 0.5) AS BIGINT)"
+        return f"(CASE WHEN ({expr}) < 0 THEN -{q} ELSE {q} END)"
+
+    pa = "((c_a + 1.0) / (ta + v))"
+    pb = "((c_b + 1.0) / (tb + v))"
+    m = f"(({pa} + {pb}) / 2.0)"
+    return f"""
+WITH oa AS (
+  SELECT unnest(string_split_regex(lower(trim("{text_col}")), '\\s+'))
+    AS token
+  FROM {a_sql}
+), ob AS (
+  SELECT unnest(string_split_regex(lower(trim("{text_col}")), '\\s+'))
+    AS token
+  FROM {b_sql}
+), ca AS (
+  SELECT token, count(*) AS c_a FROM oa WHERE len(token) > 0 GROUP BY 1
+), cb AS (
+  SELECT token, count(*) AS c_b FROM ob WHERE len(token) > 0 GROUP BY 1
+), j AS (
+  SELECT coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb USING (token)
+), t AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS ta,
+         CAST(sum(c_b) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS v
+  FROM j
+), s AS (
+  SELECT max(v) AS v, max(ta) AS ta2, max(tb) AS tb2,
+         CAST(sum({nano(f'{pb} * ln({pb} / {pa})')}) AS BIGINT) AS sba,
+         CAST(sum({nano(f'{pa} * ln({pa} / {pb})')}) AS BIGINT) AS sab,
+         CAST(sum({nano(f'{pa} * ln({pa} / {m})')}) AS BIGINT) AS sja,
+         CAST(sum({nano(f'{pb} * ln({pb} / {m})')}) AS BIGINT) AS sjb
+  FROM j CROSS JOIN t
+)
+SELECT v, ta2 AS total_a, tb2 AS total_b,
+       round((sba)::DOUBLE / 1000000000.0, 6) AS kl_b_from_a,
+       round((sab)::DOUBLE / 1000000000.0, 6) AS kl_a_from_b,
+       round((sja + sjb)::DOUBLE / 2000000000.0, 6) AS jsd,
+       round((sja + sjb)::DOUBLE / 2000000000.0
+             / 0.6931471805599453, 6) AS jsd_norm
+FROM s
+"""

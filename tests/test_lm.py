@@ -183,3 +183,79 @@ def test_bigram_broadcast_flag_parity(spark, bi_ref):
     a = bigram_quality_score(docs, lm2, lm1, "doc_id", "text", broadcast_bigrams=True)
     b = bigram_quality_score(docs, lm2, lm1, "doc_id", "text", broadcast_bigrams=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ------------------------------------------------------------ js_divergence
+
+
+def test_js_divergence_identical_corpora_zero(spark):
+    from med_doi_feature_extraction_spark.operators.lm import js_divergence
+
+    a = spark.createDataFrame(
+        [("the cat sat",), ("a dog ran fast",)], "text string"
+    )
+    row = js_divergence(a, a, "text").collect()[0]
+    assert row["jsd"] == 0.0 and row["jsd_norm"] == 0.0
+    assert row["kl_b_from_a"] == 0.0 and row["kl_a_from_b"] == 0.0
+
+
+def test_js_divergence_symmetric_and_bounded(spark):
+    from med_doi_feature_extraction_spark.operators.lm import js_divergence
+
+    a = spark.createDataFrame(
+        [("alpha beta gamma",), ("alpha alpha beta",)], "text string"
+    )
+    b = spark.createDataFrame(
+        [("delta epsilon",), ("delta zeta eta theta",)], "text string"
+    )
+    ab = js_divergence(a, b, "text").collect()[0]
+    ba = js_divergence(b, a, "text").collect()[0]
+    assert ab["jsd"] == ba["jsd"]
+    assert ab["kl_b_from_a"] == ba["kl_a_from_b"]
+    assert 0.0 < ab["jsd_norm"] <= 1.0
+    # disjoint vocabularies diverge more than a shifted variant of
+    # the same corpus (add-one smoothing flattens tiny corpora, so
+    # the absolute value stays well below 1 here — the ORDER is the
+    # invariant)
+    shifted = spark.createDataFrame(
+        [("alpha beta gamma",), ("alpha gamma gamma",)], "text string"
+    )
+    near = js_divergence(a, shifted, "text").collect()[0]
+    assert ab["jsd_norm"] > near["jsd_norm"]
+
+
+def test_js_divergence_matches_float_reference(spark):
+    """Nano-quantized sums track the pytest-pinned float summary
+    within the documented V*1e-9/2 bias envelope."""
+    from med_doi_feature_extraction_spark.operators.lm import (
+        corpus_divergence,
+        js_divergence,
+        vocab_shift,
+    )
+
+    a = spark.createDataFrame(
+        [(f"tok{i % 7} tok{i % 3} filler",) for i in range(40)],
+        "text string",
+    )
+    b = spark.createDataFrame(
+        [(f"tok{i % 5} tok{i % 3} drift",) for i in range(40)],
+        "text string",
+    )
+    row = js_divergence(a, b, "text").collect()[0]
+    ref = corpus_divergence(vocab_shift(a, b, "text"))
+    # corpus_divergence runs on 6dp-rounded logp columns; tolerance
+    # reflects that rounding, not the nano quantization
+    assert row["jsd"] == pytest.approx(ref["js"], abs=1e-4)
+    assert row["kl_b_from_a"] == pytest.approx(
+        ref["kl_b_from_a"], abs=1e-4
+    )
+
+
+def test_js_divergence_counts(spark):
+    from med_doi_feature_extraction_spark.operators.lm import js_divergence
+
+    a = spark.createDataFrame([("x y",)], "text string")
+    b = spark.createDataFrame([("y z z",)], "text string")
+    row = js_divergence(a, b, "text").collect()[0]
+    assert row["v"] == 3  # union vocab {x, y, z}
+    assert row["total_a"] == 2 and row["total_b"] == 3

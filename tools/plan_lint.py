@@ -100,6 +100,9 @@ ALLOW_NLJ = {
     # spearman: 1-row n broadcast crossJoined onto the bounded
     # (x, y) cell table (attach-a-global-scalar)
     "spearman",
+    # jsd: 1-row totals broadcast onto the vocabulary-sized count
+    # table (vocab_shift shape), then a 1-row final aggregate
+    "jsd",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
