@@ -8704,6 +8704,27 @@ def _sql_jsd() -> str:
     )
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit of event values (operators/drift.py
+    benford_digits): nine-row digit table with observed vs Benford
+    shares, chi-squared and Nigrini MAD — one <=9-group corpus
+    hash-agg, micro-unit BIGINT totals."""
+    from med_doi_feature_extraction_spark.operators.drift import (
+        benford_digits,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return benford_digits(ev, "value", scale=100)
+
+
+def _sql_benford() -> str:
+    from med_doi_feature_extraction_spark.operators.drift import (
+        oracle_benford_sql,
+    )
+
+    return oracle_benford_sql("events", "value", scale=100)
+
+
 def q_spearman(spark, sf_dir):
     """Spearman rank correlation between event time and value
     (operators/assoc.py spearman): exact tie-corrected average ranks
@@ -8966,6 +8987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theils_u": q_theils_u,
         "spearman": q_spearman,
         "jsd": q_jsd,
+        "benford": q_benford,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9159,4 +9181,5 @@ def oracle_sql() -> dict[str, str]:
         "theils_u": _sql_theils_u(),
         "spearman": _sql_spearman(),
         "jsd": _sql_jsd(),
+        "benford": _sql_benford(),
     }

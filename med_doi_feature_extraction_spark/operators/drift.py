@@ -586,3 +586,157 @@ SELECT counts.g AS "group",
 FROM counts JOIN totals ON counts.g = totals.g
 GROUP BY counts.g
 """
+
+
+def benford_digits(
+    df: DataFrame, col: str, scale: int = 100
+) -> DataFrame:
+    """Benford's-law first-digit audit of a numeric column — the
+    fabricated-data / pipeline-bug tripwire: organically-generated
+    magnitudes (transaction values, byte counts, inlink counts)
+    follow ``P(d) = log10(1 + 1/d)``; a synthetic injection, a stuck
+    default, or a unit mix-up shows up as a first-digit distribution
+    that visibly departs from it long before summary stats move.
+
+    Output, exactly nine rows (digits 1–9, absent digits kept with
+    zero counts): ``digit, n_digit, obs_share, exp_share, chi2_term``
+    plus the table-level ``chi2`` and ``mad`` (mean absolute
+    deviation of shares, Nigrini's conformity measure) repeated on
+    each row — the 9-row frame is the natural grain and the totals
+    belong with it. Values are quantized to integer ``scale``-ths
+    (half-away rounding); rows whose quantized magnitude is zero are
+    excluded (Benford concerns nonzero magnitudes), as are NULLs.
+    Envelope: ``|value|·scale < 2⁶³`` — the quantized magnitude is a
+    BIGINT; beyond it the cast saturates and the digit is garbage.
+    Pick ``scale`` accordingly.
+
+    Execution shape, 100 TB lens: first digit is string head of the
+    quantized BIGINT (pure codegen — no log10 edge cases at powers
+    of ten), ONE corpus hash-agg onto ≤ 9 groups (map-side partials
+    absorb everything), a broadcast join onto the static 9-row digit
+    frame, and 1-row totals. Zero corpus-sized shuffles.
+
+    Cross-engine determinism: counts are exact BIGINTs; shares and
+    χ² terms are fixed-order double expressions micro-rounded per
+    digit; the table totals sum the micro-unit BIGINTs (order-free),
+    never raw doubles.
+    """
+    m = F.floor(F.abs(F.col(col)) * F.lit(float(scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    digit = F.substring(m.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(m.alias("_m"), digit.alias("_d"))
+        .filter(F.col("_m") > 0)
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    full = digits.join(
+        counts.withColumnRenamed("_d", "digit"), "digit", "left"
+    ).select(
+        "digit", F.coalesce("_c", F.lit(0)).cast("long").alias("n_digit")
+    )
+    tot = full.agg(F.sum("n_digit").cast("long").alias("_n"))
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs_share = F.col("n_digit").cast("double") / F.col("_n").cast(
+        "double"
+    )
+    e_cnt = F.col("_n").cast("double") * exp_share
+    chi2_term = (
+        (F.col("n_digit").cast("double") - e_cnt)
+        * (F.col("n_digit").cast("double") - e_cnt)
+        / e_cnt
+    )
+
+    def _q(c: Column) -> Column:
+        qq = F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return F.when(c < 0, -qq).otherwise(qq)
+
+    per = full.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_digit",
+        F.col("_n"),
+        _q(obs_share).alias("_obs_u"),
+        _q(exp_share).alias("_exp_u"),
+        _q(chi2_term).alias("_chi_u"),
+        _q(F.abs(obs_share - exp_share)).alias("_dev_u"),
+    )
+    tots = per.agg(
+        F.sum("_chi_u").cast("long").alias("_chi_sum"),
+        F.sum("_dev_u").cast("long").alias("_dev_sum"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tots))
+        .select(
+            "digit",
+            "n_digit",
+            (F.col("_obs_u") / 1e6).alias("obs_share"),
+            (F.col("_exp_u") / 1e6).alias("exp_share"),
+            (F.col("_chi_u") / 1e6).alias("chi2_term"),
+            (F.col("_chi_sum").cast("double") / 1e6).alias("chi2"),
+            F.round(
+                F.col("_dev_sum").cast("double") / F.lit(9e6), 6
+            ).alias("mad"),
+        )
+        .orderBy("digit")
+    )
+
+
+def oracle_benford_sql(rel_sql: str, col: str, scale: int = 100) -> str:
+    """DuckDB twin of :func:`benford_digits` — identical quantization,
+    string-head digit, micro-unit terms and BIGINT totals."""
+
+    def q(expr: str) -> str:
+        qq = f"CAST(floor(abs({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+        return f"(CASE WHEN ({expr}) < 0 THEN -{qq} ELSE {qq} END)"
+
+    obs = "((n_digit)::DOUBLE / (n)::DOUBLE)"
+    exp_ = "log10(1.0 + 1.0 / digit)"
+    ec = f"((n)::DOUBLE * {exp_})"
+    chi = (
+        f"(((n_digit)::DOUBLE - {ec}) * ((n_digit)::DOUBLE - {ec})"
+        f" / {ec})"
+    )
+    return f"""
+WITH vals AS (
+  SELECT CAST(floor(abs("{col}") * {scale}.0 + 0.5) AS BIGINT) AS m
+  FROM {rel_sql}
+  WHERE "{col}" IS NOT NULL
+),
+counts AS (
+  SELECT CAST(substring(CAST(m AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n_digit
+  FROM vals WHERE m > 0 GROUP BY 1
+),
+full_ AS (
+  SELECT d.digit, coalesce(c.n_digit, 0) AS n_digit
+  FROM (SELECT unnest(range(1, 10)) AS digit) d
+  LEFT JOIN counts c ON c.digit = d.digit
+),
+tot AS (SELECT CAST(sum(n_digit) AS BIGINT) AS n FROM full_),
+per AS (
+  SELECT digit, n_digit, n,
+         {q(obs)} AS obs_u,
+         {q(exp_)} AS exp_u,
+         {q(chi)} AS chi_u,
+         {q(f'abs({obs} - {exp_})')} AS dev_u
+  FROM full_ CROSS JOIN tot
+),
+tots AS (
+  SELECT CAST(sum(chi_u) AS BIGINT) AS chi_sum,
+         CAST(sum(dev_u) AS BIGINT) AS dev_sum
+  FROM per
+)
+SELECT CAST(digit AS INTEGER) AS digit, n_digit,
+       obs_u / 1000000.0 AS obs_share,
+       exp_u / 1000000.0 AS exp_share,
+       chi_u / 1000000.0 AS chi2_term,
+       (chi_sum)::DOUBLE / 1000000.0 AS chi2,
+       round((dev_sum)::DOUBLE / 9000000.0, 6) AS mad
+FROM per CROSS JOIN tots
+ORDER BY digit
+"""

@@ -348,3 +348,71 @@ def test_psi_by_group_vanished_group_max_drift(spark):
     row = psi_by_group(_gdf(spark, base), empty, "x", "g").collect()[0]
     assert row["n_new"] == 0
     assert row["psi"] > 5  # every bin's mass collapsed to eps
+
+
+# ------------------------------------------------------------------ benford
+
+
+def test_benford_conformant_sample_low_mad(spark):
+    """2^k magnitudes are the classic Benford-conformant family."""
+    from med_doi_feature_extraction_spark.operators.drift import (
+        benford_digits,
+    )
+
+    # stay inside the documented |v|*scale < 2^63 envelope
+    rows = [(float(2**k),) for k in range(1, 62)]
+    out = benford_digits(
+        spark.createDataFrame(rows, "v double"), "v", scale=1
+    ).collect()
+    assert len(out) == 9
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    assert sum(r["n_digit"] for r in out) == 61
+    # 61 samples of an equidistributed family: loose conformity bound
+    assert out[0]["mad"] < 0.03
+    # shares sum to ~1 on both sides of the comparison
+    assert abs(sum(r["obs_share"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["exp_share"] for r in out) - 1.0) < 1e-4
+
+
+def test_benford_uniform_injection_flags(spark):
+    """A stuck-default injection (every value 500.0) departs hard."""
+    from med_doi_feature_extraction_spark.operators.drift import (
+        benford_digits,
+    )
+
+    rows = [(500.0,)] * 300
+    out = benford_digits(
+        spark.createDataFrame(rows, "v double"), "v", scale=1
+    ).collect()
+    d5 = next(r for r in out if r["digit"] == 5)
+    assert d5["obs_share"] == 1.0
+    assert out[0]["mad"] > 0.1
+    assert out[0]["chi2"] > 100.0
+
+
+def test_benford_zero_null_and_sign_handling(spark):
+    from med_doi_feature_extraction_spark.operators.drift import (
+        benford_digits,
+    )
+
+    rows = [(0.0,), (None,), (-321.0,), (0.004,), (3.9,)]
+    out = benford_digits(
+        spark.createDataFrame(rows, "v double"), "v", scale=100
+    ).collect()
+    # 0.0 and 0.004 quantize to 0 (excluded); -321 -> digit 3;
+    # 3.9 -> 390 -> digit 3
+    by = {r["digit"]: r["n_digit"] for r in out}
+    assert by[3] == 2 and sum(by.values()) == 2
+
+
+def test_benford_first_digit_is_of_quantized_units(spark):
+    from med_doi_feature_extraction_spark.operators.drift import (
+        benford_digits,
+    )
+
+    # 0.85 at scale=100 -> 85 -> digit 8 (not 0.85's mantissa digit)
+    out = benford_digits(
+        spark.createDataFrame([(0.85,)], "v double"), "v", scale=100
+    ).collect()
+    by = {r["digit"]: r["n_digit"] for r in out}
+    assert by[8] == 1

@@ -103,6 +103,9 @@ ALLOW_NLJ = {
     # jsd: 1-row totals broadcast onto the vocabulary-sized count
     # table (vocab_shift shape), then a 1-row final aggregate
     "jsd",
+    # benford: 1-row total and 1-row chi2/mad aggregates crossJoined
+    # onto the static 9-row digit frame
+    "benford",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
