@@ -8704,6 +8704,40 @@ def _sql_jsd() -> str:
     )
 
 
+def q_cum_distinct(spark, sf_dir):
+    """Running distinct-value breadth per entity (operators/windows.py
+    cumulative_distinct): first-occurrence flag over (entity, value)
+    + running flag-sum over entity — the standard two-window
+    decomposition of the nonexistent count(distinct) OVER."""
+    from med_doi_feature_extraction_spark.operators.windows import (
+        cumulative_distinct,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    out = cumulative_distinct(
+        ev, "user_id", "ts", "event_type", tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id", "ts", "event_id", "event_type", "n_distinct_seen"
+    )
+
+
+SQL_CUM_DISTINCT = """
+SELECT user_id, ts, event_id, event_type,
+       CAST(sum(CASE WHEN event_type IS NOT NULL AND rn = 1
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_distinct_seen
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+"""
+
+
 def q_benford(spark, sf_dir):
     """Benford first-digit audit of event values (operators/drift.py
     benford_digits): nine-row digit table with observed vs Benford
@@ -8988,6 +9022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "jsd": q_jsd,
         "benford": q_benford,
+        "cum_distinct": q_cum_distinct,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9182,4 +9217,5 @@ def oracle_sql() -> dict[str, str]:
         "spearman": _sql_spearman(),
         "jsd": _sql_jsd(),
         "benford": _sql_benford(),
+        "cum_distinct": SQL_CUM_DISTINCT,
     }

@@ -360,3 +360,52 @@ def change_rate_features(
         F.round(F.avg("_gap"), 6).alias("mean_gap_sec"),
         F.max(F.when(F.col("_chg"), F.col("_ts"))).alias("last_change_ts"),
     )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    entity: str | Sequence[str],
+    ts: str,
+    val_col: str,
+    tiebreak: Sequence[str] | None = None,
+    out_col: str = "n_distinct_seen",
+) -> DataFrame:
+    """Running count of DISTINCT ``val_col`` values each entity has
+    exhibited up to and including each row — the breadth/novelty
+    feature the level (ewma), direction (trend) and cadence
+    (change_rate) features don't give: "this crawl has now served N
+    distinct languages / content hashes / template ids", a direct
+    input to exploration-vs-exploitation recrawl policies and bot
+    detection (an entity that never repeats itself is a generator).
+
+    NULL values never count; rows keep their NULL-valued positions
+    with the running count carried through. Point-in-time safe by
+    construction: row t's count uses rows with ``(ts, tiebreak) ≤
+    (t, tiebreak_t)`` only.
+
+    Execution shape, 100 TB lens: ``count(distinct) OVER`` doesn't
+    exist (and a per-row set union would be quadratic state); the
+    standard decomposition is two stacked windows — (1) a
+    first-occurrence flag via ``row_number() = 1`` over
+    ``(entity, value)``, (2) a running SUM of flags over ``entity``.
+    Both windows hash-partition by entity-prefixed keys, so the
+    second reuses the first's co-location up to the narrower key;
+    per-entity history is the only sort state. No joins, no UDF,
+    no per-row collections.
+    """
+    part = [entity] if isinstance(entity, str) else list(entity)
+    order = _order_cols(ts, tiebreak)
+    w_first = Window.partitionBy(*part, val_col).orderBy(*order)
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flag = F.when(
+        F.col(val_col).isNotNull()
+        & (F.row_number().over(w_first) == 1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn("_first_seen", flag).withColumn(
+        out_col, F.sum("_first_seen").over(w_cum).cast("long")
+    ).drop("_first_seen")

@@ -296,3 +296,84 @@ class TestSnapshotDrift:
         f = sorted(map(tuple, full.where(F.col("ts") <= cut).collect()))
         t = sorted(map(tuple, trunc.collect()))
         assert f == t
+
+
+class TestCumulativeDistinct:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, v string"
+        )
+
+    def test_hand_computed(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.windows import (
+            cumulative_distinct,
+        )
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            (1, t(0), 1, "a"),
+            (1, t(1), 2, "b"),
+            (1, t(2), 3, "a"),
+            (1, t(3), 4, None),
+            (1, t(4), 5, "c"),
+            (2, t(0), 6, "a"),
+        ]
+        out = cumulative_distinct(
+            self._df(spark, rows), "user_id", "ts", "v",
+            tiebreak=["event_id"],
+        ).orderBy("user_id", "ts").collect()
+        assert [r["n_distinct_seen"] for r in out] == [1, 2, 2, 2, 3, 1]
+
+    def test_null_rows_carry_count_not_increment(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.windows import (
+            cumulative_distinct,
+        )
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        rows = [(1, t(0), 1, None), (1, t(1), 2, None), (1, t(2), 3, "x")]
+        out = cumulative_distinct(
+            self._df(spark, rows), "user_id", "ts", "v",
+            tiebreak=["event_id"],
+        ).orderBy("ts").collect()
+        assert [r["n_distinct_seen"] for r in out] == [0, 0, 1]
+
+    def test_final_row_equals_global_distinct(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.windows import (
+            cumulative_distinct,
+        )
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            (1, t(i), i, f"v{(i * 3) % 5}") for i in range(20)
+        ]
+        out = cumulative_distinct(
+            self._df(spark, rows), "user_id", "ts", "v",
+            tiebreak=["event_id"],
+        ).orderBy("ts").collect()
+        assert out[-1]["n_distinct_seen"] == len(
+            {r[3] for r in rows}
+        )
+        # monotone non-decreasing
+        seq = [r["n_distinct_seen"] for r in out]
+        assert seq == sorted(seq)
+
+    def test_tiebreak_same_timestamp(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.windows import (
+            cumulative_distinct,
+        )
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(1, t0, 2, "b"), (1, t0, 1, "a"), (1, t0, 3, "a")]
+        out = cumulative_distinct(
+            self._df(spark, rows), "user_id", "ts", "v",
+            tiebreak=["event_id"],
+        ).orderBy("event_id").collect()
+        assert [r["n_distinct_seen"] for r in out] == [1, 2, 2]
