@@ -8704,6 +8704,92 @@ def _sql_jsd() -> str:
     )
 
 
+def q_session_funnel(spark, sf_dir):
+    """Ordered in-session conversion funnel (operators/funnel.py
+    session_funnel + summary): sessionize -> per-session sorted
+    per-stage timestamp arrays in ONE hash-agg -> sequential-match
+    array algebra -> 1-row conditional aggregate exploded to the
+    3-stage table. Oracle rebuilds the session ids, the list
+    recurrence and the rates in DuckDB."""
+    from med_doi_feature_extraction_spark.operators.funnel import (
+        session_funnel,
+        session_funnel_summary,
+    )
+    from med_doi_feature_extraction_spark.operators.windows import (
+        sessionize,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    stages = ["click", "signup", "purchase"]
+    sess = sessionize(
+        ev, "user_id", "ts", SESSION_GAP, tiebreak=["event_id"]
+    )
+    per = session_funnel(
+        sess, ["user_id", "session_id"], "ts", "event_type", stages
+    )
+    return session_funnel_summary(per, stages)
+
+
+SQL_SESSION_FUNNEL = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_seconds
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *,
+         CAST(sum(CASE WHEN gap_seconds IS NULL OR gap_seconds > {SESSION_GAP}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), f AS (
+  SELECT user_id, session_id,
+         list(ts ORDER BY ts) FILTER (WHERE event_type = 'click') AS a1,
+         list(ts ORDER BY ts) FILTER (WHERE event_type = 'signup') AS a2,
+         list(ts ORDER BY ts) FILTER (WHERE event_type = 'purchase') AS a3
+  FROM s GROUP BY user_id, session_id
+), d1 AS (SELECT *, a1[1] AS t1 FROM f),
+d2 AS (SELECT *, list_filter(a2, e -> e >= t1)[1] AS t2 FROM d1),
+d3 AS (SELECT *, list_filter(a3, e -> e >= t2)[1] AS t3 FROM d2),
+dep AS (
+  SELECT CASE WHEN t3 IS NOT NULL THEN 3
+              WHEN t2 IS NOT NULL THEN 2
+              WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+  FROM d3
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM dep
+)
+SELECT * FROM (
+  SELECT CAST(1 AS INTEGER) AS stage_idx, 'click' AS stage, n1 AS n_reached,
+         CASE WHEN n0 > 0 THEN CAST(floor(abs((n1)::DOUBLE / (n0)::DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS conv_from_start,
+         CASE WHEN n0 > 0 THEN CAST(floor(abs((n1)::DOUBLE / (n0)::DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS conv_from_prev
+  FROM agg
+  UNION ALL
+  SELECT 2, 'signup', n2,
+         CASE WHEN n0 > 0 THEN CAST(floor(abs((n2)::DOUBLE / (n0)::DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END,
+         CASE WHEN n1 > 0 THEN CAST(floor(abs((n2)::DOUBLE / (n1)::DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END
+  FROM agg
+  UNION ALL
+  SELECT 3, 'purchase', n3,
+         CASE WHEN n0 > 0 THEN CAST(floor(abs((n3)::DOUBLE / (n0)::DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END,
+         CASE WHEN n2 > 0 THEN CAST(floor(abs((n3)::DOUBLE / (n2)::DOUBLE)
+           * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END
+  FROM agg
+)
+"""
+
+
 def q_cum_distinct(spark, sf_dir):
     """Running distinct-value breadth per entity (operators/windows.py
     cumulative_distinct): first-occurrence flag over (entity, value)
@@ -9023,6 +9109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd": q_jsd,
         "benford": q_benford,
         "cum_distinct": q_cum_distinct,
+        "session_funnel": q_session_funnel,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9218,4 +9305,5 @@ def oracle_sql() -> dict[str, str]:
         "jsd": _sql_jsd(),
         "benford": _sql_benford(),
         "cum_distinct": SQL_CUM_DISTINCT,
+        "session_funnel": SQL_SESSION_FUNNEL,
     }

@@ -123,3 +123,123 @@ def funnel_summary(
         "dropped",
         (entering - F.col("dropped")).alias("surviving"),
     )
+
+
+def session_funnel(
+    df: DataFrame,
+    session_cols: Sequence[str],
+    ts: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """ORDERED in-session conversion funnel — the temporal complement
+    of the gate funnel above: per session, how deep did the visitor
+    get through ``stages`` IN ORDER? Stage k counts as reached only
+    if an event of its type occurs at-or-after the time stage k−1
+    was first reached (ties convert: a same-timestamp pair is a
+    conversion — the portable choice, no tiebreak column needed).
+    Stage 1's "prior time" is the session start, so any occurrence
+    counts.
+
+    One row per session: ``*session_cols, t_<stage>`` (first
+    qualifying timestamp per stage, NULL once the chain breaks) and
+    ``funnel_depth`` (number of stages reached, 0..len(stages)).
+    Compose with :func:`~.windows.sessionize` to derive the session
+    key from a gap rule.
+
+    Execution shape, 100 TB lens: ONE corpus hash-agg per session
+    collecting a sorted per-stage timestamp array (bounded by
+    session length — sessions are gap-bounded by construction), then
+    the sequential-match recurrence is pure Column array algebra
+    (``try_element_at(filter(arr, e -> e >= prev), 1)`` —
+    NULL, not an ANSI error, when the chain breaks) on the
+    session-grain frame. No windows, no joins, no re-scans per
+    stage, no UDFs.
+    """
+    if not stages:
+        raise ValueError("session_funnel needs at least one stage")
+    aggs = [
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col(type_col) == s, F.col(ts))
+            )
+        ).alias(f"_arr_{i}")
+        for i, s in enumerate(stages)
+    ]
+    per = df.groupBy(*session_cols).agg(*aggs)
+    cols = list(session_cols)
+    out = per
+    prev: Column | None = None
+    t_cols = []
+    for i, s in enumerate(stages):
+        arr = F.col(f"_arr_{i}")
+        if prev is None:
+            t = F.try_element_at(arr, F.lit(1))
+        else:
+            t = F.try_element_at(
+                F.filter(arr, lambda e: e >= prev), F.lit(1)
+            )
+        name = f"t_{s}"
+        out = out.withColumn(name, t)
+        prev = F.col(name)
+        t_cols.append(name)
+    depth = F.coalesce(
+        *[
+            F.when(
+                F.col(t_cols[k]).isNotNull(), F.lit(k + 1)
+            )
+            for k in range(len(t_cols) - 1, -1, -1)
+        ],
+        F.lit(0),
+    ).cast("int")
+    return out.select(*cols, *t_cols, depth.alias("funnel_depth"))
+
+
+def session_funnel_summary(
+    per_session: DataFrame, stages: Sequence[str]
+) -> DataFrame:
+    """Stage table from a :func:`session_funnel` frame: one row per
+    stage with ``stage_idx, stage, n_reached, conv_from_start,
+    conv_from_prev`` (6 dp rates; ``conv_from_prev`` of stage 1 is
+    vs all sessions). ONE 1-row conditional aggregate over the
+    session-grain frame (``n_k = Σ[depth ≥ k]``), exploded to
+    ≤ len(stages) rows — no joins, no windows.
+    """
+    k = len(stages)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_n0"),
+        *[
+            F.sum(
+                F.when(F.col("funnel_depth") >= i + 1, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_n{i + 1}")
+            for i in range(k)
+        ],
+    ]
+    row = per_session.agg(*aggs)
+
+    def _rate(num: Column, den: Column) -> Column:
+        r = F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        )
+        m = F.floor(F.abs(r) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return F.when(r.isNull(), F.lit(None)).otherwise(m / 1e6)
+
+    structs = [
+        F.struct(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col(f"_n{i + 1}").alias("n_reached"),
+            _rate(F.col(f"_n{i + 1}"), F.col("_n0")).alias(
+                "conv_from_start"
+            ),
+            _rate(F.col(f"_n{i + 1}"), F.col(f"_n{i}")).alias(
+                "conv_from_prev"
+            ),
+        )
+        for i, s in enumerate(stages)
+    ]
+    return row.select(
+        F.explode(F.array(*structs)).alias("_s")
+    ).select("_s.*")

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from med_doi_feature_extraction_spark.operators.funnel import (
@@ -76,3 +77,107 @@ class TestFunnel:
         assert [
             (r["entering"], r["dropped"], r["surviving"]) for r in rows
         ] == [(0, 0, 0)] * 3
+
+
+# --------------------------------------------------------- session funnel
+
+
+class TestSessionFunnel:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "sid long, ts timestamp, et string"
+        )
+
+    def test_ordered_matching_hand_computed(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.funnel import (
+            session_funnel,
+        )
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            # session 1: full ordered chain
+            (1, t(0), "click"), (1, t(5), "signup"), (1, t(9), "purchase"),
+            # session 2: purchase BEFORE click -> depth 1 only
+            (2, t(0), "purchase"), (2, t(3), "click"),
+            # session 3: signup only, no click -> depth 0
+            (3, t(0), "signup"),
+        ]
+        out = session_funnel(
+            self._df(spark, rows), ["sid"], "ts", "et",
+            ["click", "signup", "purchase"],
+        ).orderBy("sid").collect()
+        assert [r["funnel_depth"] for r in out] == [3, 1, 0]
+        assert out[0]["t_purchase"] == t(9)
+        assert out[1]["t_click"] == t(3) and out[1]["t_signup"] is None
+        assert out[2]["t_click"] is None
+
+    def test_same_timestamp_counts_as_conversion(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.funnel import (
+            session_funnel,
+        )
+
+        t0 = datetime(2024, 1, 1)
+        rows = [(1, t0, "click"), (1, t0, "signup")]
+        out = session_funnel(
+            self._df(spark, rows), ["sid"], "ts", "et",
+            ["click", "signup"],
+        ).collect()[0]
+        assert out["funnel_depth"] == 2 and out["t_signup"] == t0
+
+    def test_earliest_qualifying_timestamp_chosen(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.funnel import (
+            session_funnel,
+        )
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        # signup at 1 (before click at 2, disqualified) and at 7
+        rows = [
+            (1, t(1), "signup"), (1, t(2), "click"),
+            (1, t(7), "signup"), (1, t(4), "click"),
+        ]
+        out = session_funnel(
+            self._df(spark, rows), ["sid"], "ts", "et",
+            ["click", "signup"],
+        ).collect()[0]
+        assert out["t_click"] == t(2)  # earliest click
+        assert out["t_signup"] == t(7)  # earliest signup >= t_click
+
+    def test_summary_rates(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.funnel import (
+            session_funnel,
+            session_funnel_summary,
+        )
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            (1, t(0), "a"), (1, t(1), "b"),
+            (2, t(0), "a"),
+            (3, t(0), "x"),
+            (4, t(0), "a"), (4, t(1), "b"),
+        ]
+        per = session_funnel(
+            self._df(spark, rows), ["sid"], "ts", "et", ["a", "b"]
+        )
+        out = session_funnel_summary(per, ["a", "b"]).orderBy(
+            "stage_idx"
+        ).collect()
+        assert out[0]["n_reached"] == 3  # sessions 1, 2, 4 clicked a
+        assert out[0]["conv_from_start"] == 0.75  # of 4 sessions
+        assert out[1]["n_reached"] == 2
+        assert out[1]["conv_from_prev"] == pytest.approx(2 / 3, abs=1e-6)
+
+    def test_empty_stage_list_raises(self, spark):
+        from med_doi_feature_extraction_spark.operators.funnel import (
+            session_funnel,
+        )
+
+        with pytest.raises(ValueError):
+            session_funnel(self._df(spark, []), ["sid"], "ts", "et", [])
