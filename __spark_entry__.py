@@ -8704,6 +8704,47 @@ def _sql_jsd() -> str:
     )
 
 
+def q_editdist(spark, sf_dir):
+    """Character-level consecutive-snapshot churn
+    (windows.snapshot_edit_distance): prefix-capped Levenshtein +
+    length delta vs the previous snapshot, one entity exchange.
+    Order-sensitive complement of snapshot_drift's token Jaccard.
+    Fixture text is ASCII, where Spark (codepoints) and DuckDB
+    (bytes) levenshtein agree exactly."""
+    from med_doi_feature_extraction_spark.operators.windows import (
+        snapshot_edit_distance,
+    )
+
+    snap = _snapshot_fixture(spark, sf_dir)
+    return snapshot_edit_distance(
+        snap, "doc_id", "ts", "text", prefix=256
+    )
+
+
+SQL_EDITDIST = (
+    "WITH " + _SQL_SNAPSHOT_FIXTURE + """,
+st AS (
+  SELECT doc_id, ts, CAST(length(text) AS BIGINT) AS n_chars,
+         substring(text, 1, 256) AS head
+  FROM snap
+),
+lg AS (
+  SELECT doc_id, ts, n_chars, head,
+         lag(head) OVER w AS ph,
+         lag(n_chars) OVER w AS pl
+  FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY ts)
+)
+SELECT doc_id, ts, n_chars,
+       CAST(n_chars - pl AS BIGINT) AS len_delta,
+       CAST(levenshtein(ph, head) AS BIGINT) AS editdist,
+       round(levenshtein(ph, head)::DOUBLE
+             / greatest(length(ph), length(head), 1)::DOUBLE,
+             6) AS edit_ratio
+FROM lg
+"""
+)
+
+
 def q_session_funnel(spark, sf_dir):
     """Ordered in-session conversion funnel (operators/funnel.py
     session_funnel + summary): sessionize -> per-session sorted
@@ -9110,6 +9151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "cum_distinct": q_cum_distinct,
         "session_funnel": q_session_funnel,
+        "editdist": q_editdist,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9306,4 +9348,5 @@ def oracle_sql() -> dict[str, str]:
         "benford": _sql_benford(),
         "cum_distinct": SQL_CUM_DISTINCT,
         "session_funnel": SQL_SESSION_FUNNEL,
+        "editdist": SQL_EDITDIST,
     }

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from med_doi_feature_extraction_spark.operators.windows import (
@@ -377,3 +378,75 @@ class TestCumulativeDistinct:
             tiebreak=["event_id"],
         ).orderBy("event_id").collect()
         assert [r["n_distinct_seen"] for r in out] == [1, 2, 2]
+
+
+class TestSnapshotEditDistance:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, ts timestamp, text string"
+        )
+
+    def test_hand_computed(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.windows import (
+            snapshot_edit_distance,
+        )
+
+        t = lambda d: datetime(2024, 1, d)
+        rows = [
+            ("u", t(1), "kitten"),
+            ("u", t(2), "sitting"),
+            ("u", t(3), "sitting"),
+        ]
+        out = snapshot_edit_distance(
+            self._df(spark, rows), "url", "ts", "text"
+        ).orderBy("ts").collect()
+        assert out[0]["editdist"] is None
+        assert out[0]["len_delta"] is None
+        assert out[1]["editdist"] == 3
+        assert out[1]["len_delta"] == 1
+        assert out[1]["edit_ratio"] == pytest.approx(3 / 7, abs=1e-6)
+        assert out[2]["editdist"] == 0 and out[2]["edit_ratio"] == 0.0
+
+    def test_prefix_cap_bounds_distance(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.windows import (
+            snapshot_edit_distance,
+        )
+
+        t = lambda d: datetime(2024, 1, d)
+        # identical first 8 chars, wildly different tails
+        rows = [
+            ("u", t(1), "SAMEHEAD" + "x" * 500),
+            ("u", t(2), "SAMEHEAD" + "y" * 900),
+        ]
+        out = snapshot_edit_distance(
+            self._df(spark, rows), "url", "ts", "text", prefix=8
+        ).orderBy("ts").collect()
+        assert out[1]["editdist"] == 0  # prefix-capped view is equal
+        assert out[1]["len_delta"] == 400  # full lengths still exact
+        assert out[1]["n_chars"] == 908
+
+    def test_token_blind_reordering_is_visible(self, spark):
+        """The case snapshot_drift (token Jaccard) cannot see."""
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.windows import (
+            snapshot_drift,
+            snapshot_edit_distance,
+        )
+
+        t = lambda d: datetime(2024, 1, d)
+        rows = [
+            ("u", t(1), "alpha beta gamma"),
+            ("u", t(2), "gamma beta alpha"),
+        ]
+        df = self._df(spark, rows)
+        jac = snapshot_drift(df, "u" if False else "url", "ts", "text")
+        j2 = jac.orderBy("ts").collect()[1]
+        assert j2["jaccard_prev"] == 1.0  # same token set
+        ed = snapshot_edit_distance(df, "url", "ts", "text")
+        e2 = ed.orderBy("ts").collect()[1]
+        assert e2["editdist"] > 0  # reorder is visible here

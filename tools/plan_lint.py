@@ -55,10 +55,11 @@ ALLOW_NLJ = {
     # groups, a.grp < b.grp) — source spaces are mixture-sized, the
     # cross is bounded by contract; registers join via equi joins
     "hll_overlap",
-    # snapshot_drift / drift_summary: the fixture crossJoins a
-    # broadcast 3-row snapshot-index frame onto documents to build
-    # the multi-snapshot corpus — build side is exactly 3 rows
-    "snapshot_drift", "drift_summary",
+    # snapshot_drift / drift_summary / editdist: the fixture
+    # crossJoins a broadcast 3-row snapshot-index frame onto
+    # documents to build the multi-snapshot corpus — build side is
+    # exactly 3 rows
+    "snapshot_drift", "drift_summary", "editdist",
     # pmi: 1-row unigram/bigram-totals broadcast (the ln(N) terms)
     "pmi",
     # logreg_gate: each unrolled GD iteration crossJoins the 1-row
