@@ -8704,6 +8704,49 @@ def _sql_jsd() -> str:
     )
 
 
+_WINNOW_FOOTER = (
+    " winnowing shared footer boilerplate common suffix tokens"
+    " appended verbatim"
+)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS winnowing fingerprint overlap (operators/winnow.py):
+    sampled k-gram index with the w+k-1 span guarantee; every 7th
+    document gets a planted 10-token footer so guaranteed-shared
+    fingerprints exist. Hash = portable sha256-prefix integer, so
+    the oracle reproduces the exact fingerprint sets."""
+    from med_doi_feature_extraction_spark.operators.winnow import (
+        winnow_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_WINNOW_FOOTER)),
+        ).otherwise(F.col("text")),
+    )
+    return winnow_pairs(
+        planted, "doc_id", "text", k=5, w=4, max_docs_per_fp=256
+    )
+
+
+def _sql_winnow_pairs() -> str:
+    from med_doi_feature_extraction_spark.operators.winnow import (
+        oracle_winnow_pairs_sql,
+    )
+
+    rel = (
+        "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||"
+        f" '{_WINNOW_FOOTER}' ELSE text END AS text FROM documents) r"
+    )
+    return oracle_winnow_pairs_sql(
+        rel, "doc_id", "text", k=5, w=4, max_docs_per_fp=256
+    )
+
+
 def q_editdist(spark, sf_dir):
     """Character-level consecutive-snapshot churn
     (windows.snapshot_edit_distance): prefix-capped Levenshtein +
@@ -9152,6 +9195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cum_distinct": q_cum_distinct,
         "session_funnel": q_session_funnel,
         "editdist": q_editdist,
+        "winnow_pairs": q_winnow_pairs,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9349,4 +9393,5 @@ def oracle_sql() -> dict[str, str]:
         "cum_distinct": SQL_CUM_DISTINCT,
         "session_funnel": SQL_SESSION_FUNNEL,
         "editdist": SQL_EDITDIST,
+        "winnow_pairs": _sql_winnow_pairs(),
     }
