@@ -8704,6 +8704,100 @@ def _sql_jsd() -> str:
     )
 
 
+def q_rolling_median(spark, sf_dir):
+    """Exact trailing rolling p50/p90 over the last 5 rows per entity
+    (operators/windows.py rolling_median): bounded collect_list
+    frame + type-7 interpolation as array algebra — the robust
+    companion of rolling averages. Oracle rebuilds the identical
+    sorted-list interpolation in DuckDB."""
+    from med_doi_feature_extraction_spark.operators.windows import (
+        rolling_median,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = rolling_median(
+        ev, "user_id", "ts", "value", n_rows=5,
+        tiebreak=["event_id"], quantiles=(0.5, 0.9),
+    )
+    return out.select(
+        "user_id", "ts", "event_id", "value",
+        "value_p50_r5", "value_p90_r5",
+    )
+
+
+def _sql_rolling_median_col(q: float, alias: str) -> str:
+    h = f"((len(vals) - 1)::DOUBLE * {q})"
+    lo = f"CAST(floor({h}) AS INTEGER)"
+    frac = f"({h} - floor({h}))"
+    v_lo = f"vals[{lo} + 1]"
+    v_hi = f"coalesce(vals[{lo} + 2], {v_lo})"
+    return (
+        f"CASE WHEN len(vals) >= 1 THEN round({v_lo} * (1.0 - {frac})"
+        f" + {v_hi} * {frac}, 6) END AS {alias}"
+    )
+
+
+SQL_ROLLING_MEDIAN = f"""
+SELECT user_id, ts, event_id, value,
+       {_sql_rolling_median_col(0.5, "value_p50_r5")},
+       {_sql_rolling_median_col(0.9, "value_p90_r5")}
+FROM (
+  SELECT user_id, ts, event_id, value,
+         list_sort(list_filter(list(value) OVER w,
+                               x -> x IS NOT NULL)) AS vals
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+def q_burstiness(spark, sf_dir):
+    """Per-entity inter-event cadence regularity (operators/trend.py
+    burstiness): Goh-Barabasi B=(sigma-mu)/(sigma+mu) + CV from exact
+    BIGINT gap moments — one lag window + one hash-agg sharing the
+    entity exchange."""
+    from med_doi_feature_extraction_spark.operators.trend import (
+        burstiness,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return burstiness(ev, ["user_id"], "ts", tiebreak=["event_id"])
+
+
+def _sql_burstiness() -> str:
+    from med_doi_feature_extraction_spark.operators.trend import (
+        oracle_burstiness_sql,
+    )
+
+    return oracle_burstiness_sql(
+        "events", ["user_id"], "ts", tiebreak=["event_id"]
+    )
+
+
+def q_group_entropy(spark, sf_dir):
+    """Per-entity behavioral-mix entropy (operators/profile.py
+    group_entropy): Shannon entropy of each user's event-type mix —
+    two stacked hash-aggs + one entity-keyed shuffle join, micro-unit
+    BIGINT terms."""
+    from med_doi_feature_extraction_spark.operators.profile import (
+        group_entropy,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return group_entropy(ev, ["user_id"], "event_type")
+
+
+def _sql_group_entropy() -> str:
+    from med_doi_feature_extraction_spark.operators.profile import (
+        oracle_group_entropy_sql,
+    )
+
+    return oracle_group_entropy_sql("events", ["user_id"], "event_type")
+
+
 _WINNOW_FOOTER = (
     " winnowing shared footer boilerplate common suffix tokens"
     " appended verbatim"
@@ -9196,6 +9290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": q_session_funnel,
         "editdist": q_editdist,
         "winnow_pairs": q_winnow_pairs,
+        "burstiness": q_burstiness,
+        "group_entropy": q_group_entropy,
+        "rolling_median": q_rolling_median,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9394,4 +9491,7 @@ def oracle_sql() -> dict[str, str]:
         "session_funnel": SQL_SESSION_FUNNEL,
         "editdist": SQL_EDITDIST,
         "winnow_pairs": _sql_winnow_pairs(),
+        "burstiness": _sql_burstiness(),
+        "group_entropy": _sql_group_entropy(),
+        "rolling_median": SQL_ROLLING_MEDIAN,
     }

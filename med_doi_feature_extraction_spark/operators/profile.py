@@ -292,3 +292,110 @@ SELECT '{c}' AS column, * FROM (
   FROM tot, ent
 )""")
     return "\nUNION ALL\n".join(branches)
+
+
+def group_entropy(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    val_col: str,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Per-ENTITY Shannon entropy of a categorical column's mix —
+    :func:`column_entropy` measures one global distribution; this is
+    its grouped form: "how varied is each user's event mix / each
+    host's content-type mix". Low entropy = single-behavior entity
+    (a feed fetcher, a template farm); high normalized entropy =
+    uniform mix. A standing behavioral feature next to
+    ``trend.burstiness`` (cadence) and ``windows.cumulative_distinct``
+    (breadth): breadth counts kinds, entropy weighs them.
+
+    One row per entity with ≥1 non-null value: ``*entity_cols,
+    n_rows`` (non-null), ``n_distinct, entropy`` (nats, 6 dp),
+    ``entropy_norm`` (entropy / ln(n_distinct), NULL when
+    n_distinct < 2).
+
+    Execution shape, 100 TB lens: TWO stacked hash-aggs — per
+    (entity, value) counts, then per-entity totals — and ONE
+    equi-join of the two entity-keyed tables; all three shuffle on
+    the same entity-prefixed key, so the planner reuses one
+    exchange's partitioning. Unlike :func:`column_entropy` the
+    totals side is entity-cardinality (corpus-scale), so it is a
+    SHUFFLE join by design, never a broadcast. Entropy terms are
+    1e-6 micro-unit BIGINTs before the per-entity sum
+    (addition-order-free, hash-exact cross-engine).
+    """
+    ents = list(entity_cols)
+    counts = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(*ents, val_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    totals = counts.groupBy(*ents).agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    term_u = F.floor(
+        F.abs(-(p * F.log(p))) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    ent = (
+        counts.join(totals, ents)
+        .groupBy(*ents)
+        .agg(
+            F.first("_n").alias("_n2"),
+            F.first("_k").alias("_k2"),
+            F.sum(term_u).cast("long").alias("_ent_u"),
+        )
+    )
+    ent_d = F.col("_ent_u") / 1e6
+    norm = ent_d / F.log(F.col("_k2").cast("double"))
+    norm_u = F.floor(F.abs(norm) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    px = out_prefix
+    return ent.select(
+        *ents,
+        F.col("_n2").alias(f"{px}n_rows"),
+        F.col("_k2").alias(f"{px}n_distinct"),
+        ent_d.alias(f"{px}entropy"),
+        F.when(F.col("_k2") >= 2, norm_u / 1e6)
+        .otherwise(F.lit(None).cast("double"))
+        .alias(f"{px}entropy_norm"),
+    )
+
+
+def oracle_group_entropy_sql(
+    rel_sql: str, entity_cols: Sequence[str], val_col: str
+) -> str:
+    """DuckDB twin of :func:`group_entropy` — identical micro-unit
+    per-(entity, value) terms and per-entity BIGINT sums."""
+    ents = ", ".join(f'"{c}"' for c in entity_cols)
+    return f"""
+WITH counts AS (
+  SELECT {ents}, "{val_col}" AS v, CAST(count(*) AS BIGINT) AS c
+  FROM {rel_sql}
+  WHERE "{val_col}" IS NOT NULL
+  GROUP BY {ents}, "{val_col}"
+),
+tot AS (
+  SELECT {ents},
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k
+  FROM counts GROUP BY {ents}
+),
+ent AS (
+  SELECT {ents}, max(n) AS n, max(k) AS k,
+         CAST(sum(CAST(floor(abs(-((c)::DOUBLE / (n)::DOUBLE)
+           * ln((c)::DOUBLE / (n)::DOUBLE)) * 1000000.0 + 0.5)
+           AS BIGINT)) AS BIGINT) AS ent_u
+  FROM counts JOIN tot USING ({ents})
+  GROUP BY {ents}
+)
+SELECT {ents}, n AS n_rows, k AS n_distinct,
+       ent_u / 1000000.0 AS entropy,
+       CASE WHEN k >= 2
+            THEN CAST(floor(abs((ent_u / 1000000.0)
+                   / ln((k)::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                 / 1000000.0 END AS entropy_norm
+FROM ent
+"""

@@ -469,3 +469,73 @@ def snapshot_edit_distance(
         dist.cast("long").alias("editdist"),
         F.round(ratio, 6).alias("edit_ratio"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    entity: str | Sequence[str],
+    ts: str,
+    col: str,
+    n_rows: int,
+    tiebreak: Sequence[str] | None = None,
+    quantiles: Sequence[float] = (0.5,),
+) -> DataFrame:
+    """Exact trailing rolling quantiles over the previous ``n_rows``
+    rows (inclusive) — the robust companion of :func:`rolling`'s
+    mean: a rolling median shrugs off the single spiky snapshot that
+    drags a rolling average, which is exactly what you want under
+    web-crawl noise (one truncated fetch should not move a page's
+    "typical size" feature).
+
+    Adds one column per requested quantile:
+    ``<col>_p<pct>_r<n_rows>`` (type-7/linear interpolation on the
+    sorted trailing window — the numpy/DuckDB ``quantile_cont``
+    convention — rounded 6 dp; NULL rows excluded from the window
+    sample, output NULL when the trailing window holds no non-null
+    values).
+
+    Execution shape, 100 TB lens: ``percentile_cont`` has no frame
+    support and a per-row UDF would leave codegen, so the window
+    collects the trailing ≤ ``n_rows`` values (ONE bounded
+    collect_list frame — state is capped by ``n_rows``, this is NOT
+    an unbounded running collect) and the quantile is pure array
+    algebra on the sorted copy. Cost O(n_rows log n_rows) per row,
+    bounded by the caller's window choice; the entity exchange is
+    the same single shuffle every window here shares. Keep
+    ``n_rows`` modest (≤ a few hundred) — that is the operator's
+    contract, same as the trailing-frame rolling aggregates.
+
+    Cross-engine determinism: position arithmetic on exact BIGINTs,
+    ONE fixed-order interpolation expression, micro-rounded.
+    """
+    if n_rows < 1:
+        raise ValueError("n_rows must be >= 1")
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    w = entity_window(entity, ts, tiebreak).rowsBetween(
+        -(n_rows - 1), 0
+    )
+    vals = F.sort_array(
+        F.filter(
+            F.collect_list(F.col(col).cast("double")).over(w),
+            lambda x: x.isNotNull(),
+        )
+    )
+    out = df.withColumn("_vals", vals)
+    m = F.size("_vals")
+    added = {}
+    for q in quantiles:
+        # type-7: h = (m-1)*q; x = v[floor(h)+1]*(1-frac) + v[floor(h)+2]*frac
+        h = (m - 1).cast("double") * F.lit(float(q))
+        lo = F.floor(h).cast("int")
+        frac = h - lo.cast("double")
+        v_lo = F.try_element_at(F.col("_vals"), lo + 1)
+        v_hi = F.coalesce(
+            F.try_element_at(F.col("_vals"), lo + 2), v_lo
+        )
+        x = v_lo * (F.lit(1.0) - frac) + v_hi * frac
+        pct = str(int(round(q * 100)))
+        name = f"{col}_p{pct}_r{n_rows}"
+        added[name] = F.when(m >= 1, F.round(x, 6))
+    return out.withColumns(added).drop("_vals")

@@ -87,3 +87,46 @@ def test_no_python_udf(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------- group_entropy
+
+
+class TestGroupEntropy:
+    def _run(self, spark, rows):
+        from med_doi_feature_extraction_spark.operators.profile import (
+            group_entropy,
+        )
+
+        df = spark.createDataFrame(rows, "uid long, v string")
+        out = group_entropy(df, ["uid"], "v")
+        return {r["uid"]: r for r in out.collect()}
+
+    def test_hand_computed(self, spark):
+        import math
+
+        rows = (
+            [(1, "a")] * 2 + [(1, "b")] * 2  # uniform over 2 -> ln 2
+            + [(2, "x")] * 4                 # constant -> 0
+            + [(3, "p"), (3, "q"), (3, "q"), (3, "q")]
+        )
+        by = self._run(spark, rows)
+        assert by[1]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+        assert by[1]["entropy_norm"] == pytest.approx(1.0, abs=1e-5)
+        assert by[2]["entropy"] == 0.0
+        assert by[2]["entropy_norm"] is None  # single level
+        h3 = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75))
+        assert by[3]["entropy"] == pytest.approx(h3, abs=2e-6)
+        assert by[3]["n_rows"] == 4 and by[3]["n_distinct"] == 2
+
+    def test_nulls_excluded_and_all_null_entity_absent(self, spark):
+        rows = [(1, "a"), (1, None), (2, None)]
+        by = self._run(spark, rows)
+        assert by[1]["n_rows"] == 1
+        assert 2 not in by  # no non-null values -> no distribution
+
+    def test_uniform_mix_max_normalized(self, spark):
+        rows = [(1, f"v{i % 5}") for i in range(25)]
+        by = self._run(spark, rows)
+        assert by[1]["n_distinct"] == 5
+        assert by[1]["entropy_norm"] == pytest.approx(1.0, abs=1e-5)

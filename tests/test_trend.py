@@ -145,3 +145,70 @@ def test_one_hashagg_no_window_no_join(spark):
     )
     assert "Join" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- burstiness
+
+
+class TestBurstiness:
+    def _df(self, spark, secs, uid=1):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        rows = [
+            (uid, base + timedelta(seconds=s), i)
+            for i, s in enumerate(secs)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        )
+
+    def _run(self, spark, secs):
+        from med_doi_feature_extraction_spark.operators.trend import (
+            burstiness,
+        )
+
+        return burstiness(
+            self._df(spark, secs), ["user_id"], "ts",
+            tiebreak=["event_id"],
+        ).collect()[0]
+
+    def test_metronome_is_minus_one(self, spark):
+        row = self._run(spark, [0, 60, 120, 180, 240])
+        assert row["n_gaps"] == 4
+        assert row["mean_gap_sec"] == 60.0
+        assert row["std_gap_sec"] == 0.0
+        assert row["burstiness"] == -1.0 and row["cv"] == 0.0
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        secs = [0, 7, 9, 40, 41, 100, 103, 300]
+        row = self._run(spark, secs)
+        gaps = [b - a for a, b in zip(secs, secs[1:])]
+        mu = sum(gaps) / len(gaps)
+        var = sum(g * g for g in gaps) / len(gaps) - mu * mu
+        sd = math.sqrt(var)
+        assert row["mean_gap_sec"] == pytest.approx(mu, abs=1e-6)
+        assert row["std_gap_sec"] == pytest.approx(sd, abs=1e-6)
+        assert row["burstiness"] == pytest.approx(
+            (sd - mu) / (sd + mu), abs=1e-6
+        )
+        assert row["cv"] == pytest.approx(sd / mu, abs=1e-6)
+
+    def test_single_event_all_null(self, spark):
+        row = self._run(spark, [5])
+        assert row["n_gaps"] == 0
+        assert row["mean_gap_sec"] is None
+        assert row["std_gap_sec"] is None
+        assert row["burstiness"] is None and row["cv"] is None
+
+    def test_two_events_mean_only(self, spark):
+        row = self._run(spark, [0, 30])
+        assert row["n_gaps"] == 1 and row["mean_gap_sec"] == 30.0
+        assert row["std_gap_sec"] is None and row["burstiness"] is None
+
+    def test_degenerate_zero_gaps(self, spark):
+        row = self._run(spark, [10, 10, 10])
+        assert row["mean_gap_sec"] == 0.0 and row["std_gap_sec"] == 0.0
+        assert row["burstiness"] is None and row["cv"] is None

@@ -450,3 +450,96 @@ class TestSnapshotEditDistance:
         ed = snapshot_edit_distance(df, "url", "ts", "text")
         e2 = ed.orderBy("ts").collect()[1]
         assert e2["editdist"] > 0  # reorder is visible here
+
+
+class TestRollingMedian:
+    def _df(self, spark, vals, uid=1):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        rows = [
+            (uid, base + timedelta(seconds=i), i, v)
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+
+    def test_matches_numpy_type7(self, spark):
+        import numpy as np
+
+        from med_doi_feature_extraction_spark.operators.windows import (
+            rolling_median,
+        )
+
+        vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0]
+        out = rolling_median(
+            self._df(spark, vals), "user_id", "ts", "value",
+            n_rows=3, tiebreak=["event_id"], quantiles=(0.5, 0.9),
+        ).orderBy("event_id").collect()
+        for i, row in enumerate(out):
+            window = vals[max(0, i - 2): i + 1]
+            assert row["value_p50_r3"] == pytest.approx(
+                float(np.quantile(window, 0.5)), abs=1e-6
+            )
+            assert row["value_p90_r3"] == pytest.approx(
+                float(np.quantile(window, 0.9)), abs=1e-6
+            )
+
+    def test_nulls_excluded(self, spark):
+        from med_doi_feature_extraction_spark.operators.windows import (
+            rolling_median,
+        )
+
+        vals = [4.0, None, 10.0]
+        out = rolling_median(
+            self._df(spark, vals), "user_id", "ts", "value",
+            n_rows=3, tiebreak=["event_id"],
+        ).orderBy("event_id").collect()
+        # third row's window = {4, 10} -> median 7
+        assert out[2]["value_p50_r3"] == 7.0
+        assert out[1]["value_p50_r3"] == 4.0
+
+    def test_all_null_window_is_null(self, spark):
+        from med_doi_feature_extraction_spark.operators.windows import (
+            rolling_median,
+        )
+
+        out = rolling_median(
+            self._df(spark, [None, None]), "user_id", "ts", "value",
+            n_rows=2, tiebreak=["event_id"],
+        ).orderBy("event_id").collect()
+        assert all(r["value_p50_r2"] is None for r in out)
+
+    def test_median_robust_to_spike_where_mean_is_not(self, spark):
+        from med_doi_feature_extraction_spark.operators.windows import (
+            rolling,
+            rolling_median,
+        )
+
+        vals = [10.0, 10.0, 10.0, 10.0, 9000.0]
+        df = self._df(spark, vals)
+        med = rolling_median(
+            df, "user_id", "ts", "value", n_rows=5,
+            tiebreak=["event_id"],
+        ).orderBy("event_id").collect()[-1]
+        avg = rolling(
+            df, "user_id", "ts", "value", n_rows=5,
+            tiebreak=["event_id"],
+        ).orderBy("event_id").collect()[-1]
+        assert med["value_p50_r5"] == 10.0
+        assert avg["value_avg_r5"] > 1000
+
+    def test_invalid_params_raise(self, spark):
+        from med_doi_feature_extraction_spark.operators.windows import (
+            rolling_median,
+        )
+
+        df = self._df(spark, [1.0])
+        with pytest.raises(ValueError):
+            rolling_median(df, "user_id", "ts", "value", n_rows=0)
+        with pytest.raises(ValueError):
+            rolling_median(
+                df, "user_id", "ts", "value", n_rows=2,
+                quantiles=(1.5,),
+            )
