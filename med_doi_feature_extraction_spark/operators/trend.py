@@ -214,12 +214,18 @@ def burstiness(
         .alias("_sgg"),
     )
     n = F.col("n_gaps")
-    mean = F.col("_sg").cast("double") / n.cast("double")
-    var = (n * F.col("_sgg") - F.col("_sg") * F.col("_sg")).cast(
-        "double"
-    ) / (n * n).cast("double")
+    # try_divide: n = 0 (no gaps) must yield NULL, not an ANSI
+    # divide-by-zero — the `when` guards below don't stop Spark from
+    # evaluating `mean > 0` inside their conditions
+    mean = F.try_divide(F.col("_sg").cast("double"), n.cast("double"))
+    var = F.try_divide(
+        (n * F.col("_sgg") - F.col("_sg") * F.col("_sg")).cast(
+            "double"
+        ),
+        (n * n).cast("double"),
+    )
     sd = F.sqrt(var)
-    cv = F.when((n >= 2) & (mean > 0), sd / mean)
+    cv = F.when((n >= 2) & (mean > 0), F.try_divide(sd, mean))
     b = F.when((n >= 2) & (sd + mean > 0), (sd - mean) / (sd + mean))
     return agg.select(
         *entity_cols,
