@@ -8704,6 +8704,55 @@ def _sql_jsd() -> str:
     )
 
 
+def q_autocorr(spark, sf_dir):
+    """Per-entity lag-1 autocorrelation of event values
+    (operators/trend.py autocorrelation): Pearson over consecutive
+    pairs from exact BIGINT moments — one lag window + one hash-agg
+    on the shared entity exchange."""
+    from med_doi_feature_extraction_spark.operators.trend import (
+        autocorrelation,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return autocorrelation(
+        ev, ["user_id"], "ts", "value", lag=1,
+        tiebreak=["event_id"], val_scale=1000,
+    )
+
+
+def _sql_autocorr() -> str:
+    from med_doi_feature_extraction_spark.operators.trend import (
+        oracle_autocorrelation_sql,
+    )
+
+    return oracle_autocorrelation_sql(
+        "events", ["user_id"], "ts", "value", lag=1,
+        tiebreak=["event_id"], val_scale=1000,
+    )
+
+
+def q_temporal_profile(spark, sf_dir):
+    """Per-entity activity-calendar concentration (operators/trend.py
+    temporal_profile): peak hour / ISO dow with deterministic
+    smallest-bin tie-break, peak shares, normalized hour entropy —
+    bounded cell tables (<=24 / <=7 rows per entity), every join
+    entity-keyed."""
+    from med_doi_feature_extraction_spark.operators.trend import (
+        temporal_profile,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return temporal_profile(ev, ["user_id"], "ts")
+
+
+def _sql_temporal_profile() -> str:
+    from med_doi_feature_extraction_spark.operators.trend import (
+        oracle_temporal_profile_sql,
+    )
+
+    return oracle_temporal_profile_sql("events", ["user_id"], "ts")
+
+
 def q_rolling_median(spark, sf_dir):
     """Exact trailing rolling p50/p90 over the last 5 rows per entity
     (operators/windows.py rolling_median): bounded collect_list
@@ -9293,6 +9342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "group_entropy": q_group_entropy,
         "rolling_median": q_rolling_median,
+        "autocorr": q_autocorr,
+        "temporal_profile": q_temporal_profile,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9494,4 +9545,6 @@ def oracle_sql() -> dict[str, str]:
         "burstiness": _sql_burstiness(),
         "group_entropy": _sql_group_entropy(),
         "rolling_median": SQL_ROLLING_MEDIAN,
+        "autocorr": _sql_autocorr(),
+        "temporal_profile": _sql_temporal_profile(),
     }

@@ -282,3 +282,283 @@ SELECT {ents}, n AS n_gaps,
          AS burstiness
 FROM agg
 """
+
+
+def autocorrelation(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    lag: int = 1,
+    tiebreak: Sequence[str] | None = None,
+    val_scale: int = 1000,
+) -> DataFrame:
+    """Per-entity lag-``k`` autocorrelation of a value series — the
+    memory signal completing this module's temporal triad: ``trend``
+    = direction, ``burstiness`` = cadence, autocorrelation = does
+    the NEXT observation look like the LAST one (r₁ → 1: smooth
+    drift, predict-from-previous works; r₁ → −1: oscillation, e.g.
+    A/B-alternating template; r₁ ≈ 0: white noise — don't bother
+    modeling).
+
+    Sample form: plain Pearson over the per-entity consecutive pairs
+    ``(y_t, y_{t−k})`` (both means estimated on the pairs — exact
+    and tie-free, not the circular/fixed-mean textbook ACF; the two
+    agree as n grows). One row per entity: ``*entity_cols, n_pairs,
+    r`` (6 dp; NULL when either paired side is constant or
+    ``n_pairs < 2``). NULL values break pairs (a pair needs both
+    ends non-null).
+
+    Execution shape, 100 TB lens: ONE lag window + ONE hash-agg of
+    six BIGINT moment sums, both keyed on the entity — a single
+    exchange. Values are quantized to integer ``val_scale``-ths per
+    row (the :func:`trend_features` discipline) so the moments are
+    exact; envelope ``n·max|y·scale|² < 2⁶³``. The correlation is
+    ONE fixed-order double expression, micro-rounded.
+    """
+    from pyspark.sql.window import Window
+
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(*entity_cols).orderBy(*order)
+    y = _micro_scale(F.col(val_col).cast("double"), val_scale)
+    rows = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            *entity_cols,
+            F.col(ts_col),
+            *[F.col(c) for c in (tiebreak or [])],
+            y.alias("_y"),
+        )
+        .withColumn("_p", F.lag("_y", lag).over(w))
+        .filter(F.col("_y").isNotNull() & F.col("_p").isNotNull())
+        .select(*entity_cols, "_y", "_p")
+    )
+    a, b = F.col("_y"), F.col("_p")
+    agg = rows.groupBy(*entity_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(a).cast("long").alias("_sa"),
+        F.sum(b).cast("long").alias("_sb"),
+        F.sum(a * b).cast("long").alias("_sab"),
+        F.sum(a * a).cast("long").alias("_saa"),
+        F.sum(b * b).cast("long").alias("_sbb"),
+    )
+    n = F.col("n_pairs")
+    cov = (n * F.col("_sab") - F.col("_sa") * F.col("_sb")).cast(
+        "double"
+    )
+    va = (n * F.col("_saa") - F.col("_sa") * F.col("_sa")).cast(
+        "double"
+    )
+    vb = (n * F.col("_sbb") - F.col("_sb") * F.col("_sb")).cast(
+        "double"
+    )
+    r = F.when(
+        (n >= 2) & (va > 0) & (vb > 0),
+        cov / (F.sqrt(va) * F.sqrt(vb)),
+    )
+    return agg.select(
+        *entity_cols,
+        "n_pairs",
+        (_micro(r) / 1e6).alias("r"),
+    )
+
+
+def oracle_autocorrelation_sql(
+    rel_sql: str,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    lag: int = 1,
+    tiebreak: Sequence[str] | None = None,
+    val_scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`autocorrelation`."""
+    ents = ", ".join(f'"{c}"' for c in entity_cols)
+    order = ", ".join(
+        [f'"{ts_col}"'] + [f'"{c}"' for c in (tiebreak or [])]
+    )
+    m = (
+        f"CAST(floor(abs(\"{val_col}\") * {val_scale}.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    y = f'(CASE WHEN "{val_col}" < 0 THEN -{m} ELSE {m} END)'
+    rr = "(cov)::DOUBLE / (sqrt((va)::DOUBLE) * sqrt((vb)::DOUBLE))"
+    return f"""
+WITH lagged AS (
+  SELECT {ents}, {y} AS y,
+         lag({y}, {lag}) OVER (PARTITION BY {ents}
+                               ORDER BY {order}) AS p
+  FROM {rel_sql}
+  WHERE "{ts_col}" IS NOT NULL
+),
+agg AS (
+  SELECT {ents},
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sa, CAST(sum(p) AS BIGINT) AS sb,
+         CAST(sum(y * p) AS BIGINT) AS sab,
+         CAST(sum(y * y) AS BIGINT) AS saa,
+         CAST(sum(p * p) AS BIGINT) AS sbb
+  FROM lagged WHERE y IS NOT NULL AND p IS NOT NULL
+  GROUP BY {ents}
+),
+fin AS (
+  SELECT {ents}, n,
+         (n * sab - sa * sb) AS cov,
+         (n * saa - sa * sa) AS va,
+         (n * sbb - sb * sb) AS vb
+  FROM agg
+)
+SELECT {ents}, n AS n_pairs,
+       CASE WHEN n >= 2 AND va > 0 AND vb > 0
+            THEN {_oracle_micro(rr)} / 1000000.0 END AS r
+FROM fin
+"""
+
+
+def temporal_profile(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Per-entity activity CALENDAR concentration — when does this
+    entity act, and how concentrated is that schedule: the feature a
+    recrawl scheduler uses to HIT a page's update window instead of
+    merely matching its rate, and a bot signal orthogonal to
+    :func:`burstiness` (a cron job is concentrated in the hour grid
+    even when its gap CV looks human).
+
+    One row per entity: ``*entity_cols, n_events, peak_hour``
+    (0–23, UTC; smallest hour on count ties — deterministic),
+    ``peak_hour_share`` (6 dp), ``hour_entropy_norm`` (Shannon
+    entropy of the 24-bin hour histogram / ln 24, 6 dp), ``peak_dow``
+    (ISO 1=Mon..7=Sun, smallest on ties), ``peak_dow_share`` (6 dp).
+
+    Execution shape, 100 TB lens: two bounded cell tables — per
+    (entity, hour) ≤ 24 rows/entity and per (entity, dow) ≤ 7 — from
+    ONE corpus scan each (hash-agg, map-side partials absorb
+    everything); totals, argmax (min bin at max count) and the
+    micro-unit entropy sum are all aggregates over those cell tables,
+    every join keyed on the entity. No windows, no corpus re-scan.
+
+    Cross-engine determinism: hour via ``hour(ts)`` (session TZ
+    pinned UTC both engines); ISO dow via Spark ``weekday()+1`` ↔
+    DuckDB ``isodow()`` (the only portable day numbering — Spark
+    ``dayofweek`` counts Sunday=1, DuckDB ``dayofweek`` Sunday=0);
+    counts exact BIGINT, shares one double division micro-rounded,
+    entropy terms micro-unit BIGINTs before summation.
+    """
+    ents = list(entity_cols)
+
+    def _bin_profile(bin_col: Column, prefix: str, k_max: int):
+        cells = (
+            df.filter(F.col(ts_col).isNotNull())
+            .groupBy(*ents, bin_col.alias("_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        tot = cells.groupBy(*ents).agg(
+            F.sum("_c").cast("long").alias("_n"),
+            F.max("_c").cast("long").alias("_cmax"),
+        )
+        joined = cells.join(tot, ents)
+        peak = (
+            joined.filter(F.col("_c") == F.col("_cmax"))
+            .groupBy(*ents)
+            .agg(F.min("_b").cast("int").alias(f"{prefix}_peak"))
+        )
+        p = F.col("_c").cast("double") / F.col("_n").cast("double")
+        term_u = F.floor(
+            F.abs(-(p * F.log(p))) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+        ent_share = (
+            joined.groupBy(*ents)
+            .agg(
+                F.first("_n").alias(f"{prefix}_n"),
+                F.first("_cmax").alias(f"{prefix}_cmax"),
+                F.sum(term_u).cast("long").alias(f"{prefix}_ent_u"),
+            )
+        )
+        return ent_share.join(peak, ents)
+
+    hour_p = _bin_profile(F.hour(F.col(ts_col)), "h", 24)
+    dow_p = _bin_profile(
+        F.weekday(F.col(ts_col)) + F.lit(1), "d", 7
+    )
+
+    def _share(cmax: str, n: str) -> Column:
+        s = F.col(cmax).cast("double") / F.col(n).cast("double")
+        return _micro(s) / 1e6
+
+    import math
+
+    out = hour_p.join(dow_p, ents)
+    hnorm = (F.col("h_ent_u") / 1e6) / F.lit(math.log(24.0))
+    return out.select(
+        *ents,
+        F.col("h_n").alias("n_events"),
+        F.col("h_peak").alias("peak_hour"),
+        _share("h_cmax", "h_n").alias("peak_hour_share"),
+        (_micro(hnorm) / 1e6).alias("hour_entropy_norm"),
+        F.col("d_peak").alias("peak_dow"),
+        _share("d_cmax", "d_n").alias("peak_dow_share"),
+    )
+
+
+def oracle_temporal_profile_sql(
+    rel_sql: str, entity_cols: Sequence[str], ts_col: str
+) -> str:
+    """DuckDB twin of :func:`temporal_profile`."""
+    ents = ", ".join(f'"{c}"' for c in entity_cols)
+
+    def prof(bin_expr: str, px: str) -> str:
+        p = "((c)::DOUBLE / (n)::DOUBLE)"
+        term = f"-({p} * ln({p}))"
+        return f"""
+{px}_cells AS (
+  SELECT {ents}, {bin_expr} AS b, CAST(count(*) AS BIGINT) AS c
+  FROM {rel_sql}
+  WHERE "{ts_col}" IS NOT NULL
+  GROUP BY {ents}, b
+),
+{px}_tot AS (
+  SELECT {ents}, CAST(sum(c) AS BIGINT) AS n,
+         CAST(max(c) AS BIGINT) AS cmax
+  FROM {px}_cells GROUP BY {ents}
+),
+{px}_peak AS (
+  SELECT {ents}, CAST(min(b) AS INTEGER) AS peak
+  FROM {px}_cells JOIN {px}_tot USING ({ents})
+  WHERE c = cmax GROUP BY {ents}
+),
+{px}_ent AS (
+  SELECT {ents}, max(n) AS n, max(cmax) AS cmax,
+         CAST(sum(CAST(floor(abs({term}) * 1000000.0 + 0.5)
+           AS BIGINT)) AS BIGINT) AS ent_u
+  FROM {px}_cells JOIN {px}_tot USING ({ents})
+  GROUP BY {ents}
+)"""
+
+    share = lambda cmax, n: (
+        f"CAST(floor(abs(({cmax})::DOUBLE / ({n})::DOUBLE)"
+        " * 1000000.0 + 0.5) AS BIGINT) / 1000000.0"
+    )
+    hnorm = "((h.ent_u / 1000000.0) / ln(24.0))"
+    return f"""
+WITH {prof(f'hour("{ts_col}")', "h")},
+{prof(f'isodow("{ts_col}")', "d")}
+SELECT {ents},
+       h.n AS n_events,
+       hp.peak AS peak_hour,
+       {share('h.cmax', 'h.n')} AS peak_hour_share,
+       CAST(floor(abs({hnorm}) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS hour_entropy_norm,
+       dp.peak AS peak_dow,
+       {share('d.cmax', 'd.n')} AS peak_dow_share
+FROM h_ent h
+JOIN h_peak hp USING ({ents})
+JOIN d_ent d USING ({ents})
+JOIN d_peak dp USING ({ents})
+"""

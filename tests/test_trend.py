@@ -212,3 +212,138 @@ class TestBurstiness:
         row = self._run(spark, [10, 10, 10])
         assert row["mean_gap_sec"] == 0.0 and row["std_gap_sec"] == 0.0
         assert row["burstiness"] is None and row["cv"] is None
+
+
+# ------------------------------------------------------------ autocorrelation
+
+
+class TestAutocorrelation:
+    def _df(self, spark, vals, uid=1):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        rows = [
+            (uid, base + timedelta(seconds=60 * i), i, v)
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+
+    def _run(self, spark, vals, lag=1):
+        from med_doi_feature_extraction_spark.operators.trend import (
+            autocorrelation,
+        )
+
+        return autocorrelation(
+            self._df(spark, vals), ["user_id"], "ts", "value",
+            lag=lag, tiebreak=["event_id"],
+        ).collect()[0]
+
+    def test_smooth_ramp_near_one(self, spark):
+        row = self._run(spark, [float(i) for i in range(20)])
+        assert row["n_pairs"] == 19
+        assert row["r"] > 0.97
+
+    def test_alternating_series_near_minus_one(self, spark):
+        row = self._run(spark, [float(i % 2) for i in range(20)])
+        assert row["r"] == -1.0
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        vals = [3.0, 7.0, 4.0, 9.0, 2.0, 8.0, 5.0, 6.0, 1.0]
+        row = self._run(spark, vals)
+        ys = [round(v * 1000) for v in vals]
+        pairs = list(zip(ys[1:], ys[:-1]))
+        n = len(pairs)
+        sa = sum(a for a, _ in pairs); sb = sum(b for _, b in pairs)
+        sab = sum(a * b for a, b in pairs)
+        saa = sum(a * a for a, _ in pairs)
+        sbb = sum(b * b for _, b in pairs)
+        r = (n * sab - sa * sb) / math.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+        assert row["r"] == pytest.approx(r, abs=1e-6)
+
+    def test_constant_series_null(self, spark):
+        row = self._run(spark, [5.0] * 10)
+        assert row["r"] is None
+
+    def test_null_values_break_pairs(self, spark):
+        row = self._run(spark, [1.0, None, 2.0, 4.0])
+        # pairs: (2,None)x (4,2)ok (None,1)x -> only (4,2)... and
+        # (2, None) dropped; lag positions still advance past nulls
+        assert row["n_pairs"] == 1
+
+    def test_lag_validation(self, spark):
+        from med_doi_feature_extraction_spark.operators.trend import (
+            autocorrelation,
+        )
+
+        with pytest.raises(ValueError):
+            autocorrelation(
+                self._df(spark, [1.0]), ["user_id"], "ts", "value",
+                lag=0,
+            )
+
+
+# ---------------------------------------------------------- temporal_profile
+
+
+class TestTemporalProfile:
+    def test_hand_computed(self, spark):
+        import math
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.trend import (
+            temporal_profile,
+        )
+
+        # 2024-01-01 is a Monday (isodow 1)
+        rows = [
+            (1, datetime(2024, 1, 1, 9, 0)),   # Mon 9h
+            (1, datetime(2024, 1, 1, 9, 30)),  # Mon 9h
+            (1, datetime(2024, 1, 2, 14, 0)),  # Tue 14h
+            (1, datetime(2024, 1, 8, 9, 5)),   # Mon 9h
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        row = temporal_profile(df, ["user_id"], "ts").collect()[0]
+        assert row["n_events"] == 4
+        assert row["peak_hour"] == 9 and row["peak_hour_share"] == 0.75
+        assert row["peak_dow"] == 1 and row["peak_dow_share"] == 0.75
+        h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        assert row["hour_entropy_norm"] == pytest.approx(
+            h / math.log(24), abs=2e-6
+        )
+
+    def test_tie_breaks_to_smallest_bin(self, spark):
+        from datetime import datetime
+
+        from med_doi_feature_extraction_spark.operators.trend import (
+            temporal_profile,
+        )
+
+        rows = [
+            (1, datetime(2024, 1, 1, 23, 0)),
+            (1, datetime(2024, 1, 1, 2, 0)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        row = temporal_profile(df, ["user_id"], "ts").collect()[0]
+        assert row["peak_hour"] == 2  # tie -> smallest hour
+
+    def test_uniform_hours_max_entropy(self, spark):
+        from datetime import datetime, timedelta
+
+        from med_doi_feature_extraction_spark.operators.trend import (
+            temporal_profile,
+        )
+
+        base = datetime(2024, 1, 1)
+        rows = [(1, base + timedelta(hours=i)) for i in range(24)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        row = temporal_profile(df, ["user_id"], "ts").collect()[0]
+        assert row["hour_entropy_norm"] == pytest.approx(1.0, abs=1e-4)
+        assert row["peak_hour_share"] == pytest.approx(
+            1 / 24, abs=1e-6
+        )
