@@ -8704,6 +8704,26 @@ def _sql_jsd() -> str:
     )
 
 
+def q_uniqueness(spark, sf_dir):
+    """Candidate-key / k-anonymity audit (operators/profile.py
+    uniqueness_audit): group-size distribution of (user_id,
+    event_type) — two stacked hash-aggs + 1-row total broadcast."""
+    from med_doi_feature_extraction_spark.operators.profile import (
+        uniqueness_audit,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return uniqueness_audit(ev, ["user_id", "event_type"])
+
+
+def _sql_uniqueness() -> str:
+    from med_doi_feature_extraction_spark.operators.profile import (
+        oracle_uniqueness_sql,
+    )
+
+    return oracle_uniqueness_sql("events", ["user_id", "event_type"])
+
+
 def q_autocorr(spark, sf_dir):
     """Per-entity lag-1 autocorrelation of event values
     (operators/trend.py autocorrelation): Pearson over consecutive
@@ -9344,6 +9364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "autocorr": q_autocorr,
         "temporal_profile": q_temporal_profile,
+        "uniqueness": q_uniqueness,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9547,4 +9568,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median": SQL_ROLLING_MEDIAN,
         "autocorr": _sql_autocorr(),
         "temporal_profile": _sql_temporal_profile(),
+        "uniqueness": _sql_uniqueness(),
     }

@@ -399,3 +399,89 @@ SELECT {ents}, n AS n_rows, k AS n_distinct,
                  / 1000000.0 END AS entropy_norm
 FROM ent
 """
+
+
+def uniqueness_audit(
+    df: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Group-size distribution of a candidate key — three audits in
+    one bounded table: (1) is ``key_cols`` actually a key
+    (``group_size = 1`` share ≈ 1), (2) k-anonymity of a
+    quasi-identifier combination BEFORE a dataset ships (the share
+    of rows in groups smaller than k is exactly the re-identifiable
+    mass), (3) join-explosion risk (a "key" with max group size
+    10⁴ multiplies a join by 10⁴ — see ``fd_check``/``fk_check``
+    for the constraint view; this is the distribution view).
+
+    One row per observed group size: ``group_size, n_keys,
+    n_rows_in, row_share`` (6 dp), ascending. Rows with a NULL in
+    any key column are excluded (SQL key semantics) — their count is
+    visible as ``n_rows − Σ n_rows_in`` against :func:`profile`.
+
+    Execution shape, 100 TB lens: two stacked hash-aggs — per-key
+    counts (the only corpus-sized exchange; map-side partials), then
+    per-size counts (output bounded by the number of DISTINCT group
+    sizes, ≤ a few hundred in practice) — plus a 1-row total
+    broadcast for the share. No windows, no joins on corpus-sized
+    tables.
+    """
+    keys = [F.col(c) for c in key_cols]
+    nn = keys[0].isNotNull()
+    for k in keys[1:]:
+        nn = nn & k.isNotNull()
+    per_key = (
+        df.filter(nn)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    sizes = per_key.groupBy(F.col("_c").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    sizes = sizes.withColumn(
+        "n_rows_in", (F.col("group_size") * F.col("n_keys")).cast("long")
+    )
+    tot = sizes.agg(
+        F.sum("n_rows_in").cast("long").alias("_n")
+    )
+    share = F.col("n_rows_in").cast("double") / F.col("_n").cast(
+        "double"
+    )
+    share_u = F.floor(F.abs(share) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "group_size",
+            "n_keys",
+            "n_rows_in",
+            (share_u / 1e6).alias("row_share"),
+        )
+        .orderBy("group_size")
+    )
+
+
+def oracle_uniqueness_sql(rel_sql: str, key_cols: Sequence[str]) -> str:
+    """DuckDB twin of :func:`uniqueness_audit`."""
+    keys = ", ".join(f'"{c}"' for c in key_cols)
+    nn = " AND ".join(f'"{c}" IS NOT NULL' for c in key_cols)
+    return f"""
+WITH per_key AS (
+  SELECT {keys}, CAST(count(*) AS BIGINT) AS c
+  FROM {rel_sql}
+  WHERE {nn}
+  GROUP BY {keys}
+),
+sizes AS (
+  SELECT c AS group_size,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(c * count(*) AS BIGINT) AS n_rows_in
+  FROM per_key GROUP BY c
+),
+tot AS (SELECT CAST(sum(n_rows_in) AS BIGINT) AS n FROM sizes)
+SELECT group_size, n_keys, n_rows_in,
+       CAST(floor(abs((n_rows_in)::DOUBLE / (n)::DOUBLE)
+         * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS row_share
+FROM sizes CROSS JOIN tot
+ORDER BY group_size
+"""

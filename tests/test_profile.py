@@ -111,3 +111,52 @@ class TestDataContracts:
             for r in fk_orphans(fact, dim, "fk", "pk").collect()
         }
         assert got == {99: 1, None: 1}
+
+
+# ------------------------------------------------------------------ uniqueness
+
+
+class TestUniquenessAudit:
+    def test_hand_computed(self, spark):
+        from med_doi_feature_extraction_spark.operators.profile import (
+            uniqueness_audit,
+        )
+
+        rows = (
+            [("a", 1)] * 3 + [("b", 1)] * 3  # two keys of size 3
+            + [("c", 1), ("d", 1)]            # two singletons
+            + [("e", None)]                   # null key -> excluded
+        )
+        df = spark.createDataFrame(rows, "k string, v int")
+        out = uniqueness_audit(df, ["k", "v"]).collect()
+        by = {r["group_size"]: r for r in out}
+        assert by[1]["n_keys"] == 2 and by[1]["n_rows_in"] == 2
+        assert by[3]["n_keys"] == 2 and by[3]["n_rows_in"] == 6
+        assert by[1]["row_share"] == 0.25 and by[3]["row_share"] == 0.75
+        assert [r["group_size"] for r in out] == [1, 3]
+
+    def test_true_key_all_singletons(self, spark):
+        from med_doi_feature_extraction_spark.operators.profile import (
+            uniqueness_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(10)], "k long"
+        )
+        out = uniqueness_audit(df, ["k"]).collect()
+        assert len(out) == 1
+        assert out[0]["group_size"] == 1 and out[0]["row_share"] == 1.0
+
+    def test_k_anonymity_reading(self, spark):
+        """Share of rows in groups below k is the re-identifiable mass."""
+        from med_doi_feature_extraction_spark.operators.profile import (
+            uniqueness_audit,
+        )
+
+        rows = [("q1",)] * 5 + [("q2",)] * 4 + [("q3",)]
+        df = spark.createDataFrame(rows, "q string")
+        out = uniqueness_audit(df, ["q"]).collect()
+        below_3 = sum(
+            r["row_share"] for r in out if r["group_size"] < 3
+        )
+        assert below_3 == 0.1  # the lone q3 row

@@ -107,6 +107,9 @@ ALLOW_NLJ = {
     # benford: 1-row total and 1-row chi2/mad aggregates crossJoined
     # onto the static 9-row digit frame
     "benford",
+    # uniqueness: 1-row total broadcast onto the bounded
+    # group-size-distribution table (attach-a-global-scalar)
+    "uniqueness",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
