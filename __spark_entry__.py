@@ -8704,6 +8704,33 @@ def _sql_jsd() -> str:
     )
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-group quantile normalization (operators/feateng.py
+    quantile_normalize): per-source percent_rank mapped onto the
+    pooled exact-percentile grid — 1-row grid broadcast + one rank
+    window, type-7 interpolation. Oracle rebuilds the identical
+    grid + rank + interpolation."""
+    from med_doi_feature_extraction_spark.operators.feateng import (
+        quantile_normalize,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = quantile_normalize(docs, "source", "n_chars", n_grid=20)
+    return out.select("doc_id", "source", "n_chars", "n_chars_qnorm")
+
+
+def _sql_quantile_normalize() -> str:
+    from med_doi_feature_extraction_spark.operators.feateng import (
+        oracle_quantile_normalize_sql,
+    )
+
+    return oracle_quantile_normalize_sql(
+        "documents", "source", "n_chars",
+        ["doc_id", "source", "n_chars"], n_grid=20,
+        out_col="n_chars_qnorm",
+    )
+
+
 def q_uniqueness(spark, sf_dir):
     """Candidate-key / k-anonymity audit (operators/profile.py
     uniqueness_audit): group-size distribution of (user_id,
@@ -9365,6 +9392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr": q_autocorr,
         "temporal_profile": q_temporal_profile,
         "uniqueness": q_uniqueness,
+        "quantile_normalize": q_quantile_normalize,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9569,4 +9597,5 @@ def oracle_sql() -> dict[str, str]:
         "autocorr": _sql_autocorr(),
         "temporal_profile": _sql_temporal_profile(),
         "uniqueness": _sql_uniqueness(),
+        "quantile_normalize": _sql_quantile_normalize(),
     }

@@ -432,3 +432,95 @@ def robust_outliers(
         .withColumn(f"{col}_mad", F.round("_mad", 6))
         .drop("_med", "_absdev", "_mad")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    n_grid: int = 100,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cross-group quantile normalization — the batch-effect remover:
+    map every value onto the POOLED distribution by its within-group
+    rank, so "this page is at its source's 90th length percentile"
+    becomes the same number whatever the source's own scale. The
+    standard pre-step before mixing per-source scores whose gates
+    were tuned on different distributions (the genomics
+    quantile-normalization recipe, group-wise).
+
+    Per row: within-group ``percent_rank`` (SQL rank semantics —
+    ties share a rank; deterministic without a tiebreak), then
+    type-7 interpolation into the pooled ``n_grid+1``-point exact
+    percentile grid. Output = input rows (value-NULL rows DROPPED —
+    they have no rank; union them back upstream if needed) plus
+    ``<col>_qnorm`` (6 dp). Singleton groups map to the pooled
+    minimum (percent_rank 0 — SQL-standard; filter n_g<2 upstream
+    when that reading is wrong).
+
+    Execution shape, 100 TB lens: ONE pooled exact-percentile
+    aggregate row broadcast back to the scan (the ``quantile_bin``
+    pattern — swap in ``approx_percentile`` at corpus scale, grid
+    and probe unchanged), ONE rank window on the group exchange, and
+    pure array interpolation per row. No joins beyond the 1-row
+    broadcast.
+    """
+    if n_grid < 2:
+        raise ValueError("n_grid must be >= 2")
+    out_col = out_col or f"{col}_qnorm"
+    fracs = [i / n_grid for i in range(n_grid + 1)]
+    grid = df.filter(F.col(col).isNotNull()).agg(
+        F.percentile(col, F.lit(fracs).cast("array<double>")).alias(
+            "_grid"
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(col).asc())
+    kept = df.filter(F.col(col).isNotNull()).withColumn(
+        "_pr", F.percent_rank().over(w)
+    )
+    h = F.col("_pr") * F.lit(float(n_grid))
+    lo = F.floor(h).cast("int")
+    frac = h - lo.cast("double")
+    v_lo = F.try_element_at(F.col("_grid"), lo + 1)
+    v_hi = F.coalesce(F.try_element_at(F.col("_grid"), lo + 2), v_lo)
+    x = v_lo * (F.lit(1.0) - frac) + v_hi * frac
+    return (
+        kept.crossJoin(F.broadcast(grid))
+        .withColumn(out_col, F.round(x, 6))
+        .drop("_pr", "_grid")
+    )
+
+
+def oracle_quantile_normalize_sql(
+    rel_sql: str,
+    group_col: str,
+    col: str,
+    select_cols: Sequence[str],
+    n_grid: int = 100,
+    out_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`quantile_normalize` (``select_cols`` =
+    passthrough projection, mirroring the contract query)."""
+    out_col = out_col or f"{col}_qnorm"
+    fracs = ", ".join(str(i / n_grid) for i in range(n_grid + 1))
+    sel = ", ".join(f'"{c}"' for c in select_cols)
+    h = f"(pr * {float(n_grid)!r})"
+    lo = f"CAST(floor({h}) AS INTEGER)"
+    frac = f"({h} - floor({h}))"
+    v_lo = f"g[{lo} + 1]"
+    v_hi = f"coalesce(g[{lo} + 2], {v_lo})"
+    return f"""
+WITH grid AS (
+  SELECT quantile_cont("{col}", [{fracs}]) AS g
+  FROM {rel_sql} WHERE "{col}" IS NOT NULL
+),
+ranked AS (
+  SELECT *, percent_rank() OVER (PARTITION BY "{group_col}"
+                                 ORDER BY "{col}" ASC) AS pr
+  FROM {rel_sql} WHERE "{col}" IS NOT NULL
+)
+SELECT {sel},
+       round({v_lo} * (1.0 - {frac}) + {v_hi} * {frac}, 6)
+         AS {out_col}
+FROM ranked CROSS JOIN grid
+"""

@@ -313,3 +313,81 @@ class TestRobustOutliers:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange") == 1  # both windows share one shuffle
+
+
+# -------------------------------------------------------- quantile_normalize
+
+
+class TestQuantileNormalize:
+    def test_rank_identical_across_scales(self, spark):
+        """Two groups with the same SHAPE at different scales map to
+        the same normalized values."""
+        from med_doi_feature_extraction_spark.operators.feateng import (
+            quantile_normalize,
+        )
+
+        rows = [("a", float(i)) for i in range(1, 11)] + [
+            ("b", float(i * 1000)) for i in range(1, 11)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quantile_normalize(df, "g", "v", n_grid=10).collect()
+        a = sorted(
+            r["v_qnorm"] for r in out if r["g"] == "a"
+        )
+        b = sorted(
+            r["v_qnorm"] for r in out if r["g"] == "b"
+        )
+        assert a == b  # identical rank profile -> identical mapping
+
+    def test_extremes_map_to_pooled_extremes(self, spark):
+        from med_doi_feature_extraction_spark.operators.feateng import (
+            quantile_normalize,
+        )
+
+        rows = [("a", float(i)) for i in range(1, 6)] + [
+            ("b", float(100 + i)) for i in range(1, 6)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quantile_normalize(df, "g", "v", n_grid=10).collect()
+        vals = [r["v_qnorm"] for r in out]
+        assert min(vals) == 1.0  # pooled min
+        assert max(vals) == 105.0  # pooled max
+
+    def test_null_rows_dropped(self, spark):
+        from med_doi_feature_extraction_spark.operators.feateng import (
+            quantile_normalize,
+        )
+
+        rows = [("a", 1.0), ("a", None), ("a", 3.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quantile_normalize(df, "g", "v", n_grid=4)
+        assert out.count() == 2
+
+    def test_monotone_within_group(self, spark):
+        from med_doi_feature_extraction_spark.operators.feateng import (
+            quantile_normalize,
+        )
+
+        rows = [("a", float((i * 7) % 13)) for i in range(13)] + [
+            ("b", float(i)) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = (
+            quantile_normalize(df, "g", "v", n_grid=20)
+            .filter("g = 'a'")
+            .orderBy("v")
+            .collect()
+        )
+        qn = [r["v_qnorm"] for r in out]
+        assert qn == sorted(qn)
+
+    def test_invalid_grid_raises(self, spark):
+        from med_doi_feature_extraction_spark.operators.feateng import (
+            quantile_normalize,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            quantile_normalize(df, "g", "v", n_grid=1)

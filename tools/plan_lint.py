@@ -110,6 +110,9 @@ ALLOW_NLJ = {
     # uniqueness: 1-row total broadcast onto the bounded
     # group-size-distribution table (attach-a-global-scalar)
     "uniqueness",
+    # quantile_normalize: 1-row pooled-percentile-grid broadcast onto
+    # the scan (the quantile_bin pattern)
+    "quantile_normalize",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
