@@ -8704,6 +8704,53 @@ def _sql_jsd() -> str:
     )
 
 
+def q_cohort(spark, sf_dir):
+    """Cohort retention matrix (operators/cohort.py cohort_retention):
+    first-active-day cohorts x day offsets, distinct-active counts
+    and retention shares — two entity-keyed hash-aggs + one bounded
+    rollup, cohort sizes broadcast."""
+    from med_doi_feature_extraction_spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return cohort_retention(ev, ["user_id"], "ts")
+
+
+def _sql_cohort() -> str:
+    from med_doi_feature_extraction_spark.operators.cohort import (
+        oracle_cohort_sql,
+    )
+
+    return oracle_cohort_sql("events", ["user_id"], "ts")
+
+
+def q_transitions(spark, sf_dir):
+    """First-order Markov transitions of event types per user
+    (operators/markov.py transition_matrix): conditional p,
+    unconditional p_next and lift from exact BIGINT counts — one lag
+    window, then bounded k^2 cell-table algebra."""
+    from med_doi_feature_extraction_spark.operators.markov import (
+        transition_matrix,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, ["user_id"], "ts", "event_type", tiebreak=["event_id"]
+    )
+
+
+def _sql_transitions() -> str:
+    from med_doi_feature_extraction_spark.operators.markov import (
+        oracle_transition_sql,
+    )
+
+    return oracle_transition_sql(
+        "events", ["user_id"], "ts", "event_type",
+        tiebreak=["event_id"],
+    )
+
+
 def q_quantile_normalize(spark, sf_dir):
     """Cross-group quantile normalization (operators/feateng.py
     quantile_normalize): per-source percent_rank mapped onto the
@@ -9393,6 +9440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_profile": q_temporal_profile,
         "uniqueness": q_uniqueness,
         "quantile_normalize": q_quantile_normalize,
+        "transitions": q_transitions,
+        "cohort": q_cohort,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9598,4 +9647,6 @@ def oracle_sql() -> dict[str, str]:
         "temporal_profile": _sql_temporal_profile(),
         "uniqueness": _sql_uniqueness(),
         "quantile_normalize": _sql_quantile_normalize(),
+        "transitions": _sql_transitions(),
+        "cohort": _sql_cohort(),
     }

@@ -113,6 +113,9 @@ ALLOW_NLJ = {
     # quantile_normalize: 1-row pooled-percentile-grid broadcast onto
     # the scan (the quantile_bin pattern)
     "quantile_normalize",
+    # transitions: 1-row grand-total broadcast onto the bounded k^2
+    # transition cell table (attach-a-global-scalar)
+    "transitions",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
