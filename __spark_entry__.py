@@ -8704,6 +8704,73 @@ def _sql_jsd() -> str:
     )
 
 
+def q_winnow_clusters(spark, sf_dir):
+    """Winnowing fingerprint overlap -> connected components ->
+    keep/remove decisions: the MOSS index as the edge generator for
+    the SAME cluster-resolution stack dedup_decisions uses. Edge rule:
+    containment_est >= 0.8 on the planted-footer corpus. Oracle
+    split: the (already oracle-checked) pair set materializes to
+    parquet; Spark resolves components via min-label propagation +
+    pointer jumping, DuckDB via a recursive-CTE closure over the
+    same edges — two independent CC algorithms agreeing."""
+    from med_doi_feature_extraction_spark.operators import dedup
+    from med_doi_feature_extraction_spark.operators.winnow import (
+        winnow_pairs,
+    )
+
+    base = _dedup_base()
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(
+                F.lit(_WINNOW_BOILER + " tail"),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_WINNOW_FOOTER)),
+        )
+        .otherwise(F.col("text")),
+    )
+    pairs = winnow_pairs(
+        planted, "doc_id", "text", k=5, w=4, max_docs_per_fp=256
+    ).filter(F.col("containment_est") >= 0.8)
+    pairs.select(
+        F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+    ).write.mode("overwrite").parquet(f"{base}/winnow_pairs.parquet")
+    return dedup.dedup_decisions(
+        docs, "doc_id",
+        spark.read.parquet(f"{base}/winnow_pairs.parquet"),
+    )
+
+
+def _sql_winnow_clusters() -> str:
+    base = _dedup_base()
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT id_a AS a, id_b AS b
+  FROM read_parquet('{base}/winnow_pairs.parquet/*.parquet')
+  UNION
+  SELECT id_b, id_a FROM read_parquet('{base}/winnow_pairs.parquet/*.parquet')
+),
+reach(s, d) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d
+),
+lab AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN lab l USING (doc_id)
+"""
+
+
 def q_cohort(spark, sf_dir):
     """Cohort retention matrix (operators/cohort.py cohort_retention):
     first-active-day cohorts x day offsets, distinct-active counts
@@ -8944,6 +9011,13 @@ def _sql_group_entropy() -> str:
 _WINNOW_FOOTER = (
     " winnowing shared footer boilerplate common suffix tokens"
     " appended verbatim"
+)
+
+#: near-identical clone body for the cluster-resolution query: every
+#: 50th document becomes this boilerplate plus a tiny per-doc tail,
+#: so winnowing containment within a tail group reads ~1.
+_WINNOW_BOILER = " ".join(
+    f"clonetoken{i % 11} boilerbody{i}" for i in range(20)
 )
 
 
@@ -9442,6 +9516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "transitions": q_transitions,
         "cohort": q_cohort,
+        "winnow_clusters": q_winnow_clusters,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9649,4 +9724,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": _sql_quantile_normalize(),
         "transitions": _sql_transitions(),
         "cohort": _sql_cohort(),
+        "winnow_clusters": _sql_winnow_clusters(),
     }

@@ -94,3 +94,30 @@ def test_invalid_params_raise(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         winnow_fingerprints(df, "doc_id", "text", k=0, w=4)
+
+
+def test_pairs_feed_cluster_resolution(spark):
+    """winnow_pairs edges compose with dedup.dup_clusters: clone
+    groups collapse to min-id clusters."""
+    from med_doi_feature_extraction_spark.operators.dedup import (
+        dedup_decisions,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(23)
+    body = _rand_words(rng, 60, "c")
+    rows = (
+        [(i, body + f" tail{i}") for i in range(4)]  # clone group
+        + [(10 + i, _rand_words(rng, 60, f"u{i}")) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_pairs(df, "doc_id", "text", k=K, w=W).filter(
+        F.col("containment_est") >= 0.8
+    )
+    out = dedup_decisions(
+        df, "doc_id", pairs.select("id_a", "id_b")
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert all(by[i]["cluster_id"] == 0 for i in range(4))
+    assert by[0]["keep"] and not any(by[i]["keep"] for i in (1, 2, 3))
+    assert all(by[10 + i]["keep"] for i in range(3))
