@@ -8704,6 +8704,61 @@ def _sql_jsd() -> str:
     )
 
 
+def _diff_snapshots(spark, sf_dir):
+    """Two planted snapshots of documents for the table-diff query:
+    new drops every 13th doc, rewrites every 9th's text, and adds a
+    shifted copy of every 17th. Mirrored exactly by _sql variants."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    kept = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" EDITED")),
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    return docs, kept.unionByName(added)
+
+
+def q_table_diff(spark, sf_dir):
+    """Keyed snapshot reconciliation (operators/tablediff.py):
+    full-outer key join -> added/removed/changed/unchanged census
+    with per-column change counts in ONE <=4-group hash-agg."""
+    from med_doi_feature_extraction_spark.operators.tablediff import (
+        table_diff,
+        table_diff_summary,
+    )
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    d = table_diff(old, new, ["doc_id"], ["text", "lang"])
+    return table_diff_summary(d, ["text", "lang"])
+
+
+def _sql_table_diff() -> str:
+    from med_doi_feature_extraction_spark.operators.tablediff import (
+        oracle_table_diff_summary_sql,
+    )
+
+    old_sql = "(SELECT doc_id, text, lang FROM documents)"
+    new_sql = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' EDITED' ELSE text END
+           AS text,
+         lang
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 100000, text, lang
+  FROM documents WHERE doc_id % 17 = 0
+)"""
+    return oracle_table_diff_summary_sql(
+        old_sql, new_sql, ["doc_id"], ["text", "lang"]
+    )
+
+
 def q_winnow_clusters(spark, sf_dir):
     """Winnowing fingerprint overlap -> connected components ->
     keep/remove decisions: the MOSS index as the edge generator for
@@ -9517,6 +9572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "cohort": q_cohort,
         "winnow_clusters": q_winnow_clusters,
+        "table_diff": q_table_diff,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9725,4 +9781,5 @@ def oracle_sql() -> dict[str, str]:
         "transitions": _sql_transitions(),
         "cohort": _sql_cohort(),
         "winnow_clusters": _sql_winnow_clusters(),
+        "table_diff": _sql_table_diff(),
     }

@@ -116,6 +116,9 @@ ALLOW_NLJ = {
     # transitions: 1-row grand-total broadcast onto the bounded k^2
     # transition cell table (attach-a-global-scalar)
     "transitions",
+    # table_diff: 1-row total broadcast onto the <=4-row status
+    # census (attach-a-global-scalar)
+    "table_diff",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
