@@ -8724,6 +8724,56 @@ def _diff_snapshots(spark, sf_dir):
     return docs, kept.unionByName(added)
 
 
+def q_session_paths(spark, sf_dir):
+    """Top session type-paths (operators/markov.py session_paths):
+    sessionize -> ordered path strings (capped) -> Zipf-headed path
+    counts -> TakeOrderedAndProject top-k. The full-sequence view
+    behind the transition matrix."""
+    from med_doi_feature_extraction_spark.operators.markov import (
+        session_paths,
+    )
+    from med_doi_feature_extraction_spark.operators.windows import (
+        sessionize,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, "user_id", "ts", SESSION_GAP, tiebreak=["event_id"]
+    )
+    return session_paths(
+        sess, ["user_id", "session_id"], "ts", "event_type",
+        tiebreak=["event_id"], max_len=12, k=40,
+    )
+
+
+def _sql_session_paths() -> str:
+    from med_doi_feature_extraction_spark.operators.markov import (
+        oracle_session_paths_sql,
+    )
+
+    rel = f"""(
+  WITH g_ AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+             AS gap_seconds
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(CASE WHEN gap_seconds IS NULL
+                       OR gap_seconds > {SESSION_GAP}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g_
+) r"""
+    return oracle_session_paths_sql(
+        rel, ["user_id", "session_id"], "ts", "event_type",
+        tiebreak=["event_id"], max_len=12, k=40,
+    )
+
+
 def q_table_diff(spark, sf_dir):
     """Keyed snapshot reconciliation (operators/tablediff.py):
     full-outer key join -> added/removed/changed/unchanged census
@@ -9573,6 +9623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort": q_cohort,
         "winnow_clusters": q_winnow_clusters,
         "table_diff": q_table_diff,
+        "session_paths": q_session_paths,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9782,4 +9833,5 @@ def oracle_sql() -> dict[str, str]:
         "cohort": _sql_cohort(),
         "winnow_clusters": _sql_winnow_clusters(),
         "table_diff": _sql_table_diff(),
+        "session_paths": _sql_session_paths(),
     }

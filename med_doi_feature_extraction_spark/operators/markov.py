@@ -143,3 +143,126 @@ JOIN rt USING (prev_type)
 JOIN ct USING (next_type)
 CROSS JOIN g
 """
+
+
+def session_paths(
+    df: DataFrame,
+    session_cols: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    tiebreak: Sequence[str] | None = None,
+    max_len: int = 20,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` full session paths — the empirical sequences behind
+    :func:`transition_matrix`'s first-order view (the matrix says
+    click→purchase is likely; the path table says whether the mass
+    is "view>click>purchase" or "view>click>view>click>purchase").
+    One row per surviving path: ``path`` (``>``-joined event types,
+    capped at ``max_len`` steps), ``n_steps`` (pre-cap length),
+    ``truncated``, ``n_sessions``, ``share`` (of all sessions, 6 dp)
+    — ordered by ``n_sessions`` DESC then path, LIMIT k
+    (deterministic: path is unique per row).
+
+    NULL-typed events are skipped inside the path (documented —
+    they are instrumentation holes, not steps); sessions with no
+    typed events are dropped.
+
+    Execution shape, 100 TB lens: ONE hash-agg per session
+    collecting the (bounded-by-session-length) ordered struct array,
+    path algebra in the same projection, ONE hash-agg onto distinct
+    paths (Zipf-headed — map-side partials absorb the hot paths),
+    1-row total broadcast, and a ``TakeOrderedAndProject`` top-k —
+    never a global sort. ``max_len`` caps the path string's shuffle
+    width.
+    """
+    if max_len < 1 or k < 1:
+        raise ValueError("max_len and k must be >= 1")
+    order_fields = [F.col(ts_col)] + [
+        F.col(c) for c in (tiebreak or [])
+    ]
+    ev = F.struct(
+        *[f.alias(f"_o{i}") for i, f in enumerate(order_fields)],
+        F.col(type_col).alias("_t"),
+    )
+    per = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+        .groupBy(*session_cols)
+        .agg(F.sort_array(F.collect_list(ev)).alias("_evs"))
+    )
+    types = F.transform(F.col("_evs"), lambda x: x["_t"])
+    n_steps = F.size(types)
+    path = F.array_join(F.slice(types, 1, max_len), ">")
+    paths = per.select(
+        path.alias("path"),
+        n_steps.alias("_n_steps"),
+        (n_steps > max_len).alias("truncated"),
+    )
+    counted = paths.groupBy("path", "truncated").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.min("_n_steps").cast("long").alias("n_steps"),
+    )
+    tot = counted.agg(
+        F.sum("n_sessions").cast("long").alias("_tot")
+    )
+    share = F.col("n_sessions").cast("double") / F.col("_tot").cast(
+        "double"
+    )
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_steps",
+            "truncated",
+            "n_sessions",
+            (_micro(share) / 1e6).alias("share"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )
+
+
+def oracle_session_paths_sql(
+    rel_sql: str,
+    session_exprs: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    tiebreak: Sequence[str] | None = None,
+    max_len: int = 20,
+    k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`session_paths`. ``session_exprs`` are
+    the grouping expressions (may be computed, e.g. a session id
+    CTE's columns)."""
+    sess = ", ".join(session_exprs)
+    order = ", ".join(
+        [f'"{ts_col}"'] + [f'"{c}"' for c in (tiebreak or [])]
+    )
+    return f"""
+WITH per AS (
+  SELECT {sess},
+         list("{type_col}" ORDER BY {order}) AS types
+  FROM {rel_sql}
+  WHERE "{ts_col}" IS NOT NULL AND "{type_col}" IS NOT NULL
+  GROUP BY {sess}
+),
+paths AS (
+  SELECT array_to_string(list_slice(types, 1, {max_len}), '>') AS path,
+         CAST(len(types) AS BIGINT) AS n_steps,
+         len(types) > {max_len} AS truncated
+  FROM per
+),
+counted AS (
+  SELECT path, truncated,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(min(n_steps) AS BIGINT) AS n_steps
+  FROM paths GROUP BY path, truncated
+),
+tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS t FROM counted)
+SELECT path, n_steps, truncated, n_sessions,
+       CAST(floor(abs((n_sessions)::DOUBLE / (t)::DOUBLE)
+         * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS share
+FROM counted CROSS JOIN tot
+ORDER BY n_sessions DESC, path
+LIMIT {k}
+"""

@@ -66,3 +66,51 @@ def test_lift_vs_base_rate(spark):
     assert by[("b", "b")]["lift"] == pytest.approx(
         by[("b", "b")]["p"] / by[("b", "b")]["p_next"], abs=1e-5
     )
+
+
+# --------------------------------------------------------------- session_paths
+
+
+class TestSessionPaths:
+    def _run(self, spark, seqs, **kw):
+        from med_doi_feature_extraction_spark.operators.markov import (
+            session_paths,
+        )
+
+        return session_paths(
+            _df(spark, seqs), ["user_id"], "ts", "et",
+            tiebreak=["event_id"], **kw,
+        ).collect()
+
+    def test_counts_and_order(self, spark):
+        seqs = {
+            1: ["a", "b"], 2: ["a", "b"], 3: ["a", "b"],
+            4: ["x"], 5: ["x"], 6: ["z", "q"],
+        }
+        out = self._run(spark, seqs, k=10)
+        assert out[0]["path"] == "a>b" and out[0]["n_sessions"] == 3
+        assert out[0]["share"] == 0.5
+        assert out[1]["path"] == "x" and out[1]["n_sessions"] == 2
+        # tie between 1-count paths -> path ASC
+        assert out[2]["path"] == "z>q"
+
+    def test_truncation_flag_and_cap(self, spark):
+        seqs = {1: ["s"] * 9}
+        out = self._run(spark, seqs, max_len=4, k=5)
+        assert out[0]["path"] == "s>s>s>s"
+        assert out[0]["truncated"] and out[0]["n_steps"] == 9
+
+    def test_null_types_skipped(self, spark):
+        seqs = {1: ["a", None, "b"], 2: [None, None]}
+        out = self._run(spark, seqs, k=5)
+        assert len(out) == 1
+        assert out[0]["path"] == "a>b" and out[0]["share"] == 1.0
+
+    def test_k_limits_output(self, spark):
+        seqs = {i: [f"t{i}"] for i in range(20)}
+        out = self._run(spark, seqs, k=7)
+        assert len(out) == 7
+        # deterministic page: lexicographically first 7 singleton paths
+        assert [r["path"] for r in out] == sorted(
+            f"t{i}" for i in range(20)
+        )[:7]

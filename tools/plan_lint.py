@@ -119,6 +119,9 @@ ALLOW_NLJ = {
     # table_diff: 1-row total broadcast onto the <=4-row status
     # census (attach-a-global-scalar)
     "table_diff",
+    # session_paths: 1-row session-total broadcast onto the path
+    # count table before the bounded top-k (attach-a-global-scalar)
+    "session_paths",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
