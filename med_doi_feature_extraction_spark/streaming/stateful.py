@@ -437,3 +437,140 @@ def change_rate_stateful(
         "update",
         timeout,
     )
+
+
+CUM_DISTINCT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("seen", T.ArrayType(T.StringType())),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("p_ts", T.ArrayType(T.LongType())),
+        T.StructField("p_v", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _cum_distinct_output_schema(
+    entity: str, ts: str, val: str
+) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(entity, T.LongType()),
+            T.StructField(ts, T.TimestampType()),
+            T.StructField(val, T.StringType()),
+            T.StructField("n_distinct_seen", T.LongType()),
+        ]
+    )
+
+
+def cumulative_distinct_stateful(
+    events: DataFrame,
+    entity: str,
+    ts: str,
+    val: str,
+    watermark: str = "1 hour",
+    buffer_late: bool = False,
+) -> DataFrame:
+    """Streaming running-distinct breadth — the streaming twin of
+    ``operators.windows.cumulative_distinct``: every row is emitted
+    with the number of DISTINCT non-null ``val`` values its entity
+    has exhibited so far. NULL values never increment (emitted with
+    the running count carried through), matching the batch operator.
+
+    State per entity = the SET of values seen (plus the usual
+    buffered-late arrays): O(distinct values per entity) — bounded
+    for the categorical columns this feature means (languages,
+    template ids, content hashes bucketed upstream); it is NOT the
+    right streaming shape for unbounded-cardinality values (hash to
+    a fixed sketch upstream, or use an HLL variant, if so).
+
+    Delivery contract identical to :func:`ewma_stateful`: default
+    mode assumes per-entity non-decreasing ts across microbatches;
+    ``buffer_late=True`` holds rows until the event watermark passes
+    them and finalizes in ts order (append semantics). Ties at equal
+    ts finalize in arrival order (stable sort) — the batch twin with
+    a tiebreak column may order equal-ts rows differently; the FINAL
+    count after the tie group is identical either way (set union is
+    order-free).
+    """
+
+    def step(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            last_ts_us, seen_arr, n_seen, p_ts, p_v = state.get
+            seen = set(seen_arr or [])
+            pending = list(zip(p_ts or [], p_v or []))
+        else:
+            last_ts_us, seen, pending = None, set(), []
+
+        new_rows: list[tuple[int, object]] = []
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                ts_us = (
+                    pdf[ts].to_numpy(dtype="datetime64[ns]").astype("int64")
+                    // 1000
+                )
+                vals = pdf[val].astype(object).where(
+                    pdf[val].notna(), None
+                )
+                new_rows.extend(zip(ts_us.tolist(), vals.tolist()))
+
+        if buffer_late:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            pending = sorted(pending + new_rows, key=lambda p: p[0])
+            ready = [p for p in pending if p[0] <= wm_us]
+            pending = [p for p in pending if p[0] > wm_us]
+        else:
+            ready = sorted(new_rows, key=lambda p: p[0])
+            pending = []
+
+        out_rows = []
+        for t_us, v in ready:
+            if v is not None:
+                seen.add(v)
+            last_ts_us = t_us
+            out_rows.append((t_us, v, len(seen)))
+
+        state.update(
+            (
+                last_ts_us,
+                sorted(seen),
+                len(seen),
+                [p[0] for p in pending],
+                [p[1] for p in pending],
+            )
+        )
+        if buffer_late and pending:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(min(p[0] for p in pending) // 1000, wm_ms + 1)
+            )
+        if out_rows:
+            cols = pd.DataFrame(
+                out_rows, columns=["_us", val, "n_distinct_seen"]
+            )
+            yield pd.DataFrame(
+                {
+                    entity: key[0],
+                    ts: pd.to_datetime(cols["_us"], unit="us"),
+                    val: cols[val],
+                    "n_distinct_seen": cols["n_distinct_seen"].astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    if events.isStreaming:
+        events = events.withWatermark(ts, watermark)
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if buffer_late
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(entity).applyInPandasWithState(
+        step,
+        _cum_distinct_output_schema(entity, ts, val),
+        CUM_DISTINCT_STATE_SCHEMA,
+        "append",
+        timeout,
+    )

@@ -596,3 +596,88 @@ def test_stateful_change_rate_matches_batch(spark, tmp_path):
         pd.to_datetime(last["last_change_ts"]).to_numpy()
         == pd.to_datetime(batch["last_change_ts"]).to_numpy()
     ).all()
+
+
+def test_stateful_cum_distinct_matches_batch(spark, tmp_path):
+    """Streaming running-distinct == the batch
+    windows.cumulative_distinct for every row (ts totally orders
+    each entity's events in this fixture, so tiebreak is moot)."""
+    from med_doi_feature_extraction_spark.operators.windows import (
+        cumulative_distinct,
+    )
+    from med_doi_feature_extraction_spark.streaming.stateful import (
+        cumulative_distinct_stateful,
+    )
+
+    src = str(tmp_path / "cd_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.orderBy("ts").coalesce(1).write.parquet(src)
+
+    streamed = run_stream_once(
+        spark, src, events.schema,
+        lambda s: cumulative_distinct_stateful(
+            s, "user_id", "ts", "event_type"
+        ),
+        query_name="stateful_cum_distinct",
+    ).toPandas()
+
+    batch = (
+        cumulative_distinct(
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .select("user_id", "ts", "event_id", "event_type"),
+            "user_id", "ts", "event_type", tiebreak=["event_id"],
+        )
+        .select("user_id", "ts", "event_type", "n_distinct_seen")
+        .toPandas()
+    )
+    key = ["user_id", "ts"]
+    streamed = streamed.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(streamed) == len(batch) == 1000
+    assert (
+        streamed["n_distinct_seen"] == batch["n_distinct_seen"]
+    ).all()
+
+
+def test_stateful_cum_distinct_out_of_order_buffered(spark, tmp_path):
+    """buffer_late=True: a value arriving late (within watermark)
+    still counts exactly once and rows finalize in ts order."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from med_doi_feature_extraction_spark.streaming.stateful import (
+        cumulative_distinct_stateful,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda offs, vals, uid=1: pd.DataFrame(
+        {
+            "user_id": uid,
+            "ts": [base + pd.Timedelta(seconds=s) for s in offs],
+            "event_type": vals,
+        }
+    ).astype({"ts": "datetime64[us]"})
+    src = tmp_path / "cd_ooo"
+    src.mkdir()
+    batches = [
+        mk([0, 5000], ["a", "b"]),
+        mk([100, 5100], ["b", None]),  # late 'b' + a null row
+        mk([100000], ["z"], uid=99),   # watermark push
+    ]
+    for i, pdf in enumerate(batches):
+        p = str(src / f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    schema = spark.createDataFrame(batches[0]).schema
+    out = run_stream_once(
+        spark, str(src), schema,
+        lambda s: cumulative_distinct_stateful(
+            s, "user_id", "ts", "event_type",
+            watermark="0 seconds", buffer_late=True,
+        ),
+        query_name="stateful_cd_ooo",
+    ).toPandas()
+    u1 = out[out.user_id == 1].sort_values("ts").reset_index(drop=True)
+    # ts order: 0:'a'->1, 100:'b'->2, 5000:'b'->2 (dup), 5100:None->2
+    assert list(u1["n_distinct_seen"]) == [1, 2, 2, 2]
