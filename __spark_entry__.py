@@ -8724,6 +8724,30 @@ def _diff_snapshots(spark, sf_dir):
     return docs, kept.unionByName(added)
 
 
+def q_cap_solver(spark, sf_dir):
+    """Water-filling domain-cap solver (operators/sampling.py
+    cap_solver): the largest per-group level whose capped total fits
+    the row budget — breakpoint table over the bounded group-size
+    distribution + closed-form integer refinement. Solves group_cap's
+    cap argument instead of guessing it."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        cap_solver,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return cap_solver(ev, ["user_id", "event_type"], budget=5000)
+
+
+def _sql_cap_solver() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_cap_solver_sql,
+    )
+
+    return oracle_cap_solver_sql(
+        "events", ["user_id", "event_type"], budget=5000
+    )
+
+
 def q_session_paths(spark, sf_dir):
     """Top session type-paths (operators/markov.py session_paths):
     sessionize -> ordered path strings (capped) -> Zipf-headed path
@@ -9624,6 +9648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_clusters": q_winnow_clusters,
         "table_diff": q_table_diff,
         "session_paths": q_session_paths,
+        "cap_solver": q_cap_solver,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9834,4 +9859,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_clusters": _sql_winnow_clusters(),
         "table_diff": _sql_table_diff(),
         "session_paths": _sql_session_paths(),
+        "cap_solver": _sql_cap_solver(),
     }

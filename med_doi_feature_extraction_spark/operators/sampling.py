@@ -473,3 +473,195 @@ def temperature_sample(
         .where(hash_uniform(key_col, salt) < F.col("rate"))
         .drop("group", "rate")
     )
+
+
+def cap_solver(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    budget: int,
+) -> DataFrame:
+    """Water-filling solver for :func:`group_cap`'s ``cap`` argument:
+    the largest integer per-group level ``lam`` whose capped total
+    ``f(lam) = Σ_g min(n_g, lam)`` fits the row ``budget`` — i.e.
+    "what per-domain cap keeps as much diversity as possible while
+    the corpus lands under B rows". Picking the cap by hand either
+    wastes budget (too low) or blows it (too high); this computes it
+    exactly from the group-size distribution.
+
+    One output row: ``budget, n_groups, total_rows, lam,
+    kept_rows`` (= f(lam)), ``n_capped_groups`` (groups larger than
+    lam). Edge cases: ``total_rows ≤ budget`` → ``lam`` = the
+    largest group size (no capping, kept = total); ``budget <
+    n_groups`` → ``lam = floor(budget / n_groups)`` (0 allowed —
+    the budget cannot give every group one row).
+
+    Execution shape, 100 TB lens: ONE corpus hash-agg to per-group
+    counts, ONE hash-agg to the distinct-size distribution (bounded
+    by #distinct sizes), a cumulative window over that BOUNDED frame
+    (single partition of ≤ a few hundred rows — never corpus), and a
+    1-row argmax + closed-form refinement: ``f`` is piecewise-linear
+    with slope = #groups above the level, so between breakpoints
+    ``lam = s* + floor((B − f(s*)) / slope)``. All integer algebra —
+    exact in both engines.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    sizes = counts.groupBy(F.col("_c").alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_m")
+    )
+    w = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sizes.select(
+        "_s",
+        "_m",
+        F.sum(F.col("_s") * F.col("_m")).over(w).cast("long").alias(
+            "_cum_rows_le"
+        ),
+        F.sum("_m").over(w).cast("long").alias("_cum_groups_le"),
+    )
+    tot = cum.agg(
+        F.max("_cum_rows_le").alias("_total_rows"),
+        F.max("_cum_groups_le").alias("_n_groups"),
+        F.max("_s").alias("_max_s"),
+    )
+    b = F.lit(int(budget)).cast("long")
+    j = cum.crossJoin(F.broadcast(tot))
+    # f(s) = rows from groups of size <= s  +  s * (groups above s)
+    above = (F.col("_n_groups") - F.col("_cum_groups_le")).cast(
+        "long"
+    )
+    f_s = (F.col("_cum_rows_le") + F.col("_s") * above).cast("long")
+    feasible = j.select(
+        "_s",
+        above.alias("_above"),
+        f_s.alias("_f"),
+        "_total_rows",
+        "_n_groups",
+        "_max_s",
+    ).filter(F.col("_f") <= b)
+    best = (
+        feasible.orderBy(F.desc("_s"))
+        .limit(1)
+        .select(
+            F.col("_s").alias("_s_star"),
+            F.col("_above").alias("_above_star"),
+            F.col("_f").alias("_f_star"),
+            "_total_rows",
+            "_n_groups",
+            "_max_s",
+        )
+    )
+    # no feasible breakpoint: lam below the smallest size
+    fallback = tot.select(
+        F.lit(None).cast("long").alias("_s_star"),
+        F.col("_n_groups").alias("_above_star"),
+        F.lit(0).cast("long").alias("_f_star"),
+        "_total_rows",
+        "_n_groups",
+        "_max_s",
+    )
+    picked = best.unionByName(fallback).orderBy(
+        F.desc_nulls_last("_s_star")
+    ).limit(1)
+    lam = F.when(
+        F.col("_total_rows") <= b, F.col("_max_s")
+    ).otherwise(
+        F.coalesce(F.col("_s_star"), F.lit(0))
+        + F.floor(
+            (b - F.col("_f_star")).cast("double")
+            / F.col("_above_star").cast("double")
+        ).cast("long")
+    )
+    picked = picked.withColumn("_lam", lam)
+    kept = F.when(
+        F.col("_total_rows") <= b, F.col("_total_rows")
+    ).otherwise(
+        F.col("_f_star")
+        + (F.col("_lam") - F.coalesce(F.col("_s_star"), F.lit(0)))
+        * F.col("_above_star")
+    )
+    n_capped = F.when(F.col("_total_rows") <= b, F.lit(0)).otherwise(
+        F.col("_above_star")
+    )
+    return picked.select(
+        b.alias("budget"),
+        F.col("_n_groups").alias("n_groups"),
+        F.col("_total_rows").alias("total_rows"),
+        F.col("_lam").cast("long").alias("lam"),
+        kept.cast("long").alias("kept_rows"),
+        n_capped.cast("long").alias("n_capped_groups"),
+    )
+
+
+def oracle_cap_solver_sql(
+    rel_sql: str, group_cols: Sequence[str], budget: int
+) -> str:
+    """DuckDB twin of :func:`cap_solver` — identical breakpoint table
+    and closed-form refinement."""
+    groups = ", ".join(f'"{c}"' for c in group_cols)
+    b = int(budget)
+    return f"""
+WITH counts AS (
+  SELECT {groups}, CAST(count(*) AS BIGINT) AS c
+  FROM {rel_sql} GROUP BY {groups}
+),
+sizes AS (
+  SELECT c AS s, CAST(count(*) AS BIGINT) AS m
+  FROM counts GROUP BY c
+),
+cum AS (
+  SELECT s, m,
+         CAST(sum(s * m) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_rows_le,
+         CAST(sum(m) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_groups_le
+  FROM sizes
+),
+tot AS (
+  SELECT max(cum_rows_le) AS total_rows,
+         max(cum_groups_le) AS n_groups,
+         max(s) AS max_s
+  FROM cum
+),
+feas AS (
+  SELECT s, (n_groups - cum_groups_le) AS above,
+         (cum_rows_le + s * (n_groups - cum_groups_le)) AS f
+  FROM cum CROSS JOIN tot
+  WHERE cum_rows_le + s * (n_groups - cum_groups_le) <= {b}
+),
+best AS (
+  SELECT * FROM feas ORDER BY s DESC LIMIT 1
+),
+picked AS (
+  SELECT coalesce(b.s, NULL) AS s_star,
+         coalesce(b.above, t.n_groups) AS above_star,
+         coalesce(b.f, 0) AS f_star,
+         t.total_rows, t.n_groups, t.max_s
+  FROM tot t LEFT JOIN best b ON true
+),
+lamd AS (
+  SELECT *,
+         CASE WHEN total_rows <= {b} THEN max_s
+              ELSE coalesce(s_star, 0)
+                   + CAST(floor(({b} - f_star)::DOUBLE
+                                / (above_star)::DOUBLE) AS BIGINT)
+         END AS lam
+  FROM picked
+)
+SELECT CAST({b} AS BIGINT) AS budget,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(total_rows AS BIGINT) AS total_rows,
+       CAST(lam AS BIGINT) AS lam,
+       CAST(CASE WHEN total_rows <= {b} THEN total_rows
+                 ELSE f_star + (lam - coalesce(s_star, 0)) * above_star
+            END AS BIGINT) AS kept_rows,
+       CAST(CASE WHEN total_rows <= {b} THEN 0 ELSE above_star END
+            AS BIGINT) AS n_capped_groups
+FROM lamd
+"""
