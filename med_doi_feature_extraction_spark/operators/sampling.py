@@ -25,7 +25,7 @@ resumable 10^12-doc ingest needs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _U32 = float(2**32)

@@ -122,6 +122,9 @@ ALLOW_NLJ = {
     # session_paths: 1-row session-total broadcast onto the path
     # count table before the bounded top-k (attach-a-global-scalar)
     "session_paths",
+    # cap_solver: 1-row totals broadcast onto the bounded group-size
+    # breakpoint table, then a 1-row union/argmax
+    "cap_solver",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
@@ -140,6 +143,9 @@ ALLOW_SINGLE = {
     # the per-value count tables (bounded by distinct values of the
     # quantized feature), never over the corpus rows
     "spearman",
+    # cap_solver: the cumulative window runs over the bounded
+    # distinct-group-size distribution, never over the corpus
+    "cap_solver",
 }
 
 
