@@ -8724,6 +8724,35 @@ def _diff_snapshots(spark, sf_dir):
     return docs, kept.unionByName(added)
 
 
+def q_pattern_census(spark, sf_dir):
+    """String-shape census (operators/profile.py pattern_census):
+    per-column int/float/date/url/email/uuid/empty/other shares —
+    one melt scan, every pattern a conditional sum in the SAME
+    hash-agg, portable regex subset."""
+    from med_doi_feature_extraction_spark.operators.profile import (
+        pattern_census,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    docs = _read(spark, sf_dir, "documents")
+    # string-typed surface across two tables, one census each
+    a = pattern_census(ev, ["event_type", "props"])
+    b = pattern_census(docs, ["lang", "source"])
+    return a.unionByName(b).orderBy("column")
+
+
+def _sql_pattern_census() -> str:
+    from med_doi_feature_extraction_spark.operators.profile import (
+        oracle_pattern_census_sql,
+    )
+
+    a = oracle_pattern_census_sql("events", ["event_type", "props"])
+    b = oracle_pattern_census_sql("documents", ["lang", "source"])
+    a = a.rsplit('\nORDER BY "column"', 1)[0]
+    b = b.rsplit('\nORDER BY "column"', 1)[0]
+    return a + "\nUNION ALL\n" + b + '\nORDER BY "column"' 
+
+
 def q_cap_solver(spark, sf_dir):
     """Water-filling domain-cap solver (operators/sampling.py
     cap_solver): the largest per-group level whose capped total fits
@@ -9649,6 +9678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "session_paths": q_session_paths,
         "cap_solver": q_cap_solver,
+        "pattern_census": q_pattern_census,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9860,4 +9890,5 @@ def oracle_sql() -> dict[str, str]:
         "table_diff": _sql_table_diff(),
         "session_paths": _sql_session_paths(),
         "cap_solver": _sql_cap_solver(),
+        "pattern_census": _sql_pattern_census(),
     }

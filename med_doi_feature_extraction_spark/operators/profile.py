@@ -485,3 +485,136 @@ SELECT group_size, n_keys, n_rows_in,
 FROM sizes CROSS JOIN tot
 ORDER BY group_size
 """
+
+
+#: (name, anchored regex) — portable across Java regex and RE2:
+#: character classes and bounded quantifiers only, no lookaround.
+PATTERN_CENSUS = [
+    ("p_int", r"^[+-]?[0-9]+$"),
+    ("p_float", r"^[+-]?[0-9]+\.[0-9]+$"),
+    ("p_date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("p_datetime", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}"),
+    ("p_url", r"^https?://[^ ]+$"),
+    ("p_email", r"^[^@ ]+@[^@ ]+\.[^@ ]+$"),
+    ("p_uuid", r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+               r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    ("p_empty", r"^\s*$"),
+]
+
+
+def pattern_census(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Shape census of string-typed columns — the "what IS this
+    column" profiler: per column, what fraction of non-null values
+    look like an int / float / ISO date / datetime / url / email /
+    uuid / whitespace-empty, plus ``other_share`` (matched nothing).
+    A column that is 98% ``p_int`` and 2% other is a typed field
+    with dirt in it — the per-pattern shares find mixed-type columns,
+    unit mix-ups and placeholder pollution before a cast silently
+    nulls them. Patterns may overlap (a date also starts a
+    datetime? no — both anchored and disjoint here, but additions
+    may overlap; ``other_share`` counts rows matching NONE).
+
+    One row per column: ``column, n_rows`` (non-null), ``n_nulls``,
+    one ``<pattern>_share`` per census pattern (6 dp) and
+    ``other_share``.
+
+    Execution shape, 100 TB lens: the stack melt (same Expand cost
+    class as ``column_entropy``) feeds ONE hash-agg onto
+    ``len(columns)`` groups; every pattern is a conditional sum in
+    the SAME aggregate — one scan total, regexes evaluated in
+    whole-stage codegen. Patterns use the portable subset (character
+    classes + bounded quantifiers — identical semantics in Java
+    regex and RE2/DuckDB).
+    """
+    cols = list(columns)
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    melted = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS (column, value)"
+    )
+    v = F.col("value")
+    match_flags = [
+        (name, v.rlike(rx)) for name, rx in PATTERN_CENSUS
+    ]
+    any_match = None
+    for _, flag in match_flags:
+        any_match = flag if any_match is None else (any_match | flag)
+    aggs = [
+        F.sum(v.isNotNull().cast("long")).cast("long").alias("n_rows"),
+        F.sum(v.isNull().cast("long")).cast("long").alias("n_nulls"),
+        *[
+            F.sum(F.when(v.isNotNull() & flag, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_{name}")
+            for name, flag in match_flags
+        ],
+        F.sum(
+            F.when(v.isNotNull() & ~any_match, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("_other"),
+    ]
+    per = melted.groupBy("column").agg(*aggs)
+
+    def _share(cnt: str) -> Column:
+        s = F.when(
+            F.col("n_rows") > 0,
+            F.col(cnt).cast("double") / F.col("n_rows").cast("double"),
+        )
+        m = F.floor(F.abs(s) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return F.when(s.isNull(), F.lit(None)).otherwise(m / 1e6)
+
+    return per.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        *[
+            _share(f"_{name}").alias(f"{name}_share")
+            for name, _ in PATTERN_CENSUS
+        ],
+        _share("_other").alias("other_share"),
+    ).orderBy("column")
+
+
+def oracle_pattern_census_sql(
+    rel_sql: str, columns: Sequence[str]
+) -> str:
+    """DuckDB twin of :func:`pattern_census` — identical portable
+    regexes via regexp_matches, one UNION ALL branch per column."""
+
+    def share(cnt: str) -> str:
+        return (
+            f"CASE WHEN n_rows > 0 THEN CAST(floor(abs(({cnt})::DOUBLE"
+            " / (n_rows)::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+            " / 1000000.0 END"
+        )
+
+    branches = []
+    for c in columns:
+        flags = ", ".join(
+            f"CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND"
+            f" regexp_matches(v, '{rx}') THEN 1 ELSE 0 END), 0)"
+            f" AS BIGINT) AS c_{name}"
+            for name, rx in PATTERN_CENSUS
+        )
+        none_of = " OR ".join(
+            f"regexp_matches(v, '{rx}')" for _, rx in PATTERN_CENSUS
+        )
+        shares = ", ".join(
+            f"{share(f'c_{name}')} AS {name}_share"
+            for name, _ in PATTERN_CENSUS
+        )
+        branches.append(f"""
+SELECT "column", n_rows, n_nulls, {shares},
+       {share('c_other')} AS other_share
+FROM (
+  SELECT '{c}' AS "column",
+         CAST(coalesce(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rows,
+         CAST(coalesce(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+         {flags},
+         CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT ({none_of})
+           THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_other
+  FROM (SELECT CAST("{c}" AS VARCHAR) AS v FROM {rel_sql})
+)""")
+    return "\nUNION ALL\n".join(branches) + '\nORDER BY "column"'

@@ -160,3 +160,58 @@ class TestUniquenessAudit:
             r["row_share"] for r in out if r["group_size"] < 3
         )
         assert below_3 == 0.1  # the lone q3 row
+
+
+# -------------------------------------------------------------- pattern_census
+
+
+class TestPatternCensus:
+    def test_shape_classification(self, spark):
+        from med_doi_feature_extraction_spark.operators.profile import (
+            pattern_census,
+        )
+
+        rows = [
+            ("42", "https://x.org/a"),
+            ("-7", "mailto-ish"),
+            ("3.14", None),
+            ("", "http://y.net"),
+            (None, "2024-01-02"),
+        ]
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = {r["column"]: r for r in pattern_census(df, ["a", "b"]).collect()}
+        a = out["a"]
+        assert a["n_rows"] == 4 and a["n_nulls"] == 1
+        assert a["p_int_share"] == 0.5      # 42, -7
+        assert a["p_float_share"] == 0.25   # 3.14
+        assert a["p_empty_share"] == 0.25   # ""
+        assert a["other_share"] == 0.0
+        b = out["b"]
+        assert b["p_url_share"] == 0.5
+        assert b["p_date_share"] == 0.25
+        assert b["other_share"] == 0.25     # mailto-ish
+
+    def test_all_null_column_null_shares(self, spark):
+        from med_doi_feature_extraction_spark.operators.profile import (
+            pattern_census,
+        )
+
+        df = spark.createDataFrame([(None,), (None,)], "a string")
+        r = pattern_census(df, ["a"]).collect()[0]
+        assert r["n_rows"] == 0 and r["n_nulls"] == 2
+        assert r["p_int_share"] is None and r["other_share"] is None
+
+    def test_uuid_email_datetime(self, spark):
+        from med_doi_feature_extraction_spark.operators.profile import (
+            pattern_census,
+        )
+
+        rows = [
+            ("550e8400-e29b-41d4-a716-446655440000",),
+            ("user@example.com",),
+            ("2024-03-01 12:30",),
+        ]
+        df = spark.createDataFrame(rows, "a string")
+        r = pattern_census(df, ["a"]).collect()[0]
+        for k in ("p_uuid_share", "p_email_share", "p_datetime_share"):
+            assert r[k] == pytest.approx(1 / 3, abs=1e-6)
