@@ -8724,6 +8724,32 @@ def _diff_snapshots(spark, sf_dir):
     return docs, kept.unionByName(added)
 
 
+def q_neyman(spark, sf_dir):
+    """Neyman-optimal stratified sample sizes (operators/sampling.py
+    neyman_allocation): budget split proportional to n_h*sigma_h from
+    exact BIGINT moments, largest-remainder rounding + capacity
+    re-flow, all on the bounded stratum table."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return neyman_allocation(
+        ev, ["event_type"], "value", budget=2000, val_scale=1000
+    )
+
+
+def _sql_neyman() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_neyman_sql,
+    )
+
+    return oracle_neyman_sql(
+        "events", ["event_type"], "value", budget=2000,
+        val_scale=1000,
+    )
+
+
 def q_pattern_census(spark, sf_dir):
     """String-shape census (operators/profile.py pattern_census):
     per-column int/float/date/url/email/uuid/empty/other shares —
@@ -9679,6 +9705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "cap_solver": q_cap_solver,
         "pattern_census": q_pattern_census,
+        "neyman": q_neyman,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9891,4 +9918,5 @@ def oracle_sql() -> dict[str, str]:
         "session_paths": _sql_session_paths(),
         "cap_solver": _sql_cap_solver(),
         "pattern_census": _sql_pattern_census(),
+        "neyman": _sql_neyman(),
     }

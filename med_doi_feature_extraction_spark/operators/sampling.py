@@ -665,3 +665,242 @@ SELECT CAST({b} AS BIGINT) AS budget,
             AS BIGINT) AS n_capped_groups
 FROM lamd
 """
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_cols: Sequence[str],
+    val_col: str,
+    budget: int,
+    val_scale: int = 1000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample sizes: split a row ``budget``
+    across strata ∝ ``n_h·σ_h`` (stratum size × within-stratum
+    standard deviation) — the allocation that minimizes the variance
+    of the stratified mean estimator at fixed budget. Uniform and
+    proportional allocation waste budget on strata that are large
+    but homogeneous; Neyman spends it where the variance lives
+    (profile samples, eval-set construction, label-budget planning).
+
+    One row per stratum: ``*stratum_cols, n_rows, sigma`` (6 dp),
+    ``weight`` (n·σ micro-units, the allocation numerator),
+    ``n_alloc`` — integer sizes that (a) sum to ``min(budget,
+    total_rows)`` exactly, (b) never exceed the stratum's own
+    ``n_rows`` (overflow re-flows to the remaining strata by the
+    same rule), (c) are deterministic (largest-remainder rounding,
+    ties broken by stratum key order). All-constant strata (σ = 0)
+    get allocation only from re-flow of leftovers, last.
+
+    Execution shape, 100 TB lens: ONE corpus hash-agg of exact
+    BIGINT moments per stratum (the ``spearman``/``trend`` envelope
+    discipline: values quantized to ``val_scale``-ths, needs
+    ``n·max|y·scale|² < 2⁶³``); everything after runs on the
+    BOUNDED stratum table (strata are categorical by construction) —
+    windows over it are single-partition of ≤ thousands of rows,
+    never the corpus. The iterative cap-re-flow is bounded by
+    construction to ≤ 2 passes here (one re-flow, then clamp) — the
+    residual after one re-flow is spilled deterministically to the
+    largest-remaining-capacity strata; exactness of the total is
+    pytest-pinned.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    y = _cap_micro_scale(F.col(val_col).cast("double"), val_scale)
+    rows = df.filter(F.col(val_col).isNotNull()).select(
+        *stratum_cols, y.alias("_y")
+    )
+    agg = rows.groupBy(*stratum_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    n = F.col("n_rows")
+    var = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    ) / (n * n).cast("double") / F.lit(float(val_scale) ** 2)
+    sigma = F.sqrt(var)
+    sigma_u = F.floor(sigma * F.lit(1e6) + F.lit(0.5)).cast("long")
+    weight = (n * sigma_u).cast("long")
+    strata = agg.select(
+        *stratum_cols,
+        "n_rows",
+        (sigma_u / 1e6).alias("sigma"),
+        weight.alias("weight"),
+    )
+    tot = strata.agg(
+        F.sum("weight").cast("long").alias("_tw"),
+        F.sum("n_rows").cast("long").alias("_tn"),
+    )
+    b = F.lit(int(budget)).cast("long")
+    j = strata.crossJoin(F.broadcast(tot)).withColumn(
+        "_b_eff", F.least(b, F.col("_tn"))
+    )
+    # ideal share in micro-units of rows; zero-weight strata get 0
+    ideal = F.when(
+        F.col("_tw") > 0,
+        F.col("_b_eff").cast("double")
+        * F.col("weight").cast("double")
+        / F.col("_tw").cast("double"),
+    ).otherwise(
+        # all-sigma-zero corpus: proportional fallback
+        F.col("_b_eff").cast("double")
+        * F.col("n_rows").cast("double")
+        / F.col("_tn").cast("double")
+    )
+    base = F.least(F.floor(ideal).cast("long"), F.col("n_rows"))
+    rem = ideal - F.floor(ideal)
+    j = j.withColumn("_base", base).withColumn(
+        "_rem",
+        F.when(F.col("_base") < F.col("n_rows"), rem).otherwise(
+            F.lit(-1.0)
+        ),
+    )
+    # largest-remainder top-up: rank strata by remainder (capped
+    # strata excluded via -1), deterministic tiebreak on the key
+    wr = Window.orderBy(
+        F.desc("_rem"), *[F.col(c).asc() for c in stratum_cols]
+    )
+    j = j.withColumn("_rk", F.row_number().over(wr))
+    deficit_row = j.agg(
+        (F.first("_b_eff") - F.sum("_base")).cast("long").alias("_d")
+    )
+    j = j.crossJoin(F.broadcast(deficit_row))
+    # one unit to the _d highest remainders (capacity-checked), then
+    # any residue to remaining capacity in rank order
+    topup1 = F.when(
+        (F.col("_rk") <= F.col("_d"))
+        & (F.col("_base") < F.col("n_rows")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    j = j.withColumn("_n1", F.col("_base") + topup1)
+    resid_row = j.agg(
+        (F.first("_b_eff") - F.sum("_n1")).cast("long").alias("_r")
+    )
+    j = j.crossJoin(F.broadcast(resid_row))
+    cap_left = (F.col("n_rows") - F.col("_n1")).cast("long")
+    wc = Window.orderBy(
+        F.desc(cap_left), *[F.col(c).asc() for c in stratum_cols]
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cum_cap_before = F.coalesce(F.sum(cap_left).over(wc), F.lit(0))
+    fill = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(cap_left, F.col("_r") - cum_cap_before),
+    )
+    n_alloc = (F.col("_n1") + fill).cast("long")
+    return j.select(
+        *stratum_cols,
+        "n_rows",
+        "sigma",
+        "weight",
+        n_alloc.alias("n_alloc"),
+    ).orderBy(*stratum_cols)
+
+
+def _cap_micro_scale(c, scale: int):
+    m = F.floor(F.abs(c) * F.lit(float(scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return F.when(c < 0, -m).otherwise(m)
+
+
+def oracle_neyman_sql(
+    rel_sql: str,
+    stratum_cols: list[str],
+    val_col: str,
+    budget: int,
+    val_scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`neyman_allocation` — the identical
+    moment aggregate, micro-unit sigma, largest-remainder rounding
+    and capacity re-flow, step for step."""
+    ks = ", ".join(f'"{c}"' for c in stratum_cols)
+    keys_asc = ", ".join(f'"{c}" ASC' for c in stratum_cols)
+    b = int(budget)
+    sc = float(val_scale)
+    m = f'CAST(floor(abs("{val_col}") * {sc!r} + 0.5) AS BIGINT)'
+    y = f'(CASE WHEN "{val_col}" < 0 THEN -{m} ELSE {m} END)'
+    var = (
+        f"((n_rows * syy - sy * sy)::DOUBLE"
+        f" / (n_rows * n_rows)::DOUBLE / {sc * sc!r})"
+    )
+    return f"""
+WITH rows_ AS (
+  SELECT {ks}, {y} AS yv FROM {rel_sql}
+  WHERE "{val_col}" IS NOT NULL
+),
+agg AS (
+  SELECT {ks},
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(yv) AS BIGINT) AS sy,
+         CAST(sum(yv * yv) AS BIGINT) AS syy
+  FROM rows_ GROUP BY {ks}
+),
+strata AS (
+  SELECT {ks}, n_rows,
+         CAST(floor(sqrt({var}) * 1000000.0 + 0.5) AS BIGINT)
+           AS sigma_u
+  FROM agg
+),
+tot AS (
+  SELECT CAST(sum(n_rows * sigma_u) AS BIGINT) AS tw,
+         CAST(sum(n_rows) AS BIGINT) AS tn
+  FROM strata
+),
+j0 AS (
+  SELECT s.*, CAST(n_rows * sigma_u AS BIGINT) AS weight,
+         t.tw, t.tn, least({b}, t.tn) AS b_eff
+  FROM strata s CROSS JOIN tot t
+),
+j1 AS (
+  SELECT *,
+         CASE WHEN tw > 0
+              THEN (b_eff)::DOUBLE * (weight)::DOUBLE / (tw)::DOUBLE
+              ELSE (b_eff)::DOUBLE * (n_rows)::DOUBLE / (tn)::DOUBLE
+         END AS ideal
+  FROM j0
+),
+j2 AS (
+  SELECT *,
+         least(CAST(floor(ideal) AS BIGINT), n_rows) AS base_,
+         CASE WHEN least(CAST(floor(ideal) AS BIGINT), n_rows)
+                   < n_rows
+              THEN ideal - floor(ideal) ELSE -1.0 END AS rem
+  FROM j1
+),
+j3 AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY rem DESC, {keys_asc})
+           AS BIGINT) AS rk,
+         CAST(first_value(b_eff) OVER () - sum(base_) OVER ()
+           AS BIGINT) AS d
+  FROM j2
+),
+j4 AS (
+  SELECT *,
+         base_ + (CASE WHEN rk <= d AND base_ < n_rows
+                       THEN 1 ELSE 0 END) AS n1
+  FROM j3
+),
+j5 AS (
+  SELECT *,
+         CAST(first_value(b_eff) OVER () - sum(n1) OVER ()
+           AS BIGINT) AS r
+  FROM j4
+),
+j6 AS (
+  SELECT *,
+         CAST(n_rows - n1 AS BIGINT) AS cap_left,
+         CAST(coalesce(sum(n_rows - n1) OVER (
+           ORDER BY (n_rows - n1) DESC, {keys_asc}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_cap_before
+  FROM j5
+)
+SELECT {ks}, n_rows,
+       sigma_u / 1000000.0 AS sigma,
+       weight,
+       CAST(n1 + greatest(0, least(cap_left, r - cum_cap_before))
+         AS BIGINT) AS n_alloc
+FROM j6
+ORDER BY {keys_asc}
+"""

@@ -125,6 +125,9 @@ ALLOW_NLJ = {
     # cap_solver: 1-row totals broadcast onto the bounded group-size
     # breakpoint table, then a 1-row union/argmax
     "cap_solver",
+    # neyman: 1-row totals/deficit/residual broadcasts onto the
+    # bounded stratum table (attach-a-global-scalar, three times)
+    "neyman",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
@@ -146,6 +149,9 @@ ALLOW_SINGLE = {
     # cap_solver: the cumulative window runs over the bounded
     # distinct-group-size distribution, never over the corpus
     "cap_solver",
+    # neyman: remainder-rank and capacity-cumsum windows run over the
+    # bounded stratum table (strata are categorical), never the corpus
+    "neyman",
 }
 
 
