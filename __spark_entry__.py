@@ -8724,6 +8724,37 @@ def _diff_snapshots(spark, sf_dir):
     return docs, kept.unionByName(added)
 
 
+def q_triangles(spark, sf_dir):
+    """Triangle census + global clustering (operators/graph.py
+    triangle_count): degree-oriented wedge join (out-degree O(sqrt m)
+    on any graph, so the self-join never explodes on power-law hubs)
+    closed by ONE equi semi-join against the canonical edge set.
+    Oracle counts the same triangles with the closed-form u<v<w
+    triple join."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+def _sql_triangles() -> str:
+    from med_doi_feature_extraction_spark.operators.graph import (
+        oracle_triangle_sql,
+    )
+
+    rel = (
+        "(SELECT l_orderkey % 300 AS src, l_partkey % 300 AS dst"
+        " FROM lineitem) r"
+    )
+    return oracle_triangle_sql(rel)
+
+
 def q_neyman(spark, sf_dir):
     """Neyman-optimal stratified sample sizes (operators/sampling.py
     neyman_allocation): budget split proportional to n_h*sigma_h from
@@ -9706,6 +9737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_solver": q_cap_solver,
         "pattern_census": q_pattern_census,
         "neyman": q_neyman,
+        "triangles": q_triangles,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9919,4 +9951,5 @@ def oracle_sql() -> dict[str, str]:
         "cap_solver": _sql_cap_solver(),
         "pattern_census": _sql_pattern_census(),
         "neyman": _sql_neyman(),
+        "triangles": _sql_triangles(),
     }

@@ -277,3 +277,155 @@ def hits(
             hubs.select("node", F.round("v", 6).alias("hub")), "node"
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle census of the undirected simple graph —
+    triangle density separates organic link neighborhoods (friends
+    of friends link each other; high clustering) from spam farms and
+    generated link graphs (star/funnel shapes; near-zero
+    clustering), a standing web-graph quality prior next to
+    ``pagerank``'s authority.
+
+    One row: ``n_nodes, n_edges`` (undirected, deduped, self-loops
+    dropped), ``n_wedges`` (= Σ d(d−1)/2, exact BIGINT),
+    ``n_triangles``, ``global_clustering`` (= 3·T / wedges, 6 dp;
+    NULL when the graph has no wedges).
+
+    Execution shape, 100 TB lens: the standard degree-orientation
+    algorithm — orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, so every triangle
+    is counted EXACTLY once and, crucially, each node's oriented
+    out-degree is O(√m) on any graph (a hub's edges point INTO it,
+    so the hub never fans out): the wedge self-join
+    (oriented ⋈ oriented on the apex) is bounded by Σ outdeg² ≈
+    m^1.5 instead of the naive Σ deg² which explodes on power-law
+    webs. Wedge closure is ONE more equi-join against the oriented
+    edge set. Three hash-aggs + two equi-joins total; no windows,
+    no iteration.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("_a"),
+            F.col(dst).cast("long").alias("_b"),
+        )
+        .filter(
+            F.col("_a").isNotNull()
+            & F.col("_b").isNotNull()
+            & (F.col("_a") != F.col("_b"))
+        )
+        .select(
+            F.least("_a", "_b").alias("_u"),
+            F.greatest("_a", "_b").alias("_v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionAll(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    du = deg.select(
+        F.col("_n").alias("_u"), F.col("_d").alias("_du")
+    )
+    dv = deg.select(
+        F.col("_n").alias("_v"), F.col("_d").alias("_dv")
+    )
+    ed = e.join(du, "_u").join(dv, "_v")
+    # orient from lower (degree, id) to higher
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+    )
+    w1 = oriented.select(
+        F.col("_s").alias("_apex"), F.col("_t").alias("_x")
+    )
+    w2 = oriented.select(
+        F.col("_s").alias("_apex"), F.col("_t").alias("_y")
+    )
+    wedges = w1.join(w2, "_apex").filter(F.col("_x") < F.col("_y"))
+    # wedge legs carry x < y, and the undirected edge set e is
+    # already canonical (u < v), so closure is ONE equi semi-join
+    closure = e.select(
+        F.col("_u").alias("_x"), F.col("_v").alias("_y")
+    )
+    tri_ab = wedges.join(closure, ["_x", "_y"], "left_semi")
+    tri_row = tri_ab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(
+            (F.col("_d") * (F.col("_d") - 1) / 2).cast("long")
+        )
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    out = nodes.crossJoin(F.broadcast(stats)).crossJoin(
+        F.broadcast(tri_row)
+    )
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.lit(3.0)
+        * F.col("n_triangles").cast("double")
+        / F.col("n_wedges").cast("double"),
+    )
+    cc_u = F.floor(F.abs(cc) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(cc.isNull(), F.lit(None))
+        .otherwise(cc_u / 1e6)
+        .alias("global_clustering"),
+    )
+
+
+def oracle_triangle_sql(
+    edges_sql: str, src: str = "src", dst: str = "dst"
+) -> str:
+    """DuckDB twin of :func:`triangle_count` — closed-form triple
+    join on the canonical (u < v < w) edge triple (equivalent count
+    to the degree-oriented plan; orientation is a physical-plan
+    optimization, not a semantic one)."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(CAST("{src}" AS BIGINT), CAST("{dst}" AS BIGINT)) AS u,
+         greatest(CAST("{src}" AS BIGINT), CAST("{dst}" AS BIGINT)) AS v
+  FROM {edges_sql}
+  WHERE "{src}" IS NOT NULL AND "{dst}" IS NOT NULL
+    AND CAST("{src}" AS BIGINT) != CAST("{dst}" AS BIGINT)
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+  GROUP BY n
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         (SELECT CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT)
+          FROM deg) AS n_wedges,
+         (SELECT n_triangles FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN
+         CAST(floor(abs(3.0 * (n_triangles)::DOUBLE
+           / (n_wedges)::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 END AS global_clustering
+FROM stats
+"""

@@ -161,3 +161,63 @@ class TestHits:
         }
         assert got[10][0] == 0.0 and got[10][1] > 0
         assert got[20][0] > 0 and got[20][1] == 0.0
+
+
+# -------------------------------------------------------------- triangle_count
+
+
+class TestTriangleCount:
+    def _count(self, spark, edges):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            triangle_count,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    def test_single_triangle(self, spark):
+        r = self._count(spark, [(1, 2), (2, 3), (3, 1)])
+        assert r["n_triangles"] == 1 and r["n_edges"] == 3
+        assert r["n_wedges"] == 3
+        assert r["global_clustering"] == 1.0
+
+    def test_k4_has_four_triangles(self, spark):
+        import itertools
+
+        edges = list(itertools.combinations(range(4), 2))
+        r = self._count(spark, edges)
+        assert r["n_triangles"] == 4
+        assert r["global_clustering"] == 1.0
+
+    def test_star_has_none(self, spark):
+        r = self._count(spark, [(0, i) for i in range(1, 6)])
+        assert r["n_triangles"] == 0
+        assert r["n_wedges"] == 10
+        assert r["global_clustering"] == 0.0
+
+    def test_dedup_selfloop_direction_invariance(self, spark):
+        # duplicates, reversed copies and self-loops must not count
+        edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (2, 2)]
+        r = self._count(spark, edges)
+        assert r["n_edges"] == 3 and r["n_triangles"] == 1
+
+    def test_matches_brute_force_random(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(41)
+        nodes = list(range(12))
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.4
+        ]
+        eset = {frozenset(e) for e in edges}
+        brute = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if {frozenset((a, b)), frozenset((b, c)),
+                frozenset((a, c))} <= eset
+        )
+        r = self._count(spark, edges)
+        assert r["n_triangles"] == brute

@@ -128,6 +128,9 @@ ALLOW_NLJ = {
     # neyman: 1-row totals/deficit/residual broadcasts onto the
     # bounded stratum table (attach-a-global-scalar, three times)
     "neyman",
+    # triangles: three 1-row aggregates (node/wedge stats, edge
+    # count, triangle count) crossJoined into the single output row
+    "triangles",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
