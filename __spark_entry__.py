@@ -8724,6 +8724,35 @@ def _diff_snapshots(spark, sf_dir):
     return docs, kept.unionByName(added)
 
 
+def q_assortativity(spark, sf_dir):
+    """Newman degree assortativity (operators/graph.py
+    degree_assortativity): Pearson of end-point degrees over the
+    symmetric edge double cover — exact BIGINT moments, one 1-row
+    aggregate; the link-farm drift detector."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+def _sql_assortativity() -> str:
+    from med_doi_feature_extraction_spark.operators.graph import (
+        oracle_assortativity_sql,
+    )
+
+    rel = (
+        "(SELECT l_orderkey % 300 AS src, l_partkey % 300 AS dst"
+        " FROM lineitem) r"
+    )
+    return oracle_assortativity_sql(rel)
+
+
 def q_triangles(spark, sf_dir):
     """Triangle census + global clustering (operators/graph.py
     triangle_count): degree-oriented wedge join (out-degree O(sqrt m)
@@ -9738,6 +9767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_census": q_pattern_census,
         "neyman": q_neyman,
         "triangles": q_triangles,
+        "assortativity": q_assortativity,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9952,4 +9982,5 @@ def oracle_sql() -> dict[str, str]:
         "pattern_census": _sql_pattern_census(),
         "neyman": _sql_neyman(),
         "triangles": _sql_triangles(),
+        "assortativity": _sql_assortativity(),
     }

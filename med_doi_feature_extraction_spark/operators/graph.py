@@ -429,3 +429,136 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
            / 1000000.0 END AS global_clustering
 FROM stats
 """
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Newman degree assortativity of the undirected simple graph —
+    ONE number summarizing wiring: r > 0 means hubs link hubs
+    (social/collab graphs), r < 0 means hubs link leaves (the
+    signature of the web and of star-shaped spam); a crawl whose r
+    drifts positive is usually ingesting link farms. Computed as the
+    Pearson correlation of end-point degrees over the DIRECTED
+    double cover (each undirected edge contributes (d_u, d_v) AND
+    (d_v, d_u) — the standard symmetric estimator).
+
+    One row: ``n_edges, r`` (6 dp; NULL when all degrees are equal —
+    a regular graph has no degree variance to correlate).
+
+    Shape: the same edge canonicalization + degree hash-agg as
+    :func:`triangle_count`, two slim joins to attach end degrees,
+    ONE 1-row BIGINT-moment aggregate. Envelope: Σd² over edges
+    < 2⁶³ (``2m·d_max² < 2⁶³``).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("_a"),
+            F.col(dst).cast("long").alias("_b"),
+        )
+        .filter(
+            F.col("_a").isNotNull()
+            & F.col("_b").isNotNull()
+            & (F.col("_a") != F.col("_b"))
+        )
+        .select(
+            F.least("_a", "_b").alias("_u"),
+            F.greatest("_a", "_b").alias("_v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionAll(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    ed = e.join(
+        deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du")),
+        "_u",
+    ).join(
+        deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_dv")),
+        "_v",
+    )
+    # double cover: (du, dv) and (dv, du)
+    pairs = ed.select(
+        F.col("_du").alias("_x"), F.col("_dv").alias("_y")
+    ).unionAll(
+        ed.select(F.col("_dv").alias("_x"), F.col("_du").alias("_y"))
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("_n2"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    n = F.col("_n2")
+    cov = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    vx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    vy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    r = F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy)))
+    r_u = F.floor(F.abs(r) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    r_signed = F.when(r < 0, -r_u).otherwise(r_u)
+    return agg.select(
+        (n / 2).cast("long").alias("n_edges"),
+        F.when(r.isNull(), F.lit(None))
+        .otherwise(r_signed / 1e6)
+        .alias("r"),
+    )
+
+
+def oracle_assortativity_sql(
+    edges_sql: str, src: str = "src", dst: str = "dst"
+) -> str:
+    """DuckDB twin of :func:`degree_assortativity`."""
+    rr = "(cov)::DOUBLE / (sqrt((vx)::DOUBLE) * sqrt((vy)::DOUBLE))"
+    micro = (
+        f"(CASE WHEN ({rr}) < 0 THEN -CAST(floor(abs({rr})"
+        f" * 1000000.0 + 0.5) AS BIGINT) ELSE CAST(floor(abs({rr})"
+        f" * 1000000.0 + 0.5) AS BIGINT) END)"
+    )
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(CAST("{src}" AS BIGINT), CAST("{dst}" AS BIGINT)) AS u,
+         greatest(CAST("{src}" AS BIGINT), CAST("{dst}" AS BIGINT)) AS v
+  FROM {edges_sql}
+  WHERE "{src}" IS NOT NULL AND "{dst}" IS NOT NULL
+    AND CAST("{src}" AS BIGINT) != CAST("{dst}" AS BIGINT)
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n
+),
+ed AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+),
+pairs AS (
+  SELECT du AS x, dv AS y FROM ed
+  UNION ALL SELECT dv, du FROM ed
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs
+),
+fin AS (
+  SELECT n, (n * sxy - sx * sy) AS cov,
+         (n * sxx - sx * sx) AS vx, (n * syy - sy * sy) AS vy
+  FROM agg
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       CASE WHEN vx > 0 AND vy > 0 THEN {micro} / 1000000.0 END AS r
+FROM fin
+"""

@@ -221,3 +221,52 @@ class TestTriangleCount:
         )
         r = self._count(spark, edges)
         assert r["n_triangles"] == brute
+
+
+class TestAssortativity:
+    def _r(self, spark, edges):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return degree_assortativity(df).collect()[0]
+
+    def test_star_is_disassortative(self, spark):
+        r = self._r(spark, [(0, i) for i in range(1, 8)])
+        assert r["r"] == -1.0 and r["n_edges"] == 7
+
+    def test_regular_graph_null(self, spark):
+        # 6-cycle: every degree 2 -> zero variance
+        r = self._r(spark, [(i, (i + 1) % 6) for i in range(6)])
+        assert r["r"] is None
+
+    def test_matches_networkx_free_reference(self, spark):
+        """Hand implementation of Newman r over the double cover."""
+        import itertools
+        import math
+        import random
+
+        rng = random.Random(5)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(10), 2)
+            if rng.random() < 0.35
+        ]
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        pairs = [(deg[a], deg[b]) for a, b in edges] + [
+            (deg[b], deg[a]) for a, b in edges
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        ref = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        r = self._r(spark, edges)
+        assert r["r"] == pytest.approx(ref, abs=1e-6)
