@@ -136,6 +136,19 @@ def main() -> None:
         ("trending", "explode → (bucket,token) hash-agg; the trailing "
          "window runs over the aggregated vocab table, not the "
          "corpus."),
+        ("winnow_pairs", "per-doc fingerprinting is ONE codegen "
+         "projection (gram/hash/window-minima/distinct) before the "
+         "single explode; the self-join runs on the hot-capped "
+         "fingerprint table only."),
+        ("triangles", "degree-oriented wedge self-join (out-degree "
+         "O(sqrt m) by orientation) closed by one equi semi-join — "
+         "no OR-condition joins, no NLJ on the edge set."),
+        ("session_funnel", "sessionize window + ONE per-session "
+         "collect agg; the ordered-stage recurrence is array algebra "
+         "on the session-grain frame, zero per-stage re-scans."),
+        ("cap_solver", "corpus touched by exactly one hash-agg; all "
+         "windows and joins run on the bounded distinct-size "
+         "breakpoint table."),
         ("crawl_priority", "two slim per-entity inputs joined "
          "broadcast-style; all corpus-sized work happened inside the "
          "churn/authority subplans."),
