@@ -8724,6 +8724,35 @@ def _diff_snapshots(spark, sf_dir):
     return docs, kept.unionByName(added)
 
 
+def q_local_clustering(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graph.py local_clustering): the oriented wedge join
+    kept as an inner join, exploded to exactly 3 corner rows per
+    triangle, one per-node hash-agg."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        local_clustering,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    )
+    return local_clustering(edges)
+
+
+def _sql_local_clustering() -> str:
+    from med_doi_feature_extraction_spark.operators.graph import (
+        oracle_local_clustering_sql,
+    )
+
+    rel = (
+        "(SELECT l_orderkey % 300 AS src, l_partkey % 300 AS dst"
+        " FROM lineitem) r"
+    )
+    return oracle_local_clustering_sql(rel)
+
+
 def q_assortativity(spark, sf_dir):
     """Newman degree assortativity (operators/graph.py
     degree_assortativity): Pearson of end-point degrees over the
@@ -9768,6 +9797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman": q_neyman,
         "triangles": q_triangles,
         "assortativity": q_assortativity,
+        "local_clustering": q_local_clustering,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -9983,4 +10013,5 @@ def oracle_sql() -> dict[str, str]:
         "neyman": _sql_neyman(),
         "triangles": _sql_triangles(),
         "assortativity": _sql_assortativity(),
+        "local_clustering": _sql_local_clustering(),
     }

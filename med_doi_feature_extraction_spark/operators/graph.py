@@ -562,3 +562,144 @@ SELECT CAST(n / 2 AS BIGINT) AS n_edges,
        CASE WHEN vx > 0 AND vy > 0 THEN {micro} / 1000000.0 END AS r
 FROM fin
 """
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient — the
+    node-grain companion of :func:`triangle_count`: ``cc(v) = 2·t_v
+    / (d_v·(d_v−1))``, the fraction of v's neighbor pairs that are
+    themselves linked. Node-level clustering is the page-grain
+    quality prior (a page whose neighborhood is a clique is inside
+    an organic community; one bridging unconnected neighborhoods is
+    a hub or an aggregator), and the input to average-local-
+    clustering summaries.
+
+    One row per node: ``node, degree, n_triangles, local_cc`` (6 dp;
+    NULL when degree < 2 — no neighbor pair exists). Nodes in no
+    triangle report 0.
+
+    Shape: the :func:`triangle_count` oriented wedge join, kept as
+    an INNER join so each triangle survives as a (apex, x, y)
+    triple, exploded to its three corners (exactly 3 rows per
+    triangle — bounded by 3T, not by degree²), then ONE hash-agg per
+    node and a left join back onto the degree table.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("_a"),
+            F.col(dst).cast("long").alias("_b"),
+        )
+        .filter(
+            F.col("_a").isNotNull()
+            & F.col("_b").isNotNull()
+            & (F.col("_a") != F.col("_b"))
+        )
+        .select(
+            F.least("_a", "_b").alias("_u"),
+            F.greatest("_a", "_b").alias("_v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionAll(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    ed = e.join(
+        deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du")),
+        "_u",
+    ).join(
+        deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_dv")),
+        "_v",
+    )
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+    )
+    w1 = oriented.select(
+        F.col("_s").alias("_apex"), F.col("_t").alias("_x")
+    )
+    w2 = oriented.select(
+        F.col("_s").alias("_apex"), F.col("_t").alias("_y")
+    )
+    wedges = w1.join(w2, "_apex").filter(F.col("_x") < F.col("_y"))
+    closure = e.select(
+        F.col("_u").alias("_x"), F.col("_v").alias("_y")
+    )
+    triples = wedges.join(closure, ["_x", "_y"], "inner")
+    corners = (
+        triples.select(F.col("_apex").alias("_n"))
+        .unionAll(triples.select(F.col("_x").alias("_n")))
+        .unionAll(triples.select(F.col("_y").alias("_n")))
+    )
+    tri = corners.groupBy("_n").agg(
+        F.count(F.lit(1)).cast("long").alias("_t3")
+    )
+    out = deg.join(tri, "_n", "left").select(
+        F.col("_n").alias("node"),
+        F.col("_d").alias("degree"),
+        F.coalesce("_t3", F.lit(0)).cast("long").alias("n_triangles"),
+        F.col("_d").alias("_d2"),
+    )
+    cc = F.when(
+        F.col("_d2") >= 2,
+        F.lit(2.0)
+        * F.col("n_triangles").cast("double")
+        / (F.col("_d2") * (F.col("_d2") - 1)).cast("double"),
+    )
+    cc_u = F.floor(F.abs(cc) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(cc.isNull(), F.lit(None))
+        .otherwise(cc_u / 1e6)
+        .alias("local_cc"),
+    )
+
+
+def oracle_local_clustering_sql(
+    edges_sql: str, src: str = "src", dst: str = "dst"
+) -> str:
+    """DuckDB twin of :func:`local_clustering` — the closed-form
+    u<v<w triple join exploded to corners."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(CAST("{src}" AS BIGINT), CAST("{dst}" AS BIGINT)) AS u,
+         greatest(CAST("{src}" AS BIGINT), CAST("{dst}" AS BIGINT)) AS v
+  FROM {edges_sql}
+  WHERE "{src}" IS NOT NULL AND "{dst}" IS NOT NULL
+    AND CAST("{src}" AS BIGINT) != CAST("{dst}" AS BIGINT)
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n
+),
+triples AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS n FROM triples
+  UNION ALL SELECT b FROM triples
+  UNION ALL SELECT c FROM triples
+),
+tri AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS t3 FROM corners GROUP BY n
+)
+SELECT deg.n AS node, deg.d AS degree,
+       CAST(coalesce(tri.t3, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2 THEN
+         CAST(floor(abs(2.0 * (coalesce(tri.t3, 0))::DOUBLE
+           / (deg.d * (deg.d - 1))::DOUBLE) * 1000000.0 + 0.5)
+           AS BIGINT) / 1000000.0 END AS local_cc
+FROM deg LEFT JOIN tri ON tri.n = deg.n
+"""

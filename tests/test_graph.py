@@ -270,3 +270,56 @@ class TestAssortativity:
         )
         r = self._r(spark, edges)
         assert r["r"] == pytest.approx(ref, abs=1e-6)
+
+
+class TestLocalClustering:
+    def _run(self, spark, edges):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            local_clustering,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r for r in local_clustering(df).collect()
+        }
+
+    def test_triangle_plus_pendant(self, spark):
+        # triangle 1-2-3 with pendant 4 hanging off node 1
+        by = self._run(spark, [(1, 2), (2, 3), (3, 1), (1, 4)])
+        assert by[2]["local_cc"] == 1.0 and by[2]["n_triangles"] == 1
+        assert by[1]["degree"] == 3
+        assert by[1]["local_cc"] == pytest.approx(1 / 3, abs=1e-6)
+        assert by[4]["local_cc"] is None  # degree 1
+        assert by[4]["n_triangles"] == 0
+
+    def test_every_corner_credited(self, spark):
+        import itertools
+
+        edges = list(itertools.combinations(range(5), 2))  # K5
+        by = self._run(spark, edges)
+        # each node of K5 is in C(4,2)=6 triangles, cc = 1
+        for n in range(5):
+            assert by[n]["n_triangles"] == 6
+            assert by[n]["local_cc"] == 1.0
+
+    def test_consistent_with_global_count(self, spark):
+        import itertools
+        import random
+
+        from med_doi_feature_extraction_spark.operators.graph import (
+            triangle_count,
+        )
+        from pyspark.sql import SparkSession
+
+        rng = random.Random(9)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(14), 2)
+            if rng.random() < 0.3
+        ]
+        by = self._run(spark, edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        g = triangle_count(df).collect()[0]
+        assert sum(r["n_triangles"] for r in by.values()) == 3 * g[
+            "n_triangles"
+        ]
