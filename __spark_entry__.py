@@ -8724,6 +8724,32 @@ def _diff_snapshots(spark, sf_dir):
     return docs, kept.unionByName(added)
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (corpus_stats.vocab_growth):
+    per-bucket new types + cumulative curve + the beta/log-K OLS fit
+    — one explode->min-bucket hash-agg over the corpus, everything
+    else on the bounded bucket table. Buckets = doc_id deciles
+    (deterministic corpus order)."""
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        vocab_growth,
+    )
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "bucket", (F.col("doc_id") % 10).cast("long")
+    )
+    return vocab_growth(docs, "bucket", "text")
+
+
+def _sql_vocab_growth() -> str:
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        oracle_vocab_growth_sql,
+    )
+
+    return oracle_vocab_growth_sql(
+        "documents", "doc_id % 10", "text"
+    )
+
+
 def q_local_clustering(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient
     (operators/graph.py local_clustering): the oriented wedge join
@@ -9798,6 +9824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "assortativity": q_assortativity,
         "local_clustering": q_local_clustering,
+        "vocab_growth": q_vocab_growth,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -10014,4 +10041,5 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _sql_triangles(),
         "assortativity": _sql_assortativity(),
         "local_clustering": _sql_local_clustering(),
+        "vocab_growth": _sql_vocab_growth(),
     }

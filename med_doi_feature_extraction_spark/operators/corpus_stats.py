@@ -432,3 +432,210 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    bucket_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law) over an ordered corpus —
+    the scaling-law health check for a growing crawl: distinct-type
+    count V should grow ≈ K·N^β (β ≈ 0.4–0.6 for natural text)
+    against cumulative token count N. A β collapsing toward 0 means
+    the crawl is re-ingesting what it already has (dedup upstream is
+    failing or the frontier is exhausted); β ≈ 1 means the "text" is
+    unique-id noise. The caller supplies the integer ``bucket_col``
+    defining corpus order (crawl day, shard index, doc_id range) —
+    growth is only meaningful along an order.
+
+    One row per bucket (ascending): ``bucket, n_docs, n_tokens,
+    new_types`` (types first seen in this bucket), ``cum_tokens,
+    cum_types``, and the table-level Heaps fit repeated per row:
+    ``heaps_beta, heaps_log_k`` (6 dp; OLS of ln cum_types on
+    ln cum_tokens across the bucket points; NULL when < 2 buckets or
+    degenerate).
+
+    Execution shape, 100 TB lens: ONE explode → (token) hash-agg
+    computing each type's FIRST bucket (min) — the only corpus-sized
+    exchange, map-side partials absorb Zipf; per-bucket token/doc
+    counts are a second ≤ n_buckets-group hash-agg on the same scan
+    shape. Everything downstream (cumulatives, the OLS) runs on the
+    BOUNDED bucket table (single-partition window over ≤ thousands
+    of rows). OLS terms are micro-quantized BIGINTs before summing
+    (order-free; the ln inputs are ratios of exact BIGINTs).
+    """
+    toks = ngrams_all_col(text_col, 1)
+    occ = df.select(
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.explode(toks).alias("_t"),
+    ).filter(F.length("_t") > 0)
+    first_bucket = occ.groupBy("_t").agg(
+        F.min("_b").alias("_b0")
+    )
+    new_types = first_bucket.groupBy(
+        F.col("_b0").alias("_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    per_bucket = occ.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    docs_per = (
+        df.select(F.col(bucket_col).cast("long").alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    base = (
+        docs_per.join(per_bucket, "_b", "left")
+        .join(new_types, "_b", "left")
+        .select(
+            "_b",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce("new_types", F.lit(0)).cast("long").alias(
+                "new_types"
+            ),
+        )
+    )
+    w = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = base.select(
+        "_b",
+        "n_docs",
+        "n_tokens",
+        "new_types",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+    )
+    # Heaps OLS on (ln cum_tokens, ln cum_types) over buckets with
+    # cum_tokens > 0 — micro-quantized BIGINT moment sums
+    lx = F.log(F.col("cum_tokens").cast("double"))
+    ly = F.log(F.col("cum_types").cast("double"))
+
+    def _u(c):
+        m = F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return F.when(c < 0, -m).otherwise(m)
+
+    pts = cum.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_types") > 0)
+    ).select(_u(lx).alias("_ux"), _u(ly).alias("_uy"))
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_ux").cast("long").alias("_sx"),
+        F.sum("_uy").cast("long").alias("_sy"),
+        F.sum(F.col("_ux") * F.col("_uy")).cast("long").alias("_sxy"),
+        F.sum(F.col("_ux") * F.col("_ux")).cast("long").alias("_sxx"),
+    )
+    n = F.col("_n")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    den = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    beta = F.when((n >= 2) & (den > 0), num / den)
+    logk = F.when(
+        (n >= 2) & (den > 0),
+        (
+            F.col("_sy").cast("double")
+            - num / den * F.col("_sx").cast("double")
+        )
+        / n.cast("double")
+        / F.lit(1e6),
+    )
+    fit_row = fit.select(
+        (_u(beta) / 1e6).alias("heaps_beta"),
+        (_u(logk) / 1e6).alias("heaps_log_k"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(fit_row))
+        .select(
+            F.col("_b").alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            "new_types",
+            "cum_tokens",
+            "cum_types",
+            "heaps_beta",
+            "heaps_log_k",
+        )
+        .orderBy("bucket")
+    )
+
+
+def oracle_vocab_growth_sql(
+    rel_sql: str, bucket_expr: str, text_col: str
+) -> str:
+    """DuckDB twin of :func:`vocab_growth`."""
+
+    def u(expr: str) -> str:
+        m = f"CAST(floor(abs({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+        return f"(CASE WHEN ({expr}) < 0 THEN -{m} ELSE {m} END)"
+
+    num = "(n * sxy - sx * sy)::DOUBLE"
+    den = "(n * sxx - sx * sx)::DOUBLE"
+    beta = f"{num} / {den}"
+    logk = (
+        f"((sy)::DOUBLE - {num} / {den} * (sx)::DOUBLE)"
+        " / (n)::DOUBLE / 1000000.0"
+    )
+    return rf"""
+WITH occ AS (
+  SELECT CAST({bucket_expr} AS BIGINT) AS b,
+         unnest(string_split_regex(lower(trim("{text_col}")), '\s+'))
+           AS t
+  FROM {rel_sql}
+),
+occ2 AS (SELECT b, t FROM occ WHERE len(t) > 0),
+firstb AS (SELECT t, min(b) AS b0 FROM occ2 GROUP BY t),
+newt AS (SELECT b0 AS b, CAST(count(*) AS BIGINT) AS new_types
+         FROM firstb GROUP BY b0),
+perb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tokens
+         FROM occ2 GROUP BY b),
+docs AS (SELECT CAST({bucket_expr} AS BIGINT) AS b,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM {rel_sql} GROUP BY 1),
+base AS (
+  SELECT d.b, d.n_docs,
+         coalesce(p.n_tokens, 0) AS n_tokens,
+         coalesce(nt.new_types, 0) AS new_types
+  FROM docs d
+  LEFT JOIN perb p ON p.b = d.b
+  LEFT JOIN newt nt ON nt.b = d.b
+),
+cum AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_tokens,
+         CAST(sum(new_types) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_types
+  FROM base
+),
+pts AS (
+  SELECT {u('ln((cum_tokens)::DOUBLE)')} AS ux,
+         {u('ln((cum_types)::DOUBLE)')} AS uy
+  FROM cum WHERE cum_tokens > 0 AND cum_types > 0
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ux) AS BIGINT) AS sx, CAST(sum(uy) AS BIGINT) AS sy,
+         CAST(sum(ux * uy) AS BIGINT) AS sxy,
+         CAST(sum(ux * ux) AS BIGINT) AS sxx
+  FROM pts
+),
+fitted AS (
+  SELECT CASE WHEN n >= 2 AND {den} > 0
+              THEN {u(beta)} / 1000000.0 END AS heaps_beta,
+         CASE WHEN n >= 2 AND {den} > 0
+              THEN {u(logk)} / 1000000.0 END AS heaps_log_k
+  FROM fit
+)
+SELECT b AS bucket, n_docs, n_tokens, new_types,
+       cum_tokens, cum_types, heaps_beta, heaps_log_k
+FROM cum CROSS JOIN fitted
+ORDER BY bucket
+"""

@@ -131,6 +131,9 @@ ALLOW_NLJ = {
     # triangles: three 1-row aggregates (node/wedge stats, edge
     # count, triangle count) crossJoined into the single output row
     "triangles",
+    # vocab_growth: 1-row Heaps-fit aggregate crossJoined onto the
+    # bounded bucket table (attach-a-global-scalar)
+    "vocab_growth",
 }
 
 # SinglePartition is legitimate when the exchanged rowset is bounded:
@@ -155,6 +158,9 @@ ALLOW_SINGLE = {
     # neyman: remainder-rank and capacity-cumsum windows run over the
     # bounded stratum table (strata are categorical), never the corpus
     "neyman",
+    # vocab_growth: the cumulative window runs over the bounded
+    # bucket table (<= n_buckets rows), never the corpus
+    "vocab_growth",
 }
 
 
