@@ -8724,6 +8724,38 @@ def _diff_snapshots(spark, sf_dir):
     return docs, kept.unionByName(added)
 
 
+def q_k_hop(spark, sf_dir):
+    """Bounded-horizon BFS reachability (operators/graph.py
+    k_hop_reach): min-hops within 3 hops of a 5-node seed set —
+    k unrolled frontier joins + anti-joins, one lazy plan. Oracle
+    unrolls the same BFS as nested CTEs."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        k_hop_reach,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 307).alias("dst"),
+    )
+    seeds = spark.range(5).select(F.col("id").alias("node"))
+    return k_hop_reach(edges, seeds, k=3)
+
+
+def _sql_k_hop() -> str:
+    from med_doi_feature_extraction_spark.operators.graph import (
+        oracle_k_hop_sql,
+    )
+
+    rel = (
+        "(SELECT l_orderkey % 300 AS src, l_partkey % 307 AS dst"
+        " FROM lineitem) r"
+    )
+    return oracle_k_hop_sql(
+        rel, "(SELECT unnest(range(0, 5)) AS node) s", k=3
+    )
+
+
 def q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (corpus_stats.vocab_growth):
     per-bucket new types + cumulative curve + the beta/log-K OLS fit
@@ -9825,6 +9857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "local_clustering": q_local_clustering,
         "vocab_growth": q_vocab_growth,
+        "k_hop": q_k_hop,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -10042,4 +10075,5 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _sql_assortativity(),
         "local_clustering": _sql_local_clustering(),
         "vocab_growth": _sql_vocab_growth(),
+        "k_hop": _sql_k_hop(),
     }

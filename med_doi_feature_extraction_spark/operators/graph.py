@@ -703,3 +703,106 @@ SELECT deg.n AS node, deg.d AS degree,
            AS BIGINT) / 1000000.0 END AS local_cc
 FROM deg LEFT JOIN tri ON tri.n = deg.n
 """
+
+
+def k_hop_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Breadth-first reachability from a seed set over the undirected
+    graph: one row per reachable node with its ``min_hops`` (0 for
+    seeds, ≤ ``k``). The crawl-frontier question — "how much of the
+    graph is within k clicks of the seed list" — and the blast-radius
+    audit for link-based contamination (everything ≤ k hops from a
+    flagged host inherits suspicion).
+
+    Execution shape, 100 TB lens: ``k`` unrolled BFS rounds, each =
+    frontier ⋈ adjacency (equi join) → distinct → anti-join against
+    the visited set — all keyed joins on node ids, no quadratic
+    shapes; the adjacency (both directions) is built once. ``k`` is
+    a small constant by contract (this is the bounded-horizon
+    operator, not connected components — ``dedup.dup_clusters`` owns
+    the unbounded case). Lazily composed: ONE plan, no driver-side
+    iteration state beyond plan construction.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    adj = (
+        edges.select(
+            F.col(src).cast("long").alias("_f"),
+            F.col(dst).cast("long").alias("_t"),
+        )
+        .filter(
+            F.col("_f").isNotNull()
+            & F.col("_t").isNotNull()
+            & (F.col("_f") != F.col("_t"))
+        )
+    )
+    adj = adj.unionAll(
+        adj.select(F.col("_t").alias("_f"), F.col("_f").alias("_t"))
+    ).distinct()
+    visited = seeds.select(
+        F.col(node).cast("long").alias("node")
+    ).distinct().withColumn("min_hops", F.lit(0).cast("long"))
+    frontier = visited.select("node")
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["_f"])
+            .select(F.col("_t").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("min_hops", F.lit(i).cast("long"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited
+
+
+def oracle_k_hop_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> str:
+    """DuckDB twin of :func:`k_hop_reach` — the same BFS unrolled as
+    nested CTEs (v_i = visited after round i, f_i = round-i
+    frontier)."""
+    parts = [f"""
+adj AS (
+  SELECT f, t FROM (
+    SELECT CAST("{src}" AS BIGINT) AS f, CAST("{dst}" AS BIGINT) AS t
+    FROM {edges_sql}
+    UNION
+    SELECT CAST("{dst}" AS BIGINT), CAST("{src}" AS BIGINT)
+    FROM {edges_sql}
+  )
+  WHERE f IS NOT NULL AND t IS NOT NULL AND f != t
+),
+v0 AS (
+  SELECT DISTINCT CAST("{node}" AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS min_hops
+  FROM {seeds_sql}
+),
+f0 AS (SELECT node FROM v0)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+f{i} AS (
+  SELECT DISTINCT adj.t AS node
+  FROM f{i - 1} JOIN adj ON adj.f = f{i - 1}.node
+  WHERE adj.t NOT IN (SELECT node FROM v{i - 1})
+),
+v{i} AS (
+  SELECT node, min_hops FROM v{i - 1}
+  UNION ALL
+  SELECT node, CAST({i} AS BIGINT) FROM f{i}
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, min_hops FROM v{k}"
+    )

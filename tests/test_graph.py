@@ -323,3 +323,40 @@ class TestLocalClustering:
         assert sum(r["n_triangles"] for r in by.values()) == 3 * g[
             "n_triangles"
         ]
+
+
+class TestKHopReach:
+    def _run(self, spark, edges, seeds, k):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            k_hop_reach,
+        )
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {
+            r["node"]: r["min_hops"]
+            for r in k_hop_reach(e, s, k).collect()
+        }
+
+    def test_path_graph_hop_counts(self, spark):
+        edges = [(i, i + 1) for i in range(6)]  # 0-1-2-...-6
+        by = self._run(spark, edges, [0], k=3)
+        assert by == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_undirected_and_min_hops(self, spark):
+        # 0-1, 1-2, 0-2: node 2 reachable in 1 hop (direct), not 2
+        by = self._run(spark, [(1, 0), (2, 1), (0, 2)], [0], k=2)
+        assert by[2] == 1 and by[1] == 1
+
+    def test_multiple_seeds_take_min(self, spark):
+        edges = [(i, i + 1) for i in range(10)]
+        by = self._run(spark, edges, [0, 10], k=2)
+        assert by[8] == 2 and by[2] == 2 and 5 not in by
+
+    def test_k_zero_is_seeds_only(self, spark):
+        by = self._run(spark, [(0, 1)], [0], k=0)
+        assert by == {0: 0}
+
+    def test_disconnected_component_unreached(self, spark):
+        by = self._run(spark, [(0, 1), (5, 6)], [0], k=3)
+        assert 5 not in by and 6 not in by
