@@ -8756,6 +8756,37 @@ def _sql_k_hop() -> str:
     )
 
 
+def q_kcore(spark, sf_dir):
+    """Bounded-round k-core peel (operators/graph.py k_core): nodes
+    surviving 4 peel rounds at k=30 (~1.9k of ~6k nodes at sf0.01 —
+    a real peel) with their in-core degree — each round one degree
+    hash-agg + two node-keyed semi-joins on a shrinking live edge
+    set, lineage checkpoint-truncated per round. Oracle unrolls the
+    same peel as nested CTEs."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        k_core,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 2999).alias("src"),
+        (F.col("l_partkey") % 3001).alias("dst"),
+    )
+    return k_core(edges, k=30, rounds=4)
+
+
+def _sql_kcore() -> str:
+    from med_doi_feature_extraction_spark.operators.graph import (
+        oracle_k_core_sql,
+    )
+
+    rel = (
+        "(SELECT l_orderkey % 2999 AS src, l_partkey % 3001 AS dst"
+        " FROM lineitem) r"
+    )
+    return oracle_k_core_sql(rel, k=30, rounds=4)
+
+
 def q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (corpus_stats.vocab_growth):
     per-bucket new types + cumulative curve + the beta/log-K OLS fit
@@ -9858,6 +9889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": q_local_clustering,
         "vocab_growth": q_vocab_growth,
         "k_hop": q_k_hop,
+        "kcore": q_kcore,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -10076,4 +10108,5 @@ def oracle_sql() -> dict[str, str]:
         "local_clustering": _sql_local_clustering(),
         "vocab_growth": _sql_vocab_growth(),
         "k_hop": _sql_k_hop(),
+        "kcore": _sql_kcore(),
     }

@@ -806,3 +806,111 @@ v{i} AS (
         "WITH " + ",".join(parts)
         + f"\nSELECT node, min_hops FROM v{k}"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peel over the undirected graph: one row
+    per node still alive after ``rounds`` peel iterations, with its
+    degree inside the surviving subgraph (``core_deg`` ≥ ``k`` when
+    the peel has converged). The classic crawl-graph density signal —
+    RefinedWeb-style host filtering keeps pages whose hosts sit in a
+    dense core of the link graph, and spam farms fall out of the
+    2-core long before PageRank notices them.
+
+    Execution shape, 100 TB lens: ``rounds`` unrolled peel steps,
+    each = degree hash-agg on the live edge set + two semi-joins to
+    drop edges touching peeled nodes — all keyed on node ids, no
+    quadratic shapes, and the live edge set only shrinks. ``rounds``
+    is a small constant by contract (the bounded-horizon operator,
+    like :func:`k_hop_reach`); each round's peel is a full degree
+    pass, so convergence is typically ≤ log(n) rounds in practice —
+    callers wanting a certificate check ``min(core_deg) >= k``.
+    Each round references the live set three times (degree agg + two
+    semi-joins), so lineage is truncated per round with a lazy
+    ``localCheckpoint`` — without it the recompute tree grows
+    3^rounds (same guard as :func:`pagerank`). No driver-side
+    iteration.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    live = (
+        edges.select(
+            F.col(src).cast("long").alias("_f"),
+            F.col(dst).cast("long").alias("_t"),
+        )
+        .filter(
+            F.col("_f").isNotNull()
+            & F.col("_t").isNotNull()
+            & (F.col("_f") != F.col("_t"))
+        )
+    )
+    live = (
+        live.unionAll(
+            live.select(F.col("_t").alias("_f"), F.col("_f").alias("_t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        keep = (
+            live.groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("_f")
+        )
+        live = (
+            live.join(keep, "_f", "left_semi")
+            .join(keep.select(F.col("_f").alias("_t")), "_t", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        live.groupBy(F.col("_f").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )
+
+
+def oracle_k_core_sql(
+    edges_sql: str,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """DuckDB twin of :func:`k_core` — the same peel unrolled as
+    nested CTEs (e_i = live edges after round i)."""
+    parts = [f"""
+e0 AS (
+  SELECT f, t FROM (
+    SELECT CAST("{src}" AS BIGINT) AS f, CAST("{dst}" AS BIGINT) AS t
+    FROM {edges_sql}
+    UNION
+    SELECT CAST("{dst}" AS BIGINT), CAST("{src}" AS BIGINT)
+    FROM {edges_sql}
+  )
+  WHERE f IS NOT NULL AND t IS NOT NULL AND f != t
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+k{i} AS (
+  SELECT f FROM e{i - 1} GROUP BY f HAVING count(*) >= {k}
+),
+e{i} AS (
+  SELECT e.f, e.t FROM e{i - 1} e
+  WHERE e.f IN (SELECT f FROM k{i})
+    AND e.t IN (SELECT f FROM k{i})
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT f AS node, CAST(count(*) AS BIGINT) AS core_deg
+FROM e{rounds} GROUP BY f HAVING count(*) >= {k}"""
+    )

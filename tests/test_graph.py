@@ -360,3 +360,91 @@ class TestKHopReach:
     def test_disconnected_component_unreached(self, spark):
         by = self._run(spark, [(0, 1), (5, 6)], [0], k=3)
         assert 5 not in by and 6 not in by
+
+
+class TestKCore:
+    def _run(self, spark, edges, k, rounds=8):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            k_core,
+        )
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r["core_deg"]
+            for r in k_core(e, k=k, rounds=rounds).collect()
+        }
+
+    @staticmethod
+    def _reference_peel(edges, k):
+        """Plain-Python fixpoint peel (the unbounded true k-core)."""
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+        return {n: len(nb) for n, nb in adj.items()}
+
+    def test_triangle_with_pendant(self, spark):
+        # triangle 0-1-2 plus pendant 3: 2-core drops the pendant
+        edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+        assert self._run(spark, edges, k=2) == {0: 2, 1: 2, 2: 2}
+
+    def test_path_graph_has_empty_2core(self, spark):
+        edges = [(i, i + 1) for i in range(8)]
+        assert self._run(spark, edges, k=2) == {}
+
+    def test_k5_survives_4core(self, spark):
+        import itertools
+
+        edges = list(itertools.combinations(range(5), 2))
+        assert self._run(spark, edges, k=4) == {n: 4 for n in range(5)}
+
+    def test_cascading_peel_needs_multiple_rounds(self, spark):
+        # long tail into a triangle: each round peels one tail node
+        edges = [(0, 1), (1, 2), (0, 2)] + [
+            (2 + i, 3 + i) for i in range(5)
+        ]
+        assert self._run(spark, edges, k=2, rounds=6) == {
+            0: 2,
+            1: 2,
+            2: 2,
+        }
+
+    def test_matches_reference_fixpoint_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(17)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(30), 2)
+            if rng.random() < 0.12
+        ]
+        want = self._reference_peel(edges, k=3)
+        assert self._run(spark, edges, k=3, rounds=30) == want
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        edges = [(0, 1), (1, 0), (0, 1), (1, 2), (0, 2)]
+        assert self._run(spark, edges, k=2) == {0: 2, 1: 2, 2: 2}
+
+    def test_rejects_bad_args(self, spark):
+        import pytest as _pt
+
+        from med_doi_feature_extraction_spark.operators.graph import (
+            k_core,
+        )
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with _pt.raises(ValueError):
+            k_core(e, k=0)
+        with _pt.raises(ValueError):
+            k_core(e, k=2, rounds=0)
