@@ -9254,6 +9254,38 @@ def _sql_autocorr() -> str:
     )
 
 
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM change-point scores per entity (operators/
+    trend.py cusum_changepoints): Page's recursion via its exact
+    prefix-sum closed form — baseline mean of each entity's first 10
+    observations, all terms integer-micro-quantized BEFORE the
+    cumsums so the window arithmetic is BIGINT on both engines; ONE
+    entity exchange (row_number + masked avg + 2 cumsums + running
+    min/max on the same window spec)."""
+    from med_doi_feature_extraction_spark.operators.trend import (
+        cusum_changepoints,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return cusum_changepoints(
+        ev, ["user_id"], "ts", "value",
+        kappa=5.0, threshold=40.0, n_base=10,
+        tiebreak=["event_id"],
+    )
+
+
+def _sql_cusum() -> str:
+    from med_doi_feature_extraction_spark.operators.trend import (
+        oracle_cusum_sql,
+    )
+
+    return oracle_cusum_sql(
+        "events", ["user_id"], "ts", "value",
+        kappa=5.0, threshold=40.0, n_base=10,
+        tiebreak=["event_id"],
+    )
+
+
 def q_temporal_profile(spark, sf_dir):
     """Per-entity activity-calendar concentration (operators/trend.py
     temporal_profile): peak hour / ISO dow with deterministic
@@ -9873,6 +9905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_entropy": q_group_entropy,
         "rolling_median": q_rolling_median,
         "autocorr": q_autocorr,
+        "cusum": q_cusum,
         "temporal_profile": q_temporal_profile,
         "uniqueness": q_uniqueness,
         "quantile_normalize": q_quantile_normalize,
@@ -10092,6 +10125,7 @@ def oracle_sql() -> dict[str, str]:
         "group_entropy": _sql_group_entropy(),
         "rolling_median": SQL_ROLLING_MEDIAN,
         "autocorr": _sql_autocorr(),
+        "cusum": _sql_cusum(),
         "temporal_profile": _sql_temporal_profile(),
         "uniqueness": _sql_uniqueness(),
         "quantile_normalize": _sql_quantile_normalize(),

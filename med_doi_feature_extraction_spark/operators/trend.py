@@ -562,3 +562,146 @@ JOIN h_peak hp USING ({ents})
 JOIN d_ent d USING ({ents})
 JOIN d_peak dp USING ({ents})
 """
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    kappa: float,
+    threshold: float,
+    n_base: int = 10,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Two-sided CUSUM change-point scores per entity: for each
+    observation, the Page (1954) cumulative-sum statistics
+    ``s_pos_micro`` / ``s_neg_micro`` (µ-units, BIGINT) against the
+    entity's own baseline (mean of its first ``n_base`` observations)
+    with slack ``kappa``, plus 0/1 alarm flags at ``threshold``. The
+    crawl-monitoring primitive: a host whose page-size / latency /
+    quality-score series drifts up or down fires an alarm at the
+    first observation where the drift accumulates past the threshold.
+
+    The textbook recursion ``S+_t = max(0, S+_{t-1} + x_t − µ − κ)``
+    is not a window aggregate, but it has an exact closed form over
+    prefix sums: with ``Q_t = Σ_{j≤t}(x_j − µ − κ)`` and ``Q_0 = 0``,
+    ``S+_t = Q_t − min_{0≤j≤t} Q_j`` (and symmetrically ``S−_t =
+    max_{0≤j≤t} R_j − R_t`` for ``R_t = Σ(x_j − µ + κ)``) — so the
+    whole operator is ONE entity exchange: row_number + baseline avg
+    + two cumsums + running min/max over the same window spec,
+    collapsed by Catalyst into a single sort.
+
+    Cross-engine exactness: every term is quantized to integer
+    micro-units BEFORE the cumulative sums (value and baseline mean
+    at 6 dp), so the window arithmetic is BIGINT — no float
+    summation-order drift between Spark and an oracle engine.
+    """
+    from pyspark.sql.window import Window
+
+    if n_base < 1:
+        raise ValueError("n_base must be >= 1")
+    ents = list(entity_cols)
+    order = [F.col(ts_col).asc(), *[F.col(t).asc() for t in tiebreak]]
+    w = Window.partitionBy(*ents).orderBy(*order)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    kappa_u = int(round(abs(kappa) * 1e6))
+    thr_u = int(round(threshold * 1e6))
+
+    d = df.withColumns(
+        {
+            "_rn": F.row_number().over(w),
+            "_vu": _micro(F.col(val_col)),
+        }
+    ).withColumn(
+        "_bu",
+        _micro(
+            F.avg(
+                F.when(F.col("_rn") <= n_base, F.col(val_col))
+            ).over(w_all)
+        ),
+    )
+    q = F.sum(F.col("_vu") - F.col("_bu") - F.lit(kappa_u)).over(w_run)
+    r = F.sum(F.col("_vu") - F.col("_bu") + F.lit(kappa_u)).over(w_run)
+    d = d.withColumns({"_q": q, "_r": r})
+    s_pos = F.col("_q") - F.least(
+        F.lit(0).cast("long"), F.min("_q").over(w_run)
+    )
+    s_neg = (
+        F.greatest(F.lit(0).cast("long"), F.max("_r").over(w_run))
+        - F.col("_r")
+    )
+    return d.select(
+        *ents,
+        F.col(ts_col),
+        F.col("_vu").alias("val_micro"),
+        s_pos.alias("s_pos_micro"),
+        s_neg.alias("s_neg_micro"),
+        (s_pos > thr_u).cast("long").alias("alarm_up"),
+        (s_neg > thr_u).cast("long").alias("alarm_dn"),
+    )
+
+
+def oracle_cusum_sql(
+    rel_sql: str,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    kappa: float,
+    threshold: float,
+    n_base: int = 10,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`cusum_changepoints` — identical integer
+    micro-unit algebra over the same window frames."""
+    ents = ", ".join(f'"{c}"' for c in entity_cols)
+    order = ", ".join(
+        f'"{c}" ASC' for c in [ts_col, *tiebreak]
+    )
+    kappa_u = int(round(abs(kappa) * 1e6))
+    thr_u = int(round(threshold * 1e6))
+    val_u = _oracle_micro(f'"{val_col}"')
+    base = (
+        f'avg(CASE WHEN rn <= {n_base} THEN "{val_col}" END)'
+        f" OVER (PARTITION BY {ents})"
+    )
+    return f"""
+WITH numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY {ents} ORDER BY {order}) AS rn
+  FROM {rel_sql}
+),
+based AS (
+  SELECT *, {val_u} AS vu,
+         {_oracle_micro(base)} AS bu
+  FROM numbered
+),
+summed AS (
+  SELECT *,
+    sum(vu - bu - {kappa_u}) OVER
+      (PARTITION BY {ents} ORDER BY {order}
+       ROWS UNBOUNDED PRECEDING) AS q,
+    sum(vu - bu + {kappa_u}) OVER
+      (PARTITION BY {ents} ORDER BY {order}
+       ROWS UNBOUNDED PRECEDING) AS r
+  FROM based
+),
+scored AS (
+  SELECT *,
+    q - least(CAST(0 AS BIGINT), min(q) OVER
+      (PARTITION BY {ents} ORDER BY {order}
+       ROWS UNBOUNDED PRECEDING)) AS s_pos,
+    greatest(CAST(0 AS BIGINT), max(r) OVER
+      (PARTITION BY {ents} ORDER BY {order}
+       ROWS UNBOUNDED PRECEDING)) - r AS s_neg
+  FROM summed
+)
+SELECT {ents}, "{ts_col}",
+       CAST(vu AS BIGINT) AS val_micro,
+       CAST(s_pos AS BIGINT) AS s_pos_micro,
+       CAST(s_neg AS BIGINT) AS s_neg_micro,
+       CAST(CASE WHEN s_pos > {thr_u} THEN 1 ELSE 0 END AS BIGINT) AS alarm_up,
+       CAST(CASE WHEN s_neg > {thr_u} THEN 1 ELSE 0 END AS BIGINT) AS alarm_dn
+FROM scored
+"""

@@ -347,3 +347,111 @@ class TestTemporalProfile:
         assert row["peak_hour_share"] == pytest.approx(
             1 / 24, abs=1e-6
         )
+
+
+class TestCusumChangepoints:
+    def _run(self, spark, rows, kappa, threshold, n_base=3):
+        from med_doi_feature_extraction_spark.operators.trend import (
+            cusum_changepoints,
+        )
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+        out = cusum_changepoints(
+            df,
+            ["user_id"],
+            "ts",
+            "value",
+            kappa=kappa,
+            threshold=threshold,
+            n_base=n_base,
+            tiebreak=["event_id"],
+        )
+        return sorted(
+            out.collect(), key=lambda r: (r["user_id"], r["ts"])
+        )
+
+    @staticmethod
+    def _rows(values, user=1):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        return [
+            (user, t0 + dt.timedelta(minutes=i), i, float(v))
+            for i, v in enumerate(values)
+        ]
+
+    @staticmethod
+    def _reference(values, kappa, n_base):
+        """Textbook Page recursion in integer micro-units."""
+        mu = round(
+            sum(values[:n_base]) / min(n_base, len(values)) * 1e6
+        )
+        ku = round(kappa * 1e6)
+        sp = sn = 0
+        out = []
+        for v in values:
+            vu = round(v * 1e6)
+            sp = max(0, sp + vu - mu - ku)
+            sn = max(0, sn - (vu - mu) - ku)
+            out.append((sp, sn))
+        return out
+
+    def test_matches_textbook_recursion(self, spark):
+        import random
+
+        rng = random.Random(5)
+        values = [rng.uniform(-3, 3) for _ in range(40)]
+        got = self._run(spark, self._rows(values), kappa=0.5,
+                        threshold=4.0, n_base=5)
+        want = self._reference(values, kappa=0.5, n_base=5)
+        assert [
+            (r["s_pos_micro"], r["s_neg_micro"]) for r in got
+        ] == want
+
+    def test_level_shift_fires_upward_alarm_once_past_threshold(
+        self, spark
+    ):
+        values = [1.0] * 6 + [4.0] * 6  # +3 shift, kappa=1 -> +2/step
+        got = self._run(spark, self._rows(values), kappa=1.0,
+                        threshold=5.0, n_base=6)
+        alarms = [r["alarm_up"] for r in got]
+        # needs ceil(5/2)+ = 3 shifted points to cross 5.0
+        assert alarms == [0] * 6 + [0, 0, 1, 1, 1, 1]
+        assert all(r["alarm_dn"] == 0 for r in got)
+
+    def test_downward_shift_fires_neg_side(self, spark):
+        values = [2.0] * 5 + [-1.0] * 5
+        got = self._run(spark, self._rows(values), kappa=0.5,
+                        threshold=4.0, n_base=5)
+        assert got[-1]["alarm_dn"] == 1
+        assert all(r["alarm_up"] == 0 for r in got)
+
+    def test_entities_isolated(self, spark):
+        rows = self._rows([0.0] * 4 + [10.0] * 4, user=1) + self._rows(
+            [5.0] * 8, user=2
+        )
+        got = self._run(spark, rows, kappa=0.5, threshold=3.0, n_base=4)
+        by_user = {}
+        for r in got:
+            by_user.setdefault(r["user_id"], []).append(r["alarm_up"])
+        assert 1 in set(by_user[1])
+        assert set(by_user[2]) == {0}
+
+    def test_rejects_bad_n_base(self, spark):
+        import pytest as _pt
+
+        from med_doi_feature_extraction_spark.operators.trend import (
+            cusum_changepoints,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, 1, 1.0)],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+        with _pt.raises(ValueError):
+            cusum_changepoints(
+                df, ["user_id"], "ts", "value",
+                kappa=1.0, threshold=1.0, n_base=0,
+            )
