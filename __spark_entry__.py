@@ -9286,6 +9286,72 @@ def _sql_cusum() -> str:
     )
 
 
+def q_km(spark, sf_dir):
+    """Kaplan–Meier retention curves per event_type (operators/
+    survival.py km_curve): duration = minutes to the user's next
+    event (right-censored at the corpus horizon for each user's last
+    event — the 1-row max-ts broadcast pattern), then the
+    product-limit estimator on the bounded (group × duration) grid —
+    ONE corpus hash-agg, log-space product with µ-quantized BIGINT
+    terms."""
+    from med_doi_feature_extraction_spark.operators.survival import (
+        km_curve,
+    )
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    sec = F.col("ts").cast("timestamp").cast("long")
+    base = ev.select(
+        "event_type",
+        sec.alias("t_sec"),
+        F.lead(sec).over(w).alias("nxt"),
+    )
+    end = ev.agg(F.max(sec).alias("_end"))
+    subj = base.crossJoin(F.broadcast(end)).select(
+        "event_type",
+        F.floor(
+            (
+                F.coalesce(F.col("nxt"), F.col("_end"))
+                - F.col("t_sec")
+            )
+            / F.lit(60.0)
+        )
+        .cast("long")
+        .alias("dur_min"),
+        F.col("nxt").isNotNull().cast("long").alias("observed"),
+    )
+    return km_curve(subj, ["event_type"], "dur_min", "observed")
+
+
+def _sql_km() -> str:
+    from med_doi_feature_extraction_spark.operators.survival import (
+        oracle_km_sql,
+    )
+
+    rel = """(
+  WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t_sec,
+           lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+  ), e AS (
+    SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS end_sec
+    FROM events
+  )
+  SELECT event_type,
+         CAST(floor((coalesce(nxt, end_sec) - t_sec) / 60.0)
+           AS BIGINT) AS dur_min,
+         CAST(CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS observed
+  FROM b, e
+) subj"""
+    return oracle_km_sql(rel, ["event_type"], "dur_min", "observed")
+
+
 def q_temporal_profile(spark, sf_dir):
     """Per-entity activity-calendar concentration (operators/trend.py
     temporal_profile): peak hour / ISO dow with deterministic
@@ -9906,6 +9972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "autocorr": q_autocorr,
         "cusum": q_cusum,
+        "km_curve": q_km,
         "temporal_profile": q_temporal_profile,
         "uniqueness": q_uniqueness,
         "quantile_normalize": q_quantile_normalize,
@@ -10126,6 +10193,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median": SQL_ROLLING_MEDIAN,
         "autocorr": _sql_autocorr(),
         "cusum": _sql_cusum(),
+        "km_curve": _sql_km(),
         "temporal_profile": _sql_temporal_profile(),
         "uniqueness": _sql_uniqueness(),
         "quantile_normalize": _sql_quantile_normalize(),

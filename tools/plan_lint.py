@@ -110,6 +110,11 @@ ALLOW_NLJ = {
     # uniqueness: 1-row total broadcast onto the bounded
     # group-size-distribution table (attach-a-global-scalar)
     "uniqueness",
+    # km_curve: 1-row corpus-horizon (max ts) broadcast crossJoined
+    # onto the per-subject duration derivation — attach-a-global-
+    # scalar; the KM estimator itself is equi-agg + bounded-grid
+    # windows only
+    "km_curve",
     # quantile_normalize: 1-row pooled-percentile-grid broadcast onto
     # the scan (the quantile_bin pattern)
     "quantile_normalize",
