@@ -2642,6 +2642,50 @@ FROM t
 
 # ---------------------------------------------------------------- embeddings
 
+def q_embed_cov(spark, sf_dir):
+    """Distributed embedding covariance (operators/pca.py
+    embed_cov): exact int64 second moments via mapInPandas partial
+    Gram (numpy int64 X^T X per Arrow batch — only d(d+1)/2+d+1 slim
+    rows per partition cross the shuffle, never the vectors), global
+    hash-agg SUM, two ≤d+1-row broadcast attaches + the 1-row count.
+    Values quantized BEFORE products ⇒ BIGINTs identical to the
+    oracle's per-element SUM regardless of summation order."""
+    from med_doi_feature_extraction_spark.operators.pca import (
+        embed_cov,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embed_cov(emb, "embedding", dim=64, scale=1e4)
+
+
+def _sql_embed_cov() -> str:
+    from med_doi_feature_extraction_spark.operators.pca import (
+        oracle_embed_cov_sql,
+    )
+
+    return oracle_embed_cov_sql(
+        "embeddings", "embedding", dim=64, scale=1e4
+    )
+
+
+def q_pca_whiten(spark, sf_dir):
+    """PCA-whitening projection (operators/pca.py pca_whiten):
+    covariance from the exact-integer gram, driver eigh on the d×d
+    matrix (the ONLY collect is the bounded 2145-row gram table),
+    whitening matrix broadcast into one mapInPandas projection —
+    one corpus scan, zero corpus shuffles. Rows-only contract
+    (eigendecomposition is not SQL-expressible); numpy parity is
+    pytest-pinned in tests/test_pca.py."""
+    from med_doi_feature_extraction_spark.operators.pca import (
+        pca_whiten,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pca_whiten(
+        emb, "vec_id", "embedding", dim=64, k=8, scale=1e4
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
@@ -9973,6 +10017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr": q_autocorr,
         "cusum": q_cusum,
         "km_curve": q_km,
+        "embed_cov": q_embed_cov,
+        "pca_whiten": q_pca_whiten,
         "temporal_profile": q_temporal_profile,
         "uniqueness": q_uniqueness,
         "quantile_normalize": q_quantile_normalize,
@@ -10194,6 +10240,7 @@ def oracle_sql() -> dict[str, str]:
         "autocorr": _sql_autocorr(),
         "cusum": _sql_cusum(),
         "km_curve": _sql_km(),
+        "embed_cov": _sql_embed_cov(),
         "temporal_profile": _sql_temporal_profile(),
         "uniqueness": _sql_uniqueness(),
         "quantile_normalize": _sql_quantile_normalize(),

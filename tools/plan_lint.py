@@ -110,6 +110,10 @@ ALLOW_NLJ = {
     # uniqueness: 1-row total broadcast onto the bounded
     # group-size-distribution table (attach-a-global-scalar)
     "uniqueness",
+    # embed_cov: 1-row vector-count broadcast crossJoined onto the
+    # bounded d(d+1)/2-row moment table (attach-a-global-scalar);
+    # the corpus-sized work is the mapInPandas partial-Gram scan
+    "embed_cov",
     # km_curve: 1-row corpus-horizon (max ts) broadcast crossJoined
     # onto the per-subject duration derivation — attach-a-global-
     # scalar; the KM estimator itself is equi-agg + bounded-grid
