@@ -5247,6 +5247,86 @@ def _sql_blocklist() -> str:
     return SQL_BLOCKLIST.format(synth=_SQL_SYNTH_URL, entries=entries)
 
 
+def q_robots(spark, sf_dir):
+    """REP robots-rule admission (operators/robots.py apply_robots):
+    longest-prefix-match with allow-wins-ties over a per-host rule
+    table derived from the synth corpus's own hosts — broadcast
+    host equi-join (prefix test in the residual filter), ONE
+    per-URL hash-agg max(struct) encoding the REP tie-break, one
+    keyed re-attach. Ruleless hosts stay allowed."""
+    from med_doi_feature_extraction_spark.operators.robots import (
+        apply_robots,
+    )
+    from med_doi_feature_extraction_spark.operators.urls import (
+        url_host,
+    )
+
+    urls = _synth_urls(spark, sf_dir)
+    hosts = (
+        urls.select(url_host(F.col("url")).alias("host"))
+        .distinct()
+        .filter(F.length("host") % 3 != 0)
+    )
+    digit = (F.length("host") % 13).cast("string")
+    rules = (
+        hosts.select(
+            "host",
+            F.lit("disallow").alias("rule"),
+            F.lit("/cat/").alias("path_prefix"),
+        )
+        .unionByName(
+            hosts.select(
+                "host",
+                F.lit("allow").alias("rule"),
+                F.concat(
+                    F.lit("/cat/"), digit, F.lit("/")
+                ).alias("path_prefix"),
+            )
+        )
+        .unionByName(
+            hosts.select(
+                "host",
+                F.lit("disallow").alias("rule"),
+                F.lit("/p").alias("path_prefix"),
+            )
+        )
+    )
+    return apply_robots(urls, rules, "url", id_cols=["o_orderkey"])
+
+
+_SQL_HOST_EXPR = (
+    "regexp_replace(regexp_replace("
+    "lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),"
+    " '^.*@', ''), ':(80|443)$', '')"
+)
+
+
+def _sql_robots() -> str:
+    from med_doi_feature_extraction_spark.operators.robots import (
+        oracle_robots_sql,
+    )
+
+    urls_sql = f"({_SQL_SYNTH_URL}) su"
+    rules_sql = f"""(
+  WITH rh AS (
+    SELECT host FROM (
+      SELECT DISTINCT {_SQL_HOST_EXPR} AS host
+      FROM ({_SQL_SYNTH_URL}) s2
+    ) WHERE length(host) % 3 != 0
+  )
+  SELECT host, 'disallow' AS rule, '/cat/' AS path_prefix FROM rh
+  UNION ALL
+  SELECT host, 'allow',
+         '/cat/' || CAST(length(host) % 13 AS VARCHAR) || '/'
+  FROM rh
+  UNION ALL
+  SELECT host, 'disallow', '/p' FROM rh
+)"""
+    return oracle_robots_sql(
+        urls_sql, rules_sql, ["o_orderkey"], "url"
+    )
+
+
 def q_hot_domains(spark, sf_dir):
     """Skew census: pages per registrable domain above a floor."""
     from med_doi_feature_extraction_spark.operators.urls import hot_domains
@@ -10018,6 +10098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "km_curve": q_km,
         "embed_cov": q_embed_cov,
+        "robots": q_robots,
         "pca_whiten": q_pca_whiten,
         "temporal_profile": q_temporal_profile,
         "uniqueness": q_uniqueness,
@@ -10241,6 +10322,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum": _sql_cusum(),
         "km_curve": _sql_km(),
         "embed_cov": _sql_embed_cov(),
+        "robots": _sql_robots(),
         "temporal_profile": _sql_temporal_profile(),
         "uniqueness": _sql_uniqueness(),
         "quantile_normalize": _sql_quantile_normalize(),
