@@ -8911,6 +8911,38 @@ def _sql_kcore() -> str:
     return oracle_k_core_sql(rel, k=30, rounds=4)
 
 
+def q_link_pred(spark, sf_dir):
+    """Link-prediction scores (operators/graph.py link_prediction):
+    common-neighbor / Adamic-Adar / Jaccard / preferential-attachment
+    for every non-adjacent pair with >= 2 common neighbors — wedge
+    self-join on the shared neighbor with the deg<=40 hub cap (work
+    bounded by cap*|E|), pair hash-agg, anti-join vs existing edges.
+    AA terms are exact nano-unit BIGINTs from a Python-pinned lookup
+    shared verbatim with the oracle (the jsd discipline)."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        link_prediction,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 2999).alias("src"),
+        (F.col("l_partkey") % 3001).alias("dst"),
+    )
+    return link_prediction(edges, hub_cap=40, min_common=2)
+
+
+def _sql_link_pred() -> str:
+    from med_doi_feature_extraction_spark.operators.graph import (
+        oracle_link_prediction_sql,
+    )
+
+    rel = (
+        "(SELECT l_orderkey % 2999 AS src, l_partkey % 3001 AS dst"
+        " FROM lineitem) r"
+    )
+    return oracle_link_prediction_sql(rel, hub_cap=40, min_common=2)
+
+
 def q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (corpus_stats.vocab_growth):
     per-bucket new types + cumulative curve + the beta/log-K OLS fit
@@ -10117,6 +10149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "k_hop": q_k_hop,
         "kcore": q_kcore,
+        "link_pred": q_link_pred,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -10340,4 +10373,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _sql_vocab_growth(),
         "k_hop": _sql_k_hop(),
         "kcore": _sql_kcore(),
+        "link_pred": _sql_link_pred(),
     }

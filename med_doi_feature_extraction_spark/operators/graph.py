@@ -914,3 +914,190 @@ e{i} AS (
 SELECT f AS node, CAST(count(*) AS BIGINT) AS core_deg
 FROM e{rounds} GROUP BY f HAVING count(*) >= {k}"""
     )
+
+
+def _aa_weight_nano(max_deg: int) -> dict[int, int]:
+    """deg -> round(1e9 / ln(deg)) for 2 <= deg <= max_deg.
+
+    Adamic-Adar sums 1/ln(deg(z)) over common neighbors z. Summing
+    floats is order-dependent across engines, so the weight is
+    pinned to an exact integer in nano units, computed ONCE here in
+    Python and embedded as a literal lookup in BOTH engines — the
+    aggregate is then an exact BIGINT sum regardless of order (the
+    same nano-quantization discipline as the jsd oracle). The table
+    is bounded by ``hub_cap`` (≤ a few hundred entries), so the
+    literal map costs nothing.
+    """
+    import math
+
+    return {
+        d: int(math.floor(1e9 / math.log(d) + 0.5))
+        for d in range(2, max_deg + 1)
+    }
+
+
+def link_prediction(
+    edges: DataFrame,
+    hub_cap: int = 40,
+    min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link-prediction scores for non-adjacent node pairs of the
+    undirected graph: ``common`` (common-neighbor count),
+    ``adamic_adar`` (Σ 1/ln deg(z) over common neighbors z),
+    ``jaccard`` (|N(a)∩N(b)| / |N(a)∪N(b)|) and ``pref_attach``
+    (deg(a)·deg(b)). The crawl-discovery prior — "which un-linked
+    page pairs are probably the same topic / about to link" — and
+    the standard blocking signal for graph-assisted near-dup review.
+
+    Execution shape, 100 TB lens: wedges are enumerated by
+    self-joining the adjacency on the shared neighbor z, so the work
+    is Σ_z deg(z)² — quadratic in HUB degree. The ``hub_cap`` filter
+    drops wedge CENTERS with deg(z) > cap before the self-join, the
+    principled AA mitigation (a hub's weight 1/ln(deg) is already
+    ~0, and a z linking everybody predicts nothing); with it the
+    wedge join is bounded by cap·|E| rows. Everything else is keyed
+    joins + one hash-agg on the pair key; the anti-join against the
+    existing edge set keeps only genuinely new candidate links.
+    Float discipline: AA terms are exact nano-unit BIGINTs from a
+    Python-pinned lookup (see :func:`_aa_weight_nano`); the only
+    float ops are two final IEEE divisions, deterministic
+    cross-engine.
+    """
+    if hub_cap < 2:
+        raise ValueError("hub_cap must be >= 2")
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    adj = (
+        edges.select(
+            F.col(src).cast("long").alias("_f"),
+            F.col(dst).cast("long").alias("_t"),
+        )
+        .filter(
+            F.col("_f").isNotNull()
+            & F.col("_t").isNotNull()
+            & (F.col("_f") != F.col("_t"))
+        )
+    )
+    adj = adj.unionAll(
+        adj.select(F.col("_t").alias("_f"), F.col("_f").alias("_t"))
+    ).distinct()
+    deg = adj.groupBy(F.col("_f").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wmap = _aa_weight_nano(hub_cap)
+    w_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(wmap.items()) for x in kv]
+        ),
+        F.col("deg").cast("int"),
+    ).cast("long")
+    wedge = (
+        adj.join(deg, adj["_f"] == deg["node"])
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= hub_cap))
+        .select(
+            F.col("_f").alias("z"),
+            F.col("_t").alias("nbr"),
+            w_expr.alias("w_nano"),
+        )
+    )
+    left = wedge.select(
+        F.col("z"), F.col("nbr").alias("a"), F.col("w_nano")
+    )
+    right = wedge.select(F.col("z"), F.col("nbr").alias("b"))
+    pairs = (
+        left.join(right, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("w_nano").alias("_aa_nano"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    pairs = pairs.join(
+        adj.select(F.col("_f").alias("a"), F.col("_t").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.col("common"),
+            (F.col("_aa_nano").cast("double") / F.lit(1e9)).alias(
+                "adamic_adar"
+            ),
+            (
+                F.col("common").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (F.col("_da") * F.col("_db")).cast("long").alias(
+                "pref_attach"
+            ),
+        )
+    )
+
+
+def oracle_link_prediction_sql(
+    edges_sql: str,
+    hub_cap: int = 40,
+    min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """DuckDB twin of :func:`link_prediction` — identical wedge
+    enumeration, the SAME Python-pinned nano-weight lookup (emitted
+    as a CASE), and the same two IEEE divisions."""
+    wmap = _aa_weight_nano(hub_cap)
+    case = "CASE deg " + " ".join(
+        f"WHEN {d} THEN CAST({w} AS BIGINT)"
+        for d, w in sorted(wmap.items())
+    ) + " END"
+    return f"""
+WITH adj AS (
+  SELECT f, t FROM (
+    SELECT CAST("{src}" AS BIGINT) AS f, CAST("{dst}" AS BIGINT) AS t
+    FROM {edges_sql}
+    UNION
+    SELECT CAST("{dst}" AS BIGINT), CAST("{src}" AS BIGINT)
+    FROM {edges_sql}
+  )
+  WHERE f IS NOT NULL AND t IS NOT NULL AND f != t
+),
+deg AS (SELECT f AS node, count(*) AS deg FROM adj GROUP BY f),
+wedge AS (
+  SELECT a.f AS z, a.t AS nbr, {case} AS w_nano
+  FROM adj a JOIN deg d ON d.node = a.f
+  WHERE d.deg BETWEEN 2 AND {hub_cap}
+),
+pairs AS (
+  SELECT l.nbr AS a, r.nbr AS b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(sum(l.w_nano) AS BIGINT) AS aa_nano
+  FROM wedge l JOIN wedge r ON l.z = r.z AND l.nbr < r.nbr
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_common}
+),
+fresh AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj e WHERE e.f = p.a AND e.t = p.b
+  )
+)
+SELECT f.a AS node_a, f.b AS node_b, f.common,
+       CAST(f.aa_nano AS DOUBLE) / 1e9 AS adamic_adar,
+       CAST(f.common AS DOUBLE)
+         / CAST(da.deg + db.deg - f.common AS DOUBLE) AS jaccard,
+       CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+FROM fresh f
+JOIN deg da ON da.node = f.a
+JOIN deg db ON db.node = f.b
+"""

@@ -448,3 +448,68 @@ class TestKCore:
             k_core(e, k=0)
         with _pt.raises(ValueError):
             k_core(e, k=2, rounds=0)
+
+
+class TestLinkPrediction:
+    EDGES = [(1, 4), (1, 5), (2, 4), (2, 5), (4, 6), (3, 1)]
+    # degrees: 1->3, 2->2, 3->1, 4->3, 5->2, 6->1
+
+    def _run(self, spark, edges, **kw):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            link_prediction,
+        )
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            (r["node_a"], r["node_b"]): r
+            for r in link_prediction(e, **kw).collect()
+        }
+
+    def test_hand_graph_scores(self, spark):
+        got = self._run(spark, self.EDGES, hub_cap=40, min_common=2)
+        # (1,2) share {4,5}; (4,5) share {1,2}; everything else has
+        # exactly one common neighbor and is filtered.
+        assert set(got) == {(1, 2), (4, 5)}
+        import math
+
+        w2 = int(math.floor(1e9 / math.log(2) + 0.5))
+        w3 = int(math.floor(1e9 / math.log(3) + 0.5))
+        aa = (w2 + w3) / 1e9
+        for key in [(1, 2), (4, 5)]:
+            r = got[key]
+            assert r["common"] == 2
+            assert r["adamic_adar"] == aa
+            assert r["jaccard"] == 2.0 / 3.0
+            assert r["pref_attach"] == 6
+
+    def test_min_common_one_keeps_single_wedges(self, spark):
+        got = self._run(spark, self.EDGES, hub_cap=40, min_common=1)
+        assert (3, 4) in got and got[(3, 4)]["common"] == 1
+        assert (2, 6) in got and got[(2, 6)]["common"] == 1
+
+    def test_existing_edges_are_excluded(self, spark):
+        got = self._run(
+            spark, self.EDGES + [(4, 5)], hub_cap=40, min_common=2
+        )
+        assert (4, 5) not in got  # adjacent now
+        assert (1, 2) in got
+
+    def test_hub_cap_drops_big_centers(self, spark):
+        # cap 2 keeps only deg-2 centers (nodes 2 and 5)
+        got = self._run(spark, self.EDGES, hub_cap=2, min_common=1)
+        assert set(got) == {(4, 5), (1, 2)}
+        for r in got.values():
+            assert r["common"] == 1
+
+    def test_rejects_bad_args(self, spark):
+        import pytest as _pt
+
+        from med_doi_feature_extraction_spark.operators.graph import (
+            link_prediction,
+        )
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with _pt.raises(ValueError):
+            link_prediction(e, hub_cap=1)
+        with _pt.raises(ValueError):
+            link_prediction(e, min_common=0)
