@@ -8943,6 +8943,33 @@ def _sql_link_pred() -> str:
     return oracle_link_prediction_sql(rel, hub_cap=40, min_common=2)
 
 
+def q_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection (operators/coreset.py
+    kcenter_select): the 8 most mutually-distant embedding exemplars
+    — k rounds, each ONE corpus scan = 1-row last-center broadcast
+    updating the running min-distance + a single max_by hash-agg;
+    no n² distance matrix, nothing corpus-sized at the driver.
+    Distances are exact BIGINTs on mu-quantized vectors, so the
+    argmax/tie-break matches the oracle's unrolled greedy CTEs
+    exactly."""
+    from med_doi_feature_extraction_spark.operators.coreset import (
+        kcenter_select,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, "vec_id", "embedding", k=8, scale=1e3)
+
+
+def _sql_kcenter() -> str:
+    from med_doi_feature_extraction_spark.operators.coreset import (
+        oracle_kcenter_sql,
+    )
+
+    return oracle_kcenter_sql(
+        "embeddings", "vec_id", "embedding", k=8, dim=64, scale=1e3
+    )
+
+
 def q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (corpus_stats.vocab_growth):
     per-bucket new types + cumulative curve + the beta/log-K OLS fit
@@ -10150,6 +10177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_hop": q_k_hop,
         "kcore": q_kcore,
         "link_pred": q_link_pred,
+        "kcenter": q_kcenter,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -10374,4 +10402,5 @@ def oracle_sql() -> dict[str, str]:
         "k_hop": _sql_k_hop(),
         "kcore": _sql_kcore(),
         "link_pred": _sql_link_pred(),
+        "kcenter": _sql_kcenter(),
     }
