@@ -8970,6 +8970,33 @@ def _sql_kcenter() -> str:
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (operators/lm.py
+    ccnet_buckets): per-language tercile THRESHOLDS derived from a
+    bounded (lang, ppl) histogram and broadcast back — one scoring
+    pass + one histogram hash-agg, no per-language corpus sort;
+    empty docs land in 'unscored'. The LM is the corpus's own
+    smoothed unigram model (same arithmetic as lm_quality)."""
+    from med_doi_feature_extraction_spark.operators.lm import (
+        ccnet_buckets,
+        train_unigram_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = train_unigram_lm(docs, "text")
+    return ccnet_buckets(docs, lm, "doc_id", "text", "lang")
+
+
+def _sql_ccnet_buckets() -> str:
+    from med_doi_feature_extraction_spark.operators.lm import (
+        oracle_ccnet_buckets_sql,
+    )
+
+    return oracle_ccnet_buckets_sql(
+        "documents", "doc_id", "text", "lang"
+    )
+
+
 def q_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (corpus_stats.vocab_growth):
     per-bucket new types + cumulative curve + the beta/log-K OLS fit
@@ -10178,6 +10205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "link_pred": q_link_pred,
         "kcenter": q_kcenter,
+        "ccnet_buckets": q_ccnet_buckets,
         # non-SQL-expressible (rows-only; its downstream is the
         # oracle-checked pages_flagship_post split):
         "pages_flagship": q_pages_flagship,
@@ -10403,4 +10431,5 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _sql_kcore(),
         "link_pred": _sql_link_pred(),
         "kcenter": _sql_kcenter(),
+        "ccnet_buckets": _sql_ccnet_buckets(),
     }

@@ -478,3 +478,140 @@ SELECT v, ta2 AS total_a, tb2 AS total_b,
              / 0.6931471805599453, 6) AS jsd_norm
 FROM s
 """
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek 2020 §4.3):
+    per language, split scored documents into three buckets by LM
+    perplexity — ``head`` = the most reference-like (lowest-ppl)
+    third, then ``middle``, then ``tail``; documents the LM cannot
+    score (no tokens → NULL ppl) land in ``unscored`` rather than
+    silently vanishing. Returns ``(id, lang, ppl, bucket)``.
+
+    Bucketing is by THRESHOLD, not by rank — the scalable CCNet
+    shape. Per-language tercile cutoffs ``cut1``/``cut2`` are the
+    smallest ppl values whose cumulative scored-doc count reaches
+    ``ceil(n/3)`` / ``ceil(2n/3)``; every document compares its ppl
+    to the two broadcast cutoffs at the scan. Documents tied on ppl
+    therefore always share a bucket (so ``head`` can exceed n/3 by
+    the tie mass — the documented threshold semantics, deterministic
+    with no id tie-break and identical cross-engine because ppl is
+    already 3-dp quantized by :func:`lm_quality_score`).
+
+    Plan, 100 TB lens: ONE scoring pass over the corpus (explode →
+    vocab-sized broadcast LM join → per-doc hash-agg), ONE
+    (lang, ppl) hash-agg building the bounded histogram (≤ langs ×
+    distinct 3-dp ppl values — thousands of rows, not corpus-sized),
+    cumulative windows partitioned BY LANGUAGE over that histogram
+    only, and a broadcast cutoffs join back. No per-language corpus
+    sort anywhere. NULL languages group under '' (both engines drop
+    NULL equi-keys, so the sentinel keeps those rows auditable).
+    """
+    from pyspark.sql import Window
+
+    scored = lm_quality_score(docs, lm, id_col, text_col)
+    spine = docs.select(
+        id_col, F.coalesce(F.col(lang_col), F.lit("")).alias("lang")
+    ).join(scored.select(id_col, "ppl"), id_col)
+    hist = (
+        spine.filter(F.col("ppl").isNotNull())
+        .groupBy("lang", "ppl")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("ppl")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "ppl",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("_cum") * 3 >= F.col("_n"), F.col("ppl")
+            )
+        ).alias("_cut1"),
+        F.min(
+            F.when(
+                F.col("_cum") * 3 >= F.col("_n") * 2, F.col("ppl")
+            )
+        ).alias("_cut2"),
+    )
+    return spine.join(F.broadcast(cuts), "lang", "left").select(
+        id_col,
+        "lang",
+        "ppl",
+        F.when(F.col("ppl").isNull(), F.lit("unscored"))
+        .when(F.col("ppl") <= F.col("_cut1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def oracle_ccnet_buckets_sql(
+    rel_sql: str, id_col: str, text_col: str, lang_col: str
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets` — the same LM training +
+    scoring arithmetic as ``SQL_LM_QUALITY``'s, then the identical
+    histogram/threshold recursion. ``ceil(n/3)`` is expressed as the
+    integer predicate ``cum*3 >= n`` in both engines."""
+    return f"""
+WITH occ AS (
+  SELECT "{id_col}" AS id,
+         unnest(string_split_regex(lower(trim("{text_col}")), '\\s+'))
+           AS token
+  FROM {rel_sql}
+), occf AS (
+  SELECT id, token FROM occ WHERE len(token) > 0
+), counts AS (
+  SELECT token, count(*) AS c FROM occf GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS total, count(*) AS v FROM counts
+), lm AS (
+  SELECT token, ln((c + 1)::DOUBLE / (total + v + 1)::DOUBLE) AS logp
+  FROM counts, tot
+), agg AS (
+  SELECT id,
+         round(avg(coalesce(lm.logp,
+               (SELECT ln(1.0 / (total + v + 1)::DOUBLE) FROM tot))), 6)
+           AS logp_per_token
+  FROM occf LEFT JOIN lm USING (token)
+  GROUP BY id
+), spine AS (
+  SELECT d."{id_col}" AS id, coalesce(d."{lang_col}", '') AS lang,
+         round(exp(-a.logp_per_token), 3) AS ppl
+  FROM {rel_sql} d LEFT JOIN agg a ON a.id = d."{id_col}"
+), hist AS (
+  SELECT lang, ppl, count(*) AS c
+  FROM spine WHERE ppl IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT lang, ppl,
+         sum(c) OVER (PARTITION BY lang ORDER BY ppl
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+), cuts AS (
+  SELECT lang,
+         min(CASE WHEN cum * 3 >= n THEN ppl END) AS cut1,
+         min(CASE WHEN cum * 3 >= n * 2 THEN ppl END) AS cut2
+  FROM cum GROUP BY lang
+)
+SELECT s.id AS "{id_col}", s.lang, s.ppl,
+       CASE WHEN s.ppl IS NULL THEN 'unscored'
+            WHEN s.ppl <= c.cut1 THEN 'head'
+            WHEN s.ppl <= c.cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM spine s LEFT JOIN cuts c USING (lang)
+"""

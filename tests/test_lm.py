@@ -259,3 +259,65 @@ def test_js_divergence_counts(spark):
     row = js_divergence(a, b, "text").collect()[0]
     assert row["v"] == 3  # union vocab {x, y, z}
     assert row["total_a"] == 2 and row["total_b"] == 3
+
+
+class TestCCNetBuckets:
+    def _run(self, spark, rows):
+        from med_doi_feature_extraction_spark.operators.lm import (
+            ccnet_buckets,
+            train_unigram_lm,
+        )
+
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        lm = train_unigram_lm(docs, "text")
+        out = ccnet_buckets(docs, lm, "doc_id", "text", "lang")
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_terciles_by_threshold(self, spark):
+        # Nine docs, one lang, strictly increasing ppl (rarer tokens
+        # score worse under the corpus's own unigram LM): buckets
+        # must split 3/3/3 in ppl order.
+        common = "a a a a a a a a a"
+        rows = [
+            (i, common + " " + " ".join(f"r{i}_{j}" for j in range(i)), "en")
+            for i in range(9)
+        ]
+        got = self._run(spark, rows)
+        by_ppl = sorted(got.values(), key=lambda r: r["ppl"])
+        assert [r["bucket"] for r in by_ppl] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+    def test_ties_share_a_bucket(self, spark):
+        # four identical docs + two worse ones: the tied mass crosses
+        # the n/3 cutoff together, so head holds all four.
+        rows = [(i, "a a a", "en") for i in range(4)] + [
+            (4, "zz qq ww", "en"),
+            (5, "zz qq vv uu", "en"),
+        ]
+        got = self._run(spark, rows)
+        assert [got[i]["bucket"] for i in range(4)] == ["head"] * 4
+
+    def test_per_language_independent_cuts(self, spark):
+        rows = [
+            (0, "a a a", "en"),
+            (1, "a b b", "en"),
+            (2, "a b c z", "en"),
+            (10, "x x x", "fr"),
+            (11, "x y y", "fr"),
+            (12, "x y w v", "fr"),
+        ]
+        got = self._run(spark, rows)
+        for base in (0, 10):
+            bks = [got[base + i]["bucket"] for i in range(3)]
+            assert bks == ["head", "middle", "tail"]
+
+    def test_empty_doc_is_unscored_and_null_lang_kept(self, spark):
+        rows = [(0, "a a", "en"), (1, "", None), (2, "a b", "en")]
+        got = self._run(spark, rows)
+        assert got[1]["bucket"] == "unscored"
+        assert got[1]["lang"] == ""
+        assert got[1]["ppl"] is None
+        assert len(got) == 3

@@ -44,6 +44,9 @@ ALLOW_NLJ = {
     "rank_eval",  # grades the sq_topk/cosine_topk probes — same
     # bounded broadcast-probe contract
     "vocab_shift",  # 1-row smoothing-totals broadcast, same pattern
+    "ccnet_buckets",  # the lm_quality scoring stage inside it: the
+    # same train_unigram_lm 1-row smoothing-totals crossJoin; the
+    # bucketing stage itself is histogram + broadcast cutoffs
     "lm_bigram",  # same: crossJoin(broadcast(1-row totals)) in both
     # train_*_lm stages (operators/lm.py:63,168) — bounded by design
     "cms_join_size",  # contract-only 1-row est × 1-row truth compare
