@@ -515,26 +515,52 @@ def q_target_encode(spark, sf_dir):
     )
 
     ev = _read(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+        "user_id",
+        "event_id",
+        "ts",
+        # micro-unit quantization BEFORE the sums: exact-integer
+        # accumulation is order-independent, so the two engines'
+        # window/prior sums are bit-identical and the round-6 gate
+        # can never straddle a half-ulp boundary (the sf0.001
+        # 1-row hash miss this replaced).
+        F.round(F.col("value") * 1e6).cast("long").alias("value"),
     )
     out = time_target_encode(
         ev, "user_id", "ts", "value", smoothing=10.0,
         tiebreak=["event_id"],
     )
+    # portable 6-dp HALF_UP (readability.py:_round4 pattern): native
+    # round() diverges between the engines by 1 ulp at x.xxxxxx5
+    enc = F.col("target_enc") / F.lit(1e6)
+    r6 = F.floor(F.abs(enc) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return out.select(
         "user_id", "event_id", "ts",
-        F.round("target_enc", 6).alias("target_enc"),
+        (F.when(enc < 0, -r6).otherwise(r6) + F.lit(0.0)).alias(
+            "target_enc"
+        ),
     )
 
 
 SQL_TARGET_ENCODE = """
+WITH qe AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 1e6) AS BIGINT) AS q
+  FROM events
+)
 SELECT user_id, event_id, ts,
-       round((coalesce(sum(value) OVER w, 0)
-              + 10.0 * (SELECT avg(value) FROM events))
-             / (coalesce(count(value) OVER w, 0) + 10.0), 6) AS target_enc
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       (CASE WHEN enc < 0
+             THEN -(floor(abs(enc) * 1e6 + 0.5) / 1e6)
+             ELSE floor(abs(enc) * 1e6 + 0.5) / 1e6 END + 0.0)
+           AS target_enc
+FROM (
+  SELECT user_id, event_id, ts,
+         ((CAST(coalesce(sum(q) OVER w, 0) AS DOUBLE)
+           + 10.0 * (SELECT CAST(sum(q) AS DOUBLE) / count(q) FROM qe))
+          / (coalesce(count(q) OVER w, 0) + 10.0)) / 1e6 AS enc
+  FROM qe
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
 """
 
 
