@@ -5456,6 +5456,88 @@ FROM links GROUP BY dst
 """
 
 
+def _align_base() -> str:
+    from med_doi_feature_extraction_spark.operators.align import (
+        ALIGN_VERSION,
+    )
+
+    return f"/tmp/spark_graft_{ALIGN_VERSION.replace('/', '_')}"
+
+
+def _align_seam(spark):
+    """Deterministic multilingual crawl fixture materialized to a
+    parquet seam both engines read (operators/align.py)."""
+    from med_doi_feature_extraction_spark.operators.align import (
+        generate_multilingual_pages,
+    )
+
+    base = _align_base()
+    pdf = generate_multilingual_pages()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/pages.parquet"
+    )
+    return spark.read.parquet(f"{base}/pages.parquet")
+
+
+def q_ccalign_pairs(spark, sf_dir):
+    """CCAligned-style URL-matched cross-lingual document pairs
+    (operators/align.py): language-stripped URL key, per-(key,lang)
+    min-struct dedupe, pivot-vs-rest equi-join with bounded fanout."""
+    from med_doi_feature_extraction_spark.operators.align import align_pairs
+
+    pages = _align_seam(spark)
+    return align_pairs(pages, pivot_lang="en")
+
+
+def q_url_lang_profile(spark, sf_dir):
+    """URL-declared vs doc-declared language census with mismatch
+    flag — the machine-translation / mislabel admission audit."""
+    from med_doi_feature_extraction_spark.operators.align import (
+        url_lang_profile,
+    )
+
+    pages = _align_seam(spark)
+    return url_lang_profile(pages)
+
+
+def _sql_ccalign_pairs() -> str:
+    from med_doi_feature_extraction_spark.operators.align import (
+        oracle_align_cte,
+    )
+
+    cte = oracle_align_cte(f"{_align_base()}/pages.parquet/*.parquet")
+    return (
+        "WITH "
+        + cte
+        + """
+SELECT s.align_key AS align_key, s.src_url AS src_url,
+       t.tgt_url AS tgt_url, t.tgt_lang AS tgt_lang,
+       (CASE WHEN s.src_len > 0
+             THEN floor((CAST(t.tgt_len AS DOUBLE) / s.src_len) * 1e6
+                        + 0.5) / 1e6
+             ELSE 0.0 END + 0.0) AS len_ratio
+FROM src s JOIN tgt t USING (align_key)
+"""
+    )
+
+
+def _sql_url_lang_profile() -> str:
+    from med_doi_feature_extraction_spark.operators.align import _sql_detect
+
+    glob = f"{_align_base()}/pages.parquet/*.parquet"
+    return f"""
+SELECT url_lang, doc_lang, CAST(count(*) AS BIGINT) AS n,
+       (length(url_lang) > 0 AND length(doc_lang) > 0
+        AND url_lang <> doc_lang) AS mismatch
+FROM (
+  SELECT {_sql_detect('url')} AS url_lang,
+         coalesce(lower(lang), '') AS doc_lang
+  FROM read_parquet('{glob}')
+)
+GROUP BY url_lang, doc_lang
+"""
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -10172,6 +10254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "extract_links": q_extract_links,
         "anchor_stats": q_anchor_stats,
+        "ccalign_pairs": q_ccalign_pairs,
+        "url_lang_profile": q_url_lang_profile,
         "trending": q_trending,
         "postings": q_postings,
         "length_quantiles": q_length_quantiles,
@@ -10393,6 +10477,8 @@ def oracle_sql() -> dict[str, str]:
         "blocklist": _sql_blocklist(),
         "extract_links": _sql_extract_links(),
         "anchor_stats": _sql_anchor_stats(),
+        "ccalign_pairs": _sql_ccalign_pairs(),
+        "url_lang_profile": _sql_url_lang_profile(),
         "token_df": SQL_TOKEN_DF,
         "trending": SQL_TRENDING,
         "postings": SQL_POSTINGS,

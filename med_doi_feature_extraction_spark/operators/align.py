@@ -186,19 +186,85 @@ def align_pairs(
         F.col("eff_lang").alias("tgt_lang"),
         F.col("tlen").alias("tgt_len"),
     )
+    # portable 6-dp round (readability.py:_round4 pattern; ratio ≥ 0
+    # so no sign branch): native round() is engine-divergent at exact
+    # half boundaries
+    ratio = F.col("tgt_len") / F.col("src_len")
+    r6 = F.floor(ratio * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return src.join(tgt, "align_key").select(
         "align_key",
         "src_url",
         "tgt_url",
         "tgt_lang",
-        F.when(
-            F.col("src_len") > 0,
-            F.round(F.col("tgt_len") / F.col("src_len"), 6),
-        )
-        .otherwise(F.lit(0.0))
+        (F.when(F.col("src_len") > 0, r6).otherwise(F.lit(0.0)) + F.lit(0.0))
         .cast("double")
         .alias("len_ratio"),
     )
+
+
+# ------------------------------------------------------------- fixture
+
+#: bump when fixture/operator semantics change (seam cache key)
+ALIGN_VERSION = "align/v1"
+
+
+def generate_multilingual_pages(n_base: int = 220, seed: int = 97):
+    """Deterministic multilingual crawl fixture: each base page is
+    published under language-marked URL variants in ONE of five site
+    styles (path / subdomain / file-suffix / query-param /
+    final-segment), plus unmarked pages (doc-lang fallback), repeated
+    snapshots (min-struct dedupe path) and a sprinkle of url-vs-doc
+    language mismatches (the profile audit's quarry).
+
+    Returns a pandas DataFrame (url, warc_ts, lang, text).
+    """
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    others = ["fr", "de", "es", "it", "pt", "ru", "ja"]
+    base_ts = datetime(2024, 3, 1)
+    rows = []
+    for i in range(n_base):
+        host = f"site{i % 9}.example.com"
+        slug = f"article-{i}"
+        style = i % 5
+        langs = ["en"] if rng.random() < 0.9 else []
+        langs += list(
+            rng.choice(others, size=int(rng.integers(0, 4)), replace=False)
+        )
+        if not langs:
+            langs = ["fr"]
+        for j, lg in enumerate(langs):
+            if style == 0:
+                url = f"https://{host}/{lg}/{slug}"
+            elif style == 1:
+                url = f"https://{lg}.{host}/{slug}"
+            elif style == 2:
+                url = f"https://{host}/{slug}_{lg}.html"
+            elif style == 3:
+                url = f"https://{host}/{slug}?lang={lg}&v=1"
+            else:
+                url = f"https://{host}/{slug}/{lg}"
+            # 10% url-vs-doc language mismatch
+            doc_lang = lg if rng.random() >= 0.1 else str(rng.choice(others))
+            text = f"doc {i} {lg} " * int(rng.integers(3, 40))
+            ts = base_ts + timedelta(hours=i, minutes=7 * j)
+            rows.append((url, ts, doc_lang, text))
+            if i % 7 == 0:  # re-crawl snapshot, different length
+                rows.append(
+                    (url, ts + timedelta(days=2), doc_lang, text + "more ")
+                )
+        if i % 11 == 0:  # unmarked URL — doc-lang fallback path
+            url = f"https://{host}/plain-{slug}"
+            lg = str(rng.choice(["en"] + others))
+            rows.append(
+                (url, base_ts + timedelta(hours=i, minutes=59), lg,
+                 f"plain {i} " * int(rng.integers(3, 20)))
+            )
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "lang", "text"])
 
 
 # ---------------------------------------------------------------- oracle
