@@ -5538,6 +5538,90 @@ GROUP BY url_lang, doc_lang
 """
 
 
+def _hygiene_base() -> str:
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        HYGIENE_VERSION,
+    )
+
+    return f"/tmp/spark_graft_{HYGIENE_VERSION.replace('/', '_')}"
+
+
+def _hygiene_seam(spark):
+    """Adversarial crawl-URL fixture (traps, session ids, tracking
+    params) materialized to a parquet seam both engines read."""
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        generate_crawl_urls,
+    )
+
+    base = _hygiene_base()
+    pdf = generate_crawl_urls()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/urls.parquet"
+    )
+    return spark.read.parquet(f"{base}/urls.parquet")
+
+
+def q_trap_features(spark, sf_dir):
+    """Crawler-trap battery (operators/hygiene.py): calendar archives,
+    adjacent-repeat paths, session-id spaces, %-runs — scan-stage
+    Column algebra, array-lambda repeat probe (no backreferences)."""
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        trap_features,
+    )
+
+    return trap_features(_hygiene_seam(spark))
+
+
+def q_tracking_strip(spark, sf_dir):
+    """Tracking-param stripping (utm_*/click ids) — dedup-key
+    normalization with a changed-flag audit."""
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        tracking_strip,
+    )
+
+    return tracking_strip(_hygiene_seam(spark))
+
+
+def q_param_census(spark, sf_dir):
+    """Query-parameter key census with tracking classification —
+    explode + hash-agg with map-side partial combine."""
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        param_census,
+    )
+
+    return param_census(_hygiene_seam(spark))
+
+
+def _sql_trap_features() -> str:
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        sql_trap_features,
+    )
+
+    return sql_trap_features(f"{_hygiene_base()}/urls.parquet/*.parquet")
+
+
+def _sql_tracking_strip() -> str:
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        sql_strip_tracking,
+    )
+
+    glob = f"{_hygiene_base()}/urls.parquet/*.parquet"
+    strip = sql_strip_tracking("url")
+    norm = "regexp_replace(lower(url), '#.*$', '')"
+    return f"""
+SELECT url, {strip} AS clean_url, ({strip} <> {norm}) AS changed
+FROM read_parquet('{glob}')
+"""
+
+
+def _sql_param_census() -> str:
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        sql_param_census,
+    )
+
+    return sql_param_census(f"{_hygiene_base()}/urls.parquet/*.parquet")
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -10256,6 +10340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": q_anchor_stats,
         "ccalign_pairs": q_ccalign_pairs,
         "url_lang_profile": q_url_lang_profile,
+        "trap_features": q_trap_features,
+        "tracking_strip": q_tracking_strip,
+        "param_census": q_param_census,
         "trending": q_trending,
         "postings": q_postings,
         "length_quantiles": q_length_quantiles,
@@ -10479,6 +10566,9 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _sql_anchor_stats(),
         "ccalign_pairs": _sql_ccalign_pairs(),
         "url_lang_profile": _sql_url_lang_profile(),
+        "trap_features": _sql_trap_features(),
+        "tracking_strip": _sql_tracking_strip(),
+        "param_census": _sql_param_census(),
         "token_df": SQL_TOKEN_DF,
         "trending": SQL_TRENDING,
         "postings": SQL_POSTINGS,
