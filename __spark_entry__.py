@@ -5622,6 +5622,66 @@ def _sql_param_census() -> str:
     return sql_param_census(f"{_hygiene_base()}/urls.parquet/*.parquet")
 
 
+def _headmeta_base() -> str:
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        HEADMETA_VERSION,
+    )
+
+    return f"/tmp/spark_graft_{HEADMETA_VERSION.replace('/', '_')}"
+
+
+def _headmeta_seam(spark):
+    """Varied-head-markup page fixture (attribute orders, quote
+    styles, entities, soft-404 stratum) materialized to parquet."""
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        generate_head_pages,
+    )
+
+    base = _headmeta_base()
+    pdf = generate_head_pages()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/pages.parquet"
+    )
+    return spark.read.parquet(f"{base}/pages.parquet")
+
+
+def q_head_meta(spark, sf_dir):
+    """HTML head-metadata extraction (operators/headmeta.py): title /
+    meta-description / canonical / og:title, attribute-order
+    insensitive, one scan-stage regexp battery."""
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        extract_head_meta,
+    )
+
+    return extract_head_meta(_headmeta_seam(spark))
+
+
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection: marker phrase + short-body precision guard
+    (Bar-Yossef et al. WWW'04 class)."""
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        soft404_features,
+    )
+
+    return soft404_features(_headmeta_seam(spark))
+
+
+def _sql_head_meta() -> str:
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        sql_head_meta,
+    )
+
+    return sql_head_meta(f"{_headmeta_base()}/pages.parquet/*.parquet")
+
+
+def _sql_soft404() -> str:
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        sql_soft404,
+    )
+
+    return sql_soft404(f"{_headmeta_base()}/pages.parquet/*.parquet")
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -10343,6 +10403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_features": q_trap_features,
         "tracking_strip": q_tracking_strip,
         "param_census": q_param_census,
+        "head_meta": q_head_meta,
+        "soft404": q_soft404,
         "trending": q_trending,
         "postings": q_postings,
         "length_quantiles": q_length_quantiles,
@@ -10569,6 +10631,8 @@ def oracle_sql() -> dict[str, str]:
         "trap_features": _sql_trap_features(),
         "tracking_strip": _sql_tracking_strip(),
         "param_census": _sql_param_census(),
+        "head_meta": _sql_head_meta(),
+        "soft404": _sql_soft404(),
         "token_df": SQL_TOKEN_DF,
         "trending": SQL_TRENDING,
         "postings": SQL_POSTINGS,

@@ -1,0 +1,250 @@
+"""HTML head-metadata extraction + soft-404 detection.
+
+Title / meta-description / canonical-link / og:title are the head
+fields a web-corpus pipeline keys ranking, dedup (rel=canonical IS
+the site's own dedup hint) and snippeting on; soft-404s — pages that
+return 200 with a "not found" body — are a well-documented crawl
+pollution class (Bar-Yossef et al., WWW'04, "Sic transit gloria
+telae"). The reference's analogue is per-record metadata parsing
+before classification (``src/services/extraction_service.py``); at
+10^12 rows both are ONE scan-stage regexp battery.
+
+Portability contract: every pattern is RE2-safe (lazy quantifiers and
+inline ``(?i)`` only — no lookaround, no backreferences) and mirrored
+verbatim in the DuckDB oracle; the minimal entity unescape follows
+operators/links.py (amp LAST so ``&amp;lt;`` round-trips).
+
+Both attribute orders are handled per field (``name=.. content=..``
+and ``content=.. name=..``) via coalesce-of-extracts — real head
+markup is not order-normalized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_TITLE_RE = r"(?i)<title[^>]*>([\s\S]*?)</title>"
+_DESC_A = r'(?i)<meta[^>]*name=["\']description["\'][^>]*content=["\']([^"\']*)'
+_DESC_B = r'(?i)<meta[^>]*content=["\']([^"\']*)["\'][^>]*name=["\']description["\']'
+_CANON_A = r'(?i)<link[^>]*rel=["\']canonical["\'][^>]*href=["\']([^"\']*)'
+_CANON_B = r'(?i)<link[^>]*href=["\']([^"\']*)["\'][^>]*rel=["\']canonical["\']'
+_OG_A = r'(?i)<meta[^>]*property=["\']og:title["\'][^>]*content=["\']([^"\']*)'
+_OG_B = r'(?i)<meta[^>]*content=["\']([^"\']*)["\'][^>]*property=["\']og:title["\']'
+
+#: soft-404 body markers (matched against lower-cased title+text)
+SOFT404_MARKERS: tuple[str, ...] = (
+    "page not found",
+    "404 not found",
+    "error 404",
+    "404 error",
+    "no longer available",
+    "page does not exist",
+    "page cannot be found",
+    "access denied",
+)
+_MARKER_ALT = "|".join(SOFT404_MARKERS)
+
+#: a marker alone is weak — real articles QUOTE these phrases; the
+#: classic precision guard is a short body (Bar-Yossef et al. use
+#: near-empty content after boilerplate removal)
+SOFT404_MAX_LEN = 400
+
+# (entity, literal) — ORDER MATTERS: &amp; last (links.py discipline)
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#x27;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _unescape(col: F.Column) -> F.Column:
+    for ent, lit in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(lit))
+    return col
+
+
+def _first(html: F.Column, pat_a: str, pat_b: str) -> F.Column:
+    a = F.regexp_extract(html, pat_a, 1)
+    b = F.regexp_extract(html, pat_b, 1)
+    return F.when(F.length(a) > 0, a).otherwise(b)
+
+
+def extract_head_meta(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Append ``title, meta_description, canonical_href, og_title,
+    title_len, has_canonical`` — one codegen'd regexp battery over the
+    html column, attribute order insensitive, entities minimally
+    unescaped, title whitespace collapsed."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    title = _unescape(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract(h, _TITLE_RE, 1), r"\s+", " "
+            )
+        )
+    )
+    desc = _unescape(_first(h, _DESC_A, _DESC_B))
+    canon = _first(h, _CANON_A, _CANON_B)
+    og = _unescape(_first(h, _OG_A, _OG_B))
+    return df.select(
+        F.col(url_col).alias("url"),
+        title.alias("title"),
+        desc.alias("meta_description"),
+        canon.alias("canonical_href"),
+        og.alias("og_title"),
+        F.length(title).cast("int").alias("title_len"),
+        (F.length(canon) > 0).alias("has_canonical"),
+    )
+
+
+def soft404_features(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Append ``marker_hit`` (a soft-404 phrase appears in title or
+    body), ``text_len``, and ``is_soft404`` (marker AND body shorter
+    than :data:`SOFT404_MAX_LEN` — the quote-a-404-in-an-article case
+    stays admitted)."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    title = F.lower(F.regexp_extract(h, _TITLE_RE, 1))
+    probe = F.concat_ws(" ", title, F.lower(t))
+    hit = probe.rlike(_MARKER_ALT)
+    tlen = F.length(t)
+    return df.select(
+        F.col(url_col).alias("url"),
+        hit.alias("marker_hit"),
+        tlen.cast("int").alias("text_len"),
+        (hit & (tlen < SOFT404_MAX_LEN)).alias("is_soft404"),
+    )
+
+
+# ------------------------------------------------------------- fixture
+
+HEADMETA_VERSION = "headmeta/v1"
+
+
+def generate_head_pages(n: int = 240, seed: int = 211):
+    """Deterministic page fixture with varied head markup: both
+    attribute orders, single/double quotes, entities in titles,
+    multiline titles, missing fields, og:title, canonical links, and
+    a soft-404 stratum (marker + short body) plus marker-quoting long
+    articles (the precision guard's quarry).
+
+    Returns pandas DataFrame (url, html, text).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        url = f"https://site{i % 6}.example.com/doc-{i}"
+        kind = i % 8
+        title = f"Article {i} &amp; more" if i % 3 == 0 else f"Article {i}"
+        q = '"' if i % 2 == 0 else "'"
+        head = [f"<title>{title}</title>" if kind != 5 else ""]
+        if kind in (0, 1, 4):
+            if i % 2 == 0:
+                head.append(
+                    f"<meta name={q}description{q} content={q}Summary of doc {i}{q}>"
+                )
+            else:
+                head.append(
+                    f"<meta content={q}Summary of doc {i}{q} name={q}description{q}>"
+                )
+        if kind in (0, 2):
+            if i % 2 == 0:
+                head.append(
+                    f"<link rel={q}canonical{q} href={q}https://site0.example.com/doc-{i}{q}>"
+                )
+            else:
+                head.append(
+                    f"<link href={q}https://site0.example.com/doc-{i}{q} rel={q}canonical{q}>"
+                )
+        if kind in (1, 3):
+            head.append(
+                f"<meta property={q}og:title{q} content={q}OG {i}{q}>"
+            )
+        if kind == 6:
+            head = [f"<title>\n  Article {i}\n  part two\n</title>"]
+        if kind == 7:  # soft-404 stratum
+            head = ["<title>404 Not Found</title>"]
+            text = "Sorry, this page does not exist."
+        elif i % 9 == 0:  # long article QUOTING a marker phrase
+            text = ("The server replied page not found once. " * 20)
+        else:
+            text = f"body of doc {i}. " * int(rng.integers(2, 30))
+        html = (
+            "<html><head>" + "".join(head) + "</head><body><p>"
+            + text + "</p></body></html>"
+        )
+        rows.append((url, html, text))
+    return pd.DataFrame(rows, columns=["url", "html", "text"])
+
+
+# ---------------------------------------------------------------- oracle
+
+
+def _sql_unescape(expr: str) -> str:
+    out = expr
+    for ent, lit in _ENTITIES:
+        lit_sql = lit.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit_sql}')"
+    return out
+
+
+def _sql_first(h: str, pat_a: str, pat_b: str) -> str:
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    a = f"regexp_extract({h}, '{esc(pat_a)}', 1)"
+    b = f"regexp_extract({h}, '{esc(pat_b)}', 1)"
+    return f"CASE WHEN length({a}) > 0 THEN {a} ELSE {b} END"
+
+
+def sql_head_meta(parquet_glob: str) -> str:
+    """Full DuckDB query mirroring :func:`extract_head_meta`."""
+    h = "coalesce(html, '')"
+    title_raw = (
+        f"trim(regexp_replace(regexp_extract({h}, "
+        f"'{_TITLE_RE}', 1), '\\s+', ' ', 'g'))"
+    )
+    title = _sql_unescape(title_raw)
+    desc = _sql_unescape(_sql_first(h, _DESC_A, _DESC_B))
+    canon = _sql_first(h, _CANON_A, _CANON_B)
+    og = _sql_unescape(_sql_first(h, _OG_A, _OG_B))
+    return f"""
+SELECT url,
+       {title} AS title,
+       {desc} AS meta_description,
+       {canon} AS canonical_href,
+       {og} AS og_title,
+       CAST(length({title}) AS INT) AS title_len,
+       (length({canon}) > 0) AS has_canonical
+FROM read_parquet('{parquet_glob}')
+"""
+
+
+def sql_soft404(parquet_glob: str) -> str:
+    """Full DuckDB query mirroring :func:`soft404_features`."""
+    h = "coalesce(html, '')"
+    t = "coalesce(text, '')"
+    probe = (
+        f"concat_ws(' ', lower(regexp_extract({h}, '{_TITLE_RE}', 1)), "
+        f"lower({t}))"
+    )
+    return f"""
+SELECT url,
+       regexp_matches({probe}, '{_MARKER_ALT}') AS marker_hit,
+       CAST(length({t}) AS INT) AS text_len,
+       (regexp_matches({probe}, '{_MARKER_ALT}')
+        AND length({t}) < {SOFT404_MAX_LEN}) AS is_soft404
+FROM read_parquet('{parquet_glob}')
+"""

@@ -1,0 +1,83 @@
+"""Head-metadata extraction + soft-404 (operators/headmeta.py)."""
+
+from __future__ import annotations
+
+from med_doi_feature_extraction_spark.operators.headmeta import (
+    SOFT404_MAX_LEN,
+    extract_head_meta,
+    generate_head_pages,
+    soft404_features,
+)
+
+
+def test_head_meta_unit(spark):
+    rows = [
+        ("u1", '<head><title>A &amp; B</title>'
+               '<meta name="description" content="dsc1">'
+               '<link rel="canonical" href="https://x/c1"></head>'),
+        # reversed attribute order + single quotes
+        ("u2", "<head><title>T2</title>"
+               "<meta content='dsc2' name='description'>"
+               "<link href='https://x/c2' rel='canonical'></head>"),
+        # multiline title, og:title, no description
+        ("u3", "<head><title>\n  Multi\n  Line\n</title>"
+               "<meta property='og:title' content='OG3'></head>"),
+        # uppercase tags (case-insensitive flag)
+        ("u4", '<HEAD><TITLE>T4</TITLE>'
+               '<META NAME="DESCRIPTION" CONTENT="dsc4"></HEAD>'),
+        ("u5", "<head></head>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r.url: r for r in extract_head_meta(df).collect()}
+    assert got["u1"].title == "A & B"
+    assert got["u1"].meta_description == "dsc1"
+    assert got["u1"].canonical_href == "https://x/c1"
+    assert got["u1"].has_canonical
+    assert got["u2"].meta_description == "dsc2"
+    assert got["u2"].canonical_href == "https://x/c2"
+    assert got["u3"].title == "Multi Line"
+    assert got["u3"].og_title == "OG3"
+    assert got["u4"].meta_description == "dsc4"
+    assert got["u5"].title == "" and not got["u5"].has_canonical
+
+
+def test_soft404_semantics(spark):
+    rows = [
+        ("dead", "<title>404 Not Found</title>", "Sorry, gone."),
+        # long article that QUOTES a marker — must stay admitted
+        ("quote", "<title>News</title>",
+         "The server replied page not found once. " * 20),
+        ("fine", "<title>News</title>", "Regular body text here."),
+        ("denied", "<title>x</title>", "access denied"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string, text string")
+    got = {r.url: r for r in soft404_features(df).collect()}
+    assert got["dead"].is_soft404 and got["dead"].marker_hit
+    assert got["quote"].marker_hit and not got["quote"].is_soft404
+    assert got["quote"].text_len >= SOFT404_MAX_LEN
+    assert not got["fine"].marker_hit
+    assert got["denied"].is_soft404
+
+
+def test_fixture_strata(spark):
+    pdf = generate_head_pages(n=160, seed=3)
+    df = spark.createDataFrame(pdf)
+    meta = extract_head_meta(df).toPandas()
+    assert (meta.title_len > 0).sum() > 100
+    assert (meta.meta_description != "").any()
+    assert meta.has_canonical.any()
+    assert (meta.og_title != "").any()
+    # entity titles unescaped
+    assert meta.title.str.contains("&", regex=False).any()
+    assert not meta.title.str.contains("&amp;", regex=False).any()
+    s4 = soft404_features(df).toPandas()
+    assert s4.is_soft404.sum() == (pdf.index % 8 == 7).sum()
+
+
+def test_plan_scan_stage_only(spark):
+    pdf = generate_head_pages(n=60, seed=5)
+    df = spark.createDataFrame(pdf)
+    for op in (extract_head_meta, soft404_features):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # no shuffle: per-row battery
