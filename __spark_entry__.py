@@ -5682,6 +5682,222 @@ def _sql_soft404() -> str:
     return sql_soft404(f"{_headmeta_base()}/pages.parquet/*.parquet")
 
 
+def _hreflang_base() -> str:
+    return "/tmp/spark_graft_hreflang_v1"
+
+
+def _hreflang_seam(spark):
+    from med_doi_feature_extraction_spark.operators.align import (
+        generate_hreflang_pages,
+    )
+
+    base = _hreflang_base()
+    pdf = generate_hreflang_pages()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/pages.parquet"
+    )
+    return spark.read.parquet(f"{base}/pages.parquet")
+
+
+def q_hreflang_pairs(spark, sf_dir):
+    """Site-declared translation edges (<link hreflang>) — the
+    precision complement to the CCAligned URL heuristic."""
+    from med_doi_feature_extraction_spark.operators.align import (
+        hreflang_pairs,
+    )
+
+    return hreflang_pairs(_hreflang_seam(spark))
+
+
+def q_hreflang_audit(spark, sf_dir):
+    """Per-page hreflang audit: alternate count, x-default,
+    self-reference presence (the spec-required row)."""
+    from med_doi_feature_extraction_spark.operators.align import (
+        hreflang_audit,
+        hreflang_pairs,
+    )
+
+    return hreflang_audit(hreflang_pairs(_hreflang_seam(spark)))
+
+
+def _sql_hreflang_pairs() -> str:
+    from med_doi_feature_extraction_spark.operators.align import (
+        oracle_hreflang_sql,
+    )
+
+    return oracle_hreflang_sql(f"{_hreflang_base()}/pages.parquet/*.parquet")
+
+
+def _sql_hreflang_audit() -> str:
+    pairs = _sql_hreflang_pairs()
+    return f"""
+WITH pr AS ({pairs})
+SELECT url, CAST(count(*) AS BIGINT) AS n_alternates,
+       CAST(max(CASE WHEN hreflang = 'x-default' THEN 1 ELSE 0 END)
+            AS BOOLEAN) AS has_xdefault,
+       CAST(max(CASE WHEN alt_url = url THEN 1 ELSE 0 END)
+            AS BOOLEAN) AS self_declared
+FROM pr GROUP BY url
+"""
+
+
+def q_reciprocal_links(spark, sf_dir):
+    """Host pairs linking both ways (link-exchange signal) — self-join
+    of the AGGREGATED host edge table, never the page corpus."""
+    from med_doi_feature_extraction_spark.operators.links import (
+        extract_links,
+        link_edges,
+        reciprocal_links,
+    )
+
+    pages = _links_seam(spark)
+    return reciprocal_links(
+        link_edges(extract_links(pages, html_col="html_str"))
+    )
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """Per-host out/in degree + reciprocity ratio — the link-ring
+    detector over the host edge table."""
+    from med_doi_feature_extraction_spark.operators.links import (
+        extract_links,
+        link_edges,
+        link_reciprocity,
+    )
+
+    pages = _links_seam(spark)
+    return link_reciprocity(
+        link_edges(extract_links(pages, html_col="html_str"))
+    )
+
+
+def _sql_edges_with() -> str:
+    from med_doi_feature_extraction_spark.operators.links import (
+        oracle_edges_cte,
+    )
+
+    return "WITH " + oracle_edges_cte(
+        f"{_links_base()}/pages.parquet/*.parquet"
+    )
+
+
+def _sql_reciprocal_links() -> str:
+    return (
+        _sql_edges_with()
+        + """
+SELECT a.src AS host_a, a.dst AS host_b,
+       a.weight AS w_ab, b.weight AS w_ba
+FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst
+"""
+    )
+
+
+def _sql_link_reciprocity() -> str:
+    return (
+        _sql_edges_with()
+        + """
+, outd AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+           FROM edges GROUP BY 1),
+ind AS (SELECT dst AS src, CAST(count(*) AS BIGINT) AS in_deg
+        FROM edges GROUP BY 1),
+recip AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_reciprocal
+  FROM edges a
+  WHERE EXISTS (SELECT 1 FROM edges b
+                WHERE b.src = a.dst AND b.dst = a.src)
+  GROUP BY src
+)
+SELECT host, out_deg, in_deg, n_reciprocal,
+       (CASE WHEN out_deg > 0
+             THEN floor((CAST(n_reciprocal AS DOUBLE) / out_deg) * 1e6
+                        + 0.5) / 1e6
+             ELSE 0.0 END + 0.0) AS reciprocity
+FROM (
+  SELECT coalesce(o.src, i.src) AS host,
+         coalesce(o.out_deg, 0) AS out_deg,
+         coalesce(i.in_deg, 0) AS in_deg,
+         coalesce(r.n_reciprocal, 0) AS n_reciprocal
+  FROM outd o FULL JOIN ind i ON o.src = i.src
+  LEFT JOIN recip r ON r.src = coalesce(o.src, i.src)
+)
+"""
+    )
+
+
+def _sitemap_base() -> str:
+    from med_doi_feature_extraction_spark.operators.sitemaps import (
+        SITEMAP_VERSION,
+    )
+
+    return f"/tmp/spark_graft_{SITEMAP_VERSION.replace('/', '_')}"
+
+
+def _sitemap_seam(spark):
+    from med_doi_feature_extraction_spark.operators.sitemaps import (
+        generate_sitemaps,
+    )
+
+    base = _sitemap_base()
+    pdf = generate_sitemaps()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/maps.parquet"
+    )
+    return spark.read.parquet(f"{base}/maps.parquet")
+
+
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap/urlset entry extraction (operators/sitemaps.py) —
+    one regexp extract-all + explode per XML document."""
+    from med_doi_feature_extraction_spark.operators.sitemaps import (
+        sitemap_entries,
+    )
+
+    return sitemap_entries(_sitemap_seam(spark))
+
+
+def q_sitemap_stats(spark, sf_dir):
+    """Per-sitemap seed-quality rollup: entries, lastmod coverage,
+    distinct hosts."""
+    from med_doi_feature_extraction_spark.operators.sitemaps import (
+        sitemap_entries,
+        sitemap_stats,
+    )
+
+    return sitemap_stats(sitemap_entries(_sitemap_seam(spark)))
+
+
+def _sql_sitemap_entries() -> str:
+    from med_doi_feature_extraction_spark.operators.sitemaps import (
+        oracle_entries_cte,
+    )
+
+    return (
+        "WITH "
+        + oracle_entries_cte(f"{_sitemap_base()}/maps.parquet/*.parquet")
+        + "SELECT sitemap_url, loc, lastmod, is_index FROM entries"
+    )
+
+
+def _sql_sitemap_stats() -> str:
+    from med_doi_feature_extraction_spark.operators.sitemaps import (
+        oracle_entries_cte,
+    )
+    from med_doi_feature_extraction_spark.operators.urls import sql_url_host
+
+    return (
+        "WITH "
+        + oracle_entries_cte(f"{_sitemap_base()}/maps.parquet/*.parquet")
+        + f"""
+SELECT sitemap_url, is_index, CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(coalesce(sum(CASE WHEN length(lastmod) > 0 THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_lastmod,
+       CAST(count(DISTINCT {sql_url_host('loc')}) AS BIGINT) AS n_hosts
+FROM entries GROUP BY sitemap_url, is_index
+"""
+    )
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -10405,6 +10621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "param_census": q_param_census,
         "head_meta": q_head_meta,
         "soft404": q_soft404,
+        "hreflang_pairs": q_hreflang_pairs,
+        "hreflang_audit": q_hreflang_audit,
+        "reciprocal_links": q_reciprocal_links,
+        "link_reciprocity": q_link_reciprocity,
+        "sitemap_entries": q_sitemap_entries,
+        "sitemap_stats": q_sitemap_stats,
         "trending": q_trending,
         "postings": q_postings,
         "length_quantiles": q_length_quantiles,
@@ -10633,6 +10855,12 @@ def oracle_sql() -> dict[str, str]:
         "param_census": _sql_param_census(),
         "head_meta": _sql_head_meta(),
         "soft404": _sql_soft404(),
+        "hreflang_pairs": _sql_hreflang_pairs(),
+        "hreflang_audit": _sql_hreflang_audit(),
+        "reciprocal_links": _sql_reciprocal_links(),
+        "link_reciprocity": _sql_link_reciprocity(),
+        "sitemap_entries": _sql_sitemap_entries(),
+        "sitemap_stats": _sql_sitemap_stats(),
         "token_df": SQL_TOKEN_DF,
         "trending": SQL_TRENDING,
         "postings": SQL_POSTINGS,

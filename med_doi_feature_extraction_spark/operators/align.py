@@ -202,6 +202,128 @@ def align_pairs(
     )
 
 
+# ----------------------------------------------------------- hreflang
+
+#: any <link ...> tag mentioning hreflang — attribute order handled by
+#: per-tag extracts below, not by the tag pattern
+HREFLANG_TAG_RE = r"(?i)<link[^>]*hreflang[^>]*>"
+_HL_ATTR = r"(?i)hreflang=[\"']([a-zA-Z0-9-]+)"
+_HREF_ATTR = r"(?i)href=[\"']([^\"']*)"
+
+
+def hreflang_pairs(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Explicit translation edges the site itself declares:
+    ``<link rel="alternate" hreflang="fr" href="...">`` → one
+    (url, hreflang, alt_url) row per declaration. The precision
+    complement to :func:`align_pairs`' URL heuristic — sites that
+    declare hreflang give alignment for free, and disagreement
+    between the two is a labeling-quality audit.
+
+    One regexp extract-all + explode (the html column is pruned
+    before the explode so the wide payload never survives into a
+    shuffle), per-tag attribute extracts are order-insensitive.
+    """
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    tags = F.explode(
+        F.regexp_extract_all(h, F.lit(HREFLANG_TAG_RE), 0)
+    )
+    x = df.select(F.col(url_col).alias("url"), tags.alias("_tag"))
+    hl = F.lower(F.regexp_extract("_tag", _HL_ATTR, 1))
+    href = F.regexp_extract("_tag", _HREF_ATTR, 1)
+    return x.select(
+        "url", hl.alias("hreflang"), href.alias("alt_url")
+    ).where((F.length("hreflang") > 0) & (F.length("alt_url") > 0))
+
+
+def hreflang_audit(pairs: DataFrame) -> DataFrame:
+    """Per declaring page: alternate count, x-default flag, and
+    whether the page self-references (required by the hreflang spec —
+    its absence is the classic implementation bug). One hash-agg."""
+    return pairs.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_alternates"),
+        F.max((F.col("hreflang") == "x-default").cast("int"))
+        .cast("boolean")
+        .alias("has_xdefault"),
+        F.max((F.col("alt_url") == F.col("url")).cast("int"))
+        .cast("boolean")
+        .alias("self_declared"),
+    )
+
+
+def generate_hreflang_pages(n_clusters: int = 70, seed: int = 41):
+    """Translation clusters whose pages declare each other via
+    hreflang links: varied attribute order, quote style, x-default,
+    a broken stratum missing the self-reference, and pages with no
+    hreflang at all. Returns pandas DataFrame (url, html)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    others = ["fr", "de", "es", "pt", "it"]
+    rows = []
+    for c in range(n_clusters):
+        host = f"site{c % 8}.example.com"
+        langs = ["en"] + list(
+            rng.choice(others, size=int(rng.integers(1, 4)), replace=False)
+        )
+        urls = {lg: f"https://{host}/{lg}/doc-{c}" for lg in langs}
+        for lg in langs:
+            tags = []
+            for lg2 in langs:
+                if lg2 == lg and c % 6 == 0:
+                    continue  # broken stratum: missing self-reference
+                q = '"' if (c + len(tags)) % 2 == 0 else "'"
+                if len(tags) % 2 == 0:
+                    tags.append(
+                        f"<link rel={q}alternate{q} hreflang={q}{lg2}{q} "
+                        f"href={q}{urls[lg2]}{q}>"
+                    )
+                else:  # attribute order flipped
+                    tags.append(
+                        f"<link href={q}{urls[lg2]}{q} "
+                        f"hreflang={q}{lg2}{q} rel={q}alternate{q}>"
+                    )
+            if c % 4 == 0:
+                tags.append(
+                    f'<link rel="alternate" hreflang="x-default" '
+                    f'href="{urls["en"]}">'
+                )
+            html = (
+                "<html><head><title>doc</title>" + "".join(tags)
+                + f"</head><body><p>body {c} {lg}</p></body></html>"
+            )
+            rows.append((urls[lg], html))
+        if c % 5 == 0:  # no-hreflang page
+            rows.append(
+                (f"https://{host}/plain-{c}",
+                 "<html><head></head><body>plain</body></html>")
+            )
+    return pd.DataFrame(rows, columns=["url", "html"])
+
+
+def oracle_hreflang_sql(parquet_glob: str) -> str:
+    """DuckDB query mirroring :func:`hreflang_pairs` (pairs only)."""
+    tag_re = HREFLANG_TAG_RE.replace("'", "''")
+    hl = _HL_ATTR.replace("'", "''")
+    href = _HREF_ATTR.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT url,
+         unnest(regexp_extract_all(coalesce(html, ''), '{tag_re}', 0))
+             AS tag
+  FROM read_parquet('{parquet_glob}')
+)
+SELECT url,
+       lower(regexp_extract(tag, '{hl}', 1)) AS hreflang,
+       regexp_extract(tag, '{href}', 1) AS alt_url
+FROM t
+WHERE length(regexp_extract(tag, '{hl}', 1)) > 0
+  AND length(regexp_extract(tag, '{href}', 1)) > 0
+"""
+
+
 # ------------------------------------------------------------- fixture
 
 #: bump when fixture/operator semantics change (seam cache key)

@@ -138,6 +138,94 @@ def link_edges(links: DataFrame) -> DataFrame:
     return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
 
 
+def reciprocal_links(edges: DataFrame) -> DataFrame:
+    """Unordered host pairs that link each other BOTH ways —
+    the classic link-exchange / link-farm signal. Input is the
+    host-granularity edge table from :func:`link_edges` (already
+    aggregated: ≪ corpus size), so the self-join here shuffles the
+    SMALL edge table on its keys, never the page corpus; emitted once
+    per pair via ``host_a < host_b``."""
+    a = edges.select(
+        F.col("src").alias("host_a"),
+        F.col("dst").alias("host_b"),
+        F.col("weight").alias("w_ab"),
+    )
+    b = edges.select(
+        F.col("dst").alias("host_a"),
+        F.col("src").alias("host_b"),
+        F.col("weight").alias("w_ba"),
+    )
+    return (
+        a.join(b, ["host_a", "host_b"])
+        .where(F.col("host_a") < F.col("host_b"))
+        .select(
+            "host_a",
+            "host_b",
+            F.col("w_ab").cast("long").alias("w_ab"),
+            F.col("w_ba").cast("long").alias("w_ba"),
+        )
+    )
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-host link-graph hygiene: out/in degree (distinct
+    counterpart hosts) and how many outlinked hosts link back —
+    ``reciprocity`` = n_reciprocal / out_deg (portable 6-dp round).
+    High reciprocity at high degree is the link-ring shape. All
+    joins are on the aggregated host-edge table."""
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ind = (
+        edges.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+        .withColumnRenamed("dst", "src")
+    )
+    base = (
+        outd.join(ind, "src", "full_outer")
+        .join(recip, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_reciprocal", F.lit(0))
+            .cast("long")
+            .alias("n_reciprocal"),
+        )
+    )
+    ratio = F.col("n_reciprocal") / F.col("out_deg")
+    r6 = F.floor(ratio * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return base.withColumn(
+        "reciprocity",
+        (F.when(F.col("out_deg") > 0, r6).otherwise(F.lit(0.0))
+         + F.lit(0.0)).cast("double"),
+    )
+
+
+def oracle_edges_cte(pages_glob: str) -> str:
+    """Extends :func:`oracle_links_cte` with the host-level ``edges``
+    CTE mirroring :func:`link_edges`."""
+    from med_doi_feature_extraction_spark.operators.urls import sql_url_host
+
+    hs = sql_url_host("src")
+    hd = sql_url_host("dst")
+    return (
+        oracle_links_cte(pages_glob)
+        + f""",
+  edges AS (
+    SELECT {hs} AS src, {hd} AS dst, CAST(count(*) AS BIGINT) AS weight
+    FROM links WHERE {hs} <> {hd} GROUP BY 1, 2
+  )
+"""
+    )
+
+
 def oracle_links_cte(pages_glob: str) -> str:
     """DuckDB CTE body reproducing :func:`extract_links` over a seam
     parquet with columns (url, warc_ts, html_str). Runs the IDENTICAL

@@ -60,6 +60,17 @@ def suffix_in_sql() -> str:
     return ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
 
 
+def sql_url_host(expr: str) -> str:
+    """DuckDB expression mirroring :func:`url_host` 1:1 — the single
+    source for every oracle that needs a host key (anchor_stats,
+    reciprocal links, ...)."""
+    return (
+        "regexp_replace(regexp_replace("
+        f"lower(regexp_extract({expr}, '^[a-zA-Z]+://([^/?#]+)', 1)),"
+        " '^.*@', ''), ':(80|443)$', '')"
+    )
+
+
 def url_host(url: F.Column) -> F.Column:
     """Lower-cased host part: userinfo (``user:pass@``) and default
     port stripped, so ``http://user@a.example.com/`` and

@@ -143,6 +143,35 @@ def test_plan_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_hreflang_pairs_and_audit(spark):
+    from med_doi_feature_extraction_spark.operators.align import (
+        generate_hreflang_pages,
+        hreflang_audit,
+        hreflang_pairs,
+    )
+
+    pdf = generate_hreflang_pages(n_clusters=40, seed=9)
+    df = spark.createDataFrame(pdf)
+    pairs = hreflang_pairs(df).toPandas()
+    assert len(pairs) > 50
+    # both attribute orders parse: every cluster page declares every
+    # cluster lang (minus the broken self-ref stratum)
+    assert set(pairs.hreflang) >= {"en", "x-default"}
+    # declared alternates point inside the same host
+    import re as _re
+
+    hosts_src = pairs.url.map(lambda u: _re.findall(r"://([^/]+)", u)[0])
+    hosts_dst = pairs.alt_url.map(
+        lambda u: _re.findall(r"://([^/]+)", u)[0]
+    )
+    assert (hosts_src == hosts_dst).all()
+    audit = hreflang_audit(hreflang_pairs(df)).toPandas()
+    assert audit.has_xdefault.any()
+    assert audit.self_declared.any()
+    # broken stratum exists: some pages lack the self-reference
+    assert (~audit.self_declared).any()
+
+
 def test_strip_idempotent_on_fixture(spark):
     """strip(strip(u)) == strip(u) over every fixture URL — stripped
     keys must be stable under re-canonicalization."""

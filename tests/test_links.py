@@ -87,3 +87,54 @@ def test_generator_default_stream_unchanged():
 def test_extracted_text_unaffected_by_links(spark):
     # anchor word stays in extracted text: byte-identity contract holds
     generate_pages(n_urls=6, seed=9, max_snapshots=2, link_frac=0.9, validate=True)
+
+
+def test_reciprocal_links_brute(spark):
+    from med_doi_feature_extraction_spark.operators.links import (
+        link_reciprocity,
+        reciprocal_links,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("b", "a", 1),          # reciprocal pair
+            ("a", "c", 2),                          # one-way
+            ("c", "d", 1), ("d", "c", 5),           # reciprocal pair
+            ("e", "a", 4),                          # one-way into a
+        ],
+        "src string, dst string, weight long",
+    )
+    rec = {
+        (r.host_a, r.host_b): (r.w_ab, r.w_ba)
+        for r in reciprocal_links(edges).collect()
+    }
+    assert rec == {("a", "b"): (3, 1), ("c", "d"): (1, 5)}
+    per = {r.host: r for r in link_reciprocity(edges).collect()}
+    assert per["a"].out_deg == 2 and per["a"].in_deg == 2
+    assert per["a"].n_reciprocal == 1
+    assert abs(per["a"].reciprocity - 0.5) < 1e-12
+    assert per["e"].out_deg == 1 and per["e"].n_reciprocal == 0
+    # sink-only host appears with out_deg 0 via the full-outer union
+    assert per["b"].in_deg == 1 and per["b"].out_deg == 1
+
+
+def test_reciprocity_on_fixture(spark):
+    from med_doi_feature_extraction_spark.operators.links import (
+        extract_links,
+        link_edges,
+        link_reciprocity,
+    )
+    from med_doi_feature_extraction_spark.sources.pages import (
+        generate_pages,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = generate_pages(n_urls=120, seed=77, max_snapshots=3, link_frac=0.7)
+    pages = spark.createDataFrame(pdf).select(
+        "url", F.col("html").cast("string").alias("html_str")
+    )
+    edges = link_edges(extract_links(pages, html_col="html_str"))
+    per = link_reciprocity(edges).toPandas()
+    assert (per.n_reciprocal <= per.out_deg).all()
+    assert ((per.reciprocity >= 0) & (per.reciprocity <= 1)).all()
+    assert per.n_reciprocal.sum() > 0  # 8-host fixture cross-links
