@@ -5674,6 +5674,31 @@ def _sql_head_meta() -> str:
     return sql_head_meta(f"{_headmeta_base()}/pages.parquet/*.parquet")
 
 
+def q_canonical_groups(spark, sf_dir):
+    """rel=canonical dedup groups: per-target group size, min-url
+    representative, self-reference count — the site-declared dedup
+    signal consumed before content hashing."""
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        canonical_groups,
+        extract_head_meta,
+    )
+
+    return canonical_groups(extract_head_meta(_headmeta_seam(spark)))
+
+
+def _sql_canonical_groups() -> str:
+    return f"""
+WITH m AS ({_sql_head_meta()})
+SELECT CASE WHEN length(canonical_href) > 0 THEN canonical_href
+            ELSE url END AS canonical_key,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       min(url) AS rep_url,
+       CAST(coalesce(sum(CASE WHEN canonical_href = url THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_self
+FROM m GROUP BY 1
+"""
+
+
 def _sql_soft404() -> str:
     from med_doi_feature_extraction_spark.operators.headmeta import (
         sql_soft404,
@@ -10621,6 +10646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "param_census": q_param_census,
         "head_meta": q_head_meta,
         "soft404": q_soft404,
+        "canonical_groups": q_canonical_groups,
         "hreflang_pairs": q_hreflang_pairs,
         "hreflang_audit": q_hreflang_audit,
         "reciprocal_links": q_reciprocal_links,
@@ -10855,6 +10881,7 @@ def oracle_sql() -> dict[str, str]:
         "param_census": _sql_param_census(),
         "head_meta": _sql_head_meta(),
         "soft404": _sql_soft404(),
+        "canonical_groups": _sql_canonical_groups(),
         "hreflang_pairs": _sql_hreflang_pairs(),
         "hreflang_audit": _sql_hreflang_audit(),
         "reciprocal_links": _sql_reciprocal_links(),

@@ -125,9 +125,32 @@ def soft404_features(
     )
 
 
+def canonical_groups(meta: DataFrame) -> DataFrame:
+    """Site-declared dedup groups: pages sharing a ``rel=canonical``
+    target collapse to one group key (pages without one are their own
+    canonical). Emits per-group size, member count with a
+    self-referencing canonical, and a deterministic representative
+    (min url) — the free dedup signal a 10^12-page pipeline should
+    consume BEFORE paying for content hashing. One hash-agg on the
+    group key."""
+    key = F.when(
+        F.length("canonical_href") > 0, F.col("canonical_href")
+    ).otherwise(F.col("url"))
+    g = meta.select(
+        key.alias("canonical_key"),
+        F.col("url"),
+        (F.col("canonical_href") == F.col("url")).cast("int").alias("_self"),
+    )
+    return g.groupBy("canonical_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.min("url").alias("rep_url"),
+        F.sum("_self").cast("long").alias("n_self"),
+    )
+
+
 # ------------------------------------------------------------- fixture
 
-HEADMETA_VERSION = "headmeta/v1"
+HEADMETA_VERSION = "headmeta/v2"
 
 
 def generate_head_pages(n: int = 240, seed: int = 211):
@@ -162,11 +185,11 @@ def generate_head_pages(n: int = 240, seed: int = 211):
         if kind in (0, 2):
             if i % 2 == 0:
                 head.append(
-                    f"<link rel={q}canonical{q} href={q}https://site0.example.com/doc-{i}{q}>"
+                    f"<link rel={q}canonical{q} href={q}https://site0.example.com/doc-{i - i % 3}{q}>"
                 )
             else:
                 head.append(
-                    f"<link href={q}https://site0.example.com/doc-{i}{q} rel={q}canonical{q}>"
+                    f"<link href={q}https://site0.example.com/doc-{i - i % 3}{q} rel={q}canonical{q}>"
                 )
         if kind in (1, 3):
             head.append(

@@ -81,3 +81,24 @@ def test_plan_scan_stage_only(spark):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan  # no shuffle: per-row battery
+
+
+def test_canonical_groups(spark):
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        canonical_groups,
+        generate_head_pages,
+    )
+
+    pdf = generate_head_pages(n=120, seed=7)
+    meta = extract_head_meta(spark.createDataFrame(pdf))
+    g = canonical_groups(meta).toPandas()
+    assert g.n_pages.sum() == len(pdf)
+    # canonical triples collapse: multi-page groups exist
+    assert (g.n_pages > 1).any()
+    assert (g.n_self <= g.n_pages).all()
+    # representative is a member-min: deterministic
+    multi = g[g.n_pages > 1]
+    assert (multi.rep_url.str.startswith("https://")).all()
+    # pages without canonical are singleton groups keyed on themselves
+    single_self = g[(g.n_pages == 1) & (g.canonical_key == g.rep_url)]
+    assert len(single_self) > 0
