@@ -246,6 +246,19 @@ def main() -> None:
         ("theils_u", "bounded contingency + marginal broadcasts; "
          "four 1-row entropy aggregates crossJoined (allowlisted "
          "cohens_kappa shape)."),
+        ("ccalign_pairs", "lang-strip + detect regexp chains ride "
+         "the scan; per-(key,lang) min-struct hash-agg bounds join "
+         "fanout to the 30-code lang table BEFORE the pivot-vs-rest "
+         "shuffle equi-join — no corpus×corpus."),
+        ("trap_features", "entire trap battery (array-lambda repeat "
+         "probe included) in ONE codegen span on the scan — zero "
+         "exchanges."),
+        ("reciprocal_links", "self-join runs on the AGGREGATED host "
+         "edge table (post link_edges hash-agg), never the page "
+         "corpus; pair emitted once via host_a < host_b."),
+        ("sitemap_entries", "block extract-all + explode with the "
+         "xml payload pruned to (sitemap_url, is_index) before the "
+         "generator — entry rows, not documents, are what survives."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
