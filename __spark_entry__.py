@@ -5923,6 +5923,48 @@ FROM entries GROUP BY sitemap_url, is_index
     )
 
 
+def q_wilson_rollup(spark, sf_dir):
+    """Grouped-binomial quality triage (operators/domainstats.py):
+    keep-rate + Wilson 95% lower bound per language — the
+    small-group-safe ranking statistic, one hash-agg."""
+    from med_doi_feature_extraction_spark.operators.domainstats import (
+        quality_rollup,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    keep = F.length(F.coalesce(F.col("text"), F.lit(""))) > 200
+    return quality_rollup(docs, "lang", keep)
+
+
+def _sql_wilson_rollup() -> str:
+    from med_doi_feature_extraction_spark.operators.domainstats import (
+        sql_quality_rollup,
+    )
+
+    return sql_quality_rollup(
+        "documents", "lang", "length(coalesce(text, '')) > 200"
+    )
+
+
+def q_markup_stats(spark, sf_dir):
+    """Per-page markup density battery (text-to-markup ratio, tag /
+    script+style / anchor counts) — the template-page signal, one
+    codegen span."""
+    from med_doi_feature_extraction_spark.operators.domainstats import (
+        markup_stats,
+    )
+
+    return markup_stats(_headmeta_seam(spark))
+
+
+def _sql_markup_stats() -> str:
+    from med_doi_feature_extraction_spark.operators.domainstats import (
+        sql_markup_stats,
+    )
+
+    return sql_markup_stats(f"{_headmeta_base()}/pages.parquet/*.parquet")
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -10647,6 +10689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_meta": q_head_meta,
         "soft404": q_soft404,
         "canonical_groups": q_canonical_groups,
+        "wilson_rollup": q_wilson_rollup,
+        "markup_stats": q_markup_stats,
         "hreflang_pairs": q_hreflang_pairs,
         "hreflang_audit": q_hreflang_audit,
         "reciprocal_links": q_reciprocal_links,
@@ -10882,6 +10926,8 @@ def oracle_sql() -> dict[str, str]:
         "head_meta": _sql_head_meta(),
         "soft404": _sql_soft404(),
         "canonical_groups": _sql_canonical_groups(),
+        "wilson_rollup": _sql_wilson_rollup(),
+        "markup_stats": _sql_markup_stats(),
         "hreflang_pairs": _sql_hreflang_pairs(),
         "hreflang_audit": _sql_hreflang_audit(),
         "reciprocal_links": _sql_reciprocal_links(),

@@ -1,0 +1,179 @@
+"""Grouped-binomial quality rollups (Wilson bound) and markup-density
+page statistics.
+
+Domain-level triage is how a 10^12-page pipeline spends its quality
+budget: instead of scoring every page of a known-bad domain, roll the
+per-page keep decisions up to the domain and act on the group. The
+honest statistic for "is this domain good" from k keeps out of n is
+the **Wilson score lower bound** (Wilson 1927; the classic ranking
+fix popularized for star-ratings) — a raw keep-rate ranks a 1/1
+domain above a 979/1000 one. The reference's analogue is the
+confidence blend in ``src/services/quality_service.py:20-58`` (scalar
+per-record confidence); here confidence is a closed-form projection
+of ONE hash-agg.
+
+``markup_stats`` is the text-to-markup density battery (boilerplate /
+template-page signal): pure Column algebra over (html, text), exact
+integer byte counts, portable 6-dp ratios.
+
+Both surfaces are engine-portable by construction: exact-BIGINT
+aggregates, one shared formula tree for the Wilson bound (IEEE sqrt
+is correctly rounded in both engines), regexes RE2-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: z for a 95% one-sided Wilson lower bound; z² spelled as a product
+#: so both engines compute the IDENTICAL double.
+_Z = 1.96
+
+_TAG_RE = r"<[a-zA-Z!/]"
+_SCRIPT_STYLE_RE = r"(?is)<script[\s\S]*?</script>|<style[\s\S]*?</style>"
+_ANCHOR_RE = r"(?i)<a[\s>]"
+
+
+def _round6(c: Column) -> Column:
+    """Portable 6-dp HALF_UP for non-negative inputs
+    (readability.py:_round4 pattern)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0)
+
+
+def wilson_lower_bound(k: Column, n: Column) -> Column:
+    """Wilson score interval lower bound for k successes in n trials
+    (0.0 when n = 0). One closed-form expression over two exact
+    integers — both engines produce bit-identical doubles, so the
+    6-dp gate can never straddle."""
+    z = F.lit(_Z)
+    zz = z * z
+    p = k / n
+    center = p + zz / (F.lit(2.0) * n)
+    margin = z * F.sqrt(
+        (p * (F.lit(1.0) - p) + zz / (F.lit(4.0) * n)) / n
+    )
+    lb = (center - margin) / (F.lit(1.0) + zz / n)
+    return F.when(n > 0, _round6(F.greatest(lb, F.lit(0.0)))).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_rollup(
+    df: DataFrame, group_col: str, keep: Column
+) -> DataFrame:
+    """Per-group binomial quality: (group, n, n_keep, keep_rate,
+    wilson_lb), wilson_lb ranking-safe for small groups. ONE hash-agg
+    with map-side partial combine — group cardinality (domains,
+    languages, sources) is always ≪ corpus."""
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(keep.cast("long")).cast("long").alias("n_keep"),
+    )
+    return agg.select(
+        "grp",
+        "n",
+        "n_keep",
+        _round6(F.col("n_keep") / F.col("n")).alias("keep_rate"),
+        wilson_lower_bound(F.col("n_keep"), F.col("n")).alias("wilson_lb"),
+    )
+
+
+def sql_quality_rollup(
+    from_clause: str, group_expr: str, keep_expr: str
+) -> str:
+    """DuckDB query mirroring :func:`quality_rollup` — SAME formula
+    tree, exact-int aggregates cast before the double math."""
+    zz = f"({_Z} * {_Z})"
+    return f"""
+WITH a AS (
+  SELECT {group_expr} AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN {keep_expr} THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_keep
+  FROM {from_clause} GROUP BY 1
+)
+SELECT grp, n, n_keep,
+       (floor((CAST(n_keep AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 + 0.0)
+           AS keep_rate,
+       CASE WHEN n > 0 THEN
+         (floor(greatest(
+            ((CAST(n_keep AS DOUBLE) / n + {zz} / (2.0 * n))
+             - {_Z} * sqrt(((CAST(n_keep AS DOUBLE) / n)
+                            * (1.0 - CAST(n_keep AS DOUBLE) / n)
+                            + {zz} / (4.0 * n)) / n))
+            / (1.0 + {zz} / n), 0.0) * 1e6 + 0.5) / 1e6 + 0.0)
+       ELSE 0.0 END AS wilson_lb
+FROM a
+"""
+
+
+def markup_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-page markup density: html/text byte lengths, text-to-markup
+    ratio, tag count, script+style byte share, anchor-tag count —
+    the template/boilerplate page signal, one codegen span on the
+    scan (extract-all + transform/aggregate are array algebra, no
+    UDF)."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    hlen = F.length(h).cast("long")
+    tlen = F.length(t).cast("long")
+    ss_bytes = F.aggregate(
+        F.transform(
+            F.regexp_extract_all(h, F.lit(_SCRIPT_STYLE_RE), 0),
+            lambda x: F.length(x).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ratio = F.when(
+        hlen > 0, _round6(tlen / hlen)
+    ).otherwise(F.lit(0.0))
+    ss_share = F.when(
+        hlen > 0, _round6(ss_bytes / hlen)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(url_col).alias("url"),
+        hlen.alias("html_len"),
+        tlen.alias("text_len"),
+        (ratio + F.lit(0.0)).alias("text_ratio"),
+        F.regexp_count(h, F.lit(_TAG_RE)).cast("long").alias("n_tags"),
+        ss_bytes.alias("script_style_bytes"),
+        (ss_share + F.lit(0.0)).alias("script_style_share"),
+        F.regexp_count(h, F.lit(_ANCHOR_RE)).cast("long").alias("n_anchors"),
+    )
+
+
+def sql_markup_stats(parquet_glob: str, html_expr: str = "html") -> str:
+    """DuckDB query mirroring :func:`markup_stats` over a seam whose
+    html column is already VARCHAR (``html_expr`` lets callers cast)."""
+    h = f"coalesce({html_expr}, '')"
+    t = "coalesce(text, '')"
+    tag = _TAG_RE
+    ss = _SCRIPT_STYLE_RE.replace("'", "''")
+    anchor = _ANCHOR_RE
+    ssb = (
+        f"CAST(coalesce(list_sum(list_transform("
+        f"regexp_extract_all({h}, '{ss}', 0), x -> length(x))), 0) AS BIGINT)"
+    )
+    r6 = "floor(({x}) * 1e6 + 0.5) / 1e6 + 0.0"
+    ratio = r6.format(x=f"CAST(length({t}) AS DOUBLE) / length({h})")
+    ss_share = r6.format(x=f"CAST({ssb} AS DOUBLE) / length({h})")
+    return f"""
+SELECT url,
+       CAST(length({h}) AS BIGINT) AS html_len,
+       CAST(length({t}) AS BIGINT) AS text_len,
+       (CASE WHEN length({h}) > 0 THEN {ratio} ELSE 0.0 END + 0.0)
+           AS text_ratio,
+       CAST(len(regexp_extract_all({h}, '{tag}', 0)) AS BIGINT) AS n_tags,
+       {ssb} AS script_style_bytes,
+       (CASE WHEN length({h}) > 0 THEN {ss_share} ELSE 0.0 END + 0.0)
+           AS script_style_share,
+       CAST(len(regexp_extract_all({h}, '{anchor}', 0)) AS BIGINT)
+           AS n_anchors
+FROM read_parquet('{parquet_glob}')
+"""

@@ -1,0 +1,85 @@
+"""Wilson-bound quality rollups + markup density
+(operators/domainstats.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from med_doi_feature_extraction_spark.operators.domainstats import (
+    markup_stats,
+    quality_rollup,
+)
+
+
+def py_wilson(k: int, n: int, z: float = 1.96) -> float:
+    if n == 0:
+        return 0.0
+    p = k / n
+    zz = z * z
+    center = p + zz / (2.0 * n)
+    margin = z * math.sqrt((p * (1.0 - p) + zz / (4.0 * n)) / n)
+    lb = max((center - margin) / (1.0 + zz / n), 0.0)
+    return math.floor(lb * 1e6 + 0.5) / 1e6
+
+
+def test_wilson_vs_reference(spark):
+    rows = []
+    cases = [("a", 1, 1), ("b", 979, 1000), ("c", 0, 5), ("d", 50, 100)]
+    for g, k, n in cases:
+        rows += [(g, 1)] * k + [(g, 0)] * (n - k)
+    df = spark.createDataFrame(rows, "grp string, keep int")
+    out = {
+        r.grp: r
+        for r in quality_rollup(df, "grp", F.col("keep") == 1).collect()
+    }
+    for g, k, n in cases:
+        assert out[g].n == n and out[g].n_keep == k
+        assert abs(out[g].wilson_lb - py_wilson(k, n)) < 1e-9, g
+    # the RANKING property: 979/1000 beats 1/1 despite lower raw rate
+    assert out["b"].wilson_lb > out["a"].wilson_lb
+    assert out["a"].keep_rate == 1.0 and out["b"].keep_rate < 1.0
+
+
+def test_markup_stats_unit(spark):
+    rows = [
+        ("u1",
+         "<html><head><script>var x=1;</script><style>.a{}</style>"
+         "</head><body><p>hello</p><a href='x'>l</a></body></html>",
+         "hello l"),
+        ("u2", "", ""),
+        ("u3", "<p>plain</p>", "plain"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string, text string")
+    got = {r.url: r for r in markup_stats(df).collect()}
+    u1 = got["u1"]
+    assert u1.script_style_bytes == len("<script>var x=1;</script>") + len(
+        "<style>.a{}</style>"
+    )
+    assert u1.n_anchors == 1
+    assert u1.text_len == 7
+    assert 0 < u1.text_ratio < 1
+    assert got["u2"].html_len == 0 and got["u2"].text_ratio == 0.0
+    assert got["u3"].n_tags == 2  # <p> and </p>
+    assert got["u3"].script_style_bytes == 0
+
+
+def test_markup_on_fixture(spark):
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        generate_head_pages,
+    )
+
+    pdf = generate_head_pages(n=100, seed=5)
+    out = markup_stats(spark.createDataFrame(pdf)).toPandas()
+    assert (out.html_len > out.text_len).all()
+    assert ((out.text_ratio > 0) & (out.text_ratio < 1)).all()
+    assert (out.n_tags >= 4).all()
+    plan = (
+        markup_stats(spark.createDataFrame(pdf))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
