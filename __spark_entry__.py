@@ -5965,6 +5965,117 @@ def _sql_markup_stats() -> str:
     return sql_markup_stats(f"{_headmeta_base()}/pages.parquet/*.parquet")
 
 
+def q_outlink_profile(spark, sf_dir):
+    """Per-page outlink spam features: external ratio + single-host
+    concentration (the link-farm tell) — two map-side-combinable
+    hash-aggs over the extracted link triples."""
+    from med_doi_feature_extraction_spark.operators.links import (
+        extract_links,
+        outlink_profile,
+    )
+
+    pages = _links_seam(spark)
+    return outlink_profile(extract_links(pages, html_col="html_str"))
+
+
+def _sql_outlink_profile() -> str:
+    from med_doi_feature_extraction_spark.operators.urls import sql_url_host
+
+    sh = sql_url_host("src")
+    dh = sql_url_host("dst")
+    return (
+        _sql_links_with()
+        + f"""
+, ph AS (
+  SELECT src, {sh} AS sh, {dh} AS dh, count(*) AS n_h
+  FROM links GROUP BY 1, 2, 3
+), a AS (
+  SELECT src,
+         CAST(sum(n_h) AS BIGINT) AS n_out,
+         CAST(coalesce(sum(CASE WHEN dh <> sh THEN n_h ELSE 0 END), 0)
+              AS BIGINT) AS n_ext,
+         CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(coalesce(max(CASE WHEN dh <> sh THEN n_h ELSE 0 END), 0)
+              AS BIGINT) AS max_ext_one_host
+  FROM ph GROUP BY 1
+)
+SELECT src, n_out, n_ext, n_hosts,
+       (floor((CAST(n_ext AS DOUBLE) / n_out) * 1e6 + 0.5) / 1e6 + 0.0)
+           AS ext_ratio,
+       (CASE WHEN n_ext > 0
+             THEN floor((CAST(max_ext_one_host AS DOUBLE) / n_ext) * 1e6
+                        + 0.5) / 1e6 + 0.0
+             ELSE 0.0 END + 0.0) AS top_ext_share
+FROM a
+"""
+    )
+
+
+def q_anchor_expansion(spark, sf_dir):
+    """Inbound anchor-text pseudo-document per target (k
+    lexicographically-first distinct anchors, hot-target-capped)."""
+    from med_doi_feature_extraction_spark.operators.links import (
+        anchor_expansion,
+        extract_links,
+    )
+
+    pages = _links_seam(spark)
+    return anchor_expansion(
+        extract_links(pages, html_col="html_str"), k=5
+    )
+
+
+def _sql_anchor_expansion() -> str:
+    return (
+        _sql_links_with()
+        + """
+, s AS (
+  SELECT dst, anchor
+  FROM links WHERE length(anchor) > 0
+  GROUP BY dst, anchor
+), r AS (
+  SELECT dst, anchor,
+         row_number() OVER (PARTITION BY dst ORDER BY anchor) AS rk,
+         count(*) OVER (PARTITION BY dst) AS n_all
+  FROM s
+)
+SELECT dst,
+       string_agg(anchor, ' | ' ORDER BY anchor) AS anchor_text,
+       CAST(least(max(n_all), 5) AS INT) AS n_anchors
+FROM r WHERE rk <= 5
+GROUP BY dst
+"""
+    )
+
+
+def q_subdomain_census(spark, sf_dir):
+    """Per-registrable-domain subdomain-explosion census (wildcard
+    spam-farm detector) over an adversarial fixture."""
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        generate_subdomain_urls,
+    )
+    from med_doi_feature_extraction_spark.operators.urls import (
+        subdomain_census,
+    )
+
+    base = "/tmp/spark_graft_subdomains_v1"
+    pdf = generate_subdomain_urls()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/urls.parquet"
+    )
+    return subdomain_census(spark.read.parquet(f"{base}/urls.parquet"))
+
+
+def _sql_subdomain_census() -> str:
+    from med_doi_feature_extraction_spark.operators.urls import (
+        sql_subdomain_census,
+    )
+
+    return sql_subdomain_census(
+        "/tmp/spark_graft_subdomains_v1/urls.parquet/*.parquet"
+    )
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -10691,6 +10802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_groups": q_canonical_groups,
         "wilson_rollup": q_wilson_rollup,
         "markup_stats": q_markup_stats,
+        "outlink_profile": q_outlink_profile,
+        "anchor_expansion": q_anchor_expansion,
+        "subdomain_census": q_subdomain_census,
         "hreflang_pairs": q_hreflang_pairs,
         "hreflang_audit": q_hreflang_audit,
         "reciprocal_links": q_reciprocal_links,
@@ -10928,6 +11042,9 @@ def oracle_sql() -> dict[str, str]:
         "canonical_groups": _sql_canonical_groups(),
         "wilson_rollup": _sql_wilson_rollup(),
         "markup_stats": _sql_markup_stats(),
+        "outlink_profile": _sql_outlink_profile(),
+        "anchor_expansion": _sql_anchor_expansion(),
+        "subdomain_census": _sql_subdomain_census(),
         "hreflang_pairs": _sql_hreflang_pairs(),
         "hreflang_audit": _sql_hreflang_audit(),
         "reciprocal_links": _sql_reciprocal_links(),

@@ -203,6 +203,30 @@ def generate_crawl_urls(n: int = 600, seed: int = 131):
     return pd.DataFrame(rows, columns=["url"])
 
 
+def generate_subdomain_urls(seed: int = 173):
+    """Subdomain-census fixture: legit domains (few hosts, many
+    pages), wildcard-spam domains (many hosts, one page each), and
+    multi-label-suffix registrable domains (``*.co.uk``).
+    Returns pandas DataFrame (url,)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for d in range(4):  # legit: 3 hosts, ~60 pages each
+        for h in ("www", "blog", "shop")[: 1 + d % 3]:
+            for p in range(int(rng.integers(30, 60))):
+                rows.append((f"https://{h}.legit{d}-site.com/p/{p}",))
+    for d in range(3):  # spam farm: 80 hosts, 1-2 pages each
+        for h in range(80):
+            for p in range(int(rng.integers(1, 3))):
+                rows.append((f"https://u{h}.farm{d}-net.org/x{p}",))
+    for h in ("a", "b"):  # multi-label suffix: domain = brand.co.uk
+        for p in range(20):
+            rows.append((f"https://{h}.brand.co.uk/item/{p}",))
+    return pd.DataFrame(rows, columns=["url"])
+
+
 # ---------------------------------------------------------------- oracle
 
 

@@ -208,6 +208,79 @@ def link_reciprocity(edges: DataFrame) -> DataFrame:
     )
 
 
+def outlink_profile(links: DataFrame) -> DataFrame:
+    """Per-source-page outlink spam features: total outlinks,
+    external count/ratio (target host ≠ own host), distinct target
+    hosts, and the max share of outlinks aimed at ONE external host
+    (the link-farm tell: many links, few distinct targets). One
+    hash-agg on (src, dst_host) then one on src — both map-side
+    combinable; ratios portable 6-dp."""
+    from med_doi_feature_extraction_spark.operators.urls import url_host
+
+    e = links.select(
+        "src",
+        url_host(F.col("src")).alias("_sh"),
+        url_host(F.col("dst")).alias("_dh"),
+    )
+    per_host = e.groupBy("src", "_sh", "_dh").agg(
+        F.count(F.lit(1)).alias("n_h")
+    )
+    ext = F.col("_dh") != F.col("_sh")
+    agg = per_host.groupBy("src").agg(
+        F.sum("n_h").cast("long").alias("n_out"),
+        F.sum(F.when(ext, F.col("n_h")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_ext"),
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.max(F.when(ext, F.col("n_h")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("max_ext_one_host"),
+    )
+    def _r6(c: F.Column) -> F.Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0)
+
+    return agg.select(
+        "src",
+        "n_out",
+        "n_ext",
+        "n_hosts",
+        _r6(F.col("n_ext") / F.col("n_out")).alias("ext_ratio"),
+        F.when(
+            F.col("n_ext") > 0,
+            _r6(F.col("max_ext_one_host") / F.col("n_ext")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_ext_share"),
+    )
+
+
+def anchor_expansion(
+    links: DataFrame, k: int = 5
+) -> DataFrame:
+    """Inbound anchor-text expansion: for each target, the k
+    lexicographically-first DISTINCT non-empty anchors joined with
+    ``' | '`` — the classic retrieval-signal pseudo-text (anchor text
+    describes the target better than the target does). Deterministic
+    by construction: collect_set → array_sort → slice, one hash-agg
+    on dst; k caps the per-target payload so a hot target (every
+    page links the homepage) cannot blow the row."""
+    nonempty = F.when(F.length("anchor") > 0, F.col("anchor"))
+    return (
+        links.groupBy("dst")
+        .agg(F.collect_set(nonempty).alias("_set"))
+        .select(
+            "dst",
+            F.array_join(
+                F.slice(F.array_sort("_set"), 1, k), " | "
+            ).alias("anchor_text"),
+            F.least(F.size("_set"), F.lit(k))
+            .cast("int")
+            .alias("n_anchors"),
+        )
+        .where(F.col("n_anchors") > 0)
+    )
+
+
 def oracle_edges_cte(pages_glob: str) -> str:
     """Extends :func:`oracle_links_cte` with the host-level ``edges``
     CTE mirroring :func:`link_edges`."""

@@ -140,6 +140,57 @@ def canonical_url(url: F.Column) -> F.Column:
     return F.regexp_replace(joined, r"(^[a-z]+://[^/?#]+/[^?#]*?)/+(\?|$)", r"$1$2")
 
 
+def subdomain_census(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registrable-domain subdomain-explosion census: distinct
+    hosts, URL count, and hosts-per-100-urls — wildcard-subdomain
+    spam farms (``a1.spam.com, a2.spam.com, …``) show thousands of
+    hosts with a handful of pages each, while a legitimate domain has
+    few hosts and many pages. One (domain, host) hash-agg then one
+    domain hash-agg, both map-side combinable; rate portable 6-dp."""
+    host = url_host(F.col(url_col))
+    per_host = (
+        df.select(
+            url_domain(host).alias("domain"), host.alias("_h")
+        )
+        .groupBy("domain", "_h")
+        .agg(F.count(F.lit(1)).alias("n_u"))
+    )
+    agg = per_host.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("n_u").cast("long").alias("n_urls"),
+    )
+    rate = (F.col("n_hosts") * F.lit(100.0)) / F.col("n_urls")
+    r6 = F.floor(rate * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0)
+    return agg.withColumn("hosts_per_100_urls", r6)
+
+
+def sql_subdomain_census(parquet_glob: str, url_expr: str = "url") -> str:
+    """DuckDB query mirroring :func:`subdomain_census`."""
+    host = sql_url_host(url_expr)
+    dom = (
+        f"CASE WHEN regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+        f" IN ({suffix_in_sql()})"
+        f" AND length(regexp_extract({host},"
+        f" '([^.]+\\.[^.]+\\.[^.]+)$', 1)) > 0"
+        f" THEN regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+        f" ELSE regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) END"
+    )
+    return f"""
+WITH ph AS (
+  SELECT {dom} AS domain, {host} AS h, count(*) AS n_u
+  FROM read_parquet('{parquet_glob}') GROUP BY 1, 2
+), a AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(n_u) AS BIGINT) AS n_urls
+  FROM ph GROUP BY 1
+)
+SELECT domain, n_hosts, n_urls,
+       (floor(((n_hosts * 100.0) / n_urls) * 1e6 + 0.5) / 1e6 + 0.0)
+           AS hosts_per_100_urls
+FROM a
+"""
+
+
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Add canonical_url/host/domain/path_depth/query_params columns."""
     u = F.col(url_col)

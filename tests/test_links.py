@@ -138,3 +138,71 @@ def test_reciprocity_on_fixture(spark):
     assert (per.n_reciprocal <= per.out_deg).all()
     assert ((per.reciprocity >= 0) & (per.reciprocity <= 1)).all()
     assert per.n_reciprocal.sum() > 0  # 8-host fixture cross-links
+
+
+def test_outlink_profile_brute(spark):
+    from med_doi_feature_extraction_spark.operators.links import (
+        outlink_profile,
+    )
+
+    links = spark.createDataFrame(
+        [
+            # page A on host a.com: 3 ext to b.com, 1 ext to c.com, 1 internal
+            ("https://a.com/p", "https://b.com/1", ""),
+            ("https://a.com/p", "https://b.com/2", ""),
+            ("https://a.com/p", "https://b.com/3", ""),
+            ("https://a.com/p", "https://c.com/1", ""),
+            ("https://a.com/p", "https://a.com/other", ""),
+            # page B: internal only
+            ("https://d.com/q", "https://d.com/z", ""),
+        ],
+        "src string, dst string, anchor string",
+    )
+    got = {r.src: r for r in outlink_profile(links).collect()}
+    a = got["https://a.com/p"]
+    assert a.n_out == 5 and a.n_ext == 4 and a.n_hosts == 3
+    assert abs(a.ext_ratio - 0.8) < 1e-9
+    assert abs(a.top_ext_share - 0.75) < 1e-9  # 3 of 4 ext to b.com
+    b = got["https://d.com/q"]
+    assert b.n_ext == 0 and b.ext_ratio == 0.0 and b.top_ext_share == 0.0
+
+
+def test_anchor_expansion(spark):
+    from med_doi_feature_extraction_spark.operators.links import (
+        anchor_expansion,
+    )
+
+    links = spark.createDataFrame(
+        [("s1", "t1", "zebra"), ("s2", "t1", "apple"), ("s3", "t1", "apple"),
+         ("s4", "t1", ""), ("s5", "t2", "")]
+        + [(f"s{i}", "hot", f"w{i:02d}") for i in range(10)],
+        "src string, dst string, anchor string",
+    )
+    got = {r.dst: r for r in anchor_expansion(links, k=5).collect()}
+    assert got["t1"].anchor_text == "apple | zebra"  # distinct + sorted
+    assert got["t1"].n_anchors == 2
+    assert "t2" not in got  # empty-anchor-only target dropped
+    hot = got["hot"]
+    assert hot.n_anchors == 5  # capped
+    assert hot.anchor_text == "w00 | w01 | w02 | w03 | w04"
+
+
+def test_subdomain_census(spark):
+    from med_doi_feature_extraction_spark.operators.hygiene import (
+        generate_subdomain_urls,
+    )
+    from med_doi_feature_extraction_spark.operators.urls import (
+        subdomain_census,
+    )
+
+    df = spark.createDataFrame(generate_subdomain_urls())
+    out = {r.domain: r for r in subdomain_census(df).collect()}
+    assert len(out) == 8
+    for d in range(3):  # farms: 80 hosts, explosion rate high
+        r = out[f"farm{d}-net.org"]
+        assert r.n_hosts == 80
+        assert r.hosts_per_100_urls > 50
+    r0 = out["legit0-site.com"]
+    assert r0.n_hosts <= 3 and r0.hosts_per_100_urls < 10
+    # multi-label public suffix keeps the brand as the registrable key
+    assert "brand.co.uk" in out and out["brand.co.uk"].n_hosts == 2
