@@ -6076,6 +6076,108 @@ def _sql_subdomain_census() -> str:
     )
 
 
+def _admission_base() -> str:
+    from med_doi_feature_extraction_spark.operators.admission import (
+        ADMISSION_VERSION,
+    )
+
+    return f"/tmp/spark_graft_{ADMISSION_VERSION.replace('/', '_')}"
+
+
+def _admission_seam(spark):
+    from med_doi_feature_extraction_spark.operators.admission import (
+        generate_admission_pages,
+    )
+
+    base = _admission_base()
+    pdf = generate_admission_pages()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/pages.parquet"
+    )
+    return spark.read.parquet(f"{base}/pages.parquet")
+
+
+def q_web_admission(spark, sf_dir):
+    """The session's crawl-hygiene gates composed into ONE admission
+    scan with first-failed attribution (operators/admission.py):
+    trap / soft404 / thin / lang / canonical."""
+    from med_doi_feature_extraction_spark.operators.admission import (
+        web_admission_audit,
+    )
+
+    return web_admission_audit(_admission_seam(spark))
+
+
+def q_web_admission_summary(spark, sf_dir):
+    """Per-stage entering/dropped/surviving table for the admission
+    chain — corpus reduces through one ≤6-group hash-agg."""
+    from med_doi_feature_extraction_spark.operators.admission import (
+        web_admission_summary,
+    )
+
+    return web_admission_summary(_admission_seam(spark))
+
+
+def _sql_admission_with() -> str:
+    from med_doi_feature_extraction_spark.operators.admission import (
+        SQL_FIRST_FAILED,
+        oracle_gates_cte,
+    )
+
+    cte = oracle_gates_cte(f"{_admission_base()}/pages.parquet/*.parquet")
+    return (
+        "WITH "
+        + cte
+        + f""",
+ff AS (
+  SELECT url, g_trap, g_soft404, g_thin, g_lang, g_canonical,
+         {SQL_FIRST_FAILED} AS first_failed
+  FROM g
+)
+"""
+    )
+
+
+def _sql_web_admission() -> str:
+    return (
+        _sql_admission_with()
+        + """
+SELECT url, g_trap, g_soft404, g_thin, g_lang, g_canonical,
+       first_failed, (first_failed IS NULL) AS kept
+FROM ff
+"""
+    )
+
+
+def _sql_web_admission_summary() -> str:
+    stages = ["trap", "soft404", "thin", "lang", "canonical"]
+    vals = ",".join(f"({i}, '{s}')" for i, s in enumerate(stages))
+    return (
+        _sql_admission_with()
+        + f""",
+c AS (SELECT first_failed, count(*) AS n FROM ff GROUP BY first_failed),
+s AS (SELECT * FROM (VALUES {vals}) v(stage_idx, stage)),
+j AS (
+  SELECT s.stage_idx, s.stage, coalesce(c.n, 0) AS dropped
+  FROM s LEFT JOIN c ON c.first_failed = s.stage
+),
+t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM c),
+cum AS (
+  SELECT stage_idx, stage, dropped,
+         CAST(coalesce(sum(dropped) OVER (ORDER BY stage_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS before
+  FROM j
+)
+SELECT cum.stage_idx, cum.stage,
+       CAST(t.total - cum.before AS BIGINT) AS entering,
+       CAST(cum.dropped AS BIGINT) AS dropped,
+       CAST(t.total - cum.before - cum.dropped AS BIGINT) AS surviving
+FROM cum, t
+"""
+    )
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -10805,6 +10907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_profile": q_outlink_profile,
         "anchor_expansion": q_anchor_expansion,
         "subdomain_census": q_subdomain_census,
+        "web_admission": q_web_admission,
+        "web_admission_summary": q_web_admission_summary,
         "hreflang_pairs": q_hreflang_pairs,
         "hreflang_audit": q_hreflang_audit,
         "reciprocal_links": q_reciprocal_links,
@@ -11045,6 +11149,8 @@ def oracle_sql() -> dict[str, str]:
         "outlink_profile": _sql_outlink_profile(),
         "anchor_expansion": _sql_anchor_expansion(),
         "subdomain_census": _sql_subdomain_census(),
+        "web_admission": _sql_web_admission(),
+        "web_admission_summary": _sql_web_admission_summary(),
         "hreflang_pairs": _sql_hreflang_pairs(),
         "hreflang_audit": _sql_hreflang_audit(),
         "reciprocal_links": _sql_reciprocal_links(),

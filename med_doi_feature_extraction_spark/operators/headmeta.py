@@ -125,6 +125,41 @@ def soft404_features(
     )
 
 
+def soft404_col(html: F.Column, text: F.Column) -> F.Column:
+    """:func:`soft404_features`'s ``is_soft404`` as a reusable Column
+    (admission-gate form)."""
+    h = F.coalesce(html, F.lit(""))
+    t = F.coalesce(text, F.lit(""))
+    title = F.lower(F.regexp_extract(h, _TITLE_RE, 1))
+    probe = F.concat_ws(" ", title, F.lower(t))
+    return probe.rlike(_MARKER_ALT) & (F.length(t) < SOFT404_MAX_LEN)
+
+
+def canonical_col(html: F.Column) -> F.Column:
+    """The canonical href ('' when absent) as a reusable Column."""
+    return _first(F.coalesce(html, F.lit("")), _CANON_A, _CANON_B)
+
+
+def sql_soft404_expr(h_expr: str, t_expr: str) -> str:
+    """DuckDB expression form of :func:`soft404_col`."""
+    h = f"coalesce({h_expr}, '')"
+    t = f"coalesce({t_expr}, '')"
+    probe = (
+        f"concat_ws(' ', lower(regexp_extract({h}, '{_TITLE_RE}', 1)), "
+        f"lower({t}))"
+    )
+    return (
+        f"(regexp_matches({probe}, '{_MARKER_ALT}')"
+        f" AND length({t}) < {SOFT404_MAX_LEN})"
+    )
+
+
+def sql_canonical_expr(h_expr: str) -> str:
+    """DuckDB expression form of :func:`canonical_col`."""
+    h = f"coalesce({h_expr}, '')"
+    return _sql_first(h, _CANON_A, _CANON_B)
+
+
 def canonical_groups(meta: DataFrame) -> DataFrame:
     """Site-declared dedup groups: pages sharing a ``rel=canonical``
     target collapse to one group key (pages without one are their own

@@ -67,6 +67,36 @@ def _segs(u: F.Column) -> F.Column:
     return F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
 
 
+def trap_score_col(url: F.Column) -> F.Column:
+    """The :func:`trap_features` score as a single reusable Column —
+    the admission pipeline's gate input (same formula, one codegen
+    expression)."""
+    u = _norm(url)
+    seg = _segs(u)
+    n = F.size(seg)
+    repeat_seg = F.when(
+        n >= 2,
+        F.exists(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(seg, i) == F.element_at(seg, i - 1),
+        ),
+    ).otherwise(F.lit(False))
+    q = F.regexp_extract(u, _QUERY_RE, 1)
+    n_params = F.when(F.length(q) == 0, F.lit(0)).otherwise(
+        F.size(F.split(q, "&"))
+    )
+    pct = F.regexp_count(u, F.lit("%[0-9a-f]{2}"))
+    return (
+        repeat_seg.cast("int")
+        + u.rlike(_CAL_RE).cast("int")
+        + u.rlike(_NUM_RE).cast("int")
+        + u.rlike(rf"[?&](?:{_SESS_ALT})=[a-z0-9]{{8,}}").cast("int")
+        + (n > 8).cast("int")
+        + (n_params > 6).cast("int")
+        + (pct >= 5).cast("int")
+    ).cast("int")
+
+
 def trap_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-URL crawler-trap battery:
 
@@ -244,6 +274,36 @@ def sql_strip_tracking(expr: str) -> str:
             f"regexp_replace({out}, '{pat}', '{duck_rep}'{flag})"
         )
     return out
+
+
+def sql_trap_score(url_expr: str) -> str:
+    """DuckDB expression form of :func:`trap_score_col` (for oracle
+    composition in downstream pipelines)."""
+    u = _sql_norm(url_expr)
+    seg = (
+        f"list_filter(string_split(regexp_extract({u}, "
+        f"'^[a-z]+://[^/?#]*(/[^?#]*)', 1), '/'), x -> length(x) > 0)"
+    )
+    q = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    n_params = (
+        f"CASE WHEN length({q}) = 0 THEN 0 "
+        f"ELSE len(string_split({q}, '&')) END"
+    )
+    rep = (
+        f"(len({seg}) >= 2 AND len(list_filter(range(2, len({seg}) + 1), "
+        f"i -> ({seg})[i] = ({seg})[i-1])) > 0)"
+    )
+    pct = f"len(regexp_extract_all({u}, '%[0-9a-f]{{2}}'))"
+    return (
+        f"CAST(CAST({rep} AS INT)"
+        f" + CAST(regexp_matches({u}, '{_CAL_RE}') AS INT)"
+        f" + CAST(regexp_matches({u}, '{_NUM_RE}') AS INT)"
+        f" + CAST(regexp_matches({u},"
+        f" '[?&](?:{_SESS_ALT})=[a-z0-9]{{8,}}') AS INT)"
+        f" + CAST(len({seg}) > 8 AS INT)"
+        f" + CAST(({n_params}) > 6 AS INT)"
+        f" + CAST(({pct}) >= 5 AS INT) AS INT)"
+    )
 
 
 def sql_trap_features(parquet_glob: str) -> str:

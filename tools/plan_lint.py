@@ -75,6 +75,10 @@ ALLOW_NLJ = {
     # funnel_summary: 1-row grand-total crossJoin onto the
     # <= n_stages+1-row attribution table
     "funnel_summary",
+    # web_admission_summary: the SAME funnel_summary machinery over
+    # the 5-gate admission chain — 1-row total crossJoin onto a
+    # <= 6-row attribution table (operators/admission.py)
+    "web_admission_summary",
     # hard_negatives / hybrid_rrf: bounded broadcast probe/result
     # sets by contract (|Q| queries × k results), corpus-side never
     # on the build side — same contract as cosine_topk/rank_eval
@@ -160,6 +164,9 @@ ALLOW_SINGLE = {
     # already-aggregated attribution table (<= n_stages+1 rows) —
     # a single partition of a handful of rows, not a corpus sort
     "funnel_summary",
+    # web_admission_summary: same funnel_summary cumsum window over
+    # the <= 6-row admission attribution table
+    "web_admission_summary",
     # spearman: the average-rank cumulative-count window runs over
     # the per-value count tables (bounded by distinct values of the
     # quantized feature), never over the corpus rows
