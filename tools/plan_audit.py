@@ -259,6 +259,9 @@ def main() -> None:
         ("sitemap_entries", "block extract-all + explode with the "
          "xml payload pruned to (sitemap_url, is_index) before the "
          "generator — entry rows, not documents, are what survives."),
+        ("web_admission", "five hygiene gates + first-failed CASE in "
+         "ONE codegen projection — zero exchanges; html reduced to "
+         "booleans at the scan."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
