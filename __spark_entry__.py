@@ -6178,6 +6178,95 @@ FROM cum, t
     )
 
 
+def _robotsp_base() -> str:
+    from med_doi_feature_extraction_spark.operators.robots import (
+        ROBOTS_VERSION,
+    )
+
+    return f"/tmp/spark_graft_{ROBOTS_VERSION.replace('/', '_')}_parse"
+
+
+def _robotsp_seam(spark):
+    from med_doi_feature_extraction_spark.operators.robots import (
+        generate_robots_corpus,
+    )
+
+    base = _robotsp_base()
+    pdf = generate_robots_corpus()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/robots.parquet"
+    )
+    return spark.read.parquet(f"{base}/robots.parquet")
+
+
+def q_robots_rules(spark, sf_dir):
+    """robots.txt parsing (operators/robots.py parse_robots): RFC 9309
+    group semantics via per-host window algebra — the rule table
+    apply_robots consumes."""
+    from med_doi_feature_extraction_spark.operators.robots import (
+        parse_robots,
+    )
+
+    return parse_robots(_robotsp_seam(spark))
+
+
+def q_robots_directives(spark, sf_dir):
+    """Sitemap + per-agent crawl-delay directives from robots.txt —
+    the crawl-scheduling side channel."""
+    from med_doi_feature_extraction_spark.operators.robots import (
+        robots_directives,
+    )
+
+    return robots_directives(_robotsp_seam(spark))
+
+
+def _sql_robots_parse_with() -> str:
+    from med_doi_feature_extraction_spark.operators.robots import (
+        oracle_parse_cte,
+    )
+
+    return "WITH " + oracle_parse_cte(
+        f"{_robotsp_base()}/robots.parquet/*.parquet"
+    )
+
+
+def _sql_robots_rules() -> str:
+    return (
+        _sql_robots_parse_with()
+        + """
+, agents AS (
+  SELECT DISTINCT host, grp, lower(val) AS agent
+  FROM g WHERE key = 'user-agent' AND length(val) > 0
+),
+rules AS (
+  SELECT host, grp, pos, key AS rule, val AS path_prefix
+  FROM g WHERE key IN ('allow', 'disallow') AND length(val) > 0
+)
+SELECT a.host AS host, a.agent, r.rule, r.path_prefix, r.pos
+FROM agents a JOIN rules r ON a.host = r.host AND a.grp = r.grp
+"""
+    )
+
+
+def _sql_robots_directives() -> str:
+    return (
+        _sql_robots_parse_with()
+        + """
+, agents AS (
+  SELECT DISTINCT host, grp, lower(val) AS agent
+  FROM g WHERE key = 'user-agent' AND length(val) > 0
+)
+SELECT host, 'sitemap' AS directive, '' AS agent, val AS value
+FROM g WHERE key = 'sitemap' AND length(val) > 0
+UNION ALL
+SELECT d.host, 'crawl-delay' AS directive, a.agent, d.val AS value
+FROM (SELECT host, grp, val FROM g
+      WHERE key = 'crawl-delay' AND length(val) > 0) d
+JOIN agents a ON a.host = d.host AND a.grp = d.grp
+"""
+    )
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -10909,6 +10998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subdomain_census": q_subdomain_census,
         "web_admission": q_web_admission,
         "web_admission_summary": q_web_admission_summary,
+        "robots_rules": q_robots_rules,
+        "robots_directives": q_robots_directives,
         "hreflang_pairs": q_hreflang_pairs,
         "hreflang_audit": q_hreflang_audit,
         "reciprocal_links": q_reciprocal_links,
@@ -11151,6 +11242,8 @@ def oracle_sql() -> dict[str, str]:
         "subdomain_census": _sql_subdomain_census(),
         "web_admission": _sql_web_admission(),
         "web_admission_summary": _sql_web_admission_summary(),
+        "robots_rules": _sql_robots_rules(),
+        "robots_directives": _sql_robots_directives(),
         "hreflang_pairs": _sql_hreflang_pairs(),
         "hreflang_audit": _sql_hreflang_audit(),
         "reciprocal_links": _sql_reciprocal_links(),

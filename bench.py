@@ -127,6 +127,14 @@ def main() -> None:
         "mannwhitney_drift", "cohens_kappa", "bootstrap_ci",
         "cls_report", "calibration_bins", "roc_auc", "concentration",
         "trend", "psi_by_lang", "theils_u",
+        # r5 final-session additions (web-hygiene + alignment surface)
+        "ccalign_pairs", "url_lang_profile", "hreflang_pairs",
+        "trap_features", "tracking_strip", "param_census",
+        "head_meta", "soft404", "canonical_groups", "markup_stats",
+        "reciprocal_links", "link_reciprocity", "outlink_profile",
+        "anchor_expansion", "subdomain_census", "sitemap_entries",
+        "sitemap_stats", "wilson_rollup", "web_admission",
+        "web_admission_summary", "robots_rules", "robots_directives",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -55,9 +55,12 @@ def apply_robots(
     robots_allowed`` (BIGINT 0/1; 1 when no rule matches).
     """
     ids = list(id_cols)
+    # the url column may itself be the id (the common corpus key case:
+    # id_cols=("url",)) — emit it once, not twice
+    extra_url = [] if "url" in ids else [F.col(url_col).alias("url")]
     u = df.select(
         *ids,
-        F.col(url_col).alias("url"),
+        *extra_url,
         url_host(F.col(url_col)).alias("_host"),
         F.coalesce(
             F.nullif(url_path(F.col(url_col)), F.lit("")), F.lit("/")
@@ -88,7 +91,7 @@ def apply_robots(
     out = u.join(matched, ids, "left")
     return out.select(
         *ids,
-        "url",
+        *([] if "url" in ids else ["url"]),
         F.col("_best.type").alias("robots_type"),
         F.col("_best.prefix").alias("robots_prefix"),
         F.when(F.col("_best").isNull(), F.lit(1))
@@ -140,4 +143,203 @@ SELECT {ids_u}, u.url,
                  WHEN best.rtype = 'allow' THEN 1
                  ELSE 0 END AS BIGINT) AS robots_allowed
 FROM u LEFT JOIN best USING ({ids})
+"""
+
+
+# ---------------------------------------------------------- parsing
+
+#: directive keys the parser recognizes (RFC 9309 + the de-facto
+#: Crawl-delay/Sitemap extensions); everything else is ignored.
+_KEY_RE = r"(?i)^\s*(user-agent|allow|disallow|sitemap|crawl-delay)\s*:\s*(.*?)\s*$"
+
+ROBOTS_VERSION = "robots/v1"
+
+
+def _lines(df: DataFrame, host_col: str, body_col: str) -> DataFrame:
+    """One row per robots.txt line with position, comment stripped,
+    directive key/value extracted ('' when not a directive)."""
+    body = F.coalesce(F.col(body_col).cast("string"), F.lit(""))
+    line = F.posexplode(F.split(body, r"\r?\n"))
+    x = df.select(F.col(host_col).alias("host"), line.alias("pos", "_l"))
+    clean = F.regexp_replace(F.col("_l"), r"#.*$", "")
+    return x.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract(clean, _KEY_RE, 1)).alias("key"),
+        F.regexp_extract(clean, _KEY_RE, 2).alias("val"),
+    )
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """robots.txt bodies → the REP rule table :func:`apply_robots`
+    consumes: one row per (host, agent, rule, path_prefix).
+
+    RFC 9309 group semantics, distributed: a run of consecutive
+    ``User-agent`` lines opens a group; the group's Allow/Disallow
+    rules apply to EVERY agent named in that run. Implemented as
+    window algebra per host (documents are small, hosts are many —
+    the window partition is one robots.txt, never the corpus):
+    ``group_id`` = running count of UA-run starts, agents join rules
+    of the same group via a bounded per-host equi-join. Rules before
+    any UA line and empty-path rules are dropped (RFC: no group / no
+    restriction). Agent names lower-cased; rule paths kept byte-exact.
+    """
+    from pyspark.sql import Window
+
+    ln = _lines(df, host_col, body_col)
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    new_group = (
+        (is_ua == 1)
+        & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
+    ).cast("int")
+    g = ln.select(
+        "host", "pos", "key", "val",
+        F.sum(new_group).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+    agents = (
+        g.where((F.col("key") == "user-agent") & (F.length("val") > 0))
+        .select("host", "grp", F.lower(F.col("val")).alias("agent"))
+        .distinct()
+    )
+    rules = g.where(
+        F.col("key").isin("allow", "disallow") & (F.length("val") > 0)
+    ).select(
+        "host", "grp", "pos",
+        F.col("key").alias("rule"),
+        F.col("val").alias("path_prefix"),
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "rule", "path_prefix", "pos"
+    )
+
+
+def robots_directives(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Global directives: one row per (host, directive, agent, value)
+    — ``sitemap`` rows (agent '') and per-group ``crawl-delay`` rows
+    (one per agent of the group). Same window machinery as
+    :func:`parse_robots`."""
+    from pyspark.sql import Window
+
+    ln = _lines(df, host_col, body_col)
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    new_group = (
+        (is_ua == 1)
+        & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
+    ).cast("int")
+    g = ln.select(
+        "host", "pos", "key", "val",
+        F.sum(new_group).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("grp"),
+    )
+    sitemaps = g.where(
+        (F.col("key") == "sitemap") & (F.length("val") > 0)
+    ).select(
+        "host",
+        F.lit("sitemap").alias("directive"),
+        F.lit("").alias("agent"),
+        F.col("val").alias("value"),
+    )
+    agents = (
+        g.where((F.col("key") == "user-agent") & (F.length("val") > 0))
+        .select("host", "grp", F.lower(F.col("val")).alias("agent"))
+        .distinct()
+    )
+    delays = (
+        g.where((F.col("key") == "crawl-delay") & (F.length("val") > 0))
+        .select("host", "grp", F.col("val").alias("value"))
+        .join(agents, ["host", "grp"])
+        .select(
+            "host",
+            F.lit("crawl-delay").alias("directive"),
+            "agent",
+            "value",
+        )
+    )
+    return sitemaps.unionByName(delays)
+
+
+def generate_robots_corpus(n_hosts: int = 60, seed: int = 83):
+    """Deterministic robots.txt corpus: multi-agent groups, wildcard
+    agents, comments, blank lines, CRLF endings, empty Disallow
+    (no-restriction), sitemaps, crawl-delays, junk lines, and
+    rules-before-any-group (ignored per RFC).
+
+    Returns pandas DataFrame (host, body).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for h in range(n_hosts):
+        host = f"site{h}.example.com"
+        parts = []
+        if h % 7 == 0:
+            parts.append("Disallow: /orphan-rule")  # before any group
+        parts.append("# robots for " + host)
+        parts.append("User-agent: *")
+        if h % 11 == 3:
+            parts.append("User-agent: goodbot")  # multi-UA run
+        parts.append("Disallow: /private")
+        if h % 3 == 0:
+            parts.append("Allow: /private/ok")
+        if h % 5 == 0:
+            parts.append("Disallow:")  # empty = no restriction
+        if h % 4 == 1:
+            parts.append("")
+            parts.append("USER-AGENT: badbot")  # case variation
+            parts.append("Disallow: /")
+            parts.append("Crawl-delay: 10")
+        if h % 2 == 0:
+            parts.append(f"Sitemap: https://{host}/sitemap.xml")
+        if h % 9 == 2:
+            parts.append("not a directive line")
+            parts.append("Crawl-delay: 2.5")  # in last group
+        joiner = "\r\n" if h % 6 == 0 else "\n"
+        rows.append((host, joiner.join(parts)))
+    return pd.DataFrame(rows, columns=["host", "body"])
+
+
+def oracle_parse_cte(parquet_glob: str) -> str:
+    """``g`` CTE body (host, pos, key, val, grp) mirroring the parser
+    for DuckDB (append after ``WITH``)."""
+    key_re = _KEY_RE.replace("'", "''")
+    return f"""
+parts AS (
+  SELECT host, string_split_regex(coalesce(body, ''), '\\r?\\n') AS p
+  FROM read_parquet('{parquet_glob}')
+),
+ln AS (
+  SELECT host, CAST(i - 1 AS INT) AS pos,
+         lower(regexp_extract(regexp_replace(p[i], '#.*$', ''),
+                              '{key_re}', 1)) AS key,
+         regexp_extract(regexp_replace(p[i], '#.*$', ''),
+                        '{key_re}', 2) AS val
+  FROM parts, unnest(range(1, len(p) + 1)) AS u(i)
+),
+mk AS (
+  SELECT host, pos, key, val,
+         CASE WHEN key = 'user-agent'
+              AND coalesce(lag(CASE WHEN key = 'user-agent'
+                                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY host ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS ng
+  FROM ln
+),
+g AS (
+  SELECT host, pos, key, val,
+         sum(ng) OVER (PARTITION BY host ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS grp
+  FROM mk
+)
 """

@@ -94,3 +94,97 @@ class TestApplyRobots:
         ]
         got = _run(spark, urls, rules)
         assert got[0][2] == 1 and got[1][2] == 0
+
+
+class TestParseRobots:
+    def test_group_semantics(self, spark):
+        from med_doi_feature_extraction_spark.operators.robots import (
+            parse_robots,
+            robots_directives,
+        )
+
+        body = "\n".join([
+            "Disallow: /orphan",          # before any group: ignored
+            "# comment line",
+            "User-agent: *",
+            "User-agent: GoodBot",        # same UA run -> same group
+            "Disallow: /private",
+            "Allow: /private/ok",
+            "Disallow:",                  # empty: no restriction, dropped
+            "",
+            "USER-AGENT: BadBot",         # case-insensitive key
+            "Disallow: /",
+            "Crawl-delay: 10",
+            "Sitemap: https://h1/sitemap.xml",
+        ])
+        df = spark.createDataFrame([("h1", body)], "host string, body string")
+        rules = parse_robots(df).collect()
+        got = {(r.agent, r.rule, r.path_prefix) for r in rules}
+        assert got == {
+            ("*", "disallow", "/private"),
+            ("*", "allow", "/private/ok"),
+            ("goodbot", "disallow", "/private"),
+            ("goodbot", "allow", "/private/ok"),
+            ("badbot", "disallow", "/"),
+        }
+        d = robots_directives(df).collect()
+        dd = {(r.directive, r.agent, r.value) for r in d}
+        assert ("sitemap", "", "https://h1/sitemap.xml") in dd
+        assert ("crawl-delay", "badbot", "10") in dd
+        # crawl-delay belongs to badbot's group only
+        assert ("crawl-delay", "*", "10") not in dd
+
+    def test_crlf_and_comments(self, spark):
+        from med_doi_feature_extraction_spark.operators.robots import (
+            parse_robots,
+        )
+
+        body = "User-agent: *\r\nDisallow: /x # inline comment\r\n"
+        df = spark.createDataFrame([("h2", body)], "host string, body string")
+        rules = parse_robots(df).collect()
+        assert [(r.agent, r.rule, r.path_prefix) for r in rules] == [
+            ("*", "disallow", "/x")
+        ]
+
+    def test_parse_feeds_apply(self, spark):
+        """End-to-end: parse robots.txt, filter to agent '*', admit a
+        URL table with apply_robots."""
+        from pyspark.sql import functions as F
+
+        from med_doi_feature_extraction_spark.operators.robots import (
+            apply_robots,
+            generate_robots_corpus,
+            parse_robots,
+        )
+
+        robots = spark.createDataFrame(generate_robots_corpus(30, seed=5))
+        rules = parse_robots(robots).where(F.col("agent") == "*")
+        urls = spark.createDataFrame(
+            [(f"https://site{h}.example.com/private/page",)
+             for h in range(30)]
+            + [(f"https://site{h}.example.com/public/page",)
+               for h in range(30)],
+            "url string",
+        )
+        out = apply_robots(urls, rules, "url").toPandas()
+        priv = out[out.url.str.contains("/private/")]
+        pub = out[out.url.str.contains("/public/")]
+        assert (priv.robots_allowed == 0).all()  # every host disallows
+        assert (pub.robots_allowed == 1).all()
+
+    def test_fixture_strata(self, spark):
+        from med_doi_feature_extraction_spark.operators.robots import (
+            generate_robots_corpus,
+            parse_robots,
+            robots_directives,
+        )
+
+        df = spark.createDataFrame(generate_robots_corpus(60, seed=83))
+        rules = parse_robots(df).toPandas()
+        assert (rules.path_prefix != "").all()
+        assert not rules.path_prefix.str.contains("orphan").any()
+        assert set(rules.agent) >= {"*", "badbot", "goodbot"}
+        d = robots_directives(df).toPandas()
+        assert (d[d.directive == "sitemap"].agent == "").all()
+        delays = d[d.directive == "crawl-delay"]
+        assert {"10", "2.5"} <= set(delays.value)
