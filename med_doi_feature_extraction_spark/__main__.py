@@ -413,6 +413,18 @@ def cmd_curate(args) -> dict:
                 df = df.filter(F.col("nb_class") == args.keep_class)
             if args.min_margin is not None:
                 df = df.filter(F.col("nb_margin") >= args.min_margin)
+        elif op == "admission":
+            from med_doi_feature_extraction_spark.operators.admission import (
+                web_admission_filter,
+            )
+
+            df = web_admission_filter(
+                df,
+                url_col=args.url_col,
+                html_col=args.html_col,
+                text_col=text_col,
+                lang_col=args.lang_col,
+            )
         elif op == "sample":
             df = hash_sample(df, id_col, args.sample_rate, salt=args.salt)
         elif op == "split":
@@ -576,10 +588,16 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--output", required=True)
     cur.add_argument(
         "--ops", required=True,
-        help="ordered comma list: c4,gopher,pii,repetition,encoding,"
-             "compress,exact_dedup,minhash_dedup,paragraph_dedup,"
-             "decontam,classify,sample,split",
+        help="ordered comma list: admission,c4,gopher,pii,repetition,"
+             "encoding,compress,exact_dedup,minhash_dedup,"
+             "paragraph_dedup,decontam,classify,sample,split",
     )
+    cur.add_argument("--url-col", default="url",
+                     help="admission: URL column name")
+    cur.add_argument("--html-col", default="html",
+                     help="admission: raw HTML column name")
+    cur.add_argument("--lang-col", default="lang",
+                     help="admission: doc-language column name")
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
     cur.add_argument("--master", default=None)

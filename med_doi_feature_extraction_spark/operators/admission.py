@@ -34,17 +34,15 @@ MIN_TEXT_RATIO = 0.05
 ADMISSION_VERSION = "admission/v1"
 
 
-def admission_gates(
-    df: DataFrame,
+def admission_predicates(
     url_col: str = "url",
     html_col: str = "html",
     text_col: str = "text",
     lang_col: str = "lang",
-):
-    """(slim_frame, stages): the five admission predicates computed
-    in one projection over ``df``; ``stages`` feeds the funnel
-    operators. The html payload is dropped from the slim frame — only
-    booleans survive."""
+) -> list:
+    """The five admission gates as raw (name, predicate Column)
+    pairs — pure row-local Column algebra, usable both for the slim
+    attribution projection and as a direct scan filter."""
     from med_doi_feature_extraction_spark.operators.align import (
         detect_url_lang,
     )
@@ -63,30 +61,53 @@ def admission_gates(
     dlang = F.coalesce(F.lower(F.col(lang_col)), F.lit(""))
     canon = canonical_col(h)
     hlen = F.length(h)
-    slim = df.select(
-        url.alias("url"),
-        (trap_score_col(url) == 0).alias("g_trap"),
-        (~soft404_col(h, t)).alias("g_soft404"),
+    return [
+        ("trap", trap_score_col(url) == 0),
+        ("soft404", ~soft404_col(h, t)),
         (
+            "thin",
             (F.length(t) >= MIN_TEXT_LEN)
             & (hlen > 0)
-            & (F.length(t) / hlen >= F.lit(MIN_TEXT_RATIO))
-        ).alias("g_thin"),
+            & (F.length(t) / hlen >= F.lit(MIN_TEXT_RATIO)),
+        ),
         (
+            "lang",
             (F.length(ulang) == 0)
             | (F.length(dlang) == 0)
-            | (ulang == dlang)
-        ).alias("g_lang"),
-        ((F.length(canon) == 0) | (canon == url)).alias("g_canonical"),
-    )
-    stages = [
-        ("trap", F.col("g_trap")),
-        ("soft404", F.col("g_soft404")),
-        ("thin", F.col("g_thin")),
-        ("lang", F.col("g_lang")),
-        ("canonical", F.col("g_canonical")),
+            | (ulang == dlang),
+        ),
+        ("canonical", (F.length(canon) == 0) | (canon == url)),
     ]
+
+
+def admission_gates(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """(slim_frame, stages): the five admission predicates computed
+    in one projection over ``df``; ``stages`` feeds the funnel
+    operators. The html payload is dropped from the slim frame — only
+    booleans survive."""
+    preds = admission_predicates(url_col, html_col, text_col, lang_col)
+    slim = df.select(
+        F.col(url_col).alias("url"),
+        *[p.alias(f"g_{name}") for name, p in preds],
+    )
+    stages = [(name, F.col(f"g_{name}")) for name, _ in preds]
     return slim, stages
+
+
+def web_admission_filter(df: DataFrame, **cols) -> DataFrame:
+    """Survivors only, ALL original columns kept: the five gates as
+    one conjunction at the scan (no join, predicate-pushdown
+    friendly) — the curate-CLI form."""
+    keep = F.lit(True)
+    for _, p in admission_predicates(**cols):
+        keep = keep & F.coalesce(p, F.lit(False))
+    return df.where(keep)
 
 
 def web_admission_audit(df: DataFrame, **cols) -> DataFrame:

@@ -75,3 +75,50 @@ def test_one_scan_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # attribution is one codegen scan
     assert plan.count("Scan ") == 1 or plan.count("Scan") >= 1
+
+
+def test_filter_matches_audit(spark):
+    from med_doi_feature_extraction_spark.operators.admission import (
+        web_admission_filter,
+    )
+
+    pdf = generate_admission_pages(n=180, seed=9)
+    df = spark.createDataFrame(pdf)
+    survivors = web_admission_filter(df)
+    audit = web_admission_audit(df)
+    assert survivors.count() == audit.where("kept").count()
+    assert set(survivors.columns) == set(df.columns)  # payload kept
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # one-scan conjunction, no self-join
+
+
+def test_curate_cli_admission(spark, tmp_path):
+    """CLI surface: the admission op inside cmd_curate drops exactly
+    the audit's non-kept rows and records per-stage counters."""
+    import argparse
+
+    from med_doi_feature_extraction_spark.__main__ import cmd_curate
+
+    pdf = generate_admission_pages(n=90, seed=13)
+    pdf = pdf.assign(doc_id=range(len(pdf)))
+    inp = str(tmp_path / "in.parquet")
+    outp = str(tmp_path / "out.parquet")
+    spark.createDataFrame(pdf).write.parquet(inp)
+    args = argparse.Namespace(
+        input=inp, output=outp, ops="admission", id_col="doc_id",
+        text_col="text", master="local[4]", url_col="url",
+        html_col="html", lang_col="lang", redact=False,
+        max_dup_frac=None, jaccard=0.7, bench=None,
+        bench_text_col=None, ngram=8, min_hits=1, min_words=50,
+        min_lines=3, labels=None, label_col="label",
+        label_text_col=None, keep_class=None, min_margin=None,
+        sample_rate=0.5, salt="s", eval_frac=0.1, split_salt="t",
+    )
+    res = cmd_curate(args)
+    kept = web_admission_audit(
+        spark.createDataFrame(pdf)
+    ).where("kept").count()
+    assert res["rows_out"] == kept
+    assert res["rows_in"] == len(pdf)
+    assert res["ops"] == ["admission"]
+    assert spark.read.parquet(outp).count() == kept
