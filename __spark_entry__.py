@@ -8387,6 +8387,69 @@ SELECT node, round(score, 6) AS score FROM s2
 """
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (graph.trustrank): seed-restricted teleport PageRank
+    — the spam-demotion prior over the same lineitem-derived edge
+    table as q_pagerank, seeds = nodes 0–9, 3 iterations."""
+    from med_doi_feature_extraction_spark.operators.graph import trustrank
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 600).alias("dst"),
+    )
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    out = trustrank(edges, seeds, n_iter=3)
+    return out.select("node", F.col("rank").alias("tr"))
+
+
+def _sql_trustrank_iter(prev: str, cur: str) -> str:
+    return f"""
+c{cur} AS (
+  SELECT e.dst AS node, sum(r.tr / d.out_deg) AS contrib
+  FROM e JOIN t{prev} r ON e.src = r.node JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+),
+dm{cur} AS (
+  SELECT coalesce(sum(r.tr), CAST(0 AS DOUBLE)) AS m
+  FROM t{prev} r LEFT JOIN deg d ON r.node = d.node WHERE d.node IS NULL
+),
+t{cur} AS (
+  SELECT tv.node,
+         CAST(0.15 AS DOUBLE) * tv.tv
+         + CAST(0.85 AS DOUBLE) * (coalesce(c.contrib, CAST(0 AS DOUBLE))
+                                    + dm{cur}.m * tv.tv) AS tr
+  FROM tv LEFT JOIN c{cur} c ON tv.node = c.node, dm{cur}
+)"""
+
+
+def _sql_trustrank() -> str:
+    iters = ",".join(
+        _sql_trustrank_iter(str(i), str(i + 1)) for i in range(3)
+    )
+    return f"""
+WITH e AS (
+  SELECT l_orderkey % 500 AS src, l_partkey % 600 AS dst FROM lineitem
+),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+),
+deg AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+seeds AS (SELECT CAST(i AS BIGINT) AS node FROM range(0, 10) s(i)),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+tv AS (
+  SELECT nd.node,
+         CAST(CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS INT)
+             / ns.n AS tv
+  FROM nodes nd LEFT JOIN seeds sd ON nd.node = sd.node, ns
+),
+t0 AS (SELECT node, tv AS tr FROM tv),
+{iters}
+SELECT node, tr FROM t3
+"""
+
+
 def _sql_pagerank_iter(prev: str, cur: str) -> str:
     return f"""
 c{cur} AS (
@@ -11000,6 +11063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_admission_summary": q_web_admission_summary,
         "robots_rules": q_robots_rules,
         "robots_directives": q_robots_directives,
+        "trustrank": q_trustrank,
         "hreflang_pairs": q_hreflang_pairs,
         "hreflang_audit": q_hreflang_audit,
         "reciprocal_links": q_reciprocal_links,
@@ -11244,6 +11308,7 @@ def oracle_sql() -> dict[str, str]:
         "web_admission_summary": _sql_web_admission_summary(),
         "robots_rules": _sql_robots_rules(),
         "robots_directives": _sql_robots_directives(),
+        "trustrank": _sql_trustrank(),
         "hreflang_pairs": _sql_hreflang_pairs(),
         "hreflang_audit": _sql_hreflang_audit(),
         "reciprocal_links": _sql_reciprocal_links(),

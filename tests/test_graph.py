@@ -513,3 +513,66 @@ class TestLinkPrediction:
             link_prediction(e, hub_cap=1)
         with _pt.raises(ValueError):
             link_prediction(e, min_common=0)
+
+
+def numpy_trustrank(edges, seeds, n_iter, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    tv = np.zeros(n)
+    present = [s for s in seeds if s in idx]
+    for s in present:
+        tv[idx[s]] = 1.0 / len(seeds)
+    r = tv.copy()
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out[idx[u]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) * tv + d * (contrib + dangling * tv)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+class TestTrustRank:
+    def _run(self, spark, edges, seeds, n_iter):
+        from med_doi_feature_extraction_spark.operators.graph import trustrank
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {
+            r["node"]: r["rank"]
+            for r in trustrank(e, s, n_iter=n_iter).collect()
+        }
+
+    @pytest.mark.parametrize("n_iter", [1, 3, 8])
+    def test_matches_numpy(self, spark, n_iter):
+        got = self._run(spark, EDGES, [1, 5], n_iter)
+        want = numpy_trustrank(EDGES, [1, 5], n_iter)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_trust_stays_in_reachable_set(self, spark):
+        # 0->1->2 chain, 3<->4 isolated spam pair: seeds {0} never
+        # reach 3/4, so their trustrank is exactly 0 — the demotion
+        # signal pagerank (uniform teleport) cannot give.
+        edges = [(0, 1), (1, 2), (3, 4), (4, 3)]
+        got = self._run(spark, edges, [0], n_iter=6)
+        assert got[3] == 0.0 and got[4] == 0.0
+        assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+    def test_mass_conserved_when_dangling_reabsorbed(self, spark):
+        # dangling node 2's mass re-teleports to seeds: total == 1
+        got = self._run(spark, [(0, 1), (1, 2)], [0], n_iter=12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_rejects_zero_iterations(self, spark):
+        from med_doi_feature_extraction_spark.operators.graph import trustrank
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        s = spark.createDataFrame([(0,)], "node long")
+        with pytest.raises(ValueError):
+            trustrank(e, s, n_iter=0)
