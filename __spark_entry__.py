@@ -5965,6 +5965,103 @@ def _sql_markup_stats() -> str:
     return sql_markup_stats(f"{_headmeta_base()}/pages.parquet/*.parquet")
 
 
+def _blocktext_base() -> str:
+    from med_doi_feature_extraction_spark.operators.blocktext import (
+        BLOCKTEXT_VERSION,
+    )
+
+    return f"/tmp/spark_graft_{BLOCKTEXT_VERSION.replace('/', '_')}"
+
+
+def _blocktext_seam(spark):
+    """Deterministic page fixture exercising every jusText class
+    (nav rails, prose, shorts/teasers between good and bad context,
+    copyright footers, link lists) materialized to parquet."""
+    from med_doi_feature_extraction_spark.operators.blocktext import (
+        generate_block_pages,
+    )
+
+    base = _blocktext_base()
+    pdf = generate_block_pages()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/pages.parquet"
+    )
+    return spark.read.parquet(f"{base}/pages.parquet")
+
+
+def q_text_blocks(spark, sf_dir):
+    """jusText-class block classification (operators/blocktext.py):
+    one split+posexplode scan, codegen feature algebra, ONE
+    document-keyed window for the neighbor-resolution pass. Densities
+    are exact-integer IEEE ratios — emitted raw (bit-identical across
+    engines), no rounding needed."""
+    from med_doi_feature_extraction_spark.operators.blocktext import (
+        classify_blocks,
+        split_blocks,
+    )
+
+    cb = classify_blocks(split_blocks(_blocktext_seam(spark)))
+    return cb.select(
+        "url", "pos", "text", "n_chars", "n_words", "link_chars",
+        "link_density", "stop_density", "cls", "final_cls",
+    )
+
+
+def _sql_text_blocks() -> str:
+    from med_doi_feature_extraction_spark.operators.blocktext import (
+        oracle_blocks_cte,
+    )
+
+    return (
+        "WITH "
+        + oracle_blocks_cte(f"{_blocktext_base()}/pages.parquet/*.parquet")
+        + """
+SELECT url, pos, text, n_chars, n_words, link_chars, link_density,
+       stop_density, cls, final_cls
+FROM cblk"""
+    )
+
+
+def q_main_content(spark, sf_dir):
+    """Per-document main-content rebuild: good blocks joined in
+    position order + char/block retention stats — one hash-agg on
+    url (the jusText output a curation pipeline stores)."""
+    from med_doi_feature_extraction_spark.operators.blocktext import (
+        classify_blocks,
+        main_content,
+        split_blocks,
+    )
+
+    return main_content(
+        classify_blocks(split_blocks(_blocktext_seam(spark)))
+    )
+
+
+def _sql_main_content() -> str:
+    from med_doi_feature_extraction_spark.operators.blocktext import (
+        oracle_blocks_cte,
+    )
+
+    return (
+        "WITH "
+        + oracle_blocks_cte(f"{_blocktext_base()}/pages.parquet/*.parquet")
+        + """
+SELECT url,
+       coalesce(string_agg(CASE WHEN final_cls = 'good' THEN text END,
+                           chr(10) ORDER BY pos), '') AS content,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(coalesce(sum(CASE WHEN final_cls = 'good' THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_good,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(coalesce(sum(CASE WHEN final_cls = 'good' THEN n_chars END),
+                     0) AS BIGINT) AS kept_chars,
+       round(CAST(coalesce(sum(CASE WHEN final_cls = 'good'
+                                    THEN n_chars END), 0) AS DOUBLE)
+             / sum(n_chars), 6) AS kept_ratio
+FROM cblk GROUP BY url"""
+    )
+
+
 def q_outlink_profile(spark, sf_dir):
     """Per-page outlink spam features: external ratio + single-host
     concentration (the link-farm tell) — two map-side-combinable
@@ -11064,6 +11161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "robots_directives": q_robots_directives,
         "trustrank": q_trustrank,
+        "text_blocks": q_text_blocks,
+        "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
         "hreflang_audit": q_hreflang_audit,
         "reciprocal_links": q_reciprocal_links,
@@ -11309,6 +11408,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_rules": _sql_robots_rules(),
         "robots_directives": _sql_robots_directives(),
         "trustrank": _sql_trustrank(),
+        "text_blocks": _sql_text_blocks(),
+        "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),
         "hreflang_audit": _sql_hreflang_audit(),
         "reciprocal_links": _sql_reciprocal_links(),
