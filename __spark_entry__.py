@@ -8547,6 +8547,36 @@ SELECT node, tr FROM t3
 """
 
 
+def q_label_communities(spark, sf_dir):
+    """Label-propagation communities (graph.label_communities):
+    deterministic synchronous LPA with self-vote and min-label
+    tie-break over the same lineitem-derived edge table as
+    q_pagerank — the link-farm candidate generator trustrank then
+    scores. 4 bounded rounds."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        label_communities,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 600).alias("dst"),
+    )
+    return label_communities(edges, n_iter=4)
+
+
+def _sql_label_communities() -> str:
+    from med_doi_feature_extraction_spark.operators.graph import (
+        oracle_label_communities_sql,
+    )
+
+    edges = (
+        "(SELECT l_orderkey % 500 AS src, l_partkey % 600 AS dst "
+        "FROM lineitem) le"
+    )
+    return oracle_label_communities_sql(edges, n_iter=4)
+
+
 def _sql_pagerank_iter(prev: str, cur: str) -> str:
     return f"""
 c{cur} AS (
@@ -11161,6 +11191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "robots_directives": q_robots_directives,
         "trustrank": q_trustrank,
+        "label_communities": q_label_communities,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -11408,6 +11439,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_rules": _sql_robots_rules(),
         "robots_directives": _sql_robots_directives(),
         "trustrank": _sql_trustrank(),
+        "label_communities": _sql_label_communities(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

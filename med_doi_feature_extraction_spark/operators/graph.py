@@ -989,6 +989,128 @@ FROM e{rounds} GROUP BY f HAVING count(*) >= {k}"""
     )
 
 
+def label_communities(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. 2007) over the undirected SIMPLE graph: every node starts
+    as its own label; each round it adopts the most frequent label
+    among its neighbors AND itself (the self-vote damps the 2-cycle
+    synchronous LPA falls into on bipartite pairs — e.g. an isolated
+    edge converges instead of swapping labels forever), ties broken
+    by the SMALLEST label — fully deterministic (the classic
+    async/random-order variant is not). ``n_iter`` is a fixed
+    bounded horizon by contract. Communities of
+    mutually-linking hosts are the link-farm candidate generator the
+    seed-restricted :func:`trustrank` then scores.
+
+    Returns ``(node, label)`` — one row per node of the graph.
+
+    Execution shape, 100 TB lens: per round ONE edge⋈label equi-join
+    + two hash-aggs on node ((node, label) counts, then the
+    argmax-with-min-tiebreak as ``min(struct(-cnt, label))``) + a
+    left join back to the node set — all slim tables keyed on node
+    ids, partial aggregation absorbing hub skew map-side; lineage
+    truncated per round with a lazy ``localCheckpoint`` (same guard
+    as :func:`pagerank`/:func:`k_core`). No driver-side state.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(
+        F.col(src).cast("long").alias("_f"),
+        F.col(dst).cast("long").alias("_t"),
+    ).filter(
+        F.col("_f").isNotNull()
+        & F.col("_t").isNotNull()
+        & (F.col("_f") != F.col("_t"))
+    )
+    sym = (
+        e.unionAll(e.select(F.col("_t").alias("_f"), F.col("_f").alias("_t")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("_f").alias("node")).distinct()
+    voters = sym.unionAll(
+        nodes.select(F.col("node").alias("_f"), F.col("node").alias("_t"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        counts = (
+            voters.join(labels, voters["_f"] == labels["node"])
+            .groupBy(F.col("_t").alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pick = counts.groupBy("nd").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("label").alias("lb")
+                )
+            ).alias("_p")
+        )
+        labels = (
+            nodes.join(pick, nodes["node"] == pick["nd"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_p.lb"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def oracle_label_communities_sql(
+    edges_sql: str,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """DuckDB twin of :func:`label_communities` — the same rounds
+    unrolled as CTEs; the argmax-with-min-tiebreak is expressed as
+    max-count filter + ``min(label)`` (mathematically identical to
+    the Spark side's ``min(struct(-cnt, label))``)."""
+    parts = [f"""
+e0 AS (
+  SELECT f, t FROM (
+    SELECT CAST("{src}" AS BIGINT) AS f, CAST("{dst}" AS BIGINT) AS t
+    FROM {edges_sql}
+    UNION
+    SELECT CAST("{dst}" AS BIGINT), CAST("{src}" AS BIGINT)
+    FROM {edges_sql}
+  )
+  WHERE f IS NOT NULL AND t IS NOT NULL AND f != t
+),
+nodes AS (SELECT DISTINCT f AS node FROM e0),
+v AS (
+  SELECT f, t FROM e0
+  UNION ALL SELECT node, node FROM nodes
+),
+l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+c{i} AS (
+  SELECT e.t AS node, l.label, count(*) AS cnt
+  FROM v e JOIN l{i - 1} l ON e.f = l.node
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT node, max(cnt) AS mc FROM c{i} GROUP BY node),
+p{i} AS (
+  SELECT c.node, min(c.label) AS label
+  FROM c{i} c JOIN b{i} b ON c.node = b.node AND c.cnt = b.mc
+  GROUP BY c.node
+),
+l{i} AS (
+  SELECT n.node, coalesce(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN p{i} p ON n.node = p.node
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, label FROM l{n_iter}"
+    )
+
+
 def _aa_weight_nano(max_deg: int) -> dict[int, int]:
     """deg -> round(1e9 / ln(deg)) for 2 <= deg <= max_deg.
 

@@ -576,3 +576,70 @@ class TestTrustRank:
         s = spark.createDataFrame([(0,)], "node long")
         with pytest.raises(ValueError):
             trustrank(e, s, n_iter=0)
+
+
+def numpy_lpa(edges, n_iter):
+    """Reference synchronous LPA with self-vote, min-label ties."""
+    sym = set()
+    for u, v in edges:
+        if u != v:
+            sym.add((u, v))
+            sym.add((v, u))
+    nodes = sorted({u for u, _ in sym})
+    lab = {n: n for n in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for n in nodes:
+            votes = {}
+            for u, v in sym:
+                if v == n:
+                    votes[lab[u]] = votes.get(lab[u], 0) + 1
+            votes[lab[n]] = votes.get(lab[n], 0) + 1  # self-vote
+            mx = max(votes.values())
+            new[n] = min(l for l, c in votes.items() if c == mx)
+        lab = new
+    return lab
+
+
+class TestLabelCommunities:
+    def _run(self, spark, edges, n_iter):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            label_communities,
+        )
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r["label"]
+            for r in label_communities(e, n_iter=n_iter).collect()
+        }
+
+    @pytest.mark.parametrize("n_iter", [1, 3, 6])
+    def test_matches_reference(self, spark, n_iter):
+        edges = [
+            (0, 1), (1, 2), (2, 0), (0, 3),
+            (3, 4), (4, 5), (5, 3), (4, 5),  # parallel edge deduped
+            (8, 9), (10, 10),  # self loop dropped
+        ]
+        got = self._run(spark, edges, n_iter)
+        want = numpy_lpa(edges, n_iter)
+        assert got == want
+
+    def test_isolated_pair_converges(self, spark):
+        got = self._run(spark, [(8, 9)], 5)
+        assert got == {8: 8, 9: 8}  # self-vote kills the 2-cycle
+
+    def test_two_cliques_get_two_labels(self, spark):
+        k3a = [(0, 1), (1, 2), (2, 0)]
+        k3b = [(7, 8), (8, 9), (9, 7)]
+        got = self._run(spark, k3a + k3b, 4)
+        assert got[0] == got[1] == got[2] == 0
+        assert got[7] == got[8] == got[9] == 7
+
+    def test_rejects_zero_iterations(self, spark):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            label_communities,
+        )
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with pytest.raises(ValueError):
+            label_communities(e, n_iter=0)
