@@ -4963,6 +4963,27 @@ FROM pieces GROUP BY shard, p"""
 _CARD_BOUNDS = {"min_words": 20, "max_words": 120, "min_stopwords": 1}
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf exponent of the per-language token frequency tail
+    (Clauset 2009 discrete MLE) — one explode + (lang, token)
+    hash-agg, then a ≤ groups-sized agg of micro-quantized BIGINT
+    log terms. The corpus-health twin of vocab_growth's Heaps beta."""
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        zipf_fit,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", group_col="lang")
+
+
+def _sql_zipf_fit() -> str:
+    from med_doi_feature_extraction_spark.operators.corpus_stats import (
+        oracle_zipf_fit_sql,
+    )
+
+    return oracle_zipf_fit_sql("documents", "text", "lang")
+
+
 def q_corpus_card(spark, sf_dir):
     """Per-language corpus datasheet (docs, tokens, distinct-text
     fraction, Gopher pass rate, encoding-clean rate, mean doc tokens)
@@ -11169,6 +11190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": q_train_eval_split,
         "mixture_rates": q_mixture_rates,
         "corpus_card": q_corpus_card,
+        "zipf_fit": q_zipf_fit,
         "interleave": q_interleave,
         "url_features": q_url_features,
         "extract_links": q_extract_links,
@@ -11412,6 +11434,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _sql_c4_filters(),
         "gopher_rules": _sql_gopher_rules(),
         "corpus_card": _sql_corpus_card(),
+        "zipf_fit": _sql_zipf_fit(),
         "interleave": _sql_interleave(),
         "token_ids": _sql_token_ids(),
         "pack_ids": _sql_pack_ids(),

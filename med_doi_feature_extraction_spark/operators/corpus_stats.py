@@ -639,3 +639,120 @@ SELECT b AS bucket, n_docs, n_tokens, new_types,
 FROM cum CROSS JOIN fitted
 ORDER BY bucket
 """
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    group_col: str | None = None,
+    fmin: int = 2,
+) -> DataFrame:
+    """Zipf / discrete power-law exponent of the token frequency
+    distribution, per ``group_col`` slice (or one global row):
+    the Clauset–Shalizi–Newman (2009, §3.2) discrete MLE
+    approximation ``alpha = 1 + n / Σ ln(f_i / (fmin - 0.5))`` over
+    types with frequency ≥ ``fmin``. Natural prose sits near
+    alpha ≈ 1.7–2.2 over word frequencies; a crawl slice drifting
+    low (heavy tail of near-unique junk tokens) or high (template
+    text re-stamped everywhere) is the corpus-health tell Heaps'
+    beta (:func:`vocab_growth`) sees from the other side.
+
+    One row per group: ``n_types`` (all types), ``tail_types``
+    (f ≥ fmin), ``n_tokens``, ``zipf_alpha`` (6 dp; NULL when no
+    tail types or a degenerate log-sum).
+
+    Execution shape, 100 TB lens: ONE explode → (group, token)
+    hash-agg — the only corpus-sized exchange, map-side partials
+    absorbing Zipf skew by construction — then a ≤ groups-sized
+    hash-agg of micro-quantized BIGINT log terms (order-free exact
+    sums, the vocab_growth discipline). No windows, no sorts, no
+    driver math.
+    """
+    if fmin < 2:
+        raise ValueError("fmin must be >= 2 (fmin-0.5 must exceed 1)")
+    from med_doi_feature_extraction_spark.operators.dedup import (
+        ngrams_all_col,
+    )
+
+    g = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("all")
+    ).alias("grp")
+    occ = df.select(
+        g, F.explode(ngrams_all_col(text_col, 1)).alias("_t")
+    ).filter(F.length("_t") > 0)
+    freq = occ.groupBy("grp", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_f")
+    )
+
+    def _u(c):
+        m = F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return F.when(c < 0, -m).otherwise(m)
+
+    tail = F.col("_f") >= F.lit(fmin)
+    lterm = F.log(F.col("_f").cast("double") / F.lit(fmin - 0.5))
+    per = freq.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(tail.cast("long")).cast("long").alias("tail_types"),
+        F.sum("_f").cast("long").alias("n_tokens"),
+        F.sum(F.when(tail, _u(lterm)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_s"),
+    )
+    alpha = F.lit(1.0) + F.col("tail_types").cast("double") / (
+        F.col("_s").cast("double") / F.lit(1e6)
+    )
+    return per.select(
+        F.col("grp").alias("group"),
+        "n_types",
+        "tail_types",
+        "n_tokens",
+        F.when(
+            (F.col("tail_types") > 0) & (F.col("_s") > 0), _u(alpha) / 1e6
+        ).alias("zipf_alpha"),
+    )
+
+
+def oracle_zipf_fit_sql(
+    rel_sql: str,
+    text_col: str,
+    group_expr: str | None = None,
+    fmin: int = 2,
+) -> str:
+    """DuckDB twin of :func:`zipf_fit` (same micro-quantized terms)."""
+
+    def u(expr: str) -> str:
+        m = f"CAST(floor(abs({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+        return f"(CASE WHEN ({expr}) < 0 THEN -{m} ELSE {m} END)"
+
+    grp = f"CAST({group_expr} AS VARCHAR)" if group_expr else "'all'"
+    lterm = f"ln((f)::DOUBLE / {fmin - 0.5})"
+    alpha = "1.0 + (tail_types)::DOUBLE / ((s)::DOUBLE / 1000000.0)"
+    return rf"""
+WITH occ AS (
+  SELECT {grp} AS grp,
+         unnest(string_split_regex(lower(trim("{text_col}")), '\s+'))
+           AS t
+  FROM {rel_sql}
+),
+freq AS (
+  SELECT grp, t, CAST(count(*) AS BIGINT) AS f
+  FROM occ WHERE len(t) > 0 GROUP BY grp, t
+),
+per AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(coalesce(sum(CASE WHEN f >= {fmin} THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS tail_types,
+         CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(CASE WHEN f >= {fmin}
+                                THEN {u(lterm)} ELSE 0 END), 0)
+              AS BIGINT) AS s
+  FROM freq GROUP BY grp
+)
+SELECT grp AS "group", n_types, tail_types, n_tokens,
+       CASE WHEN tail_types > 0 AND s > 0
+            THEN {u(alpha)} / 1000000.0 END AS zipf_alpha
+FROM per
+"""
