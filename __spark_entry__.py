@@ -6385,6 +6385,57 @@ JOIN agents a ON a.host = d.host AND a.grp = d.grp
     )
 
 
+def q_politeness(spark, sf_dir):
+    """Politeness-budget crawl scheduler (crawl.politeness_budget):
+    per-host frontier drain time at the robots-declared Crawl-delay
+    (goodbot view: exact agent beats wildcard, conservative max
+    within specificity, 1 s default) — the feasibility bit frontier
+    re-prioritization consumes. Frontier counts are a deterministic
+    plan-literal function of the robots host set."""
+    from med_doi_feature_extraction_spark.operators.crawl import (
+        politeness_budget,
+    )
+    from med_doi_feature_extraction_spark.operators.robots import (
+        robots_directives,
+    )
+
+    robots = _robotsp_seam(spark)
+    frontier = robots.select(
+        "host",
+        (F.pmod(F.length("host") * 131 + 7, F.lit(120000)) + 1).alias(
+            "n_urls"
+        ),
+    )
+    return politeness_budget(
+        frontier,
+        robots_directives(robots),
+        agent="goodbot",
+        default_delay_sec=1.0,
+        horizon_days=7.0,
+    )
+
+
+def _sql_politeness() -> str:
+    from med_doi_feature_extraction_spark.operators.crawl import (
+        oracle_politeness_sql,
+    )
+
+    glob = f"{_robotsp_base()}/robots.parquet/*.parquet"
+    frontier = f"""(
+  SELECT host,
+         (length(host) * 131 + 7) % 120000 + 1 AS n_urls
+  FROM read_parquet('{glob}')
+)"""
+    directives = f"({_sql_robots_directives()})"
+    return oracle_politeness_sql(
+        frontier,
+        directives,
+        agent="goodbot",
+        default_delay_sec=1.0,
+        horizon_days=7.0,
+    )
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -11212,6 +11263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_admission_summary": q_web_admission_summary,
         "robots_rules": q_robots_rules,
         "robots_directives": q_robots_directives,
+        "politeness": q_politeness,
         "trustrank": q_trustrank,
         "label_communities": q_label_communities,
         "text_blocks": q_text_blocks,
@@ -11461,6 +11513,7 @@ def oracle_sql() -> dict[str, str]:
         "web_admission_summary": _sql_web_admission_summary(),
         "robots_rules": _sql_robots_rules(),
         "robots_directives": _sql_robots_directives(),
+        "politeness": _sql_politeness(),
         "trustrank": _sql_trustrank(),
         "label_communities": _sql_label_communities(),
         "text_blocks": _sql_text_blocks(),
