@@ -6083,6 +6083,51 @@ FROM cblk GROUP BY url"""
     )
 
 
+def _mirrors_base() -> str:
+    from med_doi_feature_extraction_spark.operators.mirrors import (
+        MIRRORS_VERSION,
+    )
+
+    return f"/tmp/spark_graft_{MIRRORS_VERSION.replace('/', '_')}"
+
+
+def _mirrors_seam(spark):
+    """Planted mirror-pair crawl fixture (80%-shared hosts, universal
+    boilerplate page, solo hosts) materialized to parquet."""
+    from med_doi_feature_extraction_spark.operators.mirrors import (
+        generate_mirror_pages,
+    )
+
+    base = _mirrors_base()
+    pdf = generate_mirror_pages()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/pages.parquet"
+    )
+    return spark.read.parquet(f"{base}/pages.parquet")
+
+
+def q_mirrors(spark, sf_dir):
+    """Mirror-site candidates (operators/mirrors.py): host pairs
+    sharing identical normalized content — hot-hash-capped self-join
+    on the content hash, containment/Jaccard over true host sizes."""
+    from med_doi_feature_extraction_spark.operators.mirrors import (
+        mirror_candidates,
+    )
+
+    return mirror_candidates(_mirrors_seam(spark), hot_cap=16)
+
+
+def _sql_mirrors() -> str:
+    from med_doi_feature_extraction_spark.operators.mirrors import (
+        oracle_mirrors_sql,
+    )
+
+    return oracle_mirrors_sql(
+        f"read_parquet('{_mirrors_base()}/pages.parquet/*.parquet')",
+        hot_cap=16,
+    )
+
+
 def q_outlink_profile(spark, sf_dir):
     """Per-page outlink spam features: external ratio + single-host
     concentration (the link-farm tell) — two map-side-combinable
@@ -11264,6 +11309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "robots_directives": q_robots_directives,
         "politeness": q_politeness,
+        "mirrors": q_mirrors,
         "trustrank": q_trustrank,
         "label_communities": q_label_communities,
         "text_blocks": q_text_blocks,
@@ -11514,6 +11560,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_rules": _sql_robots_rules(),
         "robots_directives": _sql_robots_directives(),
         "politeness": _sql_politeness(),
+        "mirrors": _sql_mirrors(),
         "trustrank": _sql_trustrank(),
         "label_communities": _sql_label_communities(),
         "text_blocks": _sql_text_blocks(),
