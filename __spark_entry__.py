@@ -6481,6 +6481,27 @@ def _sql_politeness() -> str:
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search (operators/search.py): 'order fast'
+    as consecutive tokens — scan-stage isin filter collapses the
+    occurrence stream to the phrase terms, then a (doc, pos+i)
+    adjacency self-join and one doc hash-agg."""
+    from med_doi_feature_extraction_spark.operators.search import (
+        phrase_search,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return phrase_search(docs, "doc_id", "text", "order fast")
+
+
+def _sql_phrase_search() -> str:
+    from med_doi_feature_extraction_spark.operators.search import (
+        oracle_phrase_sql,
+    )
+
+    return oracle_phrase_sql("documents", "doc_id", "text", "order fast")
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -11310,6 +11331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_directives": q_robots_directives,
         "politeness": q_politeness,
         "mirrors": q_mirrors,
+        "phrase_search": q_phrase_search,
         "trustrank": q_trustrank,
         "label_communities": q_label_communities,
         "text_blocks": q_text_blocks,
@@ -11561,6 +11583,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_directives": _sql_robots_directives(),
         "politeness": _sql_politeness(),
         "mirrors": _sql_mirrors(),
+        "phrase_search": _sql_phrase_search(),
         "trustrank": _sql_trustrank(),
         "label_communities": _sql_label_communities(),
         "text_blocks": _sql_text_blocks(),
