@@ -7930,6 +7930,35 @@ FROM j, t
 """
 
 
+def q_kn_score(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram per-doc log-prob/ppl
+    (lm.train_kn_bigram_lm + kn_quality_score): one corpus-sized
+    bigram hash-agg trains the model; the oracle RETRAINS it in
+    DuckDB and re-scores every (prev, token) unit."""
+    from med_doi_feature_extraction_spark.operators.lm import (
+        kn_quality_score,
+        train_kn_bigram_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    bg, cx, co = train_kn_bigram_lm(docs, "text")
+    out = kn_quality_score(docs, bg, cx, co, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "logp_per_token",
+        "ppl",
+    )
+
+
+def _sql_kn_score() -> str:
+    from med_doi_feature_extraction_spark.operators.lm import (
+        oracle_kn_score_sql,
+    )
+
+    return oracle_kn_score_sql("documents", "documents", "doc_id", "text")
+
+
 def q_lm_quality(spark, sf_dir):
     """CCNet-style LM quality score: smoothed unigram LM trained on
     the corpus, per-doc mean token log-prob + perplexity — one
@@ -11176,6 +11205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_domains": q_hot_domains,
         "blocklist": q_blocklist,
         "lm_quality": q_lm_quality,
+        "kn_score": q_kn_score,
         "incremental_neardup": q_incremental_neardup,
         "containment_exact": q_containment_exact,
         "span_dedup": q_span_dedup,
@@ -11508,6 +11538,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _sql_span_dedup(),
         "feature_hash": _sql_feature_hash(),
         "lm_quality": SQL_LM_QUALITY,
+        "kn_score": _sql_kn_score(),
         "lm_bigram": SQL_LM_BIGRAM,
         "vocab_shift": SQL_VOCAB_SHIFT,
         "cms_counts": _sql_cms_counts(),

@@ -615,3 +615,281 @@ SELECT s.id AS "{id_col}", s.lang, s.ppl,
             ELSE 'tail' END AS bucket
 FROM spine s LEFT JOIN cuts c USING (lang)
 """
+
+
+def train_kn_bigram_lm(
+    corpus: DataFrame, text_col: str, discount: float = 0.75
+):
+    """Interpolated Kneser–Ney bigram model (Kneser & Ney 1995;
+    Chen & Goodman 1999 interpolated form) — the discount-based
+    upgrade to :func:`train_bigram_lm`'s stupid backoff when the
+    quality gate needs calibrated probabilities (mixture weighting,
+    ppl bucketing) rather than a monotone score:
+
+    ``P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + λ(w1)·P_cont(w2)``
+    with ``λ(w1) = D·N1+(w1·)/c(w1·)`` and the CONTINUATION
+    distribution ``P_cont(w2) = N1+(·w2)/N1+(··)`` (how many distinct
+    contexts a word follows — "francisco" is frequent but follows
+    only "san", so its continuation mass is tiny; this is the whole
+    point of KN).
+
+    Returns three slim DataFrames ``(bigrams, contexts, conts)``:
+    ``bigrams(gram, logp)`` = full interpolated log-prob of SEEN
+    bigrams; ``contexts(prev, log_lambda)``; ``conts(token,
+    log_pcont)``. All derive from ONE corpus-sized bigram hash-agg —
+    every other table is vocabulary-bounded algebra on top of it
+    (the distributed-LM property that made stupid backoff famous
+    holds for KN too: raw counts in, no held-out pass).
+    """
+    if not 0 < discount < 1:
+        raise ValueError("discount must be in (0, 1)")
+    c2 = (
+        corpus.select(
+            F.explode(ngrams_all_col(text_col, 2)).alias("gram")
+        )
+        .filter(F.length("gram") > 1)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    parts = F.split(F.col("gram"), " ", 2)
+    c2 = c2.select(
+        "gram",
+        "c2",
+        F.element_at(parts, 1).alias("_prev"),
+        F.element_at(parts, 2).alias("_tok"),
+    )
+    ctx = c2.groupBy("_prev").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    conts_n = c2.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n1b")
+    )
+    n1pp = conts_n.agg(
+        F.sum("n1b").cast("long").alias("_n1pp")
+    )  # 1 row: total distinct bigram types
+    conts = conts_n.crossJoin(F.broadcast(n1pp)).select(
+        F.col("_tok").alias("token"),
+        F.log(
+            F.col("n1b").cast("double") / F.col("_n1pp").cast("double")
+        ).alias("log_pcont"),
+    )
+    contexts = ctx.select(
+        F.col("_prev").alias("prev"),
+        F.log(
+            F.lit(discount)
+            * F.col("n1f").cast("double")
+            / F.col("c1").cast("double")
+        ).alias("log_lambda"),
+    )
+    pc = conts_n.crossJoin(F.broadcast(n1pp)).select(
+        F.col("_tok"),
+        (
+            F.col("n1b").cast("double") / F.col("_n1pp").cast("double")
+        ).alias("_pcont"),
+    )
+    bigrams = (
+        c2.join(ctx, "_prev")
+        .join(pc, "_tok")
+        .select(
+            "gram",
+            F.log(
+                (F.col("c2").cast("double") - F.lit(discount))
+                / F.col("c1").cast("double")
+                + F.lit(discount)
+                * F.col("n1f").cast("double")
+                / F.col("c1").cast("double")
+                * F.col("_pcont")
+            ).alias("logp"),
+        )
+    )
+    return bigrams, contexts, conts
+
+
+def kn_quality_score(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    conts: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_bigrams: bool = True,
+) -> DataFrame:
+    """Per-document Kneser–Ney log-prob — same contract as
+    :func:`bigram_quality_score` (``id, n_tokens, logp_per_token,
+    ppl``; empty docs NULL) so gates can swap estimators.
+
+    Scoring, per (prev, token) unit: seen bigram → its interpolated
+    ``logp``; unseen bigram with seen context → ``log_lambda(prev) +
+    log_pcont(token)``; first token / unseen context → the
+    continuation distribution alone (KN's lowest order); tokens never
+    seen as a continuation fall to the floor ``ln(1/(N1+(··)+1))`` —
+    a 1-row broadcast aggregate, never a driver constant.
+
+    Join shape = :func:`bigram_quality_score`: units built JVM-side
+    from aligned array slices, one explode; conts/contexts are
+    vocabulary-sized (always broadcast); the bigram table broadcasts
+    while it fits (``broadcast_bigrams=False`` shuffles on the gram
+    key and lets AQE absorb hot-transition skew).
+    """
+    toks = F.filter(
+        ngrams_all_col(text_col, 1), lambda t: F.length(t) > 0
+    )
+    grams = ngrams_all_col(text_col, 2)
+    first = F.when(
+        F.size(toks) > 0,
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("gram"),
+                F.element_at(toks, 1).alias("token"),
+            )
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<gram:string,token:string>>")
+    )
+    rest = F.zip_with(
+        grams,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda g, t: F.struct(g.alias("gram"), t.alias("token")),
+    )
+    units = docs.select(
+        id_col, F.explode(F.concat(first, rest)).alias("u")
+    ).select(
+        id_col,
+        F.col("u.gram").alias("gram"),
+        F.col("u.token").alias("token"),
+    )
+    floor = conts.agg(
+        F.log(
+            F.lit(1.0)
+            / (F.count(F.lit(1)).cast("double") + F.lit(1.0))
+        ).alias("_floor")
+    )  # 1 row; NB count(conts) = |continuation vocab| ≤ N1+(··)
+    lm2 = bigrams.select("gram", "logp")
+    if broadcast_bigrams:
+        lm2 = F.broadcast(lm2)
+    prev = F.element_at(F.split(F.col("gram"), " ", 2), 1)
+    scored = (
+        units.withColumn("_prev", prev)
+        .join(lm2, "gram", "left")
+        .join(
+            F.broadcast(contexts.withColumnRenamed("prev", "_prev")),
+            "_prev",
+            "left",
+        )
+        .join(F.broadcast(conts), "token", "left")
+        .crossJoin(F.broadcast(floor))
+        .select(
+            id_col,
+            F.when(F.col("logp").isNotNull(), F.col("logp"))
+            .when(
+                F.col("gram").isNotNull() & F.col("log_lambda").isNotNull(),
+                F.col("log_lambda")
+                + F.coalesce("log_pcont", F.col("_floor")),
+            )
+            .otherwise(F.coalesce("log_pcont", F.col("_floor")))
+            .alias("_s"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_s"), 6).alias("logp_per_token"),
+    )
+    agg = agg.withColumn(
+        "ppl", F.round(F.exp(-F.col("logp_per_token")), 3)
+    )
+    return docs.select(id_col).join(agg, id_col, "left")
+
+
+def oracle_kn_score_sql(
+    corpus_sql: str,
+    docs_sql: str,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> str:
+    """DuckDB twin of train_kn_bigram_lm + kn_quality_score — the
+    oracle RETRAINS the model from the same corpus (kmeans/logreg
+    discipline) and re-scores every unit."""
+    d = float(discount)
+    return rf"""
+WITH toks AS (
+  SELECT "{id_col}" AS id,
+         list_filter(string_split_regex(lower(trim("{text_col}")),
+                     '\s+'), t -> length(t) > 0) AS a
+  FROM {docs_sql}
+),
+ctoks AS (
+  SELECT string_split_regex(lower(trim("{text_col}")), '\s+') AS a
+  FROM {corpus_sql}
+),
+cg AS (
+  SELECT a[i] AS w1, a[i + 1] AS w2
+  FROM ctoks, unnest(range(1, len(a))) AS u(i)
+  WHERE length(a[i] || ' ' || a[i + 1]) > 1
+),
+c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM cg GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM c2 GROUP BY w1
+),
+cb AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2
+),
+npp AS (SELECT CAST(sum(n1b) AS BIGINT) AS n1pp FROM cb),
+conts AS (
+  SELECT w2 AS token, ln((n1b)::DOUBLE / (npp.n1pp)::DOUBLE)
+           AS log_pcont
+  FROM cb, npp
+),
+ctxl AS (
+  SELECT w1 AS prev,
+         ln({d} * (n1f)::DOUBLE / (c1)::DOUBLE) AS log_lambda
+  FROM ctx
+),
+bg AS (
+  SELECT c2.w1 || ' ' || c2.w2 AS gram,
+         ln(((c2.c2)::DOUBLE - {d}) / (ctx.c1)::DOUBLE
+            + {d} * (ctx.n1f)::DOUBLE / (ctx.c1)::DOUBLE
+              * ((cb.n1b)::DOUBLE / (npp.n1pp)::DOUBLE)) AS logp
+  FROM c2
+  JOIN ctx ON ctx.w1 = c2.w1
+  JOIN cb ON cb.w2 = c2.w2
+  CROSS JOIN npp
+),
+flr AS (SELECT ln(1.0 / (count(*)::DOUBLE + 1.0)) AS f FROM conts),
+units AS (
+  SELECT id,
+         CASE WHEN i = 1 THEN NULL
+              ELSE a[i - 1] || ' ' || a[i] END AS gram,
+         CASE WHEN i = 1 THEN NULL ELSE a[i - 1] END AS prev,
+         a[i] AS token
+  FROM toks, unnest(range(1, len(a) + 1)) AS u(i)
+),
+scored AS (
+  SELECT u.id,
+         CASE
+           WHEN b.logp IS NOT NULL THEN b.logp
+           WHEN u.gram IS NOT NULL AND cx.log_lambda IS NOT NULL
+             THEN cx.log_lambda + coalesce(co.log_pcont, flr.f)
+           ELSE coalesce(co.log_pcont, flr.f)
+         END AS s
+  FROM units u
+  LEFT JOIN bg b ON b.gram = u.gram
+  LEFT JOIN ctxl cx ON cx.prev = u.prev
+  LEFT JOIN conts co ON co.token = u.token
+  CROSS JOIN flr
+),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(s), 6) AS logp_per_token
+  FROM scored GROUP BY id
+)
+SELECT t."{id_col}", a.n_tokens, a.logp_per_token,
+       round(exp(-a.logp_per_token), 3) AS ppl
+FROM {docs_sql} t LEFT JOIN agg a ON a.id = t."{id_col}"
+"""

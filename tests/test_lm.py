@@ -321,3 +321,97 @@ class TestCCNetBuckets:
         assert got[1]["lang"] == ""
         assert got[1]["ppl"] is None
         assert len(got) == 3
+
+
+class TestKneserNey:
+    # corpus bigrams: "a b" x2, "b c" x1, "a c" x1
+    # c(a·)=3 n1f(a)=2; c(b·)=1 n1f(b)=1
+    # continuations: n1b(b)=1, n1b(c)=2; N1+(··)=3
+    D = 0.75
+
+    def _model(self, spark, bi_ref):
+        from med_doi_feature_extraction_spark.operators.lm import (
+            train_kn_bigram_lm,
+        )
+
+        bg, cx, co = train_kn_bigram_lm(bi_ref, "text", discount=self.D)
+        return (
+            {r["gram"]: r["logp"] for r in bg.collect()},
+            {r["prev"]: r["log_lambda"] for r in cx.collect()},
+            {r["token"]: r["log_pcont"] for r in co.collect()},
+        )
+
+    def test_hand_computed_tables(self, spark, bi_ref):
+        bg, cx, co = self._model(spark, bi_ref)
+        d = self.D
+        assert co["b"] == pytest.approx(math.log(1 / 3))
+        assert co["c"] == pytest.approx(math.log(2 / 3))
+        assert cx["a"] == pytest.approx(math.log(d * 2 / 3))
+        assert cx["b"] == pytest.approx(math.log(d * 1 / 1))
+        assert bg["a b"] == pytest.approx(
+            math.log((2 - d) / 3 + d * 2 / 3 * (1 / 3))
+        )
+        assert bg["b c"] == pytest.approx(
+            math.log((1 - d) / 1 + d * 1 / 1 * (2 / 3))
+        )
+        assert bg["a c"] == pytest.approx(
+            math.log((1 - d) / 3 + d * 2 / 3 * (2 / 3))
+        )
+
+    def test_probabilities_normalize_per_context(self, spark, bi_ref):
+        # sum over seen continuations + lambda mass on unseen = 1:
+        # for context a: P(b|a) + P(c|a) + lambda(a)*(mass of tokens
+        # never following a under P_cont) -- with full vocab {b, c}
+        # both follow a, so P(b|a) + P(c|a) = 1 exactly
+        bg, cx, co = self._model(spark, bi_ref)
+        total = math.exp(bg["a b"]) + math.exp(bg["a c"])
+        assert total == pytest.approx(1.0, abs=1e-12)
+
+    def test_scoring_paths(self, spark, bi_ref):
+        from med_doi_feature_extraction_spark.operators.lm import (
+            kn_quality_score,
+            train_kn_bigram_lm,
+        )
+
+        bg, cx, co = train_kn_bigram_lm(bi_ref, "text", discount=self.D)
+        docs = spark.createDataFrame(
+            [
+                (1, "a b"),     # first-token cont + seen bigram
+                (2, "b a"),     # seen context b, unseen bigram "b a":
+                                # lambda(b) + pcont(a)->floor (a never
+                                # a continuation)
+                (3, "zz c"),    # unseen first token -> floor; unseen
+                                # context -> pcont(c)
+                (4, ""),        # empty -> NULLs
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in kn_quality_score(
+                docs, bg, cx, co, "doc_id", "text"
+            ).collect()
+        }
+        d = self.D
+        floor = math.log(1 / 3)  # |conts|=2 -> ln(1/(2+1))
+        s1 = (math.log(1 / 3) + math.log((2 - d) / 3 + d * 2 / 3 / 3)) / 2
+        assert got[1]["logp_per_token"] == pytest.approx(
+            round(s1, 6), abs=1e-6
+        )
+        s2 = (math.log(1 / 3) + (math.log(d) + floor)) / 2
+        assert got[2]["logp_per_token"] == pytest.approx(
+            round(s2, 6), abs=1e-6
+        )
+        s3 = (floor + math.log(2 / 3)) / 2
+        assert got[3]["logp_per_token"] == pytest.approx(
+            round(s3, 6), abs=1e-6
+        )
+        assert got[4]["ppl"] is None
+
+    def test_rejects_bad_discount(self, spark, bi_ref):
+        from med_doi_feature_extraction_spark.operators.lm import (
+            train_kn_bigram_lm,
+        )
+
+        with pytest.raises(ValueError):
+            train_kn_bigram_lm(bi_ref, "text", discount=1.0)

@@ -65,6 +65,10 @@ ALLOW_NLJ = {
     "snapshot_drift", "drift_summary", "editdist",
     # pmi: 1-row unigram/bigram-totals broadcast (the ln(N) terms)
     "pmi",
+    # kn_score: two 1-row broadcasts (N1+(··) continuation normalizer
+    # in training, the continuation-floor aggregate in scoring) —
+    # the same attach-a-global-scalar shape as lm_quality
+    "kn_score",
     # logreg_gate: each unrolled GD iteration crossJoins the 1-row
     # weight frame (b,w1,w2) back onto features — the model is a
     # single broadcast row by construction (operators/logreg.py)
