@@ -6128,6 +6128,51 @@ def _sql_mirrors() -> str:
     )
 
 
+def _headings_base() -> str:
+    from med_doi_feature_extraction_spark.operators.headings import (
+        HEADINGS_VERSION,
+    )
+
+    return f"/tmp/spark_graft_{HEADINGS_VERSION.replace('/', '_')}"
+
+
+def _headings_seam(spark):
+    """Outline-stack fixture (skipped levels, h1 resets, popped
+    branches, entities/markup in headings) materialized to parquet."""
+    from med_doi_feature_extraction_spark.operators.headings import (
+        generate_heading_pages,
+    )
+
+    base = _headings_base()
+    pdf = generate_heading_pages()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/pages.parquet"
+    )
+    return spark.read.parquet(f"{base}/pages.parquet")
+
+
+def q_headings_outline(spark, sf_dir):
+    """h1–h6 outline resolution (operators/headings.py): the HTML5
+    heading stack as unrolled per-level window algebra — one
+    document-keyed exchange, no iteration, no UDF."""
+    from med_doi_feature_extraction_spark.operators.headings import (
+        extract_headings,
+        headings_outline,
+    )
+
+    return headings_outline(extract_headings(_headings_seam(spark)))
+
+
+def _sql_headings_outline() -> str:
+    from med_doi_feature_extraction_spark.operators.headings import (
+        oracle_outline_sql,
+    )
+
+    return oracle_outline_sql(
+        f"{_headings_base()}/pages.parquet/*.parquet"
+    )
+
+
 def q_outlink_profile(spark, sf_dir):
     """Per-page outlink spam features: external ratio + single-host
     concentration (the link-farm tell) — two map-side-combinable
@@ -11362,6 +11407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness": q_politeness,
         "mirrors": q_mirrors,
         "phrase_search": q_phrase_search,
+        "headings_outline": q_headings_outline,
         "trustrank": q_trustrank,
         "label_communities": q_label_communities,
         "text_blocks": q_text_blocks,
@@ -11615,6 +11661,7 @@ def oracle_sql() -> dict[str, str]:
         "politeness": _sql_politeness(),
         "mirrors": _sql_mirrors(),
         "phrase_search": _sql_phrase_search(),
+        "headings_outline": _sql_headings_outline(),
         "trustrank": _sql_trustrank(),
         "label_communities": _sql_label_communities(),
         "text_blocks": _sql_text_blocks(),
