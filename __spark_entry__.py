@@ -6173,6 +6173,41 @@ def _sql_headings_outline() -> str:
     )
 
 
+def q_template_census(spark, sf_dir):
+    """Per-domain template-diversity census (domainstats.
+    template_census): sha256 layout fingerprint of the opening
+    tag-name sequence, two domain-keyed hash-aggs. Urls re-domained
+    deterministically so the census has multiple groups."""
+    from med_doi_feature_extraction_spark.operators.domainstats import (
+        template_census,
+    )
+
+    k = F.pmod(F.length("url"), F.lit(4)).cast("string")
+    pages = _blocktext_seam(spark).select(
+        F.concat(
+            F.lit("https://w."), F.lit("site"), k, F.lit(".net/p")
+        ).alias("url"),
+        "html",
+    )
+    return template_census(pages)
+
+
+def _sql_template_census() -> str:
+    from med_doi_feature_extraction_spark.operators.domainstats import (
+        sql_template_census,
+    )
+
+    glob = f"{_blocktext_base()}/pages.parquet/*.parquet"
+    inner = sql_template_census("__GLOB__")
+    rel = f"""(
+  SELECT 'https://w.site' || CAST(length(url) % 4 AS VARCHAR)
+           || '.net/p' AS url,
+         html
+  FROM read_parquet('{glob}')
+)"""
+    return inner.replace("read_parquet('__GLOB__')", rel)
+
+
 def q_outlink_profile(spark, sf_dir):
     """Per-page outlink spam features: external ratio + single-host
     concentration (the link-farm tell) — two map-side-combinable
@@ -11408,6 +11443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirrors": q_mirrors,
         "phrase_search": q_phrase_search,
         "headings_outline": q_headings_outline,
+        "template_census": q_template_census,
         "trustrank": q_trustrank,
         "label_communities": q_label_communities,
         "text_blocks": q_text_blocks,
@@ -11662,6 +11698,7 @@ def oracle_sql() -> dict[str, str]:
         "mirrors": _sql_mirrors(),
         "phrase_search": _sql_phrase_search(),
         "headings_outline": _sql_headings_outline(),
+        "template_census": _sql_template_census(),
         "trustrank": _sql_trustrank(),
         "label_communities": _sql_label_communities(),
         "text_blocks": _sql_text_blocks(),

@@ -177,3 +177,116 @@ SELECT url,
            AS n_anchors
 FROM read_parquet('{parquet_glob}')
 """
+
+
+# ------------------------------------------------------- template census
+
+#: tag-name extraction for the layout fingerprint (opening tags only —
+#: closing tags add no structure information; Java∩RE2 subset)
+_TAGNAME_RE = r"(?i)<([a-z][a-z0-9]*)"
+
+
+def template_fingerprint(html: Column) -> Column:
+    """Layout fingerprint: sha256 of the page's lower-cased opening
+    tag-name SEQUENCE (content-independent — two articles stamped
+    from one CMS template share it; Gibson et al. 2005 put template
+    bytes at 40–50% of the web). Pure codegen Column."""
+    h = F.coalesce(html.cast("string"), F.lit(""))
+    seq = F.array_join(
+        F.transform(
+            F.regexp_extract_all(h, F.lit(_TAGNAME_RE), 1), F.lower
+        ),
+        " ",
+    )
+    return F.sha2(seq, 256)
+
+
+def template_census(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-registrable-domain template diversity: ``n_pages,
+    n_templates, top_template_share`` (share of pages on the most
+    common fingerprint, 6 dp) and ``pages_per_template``. A domain
+    stamping thousands of pages from one template is the
+    thin-content/doorway tell the admission gates consume; a healthy
+    editorial site shows many templates at low concentration.
+
+    Two host-keyed hash-aggs ((domain, fingerprint) then domain) —
+    the fingerprint itself never leaves the scan stage un-aggregated,
+    and the wide html column dies at the first projection."""
+    from med_doi_feature_extraction_spark.operators.urls import (
+        url_domain,
+        url_host,
+    )
+
+    d = df.select(
+        url_domain(url_host(F.col(url_col))).alias("domain"),
+        template_fingerprint(F.col(html_col)).alias("fp"),
+    )
+    per_fp = d.groupBy("domain", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    out = per_fp.groupBy("domain").agg(
+        F.sum("n").cast("long").alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("n_templates"),
+        F.max("n").cast("long").alias("_top"),
+    )
+    return out.select(
+        "domain",
+        "n_pages",
+        "n_templates",
+        _round6(F.col("_top").cast("double") / F.col("n_pages")).alias(
+            "top_template_share"
+        ),
+        _round6(
+            F.col("n_pages").cast("double") / F.col("n_templates")
+        ).alias("pages_per_template"),
+    )
+
+
+def sql_template_census(
+    parquet_glob: str, url_expr: str = "url", html_expr: str = "html"
+) -> str:
+    """DuckDB twin of :func:`template_census`."""
+    from med_doi_feature_extraction_spark.operators.urls import (
+        sql_url_host,
+        suffix_in_sql,
+    )
+
+    h = f"coalesce(CAST({html_expr} AS VARCHAR), '')"
+    seq = (
+        f"array_to_string(list_transform(regexp_extract_all({h}, "
+        f"'{_TAGNAME_RE}', 1), x -> lower(x)), ' ')"
+    )
+    host = sql_url_host(url_expr)
+    dom = (
+        f"CASE WHEN regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+        f" IN ({suffix_in_sql()})"
+        f" AND length(regexp_extract({host},"
+        f" '([^.]+\\.[^.]+\\.[^.]+)$', 1)) > 0"
+        f" THEN regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+        f" ELSE regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) END"
+    )
+    r6 = "floor(({x}) * 1e6 + 0.5) / 1e6 + 0.0"
+    top = r6.format(x="CAST(top_n AS DOUBLE) / n_pages")
+    ppt = r6.format(x="CAST(n_pages AS DOUBLE) / n_templates")
+    return f"""
+WITH fp AS (
+  SELECT {dom} AS domain, sha256({seq}) AS fp
+  FROM read_parquet('{parquet_glob}')
+),
+per AS (
+  SELECT domain, fp, CAST(count(*) AS BIGINT) AS n
+  FROM fp GROUP BY domain, fp
+),
+agg AS (
+  SELECT domain, CAST(sum(n) AS BIGINT) AS n_pages,
+         CAST(count(*) AS BIGINT) AS n_templates,
+         CAST(max(n) AS BIGINT) AS top_n
+  FROM per GROUP BY domain
+)
+SELECT domain, n_pages, n_templates,
+       ({top}) AS top_template_share,
+       ({ppt}) AS pages_per_template
+FROM agg
+"""

@@ -83,3 +83,37 @@ def test_markup_on_fixture(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+class TestTemplateCensus:
+    def _run(self, spark, rows):
+        from med_doi_feature_extraction_spark.operators.domainstats import (
+            template_census,
+        )
+
+        df = spark.createDataFrame(rows, "url string, html string")
+        return {r["domain"]: r for r in template_census(df).collect()}
+
+    def test_same_layout_different_content_collapses(self, spark):
+        t = "<html><body><div><p>{}</p></div></body></html>"
+        rows = [
+            (f"https://a.farm.com/{i}", t.format(f"article {i}"))
+            for i in range(10)
+        ] + [
+            ("https://b.edit.com/1", "<html><body><p>x</p></body></html>"),
+            ("https://b.edit.com/2", "<html><ul><li>y</li></ul></html>"),
+        ]
+        got = self._run(spark, rows)
+        farm, edit = got["farm.com"], got["edit.com"]
+        assert farm["n_templates"] == 1 and farm["top_template_share"] == 1.0
+        assert farm["pages_per_template"] == 10.0
+        assert edit["n_templates"] == 2 and edit["top_template_share"] == 0.5
+
+    def test_attributes_ignored_closing_tags_ignored(self, spark):
+        rows = [
+            ("https://x.s.com/1", '<div class="a"><p id="z">one</p></div>'),
+            ("https://x.s.com/2", "<div><p>two words here</p></div>"),
+            ("https://x.s.com/3", "<DIV><P>upper</P></DIV>"),
+        ]
+        got = self._run(spark, rows)
+        assert got["s.com"]["n_templates"] == 1
