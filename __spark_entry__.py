@@ -5695,6 +5695,47 @@ def _sql_head_meta() -> str:
     return sql_head_meta(f"{_headmeta_base()}/pages.parquet/*.parquet")
 
 
+def _structured_base() -> str:
+    return "/tmp/spark_graft_structured_v1"
+
+
+def _structured_seam(spark):
+    """JSON-LD / og:type / microdata fixture (multi-block, both attr
+    orders, decoy script types) materialized to parquet."""
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        generate_structured_pages,
+    )
+
+    base = _structured_base()
+    pdf = generate_structured_pages()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/pages.parquet"
+    )
+    return spark.read.parquet(f"{base}/pages.parquet")
+
+
+def q_structured_data(spark, sf_dir):
+    """schema.org / Open Graph markup census (headmeta.
+    structured_data_census): JSON-LD block + @type extraction,
+    og:type both attribute orders, microdata itemscope/itemtype —
+    one codegen regexp battery per page."""
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        structured_data_census,
+    )
+
+    return structured_data_census(_structured_seam(spark))
+
+
+def _sql_structured_data() -> str:
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        sql_structured_census,
+    )
+
+    return sql_structured_census(
+        f"{_structured_base()}/pages.parquet/*.parquet"
+    )
+
+
 def q_canonical_groups(spark, sf_dir):
     """rel=canonical dedup groups: per-target group size, min-url
     representative, self-reference count — the site-declared dedup
@@ -11444,6 +11485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "headings_outline": q_headings_outline,
         "template_census": q_template_census,
+        "structured_data": q_structured_data,
         "trustrank": q_trustrank,
         "label_communities": q_label_communities,
         "text_blocks": q_text_blocks,
@@ -11699,6 +11741,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _sql_phrase_search(),
         "headings_outline": _sql_headings_outline(),
         "template_census": _sql_template_census(),
+        "structured_data": _sql_structured_data(),
         "trustrank": _sql_trustrank(),
         "label_communities": _sql_label_communities(),
         "text_blocks": _sql_text_blocks(),

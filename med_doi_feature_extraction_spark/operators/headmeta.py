@@ -306,3 +306,165 @@ SELECT url,
         AND length({t}) < {SOFT404_MAX_LEN}) AS is_soft404
 FROM read_parquet('{parquet_glob}')
 """
+
+
+# ---------------------------------------------------- structured data
+
+#: JSON-LD carrier blocks (schema.org's recommended embedding)
+_LD_RE = (
+    r'(?is)<script[^>]*type=["\']application/ld\+json["\'][^>]*>'
+    r"(.*?)</script>"
+)
+#: "@type": "Thing" inside a JSON-LD block (regex-level extraction —
+#: engine-portable; full JSON parsing differs across engines on edge
+#: cases, and the census only needs the type census)
+_LD_TYPE_RE = r'"@type"\s*:\s*"([^"]+)"'
+_OG_TYPE_A = r'(?i)<meta[^>]*property=["\']og:type["\'][^>]*content=["\']([^"\']*)'
+_OG_TYPE_B = r'(?i)<meta[^>]*content=["\']([^"\']*)["\'][^>]*property=["\']og:type["\']'
+_ITEMSCOPE_RE = r"(?i)<[^>]*\sitemscope[\s>/]"
+_ITEMTYPE_RE = r'(?i)itemtype=["\']([^"\']+)'
+
+
+def structured_data_census(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-page schema.org / Open Graph markup census: ``n_jsonld``
+    (ld+json blocks), ``jsonld_types`` (sorted distinct ``@type``
+    values, csv), ``og_type``, ``n_itemscope`` + ``microdata_types``
+    (sorted distinct itemtype URLs, csv), ``has_structured``.
+    Structured-data presence is a quality/answerability prior (recipe
+    /product/article pages label themselves) and the extraction seed
+    for KG-style training pairs. One codegen regexp battery; the
+    html column is pruned immediately."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    blocks = F.regexp_extract_all(h, F.lit(_LD_RE), 1)
+    ld_types = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        blocks,
+                        lambda b: F.regexp_extract_all(
+                            b, F.lit(_LD_TYPE_RE), 1
+                        ),
+                    )
+                )
+            )
+        ),
+        ",",
+    )
+    og = _first(h, _OG_TYPE_A, _OG_TYPE_B)
+    n_scope = F.size(F.regexp_extract_all(h, F.lit(_ITEMSCOPE_RE), 0))
+    md_types = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all(h, F.lit(_ITEMTYPE_RE), 1)
+            )
+        ),
+        ",",
+    )
+    n_ld = F.size(blocks)
+    return df.select(
+        F.col(url_col).alias("url"),
+        n_ld.cast("int").alias("n_jsonld"),
+        ld_types.alias("jsonld_types"),
+        og.alias("og_type"),
+        n_scope.cast("int").alias("n_itemscope"),
+        md_types.alias("microdata_types"),
+        (
+            (n_ld > 0) | (F.length(og) > 0) | (n_scope > 0)
+        ).alias("has_structured"),
+    )
+
+
+def generate_structured_pages(n: int = 150):
+    """Deterministic fixture: JSON-LD blocks (single / multiple /
+    nested types / other script types that must NOT count), og:type
+    in both attribute orders, microdata itemscope/itemtype, and
+    plain pages. Returns pandas DataFrame (url, html)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(n):
+        url = f"https://sd{i % 4}.example.com/p-{i}"
+        kind = i % 6
+        parts = []
+        if kind == 0:
+            parts.append(
+                '<script type="application/ld+json">'
+                '{"@context":"https://schema.org","@type":"Article",'
+                f'"headline":"Doc {i}"}}</script>'
+            )
+        elif kind == 1:  # two blocks, nested @type, single quotes
+            parts.append(
+                "<script type='application/ld+json'>"
+                '{"@type":"Recipe","author":{"@type":"Person"}}'
+                "</script>"
+                '<script type="application/ld+json">'
+                '{"@type":"BreadcrumbList"}</script>'
+            )
+        elif kind == 2:  # og:type, alternating attribute order
+            if i % 2 == 0:
+                parts.append(
+                    '<meta property="og:type" content="article">'
+                )
+            else:
+                parts.append(
+                    '<meta content="product" property="og:type">'
+                )
+        elif kind == 3:  # microdata
+            parts.append(
+                '<div itemscope itemtype="https://schema.org/Product">'
+                f'<span itemprop="name">Widget {i}</span></div>'
+                '<div itemscope itemtype="https://schema.org/Offer"></div>'
+            )
+        elif kind == 4:  # non-ld script must not count
+            parts.append(
+                '<script type="text/javascript">var x = '
+                '\'{"@type":"Fake"}\';</script>'
+            )
+        body = "".join(parts) + f"<p>content {i}</p>"
+        rows.append((url, f"<html><head></head><body>{body}</body></html>"))
+    return pd.DataFrame(rows, columns=["url", "html"])
+
+
+def sql_structured_census(parquet_glob: str) -> str:
+    """DuckDB twin of :func:`structured_data_census`."""
+    ld = _LD_RE.replace("'", "''")
+    ldt = _LD_TYPE_RE.replace("'", "''")
+    oga = _OG_TYPE_A.replace("'", "''")
+    ogb = _OG_TYPE_B.replace("'", "''")
+    isc = _ITEMSCOPE_RE.replace("'", "''")
+    itt = _ITEMTYPE_RE.replace("'", "''")
+    h = "coalesce(CAST(html AS VARCHAR), '')"
+    og_first = (
+        f"CASE WHEN length(regexp_extract({h}, '{oga}', 1)) > 0 "
+        f"THEN regexp_extract({h}, '{oga}', 1) "
+        f"ELSE regexp_extract({h}, '{ogb}', 1) END"
+    )
+    return f"""
+WITH base AS (
+  SELECT url,
+         coalesce(regexp_extract_all({h}, '{ld}', 1), []) AS blocks,
+         {og_first} AS og_type,
+         coalesce(len(regexp_extract_all({h}, '{isc}', 0)), 0)
+           AS n_itemscope,
+         coalesce(array_to_string(list_sort(list_distinct(
+           regexp_extract_all({h}, '{itt}', 1))), ','), '')
+           AS microdata_types
+  FROM read_parquet('{parquet_glob}')
+)
+SELECT url,
+       CAST(coalesce(len(blocks), 0) AS INT) AS n_jsonld,
+       coalesce(array_to_string(list_sort(list_distinct(flatten(
+         list_transform(blocks,
+                        b -> coalesce(regexp_extract_all(b, '{ldt}', 1),
+                                      []))))), ','), '')
+         AS jsonld_types,
+       og_type,
+       CAST(n_itemscope AS INT) AS n_itemscope,
+       microdata_types,
+       (len(blocks) > 0 OR length(og_type) > 0 OR n_itemscope > 0)
+         AS has_structured
+FROM base
+"""

@@ -102,3 +102,51 @@ def test_canonical_groups(spark):
     # pages without canonical are singleton groups keyed on themselves
     single_self = g[(g.n_pages == 1) & (g.canonical_key == g.rep_url)]
     assert len(single_self) > 0
+
+
+class TestStructuredData:
+    def _run(self, spark, html):
+        from med_doi_feature_extraction_spark.operators.headmeta import (
+            structured_data_census,
+        )
+
+        df = spark.createDataFrame(
+            [("u", html)], "url string, html string"
+        )
+        return structured_data_census(df).collect()[0]
+
+    def test_jsonld_multi_block_nested_types(self, spark):
+        html = (
+            "<script type='application/ld+json'>"
+            '{"@type":"Recipe","author":{"@type":"Person"}}</script>'
+            '<script type="application/ld+json">{"@type":"Article"}'
+            "</script>"
+        )
+        r = self._run(spark, html)
+        assert r["n_jsonld"] == 2
+        assert r["jsonld_types"] == "Article,Person,Recipe"
+        assert r["has_structured"]
+
+    def test_decoy_script_not_counted(self, spark):
+        html = '<script type="text/javascript">\'{"@type":"X"}\'</script>'
+        r = self._run(spark, html)
+        assert r["n_jsonld"] == 0 and r["jsonld_types"] == ""
+        assert not r["has_structured"]
+
+    def test_og_type_both_orders(self, spark):
+        a = self._run(spark, '<meta property="og:type" content="article">')
+        b = self._run(spark, '<meta content="video" property="og:type">')
+        assert a["og_type"] == "article" and b["og_type"] == "video"
+        assert a["has_structured"] and b["has_structured"]
+
+    def test_microdata(self, spark):
+        html = (
+            '<div itemscope itemtype="https://schema.org/Product"></div>'
+            '<span itemscope itemtype="https://schema.org/Offer"></span>'
+        )
+        r = self._run(spark, html)
+        assert r["n_itemscope"] == 2
+        assert (
+            r["microdata_types"]
+            == "https://schema.org/Offer,https://schema.org/Product"
+        )
