@@ -135,6 +135,11 @@ def main() -> None:
         "anchor_expansion", "subdomain_census", "sitemap_entries",
         "sitemap_stats", "wilson_rollup", "web_admission",
         "web_admission_summary", "robots_rules", "robots_directives",
+        # r5 fifth-session additions (graph/extraction/IR/LM surface)
+        "trustrank", "label_communities", "text_blocks", "main_content",
+        "zipf_fit", "politeness", "mirrors", "phrase_search",
+        "kn_score", "headings_outline", "template_census",
+        "structured_data",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -262,6 +262,43 @@ def main() -> None:
         ("web_admission", "five hygiene gates + first-failed CASE in "
          "ONE codegen projection — zero exchanges; html reduced to "
          "booleans at the scan."),
+        ("trustrank", "pagerank's join shape with seed-restricted "
+         "teleport: slim edge⋈deg⋈rank joins per iteration, 1-row "
+         "dangling/seed-count broadcasts, localCheckpoint lineage "
+         "truncation."),
+        ("label_communities", "per LPA round: edge⋈label equi-join + "
+         "two node-keyed hash-aggs (argmax = min(struct(-cnt,label))) "
+         "+ left join to nodes; self-vote rows union'd once up "
+         "front."),
+        ("text_blocks", "block split + ONE posexplode in the scan "
+         "stage; per-block features codegen; the neighbor-resolution "
+         "window partitions by url — one document-keyed exchange."),
+        ("main_content", "text_blocks plan + one url hash-agg "
+         "(sorted-struct rebuild); html never crosses a shuffle."),
+        ("zipf_fit", "explode → (group, token) hash-agg with map-side "
+         "partials absorbing Zipf skew; micro-quantized BIGINT log "
+         "terms fold in a <= groups-sized agg."),
+        ("politeness", "both inputs per-host aggregates: two host "
+         "hash-aggs for the specificity pick, AQE-broadcastable "
+         "left join; zero corpus-sized exchanges."),
+        ("mirrors", "(hash, host) distinct pairs → hot-hash cap "
+         "semi-join BEFORE the self-join — bounded pair expansion; "
+         "sizes from the uncapped table joined back per pair."),
+        ("phrase_search", "scan-stage isin filter collapses the "
+         "occurrence stream to the phrase terms; adjacency legs "
+         "equi-join in one (doc, start) key space; doc hash-agg."),
+        ("kn_score", "one corpus bigram hash-agg trains; "
+         "vocab-bounded context/continuation tables broadcast; "
+         "1-row floor/normalizer broadcasts (ALLOW_NLJ contract); "
+         "per-doc agg keys on id."),
+        ("headings_outline", "regexp_extract_all + posexplode in the "
+         "scan; the outline stack = 5 last-of-level columns over ONE "
+         "(url,pos) window — single document-keyed exchange."),
+        ("template_census", "fingerprint = codegen sha256 at the "
+         "scan; two domain-keyed hash-aggs; html dies at the first "
+         "projection."),
+        ("structured_data", "whole census is ONE codegen regexp "
+         "battery — no exchange, no UDF, html pruned immediately."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
