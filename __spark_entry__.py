@@ -8835,6 +8835,37 @@ SELECT node, tr FROM t3
 """
 
 
+def q_bowtie(spark, sf_dir):
+    """Seed-anchored bow-tie decomposition (graph.bowtie_census,
+    Broder 2000) over the lineitem-derived DIRECTED edge table,
+    seeds = nodes 0–9, horizon 3 — two bounded directed BFS passes
+    + a CASE."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        bowtie_census,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 600).alias("dst"),
+    )
+    seeds = spark.range(10).select(F.col("id").alias("node"))
+    return bowtie_census(edges, seeds, k=3)
+
+
+def _sql_bowtie() -> str:
+    from med_doi_feature_extraction_spark.operators.graph import (
+        oracle_bowtie_sql,
+    )
+
+    edges = (
+        "(SELECT l_orderkey % 500 AS src, l_partkey % 600 AS dst "
+        "FROM lineitem) le"
+    )
+    seeds = "(SELECT CAST(i AS BIGINT) AS node FROM range(0, 10) s(i)) sd"
+    return oracle_bowtie_sql(edges, seeds, k=3)
+
+
 def q_label_communities(spark, sf_dir):
     """Label-propagation communities (graph.label_communities):
     deterministic synchronous LPA with self-vote and min-label
@@ -11488,6 +11519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_data": q_structured_data,
         "trustrank": q_trustrank,
         "label_communities": q_label_communities,
+        "bowtie": q_bowtie,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -11744,6 +11776,7 @@ def oracle_sql() -> dict[str, str]:
         "structured_data": _sql_structured_data(),
         "trustrank": _sql_trustrank(),
         "label_communities": _sql_label_communities(),
+        "bowtie": _sql_bowtie(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

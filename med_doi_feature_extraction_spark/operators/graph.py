@@ -1296,3 +1296,145 @@ FROM fresh f
 JOIN deg da ON da.node = f.a
 JOIN deg db ON db.node = f.b
 """
+
+
+def _directed_reach(
+    edges: DataFrame, seeds: DataFrame, k: int, reverse: bool = False
+) -> DataFrame:
+    """Bounded directed BFS (k_hop_reach's shape WITHOUT the
+    symmetrization): distinct nodes reachable from ``seeds`` along
+    edge direction (``reverse=True`` follows edges backwards).
+    Returns one ``node`` column, seeds included."""
+    f, t = ("_t", "_f") if reverse else ("_f", "_t")
+    adj = edges.select(
+        F.col("src").cast("long").alias("_f"),
+        F.col("dst").cast("long").alias("_t"),
+    ).filter(
+        F.col("_f").isNotNull()
+        & F.col("_t").isNotNull()
+        & (F.col("_f") != F.col("_t"))
+    ).distinct()
+    visited = seeds.select(
+        F.col("node").cast("long").alias("node")
+    ).distinct()
+    frontier = visited
+    for _ in range(k):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj[f])
+            .select(F.col(t).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited
+
+
+def bowtie_census(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Seed-anchored bow-tie decomposition of the directed link graph
+    (Broder et al., WWW 2000 "Graph structure in the Web"): with the
+    trusted ``seeds`` standing in for the giant SCC, every node is
+    labeled
+
+    - ``core``  — reaches the seeds AND is reached from them (the
+      mutually-connected heart; equals the seed SCC plus k-bounded
+      round trips),
+    - ``in``    — reaches the seeds but is not reached back (new or
+      unendorsed pages linking in),
+    - ``out``   — reached from the seeds but never links back
+      (sinks: archives, leaf content, link farms' targets),
+    - ``other`` — neither within ``k`` hops (tendrils/disconnected —
+      at crawl scale, the isolation signal).
+
+    The IN/OUT/CORE volume ratio is the classic crawl-health
+    dashboard number; a corpus whose OUT share balloons is crawling
+    into sinks. ``k`` bounds both BFS horizons (bounded-horizon
+    contract, like :func:`k_hop_reach`).
+
+    One row per graph node: ``(node, component)``.
+
+    Execution shape, 100 TB lens: two independent k-round directed
+    BFS passes over the SAME deduped adjacency (forward + reversed —
+    keyed equi-joins, no quadratic shapes, per-round lineage
+    truncation), then two left-join flag attachments and a CASE.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    nodes = graph_nodes(e)
+    fwd = _directed_reach(e, seeds, k).withColumn("_fw", F.lit(1))
+    bwd = _directed_reach(e, seeds, k, reverse=True).withColumn(
+        "_bw", F.lit(1)
+    )
+    j = nodes.join(fwd, "node", "left").join(bwd, "node", "left")
+    comp = (
+        F.when(
+            F.col("_fw").isNotNull() & F.col("_bw").isNotNull(), "core"
+        )
+        .when(F.col("_bw").isNotNull(), "in")
+        .when(F.col("_fw").isNotNull(), "out")
+        .otherwise("other")
+    )
+    return j.select("node", comp.alias("component"))
+
+
+def oracle_bowtie_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    k: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> str:
+    """DuckDB twin of :func:`bowtie_census` — both directed BFS
+    passes unrolled as CTEs, then the same CASE."""
+    parts = [f"""
+adj AS (
+  SELECT DISTINCT CAST("{src}" AS BIGINT) AS f,
+         CAST("{dst}" AS BIGINT) AS t
+  FROM {edges_sql}
+  WHERE "{src}" IS NOT NULL AND "{dst}" IS NOT NULL
+    AND CAST("{src}" AS BIGINT) != CAST("{dst}" AS BIGINT)
+),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT f AS n FROM adj UNION ALL SELECT t FROM adj
+  )
+),
+s AS (SELECT DISTINCT CAST("{node}" AS BIGINT) AS n FROM {seeds_sql}),
+fw0 AS (SELECT n FROM s),
+bw0 AS (SELECT n FROM s)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+fw{i} AS (
+  SELECT n FROM fw{i - 1}
+  UNION
+  SELECT adj.t FROM fw{i - 1} JOIN adj ON adj.f = fw{i - 1}.n
+),
+bw{i} AS (
+  SELECT n FROM bw{i - 1}
+  UNION
+  SELECT adj.f FROM bw{i - 1} JOIN adj ON adj.t = bw{i - 1}.n
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT nodes.n AS node,
+       CASE
+         WHEN nodes.n IN (SELECT n FROM fw{k})
+              AND nodes.n IN (SELECT n FROM bw{k}) THEN 'core'
+         WHEN nodes.n IN (SELECT n FROM bw{k}) THEN 'in'
+         WHEN nodes.n IN (SELECT n FROM fw{k}) THEN 'out'
+         ELSE 'other'
+       END AS component
+FROM nodes"""
+    )

@@ -643,3 +643,53 @@ class TestLabelCommunities:
         e = spark.createDataFrame([(0, 1)], "src long, dst long")
         with pytest.raises(ValueError):
             label_communities(e, n_iter=0)
+
+
+class TestBowtie:
+    # seeds {10}; 1->10 (in), 10->20 (out), 10<->11 (core),
+    # 30->31 isolated pair (other), 20->10? no — keep 20 a pure sink
+    EDGES = [
+        (1, 10), (2, 1),          # chain into the core: both 'in'
+        (10, 20), (20, 21),       # chain out of the core: both 'out'
+        (10, 11), (11, 10),       # 2-cycle with the seed: core
+        (30, 31),                 # disconnected: other
+        (11, 22),                 # reachable from core -> out
+        (22, 11),                 # ...but 22 also links back -> core
+    ]
+
+    def _run(self, spark, k=6, seeds=(10,)):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            bowtie_census,
+        )
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {
+            r["node"]: r["component"]
+            for r in bowtie_census(e, s, k=k).collect()
+        }
+
+    def test_components(self, spark):
+        got = self._run(spark)
+        assert got == {
+            1: "in", 2: "in",
+            10: "core", 11: "core", 22: "core",
+            20: "out", 21: "out",
+            30: "other", 31: "other",
+        }
+
+    def test_horizon_bounds_reach(self, spark):
+        got = self._run(spark, k=1)
+        # 2 is two hops from the core: beyond k=1 -> other
+        assert got[1] == "in" and got[2] == "other"
+        assert got[21] == "other" and got[20] == "out"
+
+    def test_rejects_zero_horizon(self, spark):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            bowtie_census,
+        )
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        s = spark.createDataFrame([(0,)], "node long")
+        with pytest.raises(ValueError):
+            bowtie_census(e, s, k=0)
