@@ -5954,6 +5954,67 @@ def q_sitemap_stats(spark, sf_dir):
     return sitemap_stats(sitemap_entries(_sitemap_seam(spark)))
 
 
+def q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl reconciliation (sitemaps.sitemap_coverage):
+    per-host declared/fetched/intersection counts + coverage and
+    orphan rates. Crawled set = a deterministic subset of the
+    declared locs (loc-length parity) plus synthetic undeclared
+    urls per host — exercises both rates and the outer-join hosts."""
+    from med_doi_feature_extraction_spark.operators.sitemaps import (
+        sitemap_coverage,
+        sitemap_entries,
+    )
+
+    entries = sitemap_entries(_sitemap_seam(spark))
+    locs = entries.filter(~F.col("is_index")).select("loc").distinct()
+    crawled = (
+        locs.filter(F.length("loc") % 2 == 0)
+        .select(F.col("loc").alias("url"))
+        .unionByName(
+            locs.filter(F.length("loc") % 5 == 0).select(
+                F.concat(F.col("loc"), F.lit("?session=1")).alias("url")
+            )
+        )
+        .unionByName(
+            spark.range(8).select(
+                F.concat(
+                    F.lit("https://uncrawled"),
+                    F.col("id").cast("string"),
+                    F.lit(".example.net/only"),
+                ).alias("url")
+            )
+        )
+    )
+    return sitemap_coverage(entries, crawled)
+
+
+def _sql_sitemap_coverage() -> str:
+    from med_doi_feature_extraction_spark.operators.sitemaps import (
+        oracle_coverage_sql,
+        oracle_entries_cte,
+    )
+
+    entries = (
+        "(WITH "
+        + oracle_entries_cte(f"{_sitemap_base()}/maps.parquet/*.parquet")
+        + "SELECT loc, is_index FROM entries) en"
+    )
+    crawled = (
+        "(WITH "
+        + oracle_entries_cte(f"{_sitemap_base()}/maps.parquet/*.parquet")
+        + """, locs AS (
+  SELECT DISTINCT loc FROM entries WHERE NOT is_index
+)
+SELECT loc AS url FROM locs WHERE length(loc) % 2 = 0
+UNION ALL
+SELECT loc || '?session=1' FROM locs WHERE length(loc) % 5 = 0
+UNION ALL
+SELECT 'https://uncrawled' || CAST(i AS VARCHAR) || '.example.net/only'
+FROM range(0, 8) r(i)) cr"""
+    )
+    return oracle_coverage_sql(entries, crawled)
+
+
 def _sql_sitemap_entries() -> str:
     from med_doi_feature_extraction_spark.operators.sitemaps import (
         oracle_entries_cte,
@@ -11520,6 +11581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "label_communities": q_label_communities,
         "bowtie": q_bowtie,
+        "sitemap_coverage": q_sitemap_coverage,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -11777,6 +11839,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _sql_trustrank(),
         "label_communities": _sql_label_communities(),
         "bowtie": _sql_bowtie(),
+        "sitemap_coverage": _sql_sitemap_coverage(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

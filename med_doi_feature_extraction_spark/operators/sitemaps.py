@@ -154,3 +154,113 @@ entries AS (
                               '{ws}', '', 'g')) > 0
 )
 """
+
+
+def sitemap_coverage(
+    entries: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host sitemap-vs-crawl reconciliation — the crawl-ops
+    dashboard row: ``n_sitemap`` (distinct non-index locs declared),
+    ``n_crawled`` (distinct urls fetched), ``n_both``, ``coverage``
+    (fetched share of declared, 6 dp — low = the crawler is missing
+    what the site advertises), ``orphan_rate`` (fetched urls the site
+    does NOT declare — high = trap/infinite-space suspicion, the
+    hygiene battery's quarry). Hosts appearing on either side only
+    are kept (full outer union of the two censuses).
+
+    Execution shape: both sides collapse to DISTINCT slim url sets
+    at the scan, the intersection is one equi-join on the url string,
+    and everything downstream is host-keyed hash-aggs on aggregate
+    tables. No corpus-wide anything survives the first projection.
+    """
+    from med_doi_feature_extraction_spark.operators.urls import url_host
+
+    sm = (
+        entries.filter(~F.col("is_index"))
+        .select(F.col("loc").alias("u"))
+        .filter(F.length("u") > 0)
+        .distinct()
+    )
+    cr = crawled.select(F.col(url_col).alias("u")).distinct()
+    both = sm.join(cr, "u", "left_semi")
+    h = lambda d: d.select(url_host(F.col("u")).alias("host"))  # noqa: E731
+    n_sm = h(sm).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sitemap")
+    )
+    n_cr = h(cr).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_crawled")
+    )
+    n_bo = h(both).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    j = (
+        n_sm.join(n_cr, "host", "full_outer")
+        .join(n_bo, "host", "left")
+        .select(
+            "host",
+            F.coalesce("n_sitemap", F.lit(0)).alias("n_sitemap"),
+            F.coalesce("n_crawled", F.lit(0)).alias("n_crawled"),
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+        )
+    )
+    return j.select(
+        "host",
+        "n_sitemap",
+        "n_crawled",
+        "n_both",
+        F.when(
+            F.col("n_sitemap") > 0,
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_sitemap"), 6
+            ),
+        ).alias("coverage"),
+        F.when(
+            F.col("n_crawled") > 0,
+            F.round(
+                (F.col("n_crawled") - F.col("n_both")).cast("double")
+                / F.col("n_crawled"),
+                6,
+            ),
+        ).alias("orphan_rate"),
+    )
+
+
+def oracle_coverage_sql(
+    entries_sql: str, crawled_sql: str, url_col: str = "url"
+) -> str:
+    """DuckDB twin of :func:`sitemap_coverage` (``entries_sql`` must
+    yield (loc, is_index); ``crawled_sql`` yields ``url_col``)."""
+    from med_doi_feature_extraction_spark.operators.urls import sql_url_host
+
+    return f"""
+WITH sm AS (
+  SELECT DISTINCT loc AS u FROM {entries_sql}
+  WHERE NOT is_index AND length(loc) > 0
+),
+cr AS (SELECT DISTINCT "{url_col}" AS u FROM {crawled_sql}),
+bo AS (SELECT u FROM sm WHERE u IN (SELECT u FROM cr)),
+nsm AS (SELECT {sql_url_host('u')} AS host,
+               CAST(count(*) AS BIGINT) AS n_sitemap FROM sm GROUP BY 1),
+ncr AS (SELECT {sql_url_host('u')} AS host,
+               CAST(count(*) AS BIGINT) AS n_crawled FROM cr GROUP BY 1),
+nbo AS (SELECT {sql_url_host('u')} AS host,
+               CAST(count(*) AS BIGINT) AS n_both FROM bo GROUP BY 1),
+j AS (
+  SELECT coalesce(s.host, c.host) AS host,
+         coalesce(s.n_sitemap, 0) AS n_sitemap,
+         coalesce(c.n_crawled, 0) AS n_crawled,
+         coalesce(b.n_both, 0) AS n_both
+  FROM nsm s
+  FULL OUTER JOIN ncr c ON s.host = c.host
+  LEFT JOIN nbo b ON coalesce(s.host, c.host) = b.host
+)
+SELECT host, n_sitemap, n_crawled, n_both,
+       CASE WHEN n_sitemap > 0
+            THEN round((n_both)::DOUBLE / n_sitemap, 6) END AS coverage,
+       CASE WHEN n_crawled > 0
+            THEN round((n_crawled - n_both)::DOUBLE / n_crawled, 6) END
+         AS orphan_rate
+FROM j
+"""

@@ -61,3 +61,52 @@ def test_plan_no_udf(spark):
     assert "BatchEvalPython" not in plan
     # xml payload pruned before explode output
     assert "Exchange" not in plan
+
+
+class TestSitemapCoverage:
+    def _run(self, spark, entries, crawled):
+        from med_doi_feature_extraction_spark.operators.sitemaps import (
+            sitemap_coverage,
+        )
+
+        e = spark.createDataFrame(
+            entries, "sitemap_url string, loc string, is_index boolean"
+        )
+        c = spark.createDataFrame([(u,) for u in crawled], "url string")
+        return {r["host"]: r for r in sitemap_coverage(e, c).collect()}
+
+    def test_rates_and_outer_hosts(self, spark):
+        entries = [
+            ("https://a.com/s.xml", "https://a.com/1", False),
+            ("https://a.com/s.xml", "https://a.com/2", False),
+            ("https://a.com/s.xml", "https://a.com/3", False),
+            ("https://a.com/s.xml", "https://a.com/4", False),
+            # index entries must NOT count as declared pages
+            ("https://a.com/s.xml", "https://a.com/more.xml", True),
+            ("https://b.com/s.xml", "https://b.com/x", False),
+        ]
+        crawled = [
+            "https://a.com/1", "https://a.com/2", "https://a.com/3",
+            "https://a.com/trap?p=1",           # orphan
+            "https://c.com/only-crawled",        # host with no sitemap
+        ]
+        got = self._run(spark, entries, crawled)
+        a = got["a.com"]
+        assert (a["n_sitemap"], a["n_crawled"], a["n_both"]) == (4, 4, 3)
+        assert a["coverage"] == 0.75
+        assert a["orphan_rate"] == 0.25
+        b = got["b.com"]
+        assert b["n_crawled"] == 0 and b["coverage"] == 0.0
+        assert b["orphan_rate"] is None  # nothing crawled: undefined
+        c = got["c.com"]
+        assert c["n_sitemap"] == 0 and c["coverage"] is None
+        assert c["orphan_rate"] == 1.0
+
+    def test_duplicate_declarations_count_once(self, spark):
+        entries = [
+            ("https://a.com/s1.xml", "https://a.com/p", False),
+            ("https://a.com/s2.xml", "https://a.com/p", False),
+        ]
+        got = self._run(spark, entries, ["https://a.com/p"])
+        assert got["a.com"]["n_sitemap"] == 1
+        assert got["a.com"]["coverage"] == 1.0
