@@ -5457,6 +5457,32 @@ def _sql_links_with() -> str:
     )
 
 
+def q_link_churn(spark, sf_dir):
+    """Per-(page, snapshot) outlink churn vs the previous crawl
+    (links.link_churn): added/removed/kept edge counts + churn rate,
+    first snapshots explicitly NULL-baselined. One distinct + a
+    per-page lag window + one co-partitioned full-outer join."""
+    from med_doi_feature_extraction_spark.operators.links import (
+        extract_links,
+        link_churn,
+    )
+
+    pages = _links_seam(spark)
+    links = extract_links(pages, html_col="html_str")
+    return link_churn(links)
+
+
+def _sql_link_churn() -> str:
+    from med_doi_feature_extraction_spark.operators.links import (
+        oracle_link_churn_sql,
+    )
+
+    rel = (
+        "(" + _sql_links_with() + " SELECT src, warc_ts, dst FROM links) l"
+    )
+    return oracle_link_churn_sql(rel)
+
+
 def _sql_extract_links() -> str:
     return _sql_links_with() + "SELECT src, warc_ts, dst, anchor FROM links"
 
@@ -11582,6 +11608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_communities": q_label_communities,
         "bowtie": q_bowtie,
         "sitemap_coverage": q_sitemap_coverage,
+        "link_churn": q_link_churn,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -11840,6 +11867,7 @@ def oracle_sql() -> dict[str, str]:
         "label_communities": _sql_label_communities(),
         "bowtie": _sql_bowtie(),
         "sitemap_coverage": _sql_sitemap_coverage(),
+        "link_churn": _sql_link_churn(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

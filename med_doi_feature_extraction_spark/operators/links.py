@@ -333,3 +333,148 @@ def oracle_links_cte(pages_glob: str) -> str:
   links AS (SELECT src, warc_ts, dst, anchor
             FROM resolved WHERE dst IS NOT NULL AND length(dst) > 0)
 """
+
+
+def link_churn(
+    links: DataFrame,
+    src_col: str = "src",
+    ts_col: str = "warc_ts",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-(page, snapshot) outlink churn vs the page's PREVIOUS
+    crawl snapshot: ``n_links, n_added, n_removed, n_kept,
+    churn_rate`` (= (added+removed)/|union|, 6 dp). Link turnover is
+    the freshness/instability signal the recrawl scheduler and the
+    trap battery both want — a page whose outlink set is rewritten
+    every crawl is navigation/ads churn, not content; one that never
+    changes is static. First snapshots (no baseline) report
+    ``n_links`` with NULL added/removed/kept/churn — explicitly, not
+    as a fake zero.
+
+    Input is :func:`extract_links` output (or any (src, ts, dst)
+    edge stream); duplicate edges within a snapshot collapse first.
+
+    Execution shape, 100 TB lens: ONE distinct on (src, ts, dst);
+    the snapshot pairing is a lag window over the per-page snapshot
+    list (partition = one page's snapshots, never the corpus); the
+    prev-vs-cur comparison is a full-outer equi-join keyed on
+    (src, ts, dst) — co-partitioned with the final (src, ts)
+    hash-agg, so AQE reuses the exchange. No corpus×corpus shapes.
+    """
+    from pyspark.sql import Window
+
+    e = links.select(
+        F.col(src_col).alias("src"),
+        F.col(ts_col).alias("ts"),
+        F.col(dst_col).alias("dst"),
+    ).distinct()
+    snaps = e.select("src", "ts").distinct()
+    w = Window.partitionBy("src").orderBy("ts")
+    pairs = snaps.withColumn("prev_ts", F.lag("ts").over(w))
+    cur = e.join(pairs, ["src", "ts"]).select(
+        "src", "ts", "prev_ts", "dst", F.lit(1).alias("_c")
+    )
+    prev = (
+        e.select(
+            "src", F.col("ts").alias("prev_ts"), "dst",
+            F.lit(1).alias("_p"),
+        )
+        .join(
+            pairs.where(F.col("prev_ts").isNotNull()),
+            ["src", "prev_ts"],
+        )
+        .select("src", "ts", "prev_ts", "dst", "_p")
+    )
+    m = cur.join(prev, ["src", "ts", "prev_ts", "dst"], "full_outer")
+    agg = m.groupBy("src", "ts").agg(
+        F.sum(F.col("_c")).cast("long").alias("_n_cur"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_p").isNull(), 1)
+        ).cast("long").alias("_added"),
+        F.sum(
+            F.when(F.col("_p").isNotNull() & F.col("_c").isNull(), 1)
+        ).cast("long").alias("_removed"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_p").isNotNull(), 1)
+        ).cast("long").alias("_kept"),
+        F.max("prev_ts").alias("_prev"),
+        F.count(F.lit(1)).cast("long").alias("_union"),
+    )
+    has_prev = F.col("_prev").isNotNull()
+    z = F.coalesce
+    return agg.select(
+        "src",
+        "ts",
+        z(F.col("_n_cur"), F.lit(0)).alias("n_links"),
+        F.when(has_prev, z(F.col("_added"), F.lit(0))).alias("n_added"),
+        F.when(has_prev, z(F.col("_removed"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.when(has_prev, z(F.col("_kept"), F.lit(0))).alias("n_kept"),
+        F.when(
+            has_prev,
+            F.round(
+                (
+                    z(F.col("_added"), F.lit(0))
+                    + z(F.col("_removed"), F.lit(0))
+                ).cast("double")
+                / F.col("_union"),
+                6,
+            ),
+        ).alias("churn_rate"),
+    )
+
+
+def oracle_link_churn_sql(links_sql: str) -> str:
+    """DuckDB twin of :func:`link_churn` (``links_sql`` yields
+    (src, warc_ts, dst))."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, warc_ts AS ts, dst FROM {links_sql}
+),
+snaps AS (SELECT DISTINCT src, ts FROM e),
+pairs AS (
+  SELECT src, ts,
+         lag(ts) OVER (PARTITION BY src ORDER BY ts) AS prev_ts
+  FROM snaps
+),
+cur AS (
+  SELECT e.src, e.ts, p.prev_ts, e.dst, 1 AS c
+  FROM e JOIN pairs p ON p.src = e.src AND p.ts = e.ts
+),
+prv AS (
+  SELECT p.src, p.ts, p.prev_ts, e.dst, 1 AS pp
+  FROM e JOIN pairs p ON p.src = e.src AND p.prev_ts = e.ts
+),
+m AS (
+  SELECT coalesce(c.src, p.src) AS src,
+         coalesce(c.ts, p.ts) AS ts,
+         coalesce(c.prev_ts, p.prev_ts) AS prev_ts,
+         c.c, p.pp
+  FROM cur c
+  FULL OUTER JOIN prv p
+    ON c.src = p.src AND c.ts = p.ts AND c.prev_ts = p.prev_ts
+   AND c.dst = p.dst
+),
+agg AS (
+  SELECT src, ts,
+         CAST(coalesce(sum(c), 0) AS BIGINT) AS n_cur,
+         CAST(coalesce(sum(CASE WHEN c IS NOT NULL AND pp IS NULL
+                                THEN 1 END), 0) AS BIGINT) AS added,
+         CAST(coalesce(sum(CASE WHEN pp IS NOT NULL AND c IS NULL
+                                THEN 1 END), 0) AS BIGINT) AS removed,
+         CAST(coalesce(sum(CASE WHEN c IS NOT NULL AND pp IS NOT NULL
+                                THEN 1 END), 0) AS BIGINT) AS kept,
+         max(prev_ts) AS prev_ts,
+         CAST(count(*) AS BIGINT) AS un
+  FROM m GROUP BY src, ts
+)
+SELECT src, ts, n_cur AS n_links,
+       CASE WHEN prev_ts IS NOT NULL THEN added END AS n_added,
+       CASE WHEN prev_ts IS NOT NULL THEN removed END AS n_removed,
+       CASE WHEN prev_ts IS NOT NULL THEN kept END AS n_kept,
+       CASE WHEN prev_ts IS NOT NULL
+            THEN round((added + removed)::DOUBLE / un, 6) END
+         AS churn_rate
+FROM agg
+"""

@@ -206,3 +206,49 @@ def test_subdomain_census(spark):
     assert r0.n_hosts <= 3 and r0.hosts_per_100_urls < 10
     # multi-label public suffix keeps the brand as the registrable key
     assert "brand.co.uk" in out and out["brand.co.uk"].n_hosts == 2
+
+
+class TestLinkChurn:
+    def _run(self, spark, rows):
+        from med_doi_feature_extraction_spark.operators.links import (
+            link_churn,
+        )
+
+        df = spark.createDataFrame(
+            rows, "src string, warc_ts string, dst string"
+        )
+        return {
+            (r["src"], r["ts"]): r for r in link_churn(df).collect()
+        }
+
+    def test_added_removed_kept(self, spark):
+        rows = [
+            ("p", "t1", "a"), ("p", "t1", "b"), ("p", "t1", "b"),  # dup
+            ("p", "t2", "b"), ("p", "t2", "c"), ("p", "t2", "d"),
+            ("q", "t1", "x"),
+        ]
+        got = self._run(spark, rows)
+        first = got[("p", "t1")]
+        assert first["n_links"] == 2  # dup collapsed
+        assert first["n_added"] is None and first["churn_rate"] is None
+        second = got[("p", "t2")]
+        assert (second["n_added"], second["n_removed"], second["n_kept"]) \
+            == (2, 1, 1)
+        # union = {a,b,c,d} -> (2+1)/4
+        assert second["churn_rate"] == 0.75
+        assert got[("q", "t1")]["n_links"] == 1
+
+    def test_static_page_zero_churn(self, spark):
+        rows = [
+            ("p", "t1", "a"), ("p", "t2", "a"), ("p", "t3", "a"),
+        ]
+        got = self._run(spark, rows)
+        assert got[("p", "t2")]["churn_rate"] == 0.0
+        assert got[("p", "t3")]["n_kept"] == 1
+
+    def test_full_rewrite(self, spark):
+        rows = [("p", "t1", "a"), ("p", "t2", "b")]
+        got = self._run(spark, rows)
+        r = got[("p", "t2")]
+        assert r["churn_rate"] == 1.0
+        assert (r["n_added"], r["n_removed"], r["n_kept"]) == (1, 1, 0)
