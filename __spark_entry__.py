@@ -5774,6 +5774,29 @@ def q_canonical_groups(spark, sf_dir):
     return canonical_groups(extract_head_meta(_headmeta_seam(spark)))
 
 
+def q_canonical_chains(spark, sf_dir):
+    """rel=canonical CHAIN resolution (headmeta.
+    resolve_canonical_chains): pointer doubling over the slim
+    (url, target) function table — chains up to 2^4 links collapse
+    in 4 joins; unresolved = cycles/horizon overflow."""
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        extract_head_meta,
+        resolve_canonical_chains,
+    )
+
+    return resolve_canonical_chains(
+        extract_head_meta(_headmeta_seam(spark))
+    )
+
+
+def _sql_canonical_chains() -> str:
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        sql_canonical_chains,
+    )
+
+    return sql_canonical_chains(f"({_sql_head_meta()}) hm")
+
+
 def _sql_canonical_groups() -> str:
     return f"""
 WITH m AS ({_sql_head_meta()})
@@ -11609,6 +11632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "sitemap_coverage": q_sitemap_coverage,
         "link_churn": q_link_churn,
+        "canonical_chains": q_canonical_chains,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -11868,6 +11892,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": _sql_bowtie(),
         "sitemap_coverage": _sql_sitemap_coverage(),
         "link_churn": _sql_link_churn(),
+        "canonical_chains": _sql_canonical_chains(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

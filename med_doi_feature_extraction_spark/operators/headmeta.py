@@ -468,3 +468,94 @@ SELECT url,
          AS has_structured
 FROM base
 """
+
+
+# ------------------------------------------------- canonical chains
+
+
+def resolve_canonical_chains(
+    meta: DataFrame, doublings: int = 4
+) -> DataFrame:
+    """Follow rel=canonical CHAINS to their terminal target
+    (a → b → c collapses to c): pages declare canonicals that are
+    themselves non-canonical variants, so the direct-target grouping
+    (:func:`canonical_groups`) under-merges. Pointer DOUBLING — each
+    round joins the current target's own target, so chains up to
+    2^``doublings`` links resolve in ``doublings`` rounds (the
+    log-hop trick dedup's CC resolution uses), not chain-length
+    rounds.
+
+    Input: :func:`extract_head_meta` output (``url``,
+    ``canonical_href``). Output one row per page: ``final_target``
+    (the fixpoint), ``resolved`` (final_target declares no further
+    canonical — False only for cycles longer than one node or chains
+    exceeding the horizon; a self-canonical IS a fixpoint).
+
+    Each round = ONE equi-join of the slim (url, target) function
+    table with itself; no corpus-sized state beyond it.
+    """
+    if doublings < 1:
+        raise ValueError("doublings must be >= 1")
+    f = meta.select(
+        F.col("url").alias("u"),
+        F.when(
+            (F.length("canonical_href") > 0)
+            & (F.col("canonical_href") != F.col("url")),
+            F.col("canonical_href"),
+        )
+        .otherwise(F.col("url"))
+        .alias("t"),
+    )
+    # function table g maps EVERY known url; targets outside the
+    # crawl resolve to themselves (we can't follow what we didn't
+    # fetch — they are fixpoints by construction)
+    cur = f
+    for _ in range(doublings):
+        nxt = cur.select(F.col("u").alias("_u2"), F.col("t").alias("_t2"))
+        cur = (
+            cur.join(nxt, cur["t"] == nxt["_u2"], "left")
+            .select(
+                "u",
+                F.coalesce(F.col("_t2"), F.col("t")).alias("t"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    fin = cur.select("u", F.col("t").alias("final_target"))
+    tgt = f.select(F.col("u").alias("_fu"), F.col("t").alias("_ft"))
+    return (
+        fin.join(tgt, fin["final_target"] == tgt["_fu"], "left")
+        .select(
+            F.col("u").alias("url"),
+            "final_target",
+            F.coalesce(
+                F.col("_ft") == F.col("final_target"), F.lit(True)
+            ).alias("resolved"),
+        )
+    )
+
+
+def sql_canonical_chains(meta_sql: str, doublings: int = 4) -> str:
+    """DuckDB twin of :func:`resolve_canonical_chains`
+    (``meta_sql`` yields (url, canonical_href))."""
+    parts = [f"""
+f AS (
+  SELECT url AS u,
+         CASE WHEN length(canonical_href) > 0
+                   AND canonical_href != url
+              THEN canonical_href ELSE url END AS t
+  FROM {meta_sql}
+),
+c0 AS (SELECT u, t FROM f)"""]
+    for i in range(1, doublings + 1):
+        parts.append(f"""
+c{i} AS (
+  SELECT a.u, coalesce(b.t, a.t) AS t
+  FROM c{i - 1} a LEFT JOIN c{i - 1} b ON a.t = b.u
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT a.u AS url, a.t AS final_target,
+       coalesce(f.t = a.t, TRUE) AS resolved
+FROM c{doublings} a LEFT JOIN f ON f.u = a.t"""
+    )

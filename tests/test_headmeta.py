@@ -150,3 +150,64 @@ class TestStructuredData:
             r["microdata_types"]
             == "https://schema.org/Offer,https://schema.org/Product"
         )
+
+
+class TestCanonicalChains:
+    def _run(self, spark, pairs, doublings=4):
+        from med_doi_feature_extraction_spark.operators.headmeta import (
+            resolve_canonical_chains,
+        )
+
+        df = spark.createDataFrame(
+            pairs, "url string, canonical_href string"
+        )
+        return {
+            r["url"]: (r["final_target"], r["resolved"])
+            for r in resolve_canonical_chains(df, doublings).collect()
+        }
+
+    def test_chain_collapses_to_terminal(self, spark):
+        got = self._run(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", ""), ("d", "")],
+        )
+        assert got["a"] == ("c", True)
+        assert got["b"] == ("c", True)
+        assert got["c"] == ("c", True)
+        assert got["d"] == ("d", True)
+
+    def test_target_outside_crawl_is_fixpoint(self, spark):
+        got = self._run(spark, [("a", "https://elsewhere/x")])
+        assert got["a"] == ("https://elsewhere/x", True)
+
+    def test_self_canonical_is_fixpoint(self, spark):
+        got = self._run(spark, [("a", "a")])
+        assert got["a"] == ("a", True)
+
+    def test_two_cycle_marked_unresolved(self, spark):
+        got = self._run(spark, [("a", "b"), ("b", "a")])
+        # pointer doubling oscillates on a 2-cycle; neither endpoint
+        # is a fixpoint -> resolved False for both
+        assert got["a"][1] is False and got["b"][1] is False
+        assert got["a"][0] in ("a", "b")
+
+    def test_long_chain_within_horizon(self, spark):
+        n = 12  # 12 < 2^4
+        pairs = [(f"p{i}", f"p{i + 1}") for i in range(n)] + [
+            (f"p{n}", "")
+        ]
+        got = self._run(spark, pairs)
+        assert all(v == (f"p{n}", True) for v in got.values())
+
+    def test_rejects_zero_doublings(self, spark):
+        from med_doi_feature_extraction_spark.operators.headmeta import (
+            resolve_canonical_chains,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "")], "url string, canonical_href string"
+        )
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            resolve_canonical_chains(df, 0)
