@@ -6733,6 +6733,54 @@ def _sql_phrase_search() -> str:
     return oracle_phrase_sql("documents", "doc_id", "text", "order fast")
 
 
+def _wildcard_robots_base() -> str:
+    return "/tmp/spark_graft_robots_wild_v1"
+
+
+def _wildcard_robots_seam(spark):
+    from med_doi_feature_extraction_spark.operators.robots import (
+        generate_wildcard_robots,
+    )
+
+    base = _wildcard_robots_base()
+    rules_pdf, urls_pdf = generate_wildcard_robots()
+    spark.createDataFrame(rules_pdf).write.mode("overwrite").parquet(
+        f"{base}/rules.parquet"
+    )
+    spark.createDataFrame(urls_pdf).write.mode("overwrite").parquet(
+        f"{base}/urls.parquet"
+    )
+    return (
+        spark.read.parquet(f"{base}/rules.parquet"),
+        spark.read.parquet(f"{base}/urls.parquet"),
+    )
+
+
+def q_robots_wildcards(spark, sf_dir):
+    """RFC 9309 wildcard path rules (robots.apply_robots_wildcards):
+    '*' runs + '$' end anchors compiled to regexes ONCE on the slim
+    broadcast rule table; longest-rule-wins, allow beats disallow."""
+    from med_doi_feature_extraction_spark.operators.robots import (
+        apply_robots_wildcards,
+    )
+
+    rules, urls = _wildcard_robots_seam(spark)
+    return apply_robots_wildcards(urls, rules)
+
+
+def _sql_robots_wildcards() -> str:
+    from med_doi_feature_extraction_spark.operators.robots import (
+        oracle_robots_wildcards_sql,
+    )
+
+    base = _wildcard_robots_base()
+    return oracle_robots_wildcards_sql(
+        f"read_parquet('{base}/urls.parquet/*.parquet')",
+        f"SELECT * FROM read_parquet('{base}/rules.parquet/*.parquet')",
+        ["url"],
+    )
+
+
 def q_token_df(spark, sf_dir):
     """Corpus document frequency (min_df=2) — the vocabulary-stats
     aggregation with map-side partial combine."""
@@ -11633,6 +11681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": q_sitemap_coverage,
         "link_churn": q_link_churn,
         "canonical_chains": q_canonical_chains,
+        "robots_wildcards": q_robots_wildcards,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -11893,6 +11942,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_coverage": _sql_sitemap_coverage(),
         "link_churn": _sql_link_churn(),
         "canonical_chains": _sql_canonical_chains(),
+        "robots_wildcards": _sql_robots_wildcards(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

@@ -343,3 +343,200 @@ g AS (
   FROM mk
 )
 """
+
+
+# ----------------------------------------------- RFC 9309 wildcards
+
+#: regex metacharacters escaped when compiling a robots path rule —
+#: backslash FIRST; '*' is intentionally absent (it becomes '.*') and
+#: a TRAILING '$' is consumed as the RFC end-anchor before escaping.
+_RULE_META = (
+    "\\", ".", "^", "$", "+", "?", "(", ")", "[", "]", "{", "}", "|",
+)
+
+
+def rule_regex_col(prefix: F.Column) -> F.Column:
+    """Compile a robots path rule (RFC 9309 ``*`` wildcards and a
+    trailing ``$`` end-anchor) to an anchored regex, as a Column —
+    evaluated once per RULE row (slim table), never per URL."""
+    ends = prefix.endswith("$")
+    body = F.when(
+        ends, F.substring(prefix, 1, F.length(prefix) - 1)
+    ).otherwise(prefix)
+    for ch in _RULE_META:
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"),
+        body,
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def apply_robots_wildcards(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_cols: Sequence[str] = ("url",),
+    host_col: str = "host",
+    type_col: str = "rule",
+    prefix_col: str = "path_prefix",
+) -> DataFrame:
+    """:func:`apply_robots` with full RFC 9309 path-pattern
+    semantics: ``*`` matches any octet run and a trailing ``$``
+    anchors the rule at the path end (``/*.pdf$`` — the pattern real
+    robots files use constantly). Plain prefixes behave identically
+    to :func:`apply_robots` (a prefix IS the wildcard-free special
+    case). Precedence stays the RFC's: longest RULE (octets of the
+    pattern, wildcards counted as written) wins, allow beats
+    disallow on ties.
+
+    The rule → regex compilation runs once per rule row on the slim
+    broadcast table; the per-URL match is ``regexp_like`` with a
+    column pattern (non-codegen, bounded by matching-host rule
+    fan-out — rules-per-host is small by nature).
+    """
+    ids = list(id_cols)
+    extra_url = [] if "url" in ids else [F.col(url_col).alias("url")]
+    u = df.select(
+        *ids,
+        *extra_url,
+        url_host(F.col(url_col)).alias("_host"),
+        F.coalesce(
+            F.nullif(url_path(F.col(url_col)), F.lit("")), F.lit("/")
+        ).alias("_path"),
+    )
+    r = rules.select(
+        F.col(host_col).alias("_host"),
+        F.col(type_col).alias("_type"),
+        F.col(prefix_col).alias("_prefix"),
+        rule_regex_col(F.col(prefix_col)).alias("_re"),
+    )
+    matched = (
+        u.join(F.broadcast(r), "_host")
+        .filter(F.regexp_like(F.col("_path"), F.col("_re")))
+        .groupBy(*ids)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("_prefix").alias("len"),
+                    (F.col("_type") == "allow")
+                    .cast("int")
+                    .alias("is_allow"),
+                    F.col("_prefix").alias("prefix"),
+                    F.col("_type").alias("type"),
+                )
+            ).alias("_best")
+        )
+    )
+    out = u.join(matched, ids, "left")
+    return out.select(
+        *ids,
+        *([] if "url" in ids else ["url"]),
+        F.col("_best.type").alias("robots_type"),
+        F.col("_best.prefix").alias("robots_prefix"),
+        F.when(F.col("_best").isNull(), F.lit(1))
+        .when(F.col("_best.is_allow") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("robots_allowed"),
+    )
+
+
+def sql_rule_regex(expr: str) -> str:
+    """DuckDB expression compiling a rule to the SAME regex as
+    :func:`rule_regex_col` (generated from the same meta list)."""
+    ends = f"({expr} LIKE '%$')"
+    body = (
+        f"CASE WHEN {ends} THEN substr({expr}, 1, length({expr}) - 1) "
+        f"ELSE {expr} END"
+    )
+    for ch in _RULE_META:
+        lit = ch.replace("'", "''")
+        body = f"replace({body}, '{lit}', '\\{lit}')"
+    body = f"replace({body}, '*', '.*')"
+    return (
+        f"('^' || {body} || CASE WHEN {ends} THEN '$' ELSE '' END)"
+    )
+
+
+def generate_wildcard_robots():
+    """Deterministic (host, rule, path_prefix) rule table + url table
+    exercising wildcard semantics: mid-pattern ``*``, ``$`` anchors,
+    escaped-metachar paths, precedence between wildcard and literal
+    rules, and allow-wins ties. Returns (rules_pdf, urls_pdf)."""
+    import pandas as pd
+
+    rules = []
+    urls = []
+    for h in range(12):
+        host = f"w{h}.example.com"
+        rules += [
+            (host, "disallow", "/*.pdf$"),
+            (host, "disallow", "/private*"),
+            (host, "allow", "/private/ok/"),
+            (host, "disallow", "/a+b/"),       # literal '+' must not be regex
+            (host, "disallow", "/cgi/*/run$"),
+        ]
+        urls += [
+            (f"https://{host}/doc-{h}.pdf",),          # blocked by $
+            (f"https://{host}/doc-{h}.pdfx",),         # NOT blocked ($)
+            (f"https://{host}/private/secret-{h}",),   # blocked by *
+            (f"https://{host}/private/ok/page{h}",),   # allow wins (longer)
+            (f"https://{host}/a+b/x{h}",),             # literal + blocked
+            (f"https://{host}/aab/x{h}",),             # '+' not regex: free
+            (f"https://{host}/cgi/v{h}/run",),         # mid-* with anchor
+            (f"https://{host}/cgi/v{h}/run/more",),    # anchor: free
+            (f"https://{host}/open/page-{h}",),        # no rule
+        ]
+    return (
+        pd.DataFrame(rules, columns=["host", "rule", "path_prefix"]),
+        pd.DataFrame(urls, columns=["url"]),
+    )
+
+
+def oracle_robots_wildcards_sql(
+    urls_sql: str,
+    rules_sql: str,
+    id_cols: Sequence[str],
+    url_col: str = "url",
+) -> str:
+    """DuckDB twin of :func:`apply_robots_wildcards` — same
+    host/path algebra, the rule compiled via :func:`sql_rule_regex`,
+    same (len, is_allow, prefix) precedence."""
+    ids = ", ".join(f'"{c}"' for c in id_cols)
+    ids_u = ", ".join(f'u."{c}"' for c in id_cols)
+    # the url column may itself be the id — emit once (Spark parity)
+    url_out = "" if "url" in id_cols else ", u.url"
+    rx = sql_rule_regex("r.path_prefix")
+    return f"""
+WITH u AS (
+  SELECT {ids}, "{url_col}" AS url,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract("{url_col}", '^[a-zA-Z]+://([^/?#]+)', 1)),
+      '^.*@', ''), ':(80|443)$', '') AS host,
+    coalesce(nullif(
+      regexp_extract("{url_col}",
+        '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1), ''), '/') AS path
+  FROM {urls_sql}
+),
+m AS (
+  SELECT {ids}, r.rule AS rtype, r.path_prefix AS rprefix,
+    row_number() OVER (
+      PARTITION BY {ids}
+      ORDER BY length(r.path_prefix) DESC,
+               CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END DESC,
+               r.path_prefix DESC
+    ) AS rn
+  FROM u JOIN ({rules_sql}) r ON r.host = u.host
+  WHERE regexp_matches(u.path, {rx})
+),
+best AS (SELECT * FROM m WHERE rn = 1)
+SELECT {ids_u}{url_out},
+       best.rtype AS robots_type,
+       best.rprefix AS robots_prefix,
+       CAST(CASE WHEN best.rtype IS NULL THEN 1
+                 WHEN best.rtype = 'allow' THEN 1
+                 ELSE 0 END AS BIGINT) AS robots_allowed
+FROM u LEFT JOIN best USING ({ids})
+"""

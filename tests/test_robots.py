@@ -188,3 +188,73 @@ class TestParseRobots:
         assert (d[d.directive == "sitemap"].agent == "").all()
         delays = d[d.directive == "crawl-delay"]
         assert {"10", "2.5"} <= set(delays.value)
+
+
+class TestWildcardRules:
+    RULES = [
+        ("h.com", "disallow", "/*.pdf$"),
+        ("h.com", "disallow", "/private*"),
+        ("h.com", "allow", "/private/ok/"),
+        ("h.com", "disallow", "/a+b/"),
+        ("h.com", "disallow", "/x/*/y$"),
+    ]
+
+    def _run(self, spark, paths):
+        from med_doi_feature_extraction_spark.operators.robots import (
+            apply_robots_wildcards,
+        )
+
+        urls = spark.createDataFrame(
+            [(f"https://h.com{p}",) for p in paths], "url string"
+        )
+        rules = spark.createDataFrame(
+            self.RULES, "host string, rule string, path_prefix string"
+        )
+        out = apply_robots_wildcards(urls, rules)
+        return {
+            r["url"].replace("https://h.com", ""): r["robots_allowed"]
+            for r in out.collect()
+        }
+
+    def test_dollar_anchor(self, spark):
+        got = self._run(spark, ["/doc.pdf", "/doc.pdfx", "/a/b/c.pdf"])
+        assert got == {"/doc.pdf": 0, "/doc.pdfx": 1, "/a/b/c.pdf": 0}
+
+    def test_star_and_precedence(self, spark):
+        got = self._run(
+            spark, ["/private/x", "/private/ok/y", "/privateer"]
+        )
+        assert got["/private/x"] == 0
+        assert got["/private/ok/y"] == 1  # longer allow wins
+        assert got["/privateer"] == 0     # '*' continues the token
+
+    def test_metachars_are_literal(self, spark):
+        got = self._run(spark, ["/a+b/z", "/aab/z", "/ab/z"])
+        assert got == {"/a+b/z": 0, "/aab/z": 1, "/ab/z": 1}
+
+    def test_mid_star_with_anchor(self, spark):
+        got = self._run(spark, ["/x/1/y", "/x/1/2/y", "/x/1/y/tail"])
+        assert got["/x/1/y"] == 0
+        assert got["/x/1/2/y"] == 0   # '*' spans slashes per RFC
+        assert got["/x/1/y/tail"] == 1
+
+    def test_plain_prefix_matches_legacy_matcher(self, spark):
+        from med_doi_feature_extraction_spark.operators.robots import (
+            apply_robots,
+            apply_robots_wildcards,
+        )
+
+        rules = spark.createDataFrame(
+            [("h.com", "disallow", "/p/"), ("h.com", "allow", "/p/ok")],
+            "host string, rule string, path_prefix string",
+        )
+        urls = spark.createDataFrame(
+            [(f"https://h.com/p/{i}",) for i in range(5)]
+            + [("https://h.com/p/ok1",), ("https://h.com/q",)],
+            "url string",
+        )
+        a = sorted(tuple(r) for r in apply_robots(urls, rules).collect())
+        b = sorted(
+            tuple(r) for r in apply_robots_wildcards(urls, rules).collect()
+        )
+        assert a == b
