@@ -144,3 +144,106 @@ class Catalog:
             merged.write.mode("overwrite").parquet(tmp)
             fsutil.delete(self.spark, path, recursive=True)
             fsutil.rename(self.spark, tmp, path)
+
+
+# -------------------------------------------- snapshot versioning
+
+def _versions_dir(path: str) -> str:
+    return path.rstrip("/") + "/_versions"
+
+
+def _data_dir(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/v={version}"
+
+
+class VersionedTable:
+    """Iceberg-style snapshot commits on the plain-Parquet fallback:
+    every write lands in its own ``v=<n>`` data directory and becomes
+    visible ONLY when its manifest file commits under ``_versions/``
+    — manifest creation is the atomic commit point, so a session
+    killed mid-write leaves an invisible orphan data dir, never a
+    half-readable table (the miniature of Iceberg's snapshot +
+    metadata-pointer design; `manifest.py` applies the same
+    crash-visibility rule to the flagship sink). Readers resolve the
+    LATEST committed version, or time-travel to any retained one —
+    the capability BASELINE.json's Iceberg framing actually needs
+    from the storage layer (jar-gated Iceberg path untouched;
+    this is the fallback's equivalent).
+
+    No clocks anywhere: versions are dense integers, manifests carry
+    deterministic content (version + row count).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # -- commit log ----------------------------------------------------
+    def versions(self) -> list[int]:
+        """Committed versions, ascending (uncommitted dirs invisible)."""
+        from med_doi_feature_extraction_spark import fsutil
+
+        vdir = _versions_dir(self.path)
+        if not fsutil.exists(self.spark, vdir):
+            return []
+        out = []
+        for name, _sz in fsutil.list_files(self.spark, vdir):
+            base = name.rsplit("/", 1)[-1]
+            if base.endswith(".json"):
+                try:
+                    out.append(int(base[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    # -- write ---------------------------------------------------------
+    def write(self, df: DataFrame) -> int:
+        """Append a new snapshot; returns its version number. The
+        data write happens FIRST, the manifest commit LAST."""
+        import json
+
+        from med_doi_feature_extraction_spark import fsutil
+
+        v = (self.latest() or 0) + 1
+        data = _data_dir(self.path, v)
+        df.write.mode("overwrite").parquet(data)
+        rows, nbytes = fsutil.parquet_rows_and_bytes(self.spark, data)
+        fsutil.mkdirs(self.spark, _versions_dir(self.path))
+        fsutil.write_text(
+            self.spark,
+            f"{_versions_dir(self.path)}/{v}.json",
+            json.dumps({"version": v, "rows": rows, "bytes": nbytes}),
+        )
+        return v
+
+    # -- read ----------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Latest committed snapshot, or time-travel to ``version``."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"versioned table {self.path}: no committed versions"
+            )
+        if version is None:
+            version = vs[-1]
+        if version not in vs:
+            raise ValueError(
+                f"versioned table {self.path}: version {version} not in "
+                f"committed set {vs}"
+            )
+        return self.spark.read.parquet(_data_dir(self.path, version))
+
+    def manifest(self, version: int) -> dict:
+        import json
+
+        from med_doi_feature_extraction_spark import fsutil
+
+        return json.loads(
+            fsutil.read_text(
+                self.spark, f"{_versions_dir(self.path)}/{version}.json"
+            )
+        )

@@ -168,3 +168,52 @@ def test_save_bucketed_clears_stale_dir_qualified_name(spark):
     assert spark.table("staledb.t1").count() == 20
     spark.sql("DROP TABLE staledb.t1")
     spark.sql("DROP DATABASE staledb")
+
+
+class TestVersionedTable:
+    def test_write_read_time_travel(self, spark, tmp_path):
+        from med_doi_feature_extraction_spark.sources.catalog import (
+            VersionedTable,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        assert t.versions() == [] and t.latest() is None
+        v1 = t.write(spark.range(5).selectExpr("id", "id * 2 AS x"))
+        v2 = t.write(spark.range(3).selectExpr("id", "id * 10 AS x"))
+        assert (v1, v2) == (1, 2)
+        assert t.read().count() == 3                 # latest
+        assert t.read(version=1).count() == 5        # time travel
+        assert t.manifest(1)["rows"] == 5
+        assert t.manifest(2)["rows"] == 3
+
+    def test_uncommitted_write_invisible(self, spark, tmp_path):
+        from med_doi_feature_extraction_spark.sources.catalog import (
+            VersionedTable,
+            _data_dir,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        t.write(spark.range(4))
+        # simulate a session killed after the data write but BEFORE
+        # the manifest commit: bare v=2 dir with no manifest
+        spark.range(99).write.parquet(_data_dir(t.path, 2))
+        assert t.versions() == [1]
+        assert t.read().count() == 4
+        # the next successful write claims version 2's slot safely
+        # (overwrite mode rewrites the orphan dir, then commits)
+        v = t.write(spark.range(7))
+        assert v == 2 and t.read().count() == 7
+
+    def test_read_errors(self, spark, tmp_path):
+        import pytest as _pt
+
+        from med_doi_feature_extraction_spark.sources.catalog import (
+            VersionedTable,
+        )
+
+        t = VersionedTable(spark, str(tmp_path / "vt"))
+        with _pt.raises(FileNotFoundError):
+            t.read()
+        t.write(spark.range(1))
+        with _pt.raises(ValueError):
+            t.read(version=9)
