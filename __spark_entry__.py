@@ -5205,6 +5205,25 @@ def q_url_features(spark, sf_dir):
     )
 
 
+def q_surt_keys(spark, sf_dir):
+    """SURT-form sortable URL keys (urls.surt_key, the CC-index
+    layout convention): reversed comma-joined host + ')' + path —
+    pure codegen over the synthesized url table."""
+    from med_doi_feature_extraction_spark.operators.urls import surt_key
+
+    u = _synth_urls(spark, sf_dir)
+    return u.select("o_orderkey", "url", surt_key(F.col("url")).alias("surt"))
+
+
+def _sql_surt_keys() -> str:
+    from med_doi_feature_extraction_spark.operators.urls import sql_surt_key
+
+    return f"""
+SELECT o_orderkey, url, {sql_surt_key('url')} AS surt
+FROM ({_SQL_SYNTH_URL}) su
+"""
+
+
 def _sql_domain(h: str) -> str:
     """Suffix-aware registrable-domain SQL over a host expression —
     IN-list generated from the SAME constant as the Spark side
@@ -11682,6 +11701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_churn": q_link_churn,
         "canonical_chains": q_canonical_chains,
         "robots_wildcards": q_robots_wildcards,
+        "surt_keys": q_surt_keys,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -11943,6 +11963,7 @@ def oracle_sql() -> dict[str, str]:
         "link_churn": _sql_link_churn(),
         "canonical_chains": _sql_canonical_chains(),
         "robots_wildcards": _sql_robots_wildcards(),
+        "surt_keys": _sql_surt_keys(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

@@ -267,3 +267,36 @@ def blocklist_filter(
         lambda e: (h == e) | h.endswith(F.concat(F.lit("."), e)),
     )
     return joined.filter(~blocked).drop("_pd", "_bd", "_entries")
+
+
+def surt_key(url: F.Column) -> F.Column:
+    """SURT-form sortable URL key (the Common Crawl / web-archive
+    index convention): host labels REVERSED and comma-joined, then
+    ``)`` + the path — ``https://news.example.com/a/b`` →
+    ``com,example,news)/a/b``. Sorting or range-partitioning a
+    10^12-row url table on this key clusters every host under its
+    registrable domain and every domain under its TLD, which is what
+    makes per-domain scans pushdown-prunable on a sorted layout
+    (the lexicographic twin of `layout.py`'s Z-order trick, for the
+    one-dimensional url case). Leading ``www.`` dropped (archive
+    convention); query strings excluded (the key addresses the
+    resource, not its parameters). Pure codegen Column algebra."""
+    host = F.regexp_replace(url_host(url), r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(
+        F.nullif(url_path(url), F.lit("")), F.lit("/")
+    )
+    return F.concat(rev, F.lit(")"), path)
+
+
+def sql_surt_key(expr: str) -> str:
+    """DuckDB twin of :func:`surt_key`."""
+    host = f"regexp_replace({sql_url_host(expr)}, '^www\\.', '')"
+    rev = (
+        f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    )
+    path = (
+        f"coalesce(nullif(regexp_extract({expr}, "
+        f"'^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1), ''), '/')"
+    )
+    return f"({rev} || ')' || {path})"

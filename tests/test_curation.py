@@ -771,3 +771,46 @@ class TestTemperatureSampling:
         assert a == b  # pure function of (key, salt, rates)
         assert 150 <= len(a) <= 250  # expectation 200, binomial spread
         assert set(a) <= {r["doc_id"] for r in df.collect()}
+
+
+def test_surt_key_forms(spark):
+    from med_doi_feature_extraction_spark.operators.urls import surt_key
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://news.example.com/a/b"),
+            (2, "http://www.example.com/"),
+            (3, "https://Example.COM"),          # no path -> '/'
+            (4, "https://user@sub.a.co.uk:443/x?q=1"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", surt_key(F.col("url")).alias("s")).collect()
+    }
+    assert got[1] == "com,example,news)/a/b"
+    assert got[2] == "com,example)/"           # www stripped
+    assert got[3] == "com,example)/"           # lower + default path
+    assert got[4] == "uk,co,a,sub)/x"          # userinfo/port/query gone
+
+
+def test_surt_key_sort_clusters_domains(spark):
+    from med_doi_feature_extraction_spark.operators.urls import surt_key
+
+    urls = [
+        "https://a.zzz.org/1", "https://b.aaa.com/1",
+        "https://c.aaa.com/1", "https://aaa.com/2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    ordered = [
+        r["s"]
+        for r in df.select(surt_key(F.col("url")).alias("s"))
+        .orderBy("s")
+        .collect()
+    ]
+    # all aaa.com variants are adjacent under the sort
+    assert ordered[0].startswith("com,aaa") and ordered[2].startswith(
+        "com,aaa"
+    )
+    assert ordered[3].startswith("org,zzz")
