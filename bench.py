@@ -140,6 +140,9 @@ def main() -> None:
         "zipf_fit", "politeness", "mirrors", "phrase_search",
         "kn_score", "headings_outline", "template_census",
         "structured_data",
+        # r5 fifth-session additions, part 2 (temporal/layout/REP)
+        "bowtie", "sitemap_coverage", "link_churn",
+        "canonical_chains", "robots_wildcards", "surt_keys",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -299,6 +299,25 @@ def main() -> None:
          "projection."),
         ("structured_data", "whole census is ONE codegen regexp "
          "battery — no exchange, no UDF, html pruned immediately."),
+        ("bowtie", "two k-round DIRECTED BFS passes (forward + "
+         "reversed) over ONE deduped adjacency — keyed equi-joins, "
+         "per-round lineage truncation — then two flag joins + a "
+         "CASE."),
+        ("sitemap_coverage", "both sides collapse to DISTINCT slim "
+         "url sets at the scan; one url equi-join; host-keyed "
+         "hash-aggs + full-outer union."),
+        ("link_churn", "one (src,ts,dst) distinct; per-page lag "
+         "window (partition = one page's snapshots); one "
+         "co-partitioned full-outer join feeding the (src,ts) agg."),
+        ("canonical_chains", "pointer doubling: k self-joins of the "
+         "slim (url,target) function table resolve 2^k-link chains; "
+         "fixpoint check = one more left join."),
+        ("robots_wildcards", "rule→regex compiled once per row on "
+         "the broadcast rule table; per-URL match bounded by "
+         "rules-per-host fan-out; longest-rule argmax as "
+         "max(struct)."),
+        ("surt_keys", "pure codegen key projection riding the scan — "
+         "zero exchanges."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
