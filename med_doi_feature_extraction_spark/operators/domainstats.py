@@ -249,8 +249,8 @@ def sql_template_census(
 ) -> str:
     """DuckDB twin of :func:`template_census`."""
     from med_doi_feature_extraction_spark.operators.urls import (
+        sql_url_domain,
         sql_url_host,
-        suffix_in_sql,
     )
 
     h = f"coalesce(CAST({html_expr} AS VARCHAR), '')"
@@ -258,15 +258,7 @@ def sql_template_census(
         f"array_to_string(list_transform(regexp_extract_all({h}, "
         f"'{_TAGNAME_RE}', 1), x -> lower(x)), ' ')"
     )
-    host = sql_url_host(url_expr)
-    dom = (
-        f"CASE WHEN regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
-        f" IN ({suffix_in_sql()})"
-        f" AND length(regexp_extract({host},"
-        f" '([^.]+\\.[^.]+\\.[^.]+)$', 1)) > 0"
-        f" THEN regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
-        f" ELSE regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) END"
-    )
+    dom = sql_url_domain(sql_url_host(url_expr))
     r6 = "floor(({x}) * 1e6 + 0.5) / 1e6 + 0.0"
     top = r6.format(x="CAST(top_n AS DOUBLE) / n_pages")
     ppt = r6.format(x="CAST(n_pages AS DOUBLE) / n_templates")

@@ -1299,21 +1299,15 @@ JOIN deg db ON db.node = f.b
 
 
 def _directed_reach(
-    edges: DataFrame, seeds: DataFrame, k: int, reverse: bool = False
+    adj: DataFrame, seeds: DataFrame, k: int, reverse: bool = False
 ) -> DataFrame:
     """Bounded directed BFS (k_hop_reach's shape WITHOUT the
     symmetrization): distinct nodes reachable from ``seeds`` along
-    edge direction (``reverse=True`` follows edges backwards).
-    Returns one ``node`` column, seeds included."""
+    edge direction (``reverse=True`` follows edges backwards) over a
+    PREBUILT deduped ``(_f, _t)`` adjacency — the caller materializes
+    it once and both BFS directions share it. Returns one ``node``
+    column, seeds included."""
     f, t = ("_t", "_f") if reverse else ("_f", "_t")
-    adj = edges.select(
-        F.col("src").cast("long").alias("_f"),
-        F.col("dst").cast("long").alias("_t"),
-    ).filter(
-        F.col("_f").isNotNull()
-        & F.col("_t").isNotNull()
-        & (F.col("_f") != F.col("_t"))
-    ).distinct()
     visited = seeds.select(
         F.col("node").cast("long").alias("node")
     ).distinct()
@@ -1370,9 +1364,22 @@ def bowtie_census(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
     )
-    nodes = graph_nodes(e)
-    fwd = _directed_reach(e, seeds, k).withColumn("_fw", F.lit(1))
-    bwd = _directed_reach(e, seeds, k, reverse=True).withColumn(
+    # node universe from the RAW edges (a self-loop-only node exists
+    # and must be labeled 'other'); null ids cannot be graph nodes
+    nodes = graph_nodes(e).filter(F.col("node").isNotNull())
+    # adjacency built ONCE, shared by both BFS directions
+    adj = (
+        e.select(F.col("src").alias("_f"), F.col("dst").alias("_t"))
+        .filter(
+            F.col("_f").isNotNull()
+            & F.col("_t").isNotNull()
+            & (F.col("_f") != F.col("_t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fwd = _directed_reach(adj, seeds, k).withColumn("_fw", F.lit(1))
+    bwd = _directed_reach(adj, seeds, k, reverse=True).withColumn(
         "_bw", F.lit(1)
     )
     j = nodes.join(fwd, "node", "left").join(bwd, "node", "left")
@@ -1406,9 +1413,12 @@ adj AS (
     AND CAST("{src}" AS BIGINT) != CAST("{dst}" AS BIGINT)
 ),
 nodes AS (
+  -- node universe from the RAW edges (Spark parity: a
+  -- self-loop-only node exists and labels 'other')
   SELECT DISTINCT n FROM (
-    SELECT f AS n FROM adj UNION ALL SELECT t FROM adj
-  )
+    SELECT CAST("{src}" AS BIGINT) AS n FROM {edges_sql}
+    UNION ALL SELECT CAST("{dst}" AS BIGINT) FROM {edges_sql}
+  ) WHERE n IS NOT NULL
 ),
 s AS (SELECT DISTINCT CAST("{node}" AS BIGINT) AS n FROM {seeds_sql}),
 fw0 AS (SELECT n FROM s),

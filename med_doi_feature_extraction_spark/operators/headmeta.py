@@ -321,7 +321,9 @@ _LD_RE = (
 _LD_TYPE_RE = r'"@type"\s*:\s*"([^"]+)"'
 _OG_TYPE_A = r'(?i)<meta[^>]*property=["\']og:type["\'][^>]*content=["\']([^"\']*)'
 _OG_TYPE_B = r'(?i)<meta[^>]*content=["\']([^"\']*)["\'][^>]*property=["\']og:type["\']'
-_ITEMSCOPE_RE = r"(?i)<[^>]*\sitemscope[\s>/]"
+#: boolean attribute OR the empty-value serialization DOM serializers
+#: emit (itemscope="" / itemscope='')
+_ITEMSCOPE_RE = r"(?i)<[^>]*\sitemscope(=[\"'][\"'])?[\s>/]"
 _ITEMTYPE_RE = r'(?i)itemtype=["\']([^"\']+)'
 
 
@@ -505,7 +507,7 @@ def resolve_canonical_chains(
         )
         .otherwise(F.col("url"))
         .alias("t"),
-    )
+    ).distinct()  # snapshot duplicates would multiply through joins
     # function table g maps EVERY known url; targets outside the
     # crawl resolve to themselves (we can't follow what we didn't
     # fetch — they are fixpoints by construction)
@@ -539,7 +541,7 @@ def sql_canonical_chains(meta_sql: str, doublings: int = 4) -> str:
     (``meta_sql`` yields (url, canonical_href))."""
     parts = [f"""
 f AS (
-  SELECT url AS u,
+  SELECT DISTINCT url AS u,
          CASE WHEN length(canonical_href) > 0
                    AND canonical_href != url
               THEN canonical_href ELSE url END AS t

@@ -504,6 +504,10 @@ def oracle_robots_wildcards_sql(
     """DuckDB twin of :func:`apply_robots_wildcards` — same
     host/path algebra, the rule compiled via :func:`sql_rule_regex`,
     same (len, is_allow, prefix) precedence."""
+    from med_doi_feature_extraction_spark.operators.urls import (
+        sql_url_host,
+    )
+
     ids = ", ".join(f'"{c}"' for c in id_cols)
     ids_u = ", ".join(f'u."{c}"' for c in id_cols)
     # the url column may itself be the id — emit once (Spark parity)
@@ -512,9 +516,7 @@ def oracle_robots_wildcards_sql(
     return f"""
 WITH u AS (
   SELECT {ids}, "{url_col}" AS url,
-    regexp_replace(regexp_replace(
-      lower(regexp_extract("{url_col}", '^[a-zA-Z]+://([^/?#]+)', 1)),
-      '^.*@', ''), ':(80|443)$', '') AS host,
+    {sql_url_host(f'"{url_col}"')} AS host,
     coalesce(nullif(
       regexp_extract("{url_col}",
         '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1), ''), '/') AS path

@@ -71,6 +71,21 @@ def sql_url_host(expr: str) -> str:
     )
 
 
+def sql_url_domain(host_expr: str) -> str:
+    """DuckDB expression mirroring :func:`url_domain` 1:1 (the
+    suffix-aware registrable-domain CASE) — the single source for
+    every oracle that needs a domain key; generated from the SAME
+    suffix constant as the Spark expression."""
+    return (
+        f"CASE WHEN regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1)"
+        f" IN ({suffix_in_sql()})"
+        f" AND length(regexp_extract({host_expr},"
+        f" '([^.]+\\.[^.]+\\.[^.]+)$', 1)) > 0"
+        f" THEN regexp_extract({host_expr}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+        f" ELSE regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1) END"
+    )
+
+
 def url_host(url: F.Column) -> F.Column:
     """Lower-cased host part: userinfo (``user:pass@``) and default
     port stripped, so ``http://user@a.example.com/`` and

@@ -213,11 +213,30 @@ class VersionedTable:
         df.write.mode("overwrite").parquet(data)
         rows, nbytes = fsutil.parquet_rows_and_bytes(self.spark, data)
         fsutil.mkdirs(self.spark, _versions_dir(self.path))
+        manifest = f"{_versions_dir(self.path)}/{v}.json"
+        # commit = write-to-temp + rename: a crash mid-write leaves a
+        # .tmp file that versions() never lists, so the docstring's
+        # atomicity claim holds on the local FS too (write_text alone
+        # writes the target in place). A manifest already present
+        # means another writer claimed this version — single-writer
+        # is the contract, and a conflict must FAIL, not overwrite.
+        if fsutil.exists(self.spark, manifest):
+            raise RuntimeError(
+                f"versioned table {self.path}: version {v} already "
+                "committed by a concurrent writer (single-writer "
+                "contract)"
+            )
+        tmp = f"{manifest}.tmp"
         fsutil.write_text(
             self.spark,
-            f"{_versions_dir(self.path)}/{v}.json",
+            tmp,
             json.dumps({"version": v, "rows": rows, "bytes": nbytes}),
         )
+        if not fsutil.rename(self.spark, tmp, manifest):
+            raise RuntimeError(
+                f"versioned table {self.path}: commit rename failed "
+                f"for version {v} (concurrent writer?)"
+            )
         return v
 
     # -- read ----------------------------------------------------------

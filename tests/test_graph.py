@@ -693,3 +693,20 @@ class TestBowtie:
         s = spark.createDataFrame([(0,)], "node long")
         with pytest.raises(ValueError):
             bowtie_census(e, s, k=0)
+
+
+def test_bowtie_self_loop_only_node_is_other(spark):
+    from med_doi_feature_extraction_spark.operators.graph import (
+        bowtie_census,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 10), (10, 20), (5, 5)], "src long, dst long"
+    )
+    s = spark.createDataFrame([(10,)], "node long")
+    got = {
+        r["node"]: r["component"]
+        for r in bowtie_census(e, s, k=3).collect()
+    }
+    assert got[5] == "other"  # self-loop-only node stays in the census
+    assert got == {1: "in", 10: "core", 20: "out", 5: "other"}

@@ -211,3 +211,31 @@ class TestCanonicalChains:
 
         with _pt.raises(ValueError):
             resolve_canonical_chains(df, 0)
+
+
+def test_itemscope_empty_value_serialization(spark):
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        structured_data_census,
+    )
+
+    df = spark.createDataFrame(
+        [("u", '<div itemscope="" itemtype="https://schema.org/X"></div>'
+               "<span itemscope></span>")],
+        "url string, html string",
+    )
+    r = structured_data_census(df).collect()[0]
+    assert r["n_itemscope"] == 2 and r["has_structured"]
+
+
+def test_canonical_chain_snapshot_duplicates_collapse(spark):
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        resolve_canonical_chains,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u3"), ("u2", "u3"), ("u3", "")],
+        "url string, canonical_href string",
+    )
+    rows = resolve_canonical_chains(df).collect()
+    assert len(rows) == 3  # one row per url, snapshot dup collapsed
+    assert all(r["final_target"] == "u3" for r in rows)
