@@ -6378,6 +6378,26 @@ def _sql_template_census() -> str:
     return inner.replace("read_parquet('__GLOB__')", rel)
 
 
+def q_host_report(spark, sf_dir):
+    """Per-host quality report card (domainstats.host_report): six
+    census signals from ONE scan — canonical/soft404 rates,
+    micro-unit-exact avg text ratio, template diversity — the
+    crawl-ops triage dashboard row."""
+    from med_doi_feature_extraction_spark.operators.domainstats import (
+        host_report,
+    )
+
+    return host_report(_headmeta_seam(spark))
+
+
+def _sql_host_report() -> str:
+    from med_doi_feature_extraction_spark.operators.domainstats import (
+        sql_host_report,
+    )
+
+    return sql_host_report(f"{_headmeta_base()}/pages.parquet/*.parquet")
+
+
 def q_outlink_profile(spark, sf_dir):
     """Per-page outlink spam features: external ratio + single-host
     concentration (the link-farm tell) — two map-side-combinable
@@ -11703,6 +11723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_chains": q_canonical_chains,
         "robots_wildcards": q_robots_wildcards,
         "surt_keys": q_surt_keys,
+        "host_report": q_host_report,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -11965,6 +11986,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_chains": _sql_canonical_chains(),
         "robots_wildcards": _sql_robots_wildcards(),
         "surt_keys": _sql_surt_keys(),
+        "host_report": _sql_host_report(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

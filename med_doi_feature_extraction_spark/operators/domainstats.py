@@ -282,3 +282,139 @@ SELECT domain, n_pages, n_templates,
        ({ppt}) AS pages_per_template
 FROM agg
 """
+
+
+def host_report(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-HOST quality report card — the one-stop dashboard row
+    joining the census family over a single page scan: ``n_pages``,
+    ``canonical_rate`` (pages declaring rel=canonical),
+    ``soft404_rate``, ``avg_text_ratio`` (mean text-to-markup, 6 dp),
+    ``n_templates`` + ``top_template_share`` (layout concentration).
+    This is what a crawl-ops reviewer sorts by before deciding which
+    hosts to quarantine, recrawl or subsample.
+
+    Execution shape: ALL six signals come from ONE scan — every
+    per-page feature is codegen Column algebra computed side by side
+    in the same projection (no operator-per-join over the corpus;
+    the module's single-purpose operators share their Column-level
+    builders), followed by one (host, fingerprint) hash-agg feeding
+    one host hash-agg. The wide html column dies at the projection.
+    """
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        canonical_col,
+        soft404_col,
+    )
+    from med_doi_feature_extraction_spark.operators.urls import url_host
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    # per-page ratio in exact micro-units BIGINT so the SUM is
+    # order-free (vocab_growth/column_entropy discipline — a raw
+    # double sum could straddle the 6-dp gate across partitionings)
+    ratio_u = F.when(
+        F.length(h) > 0,
+        F.floor(
+            F.length(t).cast("double") / F.length(h) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    page = df.select(
+        url_host(F.col(url_col)).alias("host"),
+        (F.length(canonical_col(h)) > 0).cast("long").alias("_canon"),
+        soft404_col(h, t).cast("long").alias("_s404"),
+        ratio_u.alias("_ratio_u"),
+        template_fingerprint(h).alias("_fp"),
+    )
+    per_fp = page.groupBy("host", "_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_canon").alias("_c"),
+        F.sum("_s404").alias("_s"),
+        F.sum("_ratio_u").cast("long").alias("_r"),
+    )
+    out = per_fp.groupBy("host").agg(
+        F.sum("_n").cast("long").alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("n_templates"),
+        F.max("_n").cast("long").alias("_top"),
+        F.sum("_c").cast("long").alias("_canon"),
+        F.sum("_s").cast("long").alias("_s404"),
+        F.sum("_r").cast("long").alias("_ratio_u_sum"),
+    )
+    n = F.col("n_pages").cast("double")
+    return out.select(
+        "host",
+        "n_pages",
+        _round6(F.col("_canon").cast("double") / n).alias(
+            "canonical_rate"
+        ),
+        _round6(F.col("_s404").cast("double") / n).alias("soft404_rate"),
+        _round6(F.col("_ratio_u_sum").cast("double") / F.lit(1e6) / n)
+        .alias("avg_text_ratio"),
+        "n_templates",
+        _round6(F.col("_top").cast("double") / n).alias(
+            "top_template_share"
+        ),
+    )
+
+
+def sql_host_report(parquet_glob: str) -> str:
+    """DuckDB twin of :func:`host_report` (reuses the shared
+    canonical/soft404/host/fingerprint expression builders)."""
+    from med_doi_feature_extraction_spark.operators.headmeta import (
+        sql_canonical_expr,
+        sql_soft404_expr,
+    )
+    from med_doi_feature_extraction_spark.operators.urls import sql_url_host
+
+    h = "coalesce(CAST(html AS VARCHAR), '')"
+    t = "coalesce(CAST(text AS VARCHAR), '')"
+    seq = (
+        f"array_to_string(list_transform(regexp_extract_all({h}, "
+        f"'{_TAGNAME_RE}', 1), x -> lower(x)), ' ')"
+    )
+    canon = sql_canonical_expr("html")
+    s404 = sql_soft404_expr("html", "text")
+    r6 = "floor(({x}) * 1e6 + 0.5) / 1e6 + 0.0"
+    return f"""
+WITH page AS (
+  SELECT {sql_url_host('url')} AS host,
+         CAST(CASE WHEN length({canon}) > 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS canon,
+         CAST(CASE WHEN {s404} THEN 1 ELSE 0 END AS BIGINT) AS s404,
+         CASE WHEN length({h}) > 0
+              THEN CAST(floor(CAST(length({t}) AS DOUBLE)
+                              / length({h}) * 1e6 + 0.5) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS ratio_u,
+         sha256({seq}) AS fp
+  FROM read_parquet('{parquet_glob}')
+),
+per_fp AS (
+  SELECT host, fp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(canon) AS BIGINT) AS c,
+         CAST(sum(s404) AS BIGINT) AS s,
+         CAST(sum(ratio_u) AS BIGINT) AS r
+  FROM page GROUP BY host, fp
+),
+agg AS (
+  SELECT host, CAST(sum(n) AS BIGINT) AS n_pages,
+         CAST(count(*) AS BIGINT) AS n_templates,
+         CAST(max(n) AS BIGINT) AS top_n,
+         CAST(sum(c) AS BIGINT) AS canon,
+         CAST(sum(s) AS BIGINT) AS s404,
+         CAST(sum(r) AS BIGINT) AS ratio_u_sum
+  FROM per_fp GROUP BY host
+)
+SELECT host, n_pages,
+       ({r6.format(x="(canon)::DOUBLE / n_pages")}) AS canonical_rate,
+       ({r6.format(x="(s404)::DOUBLE / n_pages")}) AS soft404_rate,
+       ({r6.format(x="(ratio_u_sum)::DOUBLE / 1e6 / n_pages")})
+         AS avg_text_ratio,
+       n_templates,
+       ({r6.format(x="(top_n)::DOUBLE / n_pages")})
+         AS top_template_share
+FROM agg
+"""

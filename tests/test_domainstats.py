@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -117,3 +119,32 @@ class TestTemplateCensus:
         ]
         got = self._run(spark, rows)
         assert got["s.com"]["n_templates"] == 1
+
+
+class TestHostReport:
+    def test_rates_and_templates(self, spark):
+        from med_doi_feature_extraction_spark.operators.domainstats import (
+            host_report,
+        )
+
+        t = "<html><head>{}</head><body><p>{}</p></body></html>"
+        rows = [
+            ("https://a.com/1",
+             t.format('<link rel="canonical" href="https://a.com/c">',
+                      "long body " * 30), "long body " * 30),
+            ("https://a.com/2", t.format("", "tiny"), "tiny"),
+            ("https://a.com/3",
+             t.format("<title>404 Not Found</title>", "gone"), "gone"),
+            ("https://b.com/1", t.format("", "text " * 10), "text " * 10),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string, text string")
+        got = {r["host"]: r for r in host_report(df).collect()}
+        a = got["a.com"]
+        assert a["n_pages"] == 3
+        assert a["canonical_rate"] == pytest.approx(1 / 3, abs=1e-6)
+        assert a["soft404_rate"] == pytest.approx(1 / 3, abs=1e-6)
+        # head tags differ (link/title) -> three distinct layouts
+        assert a["n_templates"] == 3
+        assert a["top_template_share"] == pytest.approx(1 / 3, abs=1e-6)
+        assert 0 < a["avg_text_ratio"] < 1
+        assert got["b.com"]["n_pages"] == 1
