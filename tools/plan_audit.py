@@ -318,6 +318,9 @@ def main() -> None:
          "max(struct)."),
         ("surt_keys", "pure codegen key projection riding the scan — "
          "zero exchanges."),
+        ("host_report", "six census signals in ONE scan projection "
+         "(shared Column builders), then (host,fp) + host hash-aggs; "
+         "ratio terms in order-free micro-unit BIGINTs."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
