@@ -7343,6 +7343,32 @@ FROM documents GROUP BY lang
 """
 
 
+def q_weighted_quantiles(spark, sf_dir):
+    """Exact weighted per-language quantiles (profile.
+    weighted_quantiles, inverse-CDF type 1): doc length weighted by
+    its own char mass — "the median document BY MASS", the number
+    token-budgeted mixture planning needs. Distinct-value collapse
+    first, then a bounded per-group cumulative window."""
+    from med_doi_feature_extraction_spark.operators.profile import (
+        weighted_quantiles,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_quantiles(
+        docs, "n_chars", "n_chars", group_col="lang"
+    )
+
+
+def _sql_weighted_quantiles() -> str:
+    from med_doi_feature_extraction_spark.operators.profile import (
+        oracle_weighted_quantiles_sql,
+    )
+
+    return oracle_weighted_quantiles_sql(
+        "documents", "n_chars", "n_chars", group_expr="lang"
+    )
+
+
 def q_lang_source_pivot(spark, sf_dir):
     """groupBy().pivot() with explicit pivot values (plan-time column
     set — no extra distinct-values job) + exact count distinct."""
@@ -11724,6 +11750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcards": q_robots_wildcards,
         "surt_keys": q_surt_keys,
         "host_report": q_host_report,
+        "weighted_quantiles": q_weighted_quantiles,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -11987,6 +12014,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_wildcards": _sql_robots_wildcards(),
         "surt_keys": _sql_surt_keys(),
         "host_report": _sql_host_report(),
+        "weighted_quantiles": _sql_weighted_quantiles(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -618,3 +618,103 @@ FROM (
   FROM (SELECT CAST("{c}" AS VARCHAR) AS v FROM {rel_sql})
 )""")
     return "\nUNION ALL\n".join(branches) + '\nORDER BY "column"'
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    group_col: str | None = None,
+) -> DataFrame:
+    """EXACT weighted quantiles per group (inverse-CDF / Hyndman–Fan
+    type 1: the smallest value whose cumulative weight reaches
+    q·total). The question token-budgeted curation actually asks is
+    weighted — "the median document BY TOKEN MASS" is much longer
+    than the median document by count, and mixture planning wants the
+    former. Rows with NULL or non-positive weight are excluded
+    (documented: they carry no mass).
+
+    One row per group with a ``q<pp>`` column per requested quantile
+    (``q25, q50, ...``).
+
+    Execution shape, 100 TB lens: per-(group, value) weight collapse
+    FIRST (one hash-agg — the Zipf absorber: a value repeated a
+    billion times is one row after it), then a per-group cumulative
+    window over the collapsed DISTINCT-value table and one ≤
+    groups-sized argmin agg per quantile. The window partition is a
+    group's distinct values — bounded by value cardinality, not row
+    count.
+    """
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError("qs must be in (0, 1]")
+    g = (
+        F.col(group_col).cast("string") if group_col else F.lit("all")
+    ).alias("grp")
+    base = df.select(
+        g,
+        F.col(value_col).cast("double").alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).filter(F.col("v").isNotNull() & (F.col("w") > 0))
+    per_v = base.groupBy("grp", "v").agg(F.sum("w").alias("w"))
+    win = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("grp")
+    c = per_v.select(
+        "grp",
+        "v",
+        F.sum("w").over(win).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    aggs = []
+    for q in qs:
+        name = f"q{int(round(q * 100)):02d}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cw") >= F.lit(float(q)) * F.col("tw"),
+                    F.col("v"),
+                )
+            ).alias(name)
+        )
+    return c.groupBy("grp").agg(*aggs).withColumnRenamed("grp", "group")
+
+
+def oracle_weighted_quantiles_sql(
+    rel_sql: str,
+    value_expr: str,
+    weight_expr: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    group_expr: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`weighted_quantiles` (same type-1
+    inverse-CDF definition, same collapse-then-cumulate shape)."""
+    grp = (
+        f"CAST({group_expr} AS VARCHAR)" if group_expr else "'all'"
+    )
+    picks = ",\n       ".join(
+        f"min(CASE WHEN cw >= {float(q)} * tw THEN v END)"
+        f" AS q{int(round(q * 100)):02d}"
+        for q in qs
+    )
+    return f"""
+WITH base AS (
+  SELECT {grp} AS grp,
+         CAST({value_expr} AS DOUBLE) AS v,
+         CAST({weight_expr} AS DOUBLE) AS w
+  FROM {rel_sql}
+  WHERE {value_expr} IS NOT NULL AND CAST({weight_expr} AS DOUBLE) > 0
+),
+per_v AS (SELECT grp, v, sum(w) AS w FROM base GROUP BY grp, v),
+c AS (
+  SELECT grp, v,
+         sum(w) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY grp) AS tw
+  FROM per_v
+)
+SELECT grp AS "group", {picks}
+FROM c GROUP BY grp
+"""

@@ -215,3 +215,49 @@ class TestPatternCensus:
         r = pattern_census(df, ["a"]).collect()[0]
         for k in ("p_uuid_share", "p_email_share", "p_datetime_share"):
             assert r[k] == pytest.approx(1 / 3, abs=1e-6)
+
+
+class TestWeightedQuantiles:
+    def _run(self, spark, rows, **kw):
+        from med_doi_feature_extraction_spark.operators.profile import (
+            weighted_quantiles,
+        )
+
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        return {
+            r["group"]: r
+            for r in weighted_quantiles(df, "v", "w", **kw).collect()
+        }
+
+    def test_hand_computed_type1(self, spark):
+        # values 1,2,3 with weights 1,1,8 -> cum 1,2,10 of 10
+        rows = [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 8.0)]
+        got = self._run(spark, rows, qs=(0.1, 0.2, 0.21, 0.5, 1.0))["all"]
+        assert got["q10"] == 1.0   # cw(1)=1 >= 1.0
+        assert got["q20"] == 2.0   # cw(2)=2 >= 2.0
+        assert got["q21"] == 3.0   # 2 < 2.1 -> next value
+        assert got["q50"] == 3.0
+        assert got["q100"] == 3.0
+
+    def test_groups_and_tie_collapse(self, spark):
+        rows = [("a", 5.0, 2.0), ("a", 5.0, 3.0), ("b", 1.0, 1.0)]
+        got = self._run(spark, rows, qs=(0.5,), group_col="g")
+        assert got["a"]["q50"] == 5.0 and got["b"]["q50"] == 1.0
+
+    def test_nonpositive_weights_excluded(self, spark):
+        rows = [("a", 1.0, 0.0), ("a", 2.0, -3.0), ("a", 9.0, 1.0)]
+        got = self._run(spark, rows, qs=(0.5,))
+        assert got["all"]["q50"] == 9.0
+
+    def test_rejects_bad_q(self, spark):
+        import pytest as _pt
+
+        from med_doi_feature_extraction_spark.operators.profile import (
+            weighted_quantiles,
+        )
+
+        df = spark.createDataFrame([("a", 1.0, 1.0)], "g string, v double, w double")
+        with _pt.raises(ValueError):
+            weighted_quantiles(df, "v", "w", qs=(0.0,))
+        with _pt.raises(ValueError):
+            weighted_quantiles(df, "v", "w", qs=())
