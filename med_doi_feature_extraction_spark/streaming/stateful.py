@@ -574,3 +574,96 @@ def cumulative_distinct_stateful(
         "append",
         timeout,
     )
+
+
+TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_processed", T.LongType()),
+    ]
+)
+
+
+def _topk_output_schema(group: str, item: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(group, T.StringType()),
+            T.StructField(item, T.StringType()),
+            T.StructField("mg_count", T.LongType()),
+            T.StructField("n_processed", T.LongType()),
+        ]
+    )
+
+
+def topk_stateful(
+    events: DataFrame,
+    group: str,
+    item: str,
+    k: int,
+) -> DataFrame:
+    """Streaming heavy hitters per group — the Misra–Gries summary
+    (1982; the "space-saving" family) in ``applyInPandasWithState``:
+    O(k) state per group regardless of stream length, with the
+    classic deterministic guarantee ``true_count − mg_count ≤ n/k``
+    — any item with true frequency > n/k is IN the summary. The
+    streaming twin of the batch top-n-gram / hot-domain censuses for
+    dashboards that cannot afford a full (group, item) hash-agg of
+    an unbounded stream.
+
+    Per microbatch each group emits its UPDATED summary snapshot
+    (one row per retained item, with the group's processed-row count
+    ``n_processed``); a consumer keeps the rows with the max
+    ``n_processed`` per group. Arrival order within a group decides
+    MG tie-breaking, so tests feed an ordered single-partition
+    source (the sessionize_stateful convention).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def step(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            items, counts, n = state.get
+            summary = dict(zip(items or [], counts or []))
+        else:
+            summary, n = {}, 0
+
+        for pdf in pdf_iter:
+            for it in pdf[item].astype(object):
+                if it is None:
+                    continue
+                n += 1
+                if it in summary:
+                    summary[it] += 1
+                elif len(summary) < k:
+                    summary[it] = 1
+                else:  # decrement-all; drop zeros (the MG step)
+                    summary = {
+                        i: c - 1 for i, c in summary.items() if c > 1
+                    }
+
+        keys_sorted = sorted(summary)  # deterministic state layout
+        state.update(
+            (
+                keys_sorted,
+                [summary[i] for i in keys_sorted],
+                n,
+            )
+        )
+        if summary:
+            yield pd.DataFrame(
+                {
+                    group: key[0],
+                    item: keys_sorted,
+                    "mg_count": [summary[i] for i in keys_sorted],
+                    "n_processed": n,
+                }
+            )
+
+    return events.groupBy(group).applyInPandasWithState(
+        step,
+        _topk_output_schema(group, item),
+        TOPK_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -681,3 +681,64 @@ def test_stateful_cum_distinct_out_of_order_buffered(spark, tmp_path):
     u1 = out[out.user_id == 1].sort_values("ts").reset_index(drop=True)
     # ts order: 0:'a'->1, 100:'b'->2, 5000:'b'->2 (dup), 5100:None->2
     assert list(u1["n_distinct_seen"]) == [1, 2, 2, 2]
+
+
+def test_stateful_topk_misra_gries(spark, tmp_path):
+    """Streaming MG heavy hitters: guarantee bound vs exact counts,
+    state carry across microbatches, deterministic summary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from med_doi_feature_extraction_spark.streaming.stateful import (
+        topk_stateful,
+    )
+
+    # skewed stream: 'hot' 60x, 'warm' 25x, 15 one-off items
+    seq = (["hot"] * 60 + ["warm"] * 25 + [f"cold{i}" for i in range(15)])
+    # interleave deterministically so cold items pepper the stream
+    order = []
+    hot, rest = seq[:60], seq[60:]
+    for i in range(60):
+        order.append(hot[i])
+        if i < len(rest):
+            order.append(rest[i])
+    rows = [("g1", it) for it in order]
+
+    src = str(tmp_path / "topk_src")
+    os.makedirs(src, exist_ok=True)
+    # two files + maxFilesPerTrigger=1 -> two microbatches in ONE
+    # availableNow run: state must carry between them
+    b1 = pa.table({"grp": [r[0] for r in rows[:50]],
+                   "item": [r[1] for r in rows[:50]]})
+    pq.write_table(b1, f"{src}/part-0.parquet")
+    b2 = pa.table({"grp": [r[0] for r in rows[50:]],
+                   "item": [r[1] for r in rows[50:]]})
+    pq.write_table(b2, f"{src}/part-1.parquet")
+
+    schema = spark.createDataFrame(rows[:1], "grp string, item string").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        topk_stateful(stream, "grp", "item", k=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mg_topk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.sql("SELECT * FROM mg_topk").toPandas()
+    final_n = out["n_processed"].max()
+    assert final_n == len(rows)
+    final = out[out["n_processed"] == final_n].set_index("item")
+    # the guarantee: any item with true freq > n/k is present
+    n, k = len(rows), 4
+    assert "hot" in final.index and "warm" in final.index
+    # error bound: true - mg <= n/k
+    assert 60 - final.loc["hot", "mg_count"] <= n / k
+    assert 25 - final.loc["warm", "mg_count"] <= n / k
+    assert len(final) <= k
