@@ -321,6 +321,9 @@ def main() -> None:
         ("host_report", "six census signals in ONE scan projection "
          "(shared Column builders), then (host,fp) + host hash-aggs; "
          "ratio terms in order-free micro-unit BIGINTs."),
+        ("weighted_quantiles", "per-(group,value) weight collapse "
+         "FIRST (the Zipf absorber), then the cumulative window runs "
+         "over the DISTINCT-value table only; one argmin agg per q."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
