@@ -7369,6 +7369,27 @@ def _sql_weighted_quantiles() -> str:
     )
 
 
+def q_ess(spark, sf_dir):
+    """Kish effective sample size per language (sampling.
+    effective_sample_size) with doc char mass as the importance
+    weight — the weighted-selection degeneracy diagnostic. Integer-
+    valued weights make the moment sums exact in any order."""
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return effective_sample_size(docs, "n_chars", group_col="lang")
+
+
+def _sql_ess() -> str:
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        oracle_ess_sql,
+    )
+
+    return oracle_ess_sql("documents", "n_chars", group_expr="lang")
+
+
 def q_lang_source_pivot(spark, sf_dir):
     """groupBy().pivot() with explicit pivot values (plan-time column
     set — no extra distinct-values job) + exact count distinct."""
@@ -11751,6 +11772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": q_surt_keys,
         "host_report": q_host_report,
         "weighted_quantiles": q_weighted_quantiles,
+        "ess": q_ess,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -12015,6 +12037,7 @@ def oracle_sql() -> dict[str, str]:
         "surt_keys": _sql_surt_keys(),
         "host_report": _sql_host_report(),
         "weighted_quantiles": _sql_weighted_quantiles(),
+        "ess": _sql_ess(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

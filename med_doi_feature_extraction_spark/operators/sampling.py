@@ -904,3 +904,68 @@ SELECT {ks}, n_rows,
 FROM j6
 ORDER BY {keys_asc}
 """
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kish effective sample size of an importance-weighted selection,
+    per group: ``ESS = (Σw)² / Σw²`` with ``ess_ratio = ESS/n`` (6 dp)
+    — the standard degeneracy diagnostic for DSIR / temperature /
+    quality-weighted sampling: an ESS ratio near 0 means a handful of
+    documents carry all the training mass and the "diverse" sample is
+    an illusion; near 1 means the weights are nearly uniform and the
+    reweighting buys nothing. Run it on every weighted-selection
+    output BEFORE spending the training budget.
+
+    NULL / non-positive weights are excluded (no mass, same contract
+    as :func:`~.profile.weighted_quantiles`). Per-row terms are
+    plain IEEE doubles folded in ONE hash-agg — the ratio of sums is
+    computed once per ≤ groups row, so a 6-dp round on the outputs is
+    stable (sums of positive doubles agree to far more than 6 dp
+    across orderings at any realistic n; the gate tolerance argument
+    of graph.py applies).
+    """
+    g = (
+        F.col(group_col).cast("string") if group_col else F.lit("all")
+    ).alias("grp")
+    base = df.select(
+        g, F.col(weight_col).cast("double").alias("w")
+    ).filter(F.col("w") > 0)
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").alias("_s1"),
+        F.sum(F.col("w") * F.col("w")).alias("_s2"),
+    )
+    ess = F.col("_s1") * F.col("_s1") / F.col("_s2")
+    return agg.select(
+        F.col("grp").alias("group"),
+        "n",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_ratio"),
+    )
+
+
+def oracle_ess_sql(
+    rel_sql: str, weight_expr: str, group_expr: str | None = None
+) -> str:
+    """DuckDB twin of :func:`effective_sample_size`."""
+    grp = f"CAST({group_expr} AS VARCHAR)" if group_expr else "'all'"
+    return f"""
+WITH base AS (
+  SELECT {grp} AS grp, CAST({weight_expr} AS DOUBLE) AS w
+  FROM {rel_sql}
+  WHERE CAST({weight_expr} AS DOUBLE) > 0
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         sum(w) AS s1, sum(w * w) AS s2
+  FROM base GROUP BY grp
+)
+SELECT grp AS "group", n,
+       round(s1 * s1 / s2, 6) AS ess,
+       round(s1 * s1 / s2 / n, 6) AS ess_ratio
+FROM agg
+"""

@@ -814,3 +814,25 @@ def test_surt_key_sort_clusters_domains(spark):
         "com,aaa"
     )
     assert ordered[3].startswith("org,zzz")
+
+
+def test_effective_sample_size(spark):
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    rows = (
+        [("uni", 1.0)] * 8                     # uniform -> ESS = n
+        + [("deg", 100.0)] + [("deg", 1e-6)] * 7   # one giant weight
+        + [("mix", 2.0), ("mix", 2.0), ("mix", 0.0), ("mix", -1.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, w double")
+    got = {
+        r["group"]: r
+        for r in effective_sample_size(df, "w", group_col="g").collect()
+    }
+    assert got["uni"]["n"] == 8 and got["uni"]["ess"] == 8.0
+    assert got["uni"]["ess_ratio"] == 1.0
+    assert got["deg"]["ess_ratio"] < 0.2  # degenerate weights flagged
+    # zero/negative weights excluded: n=2 uniform -> ESS=2
+    assert got["mix"]["n"] == 2 and got["mix"]["ess"] == 2.0
