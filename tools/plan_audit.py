@@ -324,6 +324,8 @@ def main() -> None:
         ("weighted_quantiles", "per-(group,value) weight collapse "
          "FIRST (the Zipf absorber), then the cumulative window runs "
          "over the DISTINCT-value table only; one argmin agg per q."),
+        ("ess", "ONE hash-agg of (n, sum w, sum w^2) per group; the "
+         "ratio computed once per <= groups row."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
