@@ -186,6 +186,15 @@ FROM read_parquet('{parquet_glob}')
 _TAGNAME_RE = r"(?i)<([a-z][a-z0-9]*)"
 
 
+def _sql_fp_seq(h: str) -> str:
+    """DuckDB tag-sequence expression behind the layout fingerprint —
+    the single source for template_census AND host_report oracles."""
+    return (
+        f"array_to_string(list_transform(regexp_extract_all({h}, "
+        f"'{_TAGNAME_RE}', 1), x -> lower(x)), ' ')"
+    )
+
+
 def template_fingerprint(html: Column) -> Column:
     """Layout fingerprint: sha256 of the page's lower-cased opening
     tag-name SEQUENCE (content-independent — two articles stamped
@@ -254,10 +263,7 @@ def sql_template_census(
     )
 
     h = f"coalesce(CAST({html_expr} AS VARCHAR), '')"
-    seq = (
-        f"array_to_string(list_transform(regexp_extract_all({h}, "
-        f"'{_TAGNAME_RE}', 1), x -> lower(x)), ' ')"
-    )
+    seq = _sql_fp_seq(h)
     dom = sql_url_domain(sql_url_host(url_expr))
     r6 = "floor(({x}) * 1e6 + 0.5) / 1e6 + 0.0"
     top = r6.format(x="CAST(top_n AS DOUBLE) / n_pages")
@@ -372,10 +378,7 @@ def sql_host_report(parquet_glob: str) -> str:
 
     h = "coalesce(CAST(html AS VARCHAR), '')"
     t = "coalesce(CAST(text AS VARCHAR), '')"
-    seq = (
-        f"array_to_string(list_transform(regexp_extract_all({h}, "
-        f"'{_TAGNAME_RE}', 1), x -> lower(x)), ' ')"
-    )
+    seq = _sql_fp_seq(h)
     canon = sql_canonical_expr("html")
     s404 = sql_soft404_expr("html", "text")
     r6 = "floor(({x}) * 1e6 + 0.5) / 1e6 + 0.0"

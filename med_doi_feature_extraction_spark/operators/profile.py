@@ -648,6 +648,11 @@ def weighted_quantiles(
     """
     if not qs or any(not 0 < q <= 1 for q in qs):
         raise ValueError("qs must be in (0, 1]")
+    names = [f"q{int(round(q * 100)):02d}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"qs collide at whole-percent output names: {names}"
+        )
     g = (
         F.col(group_col).cast("string") if group_col else F.lit("all")
     ).alias("grp")
@@ -700,11 +705,14 @@ def oracle_weighted_quantiles_sql(
     )
     return f"""
 WITH base AS (
+  -- TRY_CAST mirrors Spark's non-ANSI cast: unparseable values
+  -- become NULL and drop, instead of erroring the oracle
   SELECT {grp} AS grp,
-         CAST({value_expr} AS DOUBLE) AS v,
-         CAST({weight_expr} AS DOUBLE) AS w
+         TRY_CAST({value_expr} AS DOUBLE) AS v,
+         TRY_CAST({weight_expr} AS DOUBLE) AS w
   FROM {rel_sql}
-  WHERE {value_expr} IS NOT NULL AND CAST({weight_expr} AS DOUBLE) > 0
+  WHERE TRY_CAST({value_expr} AS DOUBLE) IS NOT NULL
+    AND TRY_CAST({weight_expr} AS DOUBLE) > 0
 ),
 per_v AS (SELECT grp, v, sum(w) AS w FROM base GROUP BY grp, v),
 c AS (

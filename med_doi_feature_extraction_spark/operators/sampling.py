@@ -920,8 +920,10 @@ def effective_sample_size(
     reweighting buys nothing. Run it on every weighted-selection
     output BEFORE spending the training budget.
 
-    NULL / non-positive weights are excluded (no mass, same contract
-    as :func:`~.profile.weighted_quantiles`). Per-row terms are
+    NULL / non-positive weights carry no mass, but their group stays
+    in the report as an explicit ``n=0`` row with NULL ess — the
+    all-zero-weight group is the MOST degenerate case and must not
+    vanish from the very report meant to find it. Per-row terms are
     plain IEEE doubles folded in ONE hash-agg — the ratio of sums is
     computed once per ≤ groups row, so a 6-dp round on the outputs is
     stable (sums of positive doubles agree to far more than 6 dp
@@ -933,18 +935,30 @@ def effective_sample_size(
     ).alias("grp")
     base = df.select(
         g, F.col(weight_col).cast("double").alias("w")
-    ).filter(F.col("w") > 0)
+    )
+    # count mass-carrying rows only, but keep EVERY group in the
+    # report — an all-zero-weight group is the MOST degenerate case
+    # and must show up as an explicit n=0 row, not vanish
     agg = base.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("w").alias("_s1"),
-        F.sum(F.col("w") * F.col("w")).alias("_s2"),
+        F.sum((F.col("w") > 0).cast("long")).cast("long").alias("n"),
+        F.sum(F.when(F.col("w") > 0, F.col("w"))).alias("_s1"),
+        F.sum(
+            F.when(F.col("w") > 0, F.col("w") * F.col("w"))
+        ).alias("_s2"),
     )
     ess = F.col("_s1") * F.col("_s1") / F.col("_s2")
+
+    def _r6(c):
+        # portable floor-based 6-dp (readability/_round6 discipline —
+        # F.round's BigDecimal HALF_UP can differ from DuckDB round()
+        # at exact boundaries)
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0)
+
     return agg.select(
         F.col("grp").alias("group"),
         "n",
-        F.round(ess, 6).alias("ess"),
-        F.round(ess / F.col("n"), 6).alias("ess_ratio"),
+        F.when(F.col("n") > 0, _r6(ess)).alias("ess"),
+        F.when(F.col("n") > 0, _r6(ess / F.col("n"))).alias("ess_ratio"),
     )
 
 
@@ -953,19 +967,24 @@ def oracle_ess_sql(
 ) -> str:
     """DuckDB twin of :func:`effective_sample_size`."""
     grp = f"CAST({group_expr} AS VARCHAR)" if group_expr else "'all'"
+    r6 = "floor(({x}) * 1e6 + 0.5) / 1e6 + 0.0"
     return f"""
 WITH base AS (
-  SELECT {grp} AS grp, CAST({weight_expr} AS DOUBLE) AS w
+  SELECT {grp} AS grp, TRY_CAST({weight_expr} AS DOUBLE) AS w
   FROM {rel_sql}
-  WHERE CAST({weight_expr} AS DOUBLE) > 0
 ),
 agg AS (
-  SELECT grp, CAST(count(*) AS BIGINT) AS n,
-         sum(w) AS s1, sum(w * w) AS s2
+  SELECT grp,
+         CAST(coalesce(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n,
+         sum(CASE WHEN w > 0 THEN w END) AS s1,
+         sum(CASE WHEN w > 0 THEN w * w END) AS s2
   FROM base GROUP BY grp
 )
 SELECT grp AS "group", n,
-       round(s1 * s1 / s2, 6) AS ess,
-       round(s1 * s1 / s2 / n, 6) AS ess_ratio
+       CASE WHEN n > 0
+            THEN ({r6.format(x="s1 * s1 / s2")}) END AS ess,
+       CASE WHEN n > 0
+            THEN ({r6.format(x="s1 * s1 / s2 / n")}) END AS ess_ratio
 FROM agg
 """

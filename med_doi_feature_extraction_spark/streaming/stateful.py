@@ -611,12 +611,17 @@ def topk_stateful(
     dashboards that cannot afford a full (group, item) hash-agg of
     an unbounded stream.
 
-    Per microbatch each group emits its UPDATED summary snapshot
-    (one row per retained item, with the group's processed-row count
-    ``n_processed``); a consumer keeps the rows with the max
-    ``n_processed`` per group. Arrival order within a group decides
-    MG tie-breaking, so tests feed an ordered single-partition
-    source (the sessionize_stateful convention).
+    Per microbatch each group that made PROGRESS (processed ≥ 1
+    non-null item) emits its UPDATED summary snapshot — one row per
+    retained item, or a single NULL-item row when the MG step left
+    the summary empty, so the snapshot stream always advances and an
+    emptied summary can never lose to a stale one. A consumer keeps
+    the rows with the max ``n_processed`` per group, then drops the
+    NULL-item sentinel. No-progress microbatches emit nothing
+    (n_processed unchanged ⇒ re-emitting would duplicate the
+    max-n snapshot). Arrival order within a group decides MG
+    tie-breaking, so tests feed an ordered single-partition source
+    (the sessionize_stateful convention).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -627,6 +632,7 @@ def topk_stateful(
             summary = dict(zip(items or [], counts or []))
         else:
             summary, n = {}, 0
+        n_before = n
 
         for pdf in pdf_iter:
             for it in pdf[item].astype(object):
@@ -650,12 +656,14 @@ def topk_stateful(
                 n,
             )
         )
-        if summary:
+        if n > n_before:
+            out_items = keys_sorted or [None]
+            out_counts = [summary[i] for i in keys_sorted] or [0]
             yield pd.DataFrame(
                 {
                     group: key[0],
-                    item: keys_sorted,
-                    "mg_count": [summary[i] for i in keys_sorted],
+                    item: out_items,
+                    "mg_count": out_counts,
                     "n_processed": n,
                 }
             )

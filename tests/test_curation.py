@@ -834,5 +834,24 @@ def test_effective_sample_size(spark):
     assert got["uni"]["n"] == 8 and got["uni"]["ess"] == 8.0
     assert got["uni"]["ess_ratio"] == 1.0
     assert got["deg"]["ess_ratio"] < 0.2  # degenerate weights flagged
-    # zero/negative weights excluded: n=2 uniform -> ESS=2
+    # zero/negative weights carry no mass: n=2 uniform -> ESS=2
     assert got["mix"]["n"] == 2 and got["mix"]["ess"] == 2.0
+
+
+def test_effective_sample_size_keeps_zero_mass_groups(spark):
+    from med_doi_feature_extraction_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    df = spark.createDataFrame(
+        [("dead", 0.0), ("dead", -1.0), ("live", 1.0)],
+        "g string, w double",
+    )
+    got = {
+        r["group"]: r
+        for r in effective_sample_size(df, "w", group_col="g").collect()
+    }
+    # the MOST degenerate group must not vanish from the report
+    assert got["dead"]["n"] == 0 and got["dead"]["ess"] is None
+    assert got["dead"]["ess_ratio"] is None
+    assert got["live"]["n"] == 1 and got["live"]["ess"] == 1.0

@@ -742,3 +742,38 @@ def test_stateful_topk_misra_gries(spark, tmp_path):
     assert 60 - final.loc["hot", "mg_count"] <= n / k
     assert 25 - final.loc["warm", "mg_count"] <= n / k
     assert len(final) <= k
+
+
+def test_stateful_topk_emptied_summary_emits_sentinel(spark, tmp_path):
+    """A batch that empties the MG summary must still advance the
+    snapshot stream (NULL-item sentinel), or a stale snapshot wins
+    the consumer's max-n_processed filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from med_doi_feature_extraction_spark.streaming.stateful import (
+        topk_stateful,
+    )
+
+    src = str(tmp_path / "topk_src2")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.table({"grp": ["g"], "item": ["a"]}),
+                   f"{src}/part-0.parquet")
+    pq.write_table(pa.table({"grp": ["g"], "item": ["b"]}),
+                   f"{src}/part-1.parquet")  # k=1: decrement-all -> {}
+    stream = (
+        spark.readStream.schema("grp string, item string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        topk_stateful(stream, "grp", "item", k=1)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("mg_sentinel").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM mg_sentinel").toPandas()
+    final_n = out["n_processed"].max()
+    assert final_n == 2  # the emptying batch DID advance the stream
+    final = out[out["n_processed"] == final_n]
+    assert len(final) == 1 and final.iloc[0]["item"] is None
+    assert final.iloc[0]["mg_count"] == 0
