@@ -2079,6 +2079,33 @@ SELECT doc_id, lang, {case} AS lang_pred FROM b
 """
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID quality audit: the marker-based lang_id
+    predictions graded against the declared lang column through the
+    classification_report machinery — per-class precision/recall/F1
+    of the identifier itself, the eval loop every heuristic gate
+    should close."""
+    from med_doi_feature_extraction_spark.operators.evalcls import (
+        classification_report,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", feat.lang_id(F.col("text")).alias("lang_pred")
+    )
+    return classification_report(pred, "lang", "lang_pred")
+
+
+def _sql_lang_confusion() -> str:
+    from med_doi_feature_extraction_spark.operators.evalcls import (
+        oracle_cls_report_sql,
+    )
+
+    return oracle_cls_report_sql(
+        f"({_sql_lang_id()}) li", "lang", "lang_pred"
+    )
+
+
 def q_lang_id_trigram(spark, sf_dir):
     """Char-trigram profile language ID (Cavnar-Trenkle style): train
     on one seeded corpus, classify a held-out seed. Genuinely
@@ -11773,6 +11800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_report": q_host_report,
         "weighted_quantiles": q_weighted_quantiles,
         "ess": q_ess,
+        "lang_confusion": q_lang_confusion,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -12038,6 +12066,7 @@ def oracle_sql() -> dict[str, str]:
         "host_report": _sql_host_report(),
         "weighted_quantiles": _sql_weighted_quantiles(),
         "ess": _sql_ess(),
+        "lang_confusion": _sql_lang_confusion(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

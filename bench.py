@@ -143,7 +143,7 @@ def main() -> None:
         # r5 fifth-session additions, part 2 (temporal/layout/REP)
         "bowtie", "sitemap_coverage", "link_churn",
         "canonical_chains", "robots_wildcards", "surt_keys",
-        "host_report", "weighted_quantiles", "ess",
+        "host_report", "weighted_quantiles", "ess", "lang_confusion",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

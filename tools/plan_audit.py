@@ -326,6 +326,9 @@ def main() -> None:
          "over the DISTINCT-value table only; one argmin agg per q."),
         ("ess", "ONE hash-agg of (n, sum w, sum w^2) per group; the "
          "ratio computed once per <= groups row."),
+        ("lang_confusion", "lang_id is codegen Column algebra at the "
+         "scan; the report is two bounded class-keyed hash-aggs + a "
+         "broadcast join."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
