@@ -9137,6 +9137,43 @@ def _sql_bowtie() -> str:
     return oracle_bowtie_sql(edges, seeds, k=3)
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank over the PRE-AGGREGATED edge table
+    (graph.pagerank_weighted) — the form a 100 TB link graph ships
+    in: (src, dst, weight) instead of one row per hyperlink;
+    pytest pins bit-equivalence to the exploded multigraph."""
+    from med_doi_feature_extraction_spark.operators.graph import (
+        pagerank_weighted,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    agg = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 600).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    out = pagerank_weighted(agg, n_iter=3)
+    return out.select("node", F.col("rank").alias("pr"))
+
+
+def _sql_pagerank_weighted() -> str:
+    from med_doi_feature_extraction_spark.operators.graph import (
+        oracle_pagerank_weighted_sql,
+    )
+
+    edges = (
+        "(SELECT l_orderkey % 500 AS src, l_partkey % 600 AS dst, "
+        "CAST(count(*) AS BIGINT) AS weight "
+        "FROM lineitem GROUP BY 1, 2) le"
+    )
+    sql = oracle_pagerank_weighted_sql(edges, n_iter=3)
+    # Spark side aliases rank -> pr (q_pagerank convention)
+    return sql.replace("pr AS rank FROM", "pr FROM")
+
+
 def q_label_communities(spark, sf_dir):
     """Label-propagation communities (graph.label_communities):
     deterministic synchronous LPA with self-vote and min-label
@@ -11801,6 +11838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": q_weighted_quantiles,
         "ess": q_ess,
         "lang_confusion": q_lang_confusion,
+        "pagerank_weighted": q_pagerank_weighted,
         "text_blocks": q_text_blocks,
         "main_content": q_main_content,
         "hreflang_pairs": q_hreflang_pairs,
@@ -12067,6 +12105,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_quantiles": _sql_weighted_quantiles(),
         "ess": _sql_ess(),
         "lang_confusion": _sql_lang_confusion(),
+        "pagerank_weighted": _sql_pagerank_weighted(),
         "text_blocks": _sql_text_blocks(),
         "main_content": _sql_main_content(),
         "hreflang_pairs": _sql_hreflang_pairs(),

@@ -144,6 +144,7 @@ def main() -> None:
         "bowtie", "sitemap_coverage", "link_churn",
         "canonical_chains", "robots_wildcards", "surt_keys",
         "host_report", "weighted_quantiles", "ess", "lang_confusion",
+        "pagerank_weighted",
     ]
     qs = entrymod.queries()
     # untimed warm-up: start EVERY Python UDF worker (one task per

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from med_doi_feature_extraction_spark.operators.graph import (
     degree_join,
@@ -710,3 +711,59 @@ def test_bowtie_self_loop_only_node_is_other(spark):
     }
     assert got[5] == "other"  # self-loop-only node stays in the census
     assert got == {1: "in", 10: "core", 20: "out", 5: "other"}
+
+
+class TestPagerankWeighted:
+    def test_equals_exploded_multigraph(self, spark):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            pagerank,
+            pagerank_weighted,
+        )
+
+        e = spark.createDataFrame(EDGES, "src long, dst long")
+        agg = e.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("long").alias("weight")
+        )
+        pu = {r["node"]: r["rank"] for r in pagerank(e, n_iter=5).collect()}
+        pw = {
+            r["node"]: r["rank"]
+            for r in pagerank_weighted(agg, n_iter=5).collect()
+        }
+        assert set(pu) == set(pw)
+        for k in pu:
+            assert pw[k] == pytest.approx(pu[k], abs=1e-12)
+
+    def test_weight_shifts_rank(self, spark):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            pagerank_weighted,
+        )
+
+        # 0 links to 1 (w=9) and 2 (w=1): 1 must outrank 2
+        agg = spark.createDataFrame(
+            [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+            "src long, dst long, weight long",
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_weighted(agg, n_iter=8).collect()
+        }
+        assert got[1] > got[2]
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_nonpositive_weights_dropped(self, spark):
+        from med_doi_feature_extraction_spark.operators.graph import (
+            pagerank_weighted,
+        )
+
+        agg = spark.createDataFrame(
+            [(0, 1, 1), (0, 2, 0), (0, 3, -5)],
+            "src long, dst long, weight long",
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_weighted(agg, n_iter=3).collect()
+        }
+        # dead edges carry no mass AND define no nodes: 2 and 3 are
+        # not part of the graph at all (documented contract)
+        assert set(got) == {0, 1}
+        assert got[1] > 0

@@ -329,6 +329,10 @@ def main() -> None:
         ("lang_confusion", "lang_id is codegen Column algebra at the "
          "scan; the report is two bounded class-keyed hash-aggs + a "
          "broadcast join."),
+        ("pagerank_weighted", "pagerank's join shape over the "
+         "PRE-AGGREGATED (src,dst,weight) table — one row per edge "
+         "pair, not per hyperlink; same 1-row broadcasts and "
+         "per-iteration checkpoints."),
     ]:
         df = qs[name](spark, sf_dir)
         sections.append(
