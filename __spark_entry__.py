@@ -70,6 +70,24 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism floor for CPU-bound kernel stages (optimization
+    guide §2.5, "input skew: one huge unsplittable file ... otherwise
+    repartition immediately after the read").
+
+    The fixture tables are single-row-group parquet files, so the scan
+    yields ONE productive task no matter how small the split config
+    makes maxSplitBytes — every downstream codegen/Arrow span then runs
+    on 1 of N cores. One round-robin exchange of the (column-pruned)
+    input costs a few MB and unlocks the whole cluster. Scale-adaptive:
+    delegates to ``operators.dedup.spread_scan``, which is a no-op
+    whenever the scan already provides cluster-level parallelism (any
+    production-sized table at 100 TB has thousands of splits)."""
+    from med_doi_feature_extraction_spark.operators.dedup import spread_scan
+
+    return spread_scan(df)
+
+
 # ---------------------------------------------------------------- events: windows
 
 def q_sessionize(spark, sf_dir):
@@ -710,7 +728,7 @@ def _snapshot_fixture(spark, sf_dir):
     ``max(1, n − k·⌊n/4⌋)`` whitespace tokens — graded shrinkage so
     consecutive-snapshot similarity varies with document length.
     Mirrored verbatim by the ``snap`` CTE in the oracles."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     ks = spark.range(3).select(F.col("id").cast("int").alias("k"))
     toks = F.split(F.col("text"), r"\s+")
     keep = F.greatest(
@@ -939,7 +957,7 @@ def q_pmi(spark, sf_dir):
         pmi_collocations,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return pmi_collocations(docs, "text", min_count=5, k=100)
 
 
@@ -1490,7 +1508,7 @@ def q_fd_check(spark, sf_dir):
         fd_violations,
     )
 
-    orders = _read(spark, sf_dir, "orders")
+    orders = _spread(_read(spark, sf_dir, "orders"))
     return fd_violations(orders, "o_custkey", "o_orderpriority", sample=3)
 
 
@@ -2046,7 +2064,7 @@ FROM a
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", "lang",
         feat.lang_id(F.col("text")).alias("lang_pred"),
@@ -2089,7 +2107,7 @@ def q_lang_confusion(spark, sf_dir):
         classification_report,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     pred = docs.select(
         "lang", feat.lang_id(F.col("text")).alias("lang_pred")
     )
@@ -2740,7 +2758,7 @@ def q_pca_whiten(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 8)
     out = similarity.cosine_topk(emb, queries, k=5)
     return out.select(
@@ -3394,6 +3412,14 @@ def q_jpeg_roundtrip(spark, sf_dir):
         F.col("g").cast("int").alias("g_in"),
         F.col("b").cast("int").alias("b_in"),
     )
+    # Co-locate identical colors: the lattice admits ≤ lcm(180,200) =
+    # 1800 distinct (r,g,b) triples however many rows there are, so a
+    # hash exchange of 4 int columns (the lightweight proxy, guide §8)
+    # makes the per-task memo below collapse the codec work to one
+    # roundtrip per distinct color cluster-wide.
+    c = c.repartition(
+        spark.sparkContext.defaultParallelism, "r_in", "g_in", "b_in"
+    )
 
     schema = (
         "doc_id long, width int, height int, flat boolean, "
@@ -3408,26 +3434,40 @@ def q_jpeg_roundtrip(spark, sf_dir):
             encode_jpeg,
         )
 
+        # The codec is a deterministic pure function of the flat input
+        # color, and the lattice yields far fewer distinct (r, g, b)
+        # triples than rows — run one roundtrip per DISTINCT color per
+        # task and fan the result back out (guide §1.2 step 2: don't
+        # compute things you throw away). Task-local memo only: every
+        # bench/oracle invocation still computes from the inputs.
+        memo: dict[tuple[int, int, int], tuple] = {}
+
+        def roundtrip(key):
+            res = memo.get(key)
+            if res is None:
+                img = np.zeros((16, 16, 3), dtype=np.uint8)
+                img[:, :, 0] = key[0]
+                img[:, :, 1] = key[1]
+                img[:, :, 2] = key[2]
+                arr = decode_jpeg(encode_jpeg(img, quality=80))
+                res = (
+                    int(arr.shape[1]),
+                    int(arr.shape[0]),
+                    bool((arr == arr[0, 0]).all()),
+                    int(arr[0, 0, 0]),
+                    int(arr[0, 0, 1]),
+                    int(arr[0, 0, 2]),
+                )
+                memo[key] = res
+            return res
+
         for pdf in it:
             rows = []
             for did, r, g, b in zip(
                 pdf["doc_id"], pdf["r_in"], pdf["g_in"], pdf["b_in"]
             ):
-                img = np.zeros((16, 16, 3), dtype=np.uint8)
-                img[:, :, 0] = r
-                img[:, :, 1] = g
-                img[:, :, 2] = b
-                arr = decode_jpeg(encode_jpeg(img, quality=80))
                 rows.append(
-                    (
-                        int(did),
-                        int(arr.shape[1]),
-                        int(arr.shape[0]),
-                        bool((arr == arr[0, 0]).all()),
-                        int(arr[0, 0, 0]),
-                        int(arr[0, 0, 1]),
-                        int(arr[0, 0, 2]),
-                    )
+                    (int(did),) + roundtrip((int(r), int(g), int(b)))
                 )
             yield _pd.DataFrame(
                 rows,
@@ -4464,7 +4504,7 @@ def _dsir_weights_df(spark, sf_dir):
         fit_hashed_dist,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     target = docs.filter(F.col("lang") == "en")
     t = fit_hashed_dist(target, "text", dim=_DSIR_DIM)
     q = fit_hashed_dist(docs, "text", dim=_DSIR_DIM)
@@ -4655,7 +4695,7 @@ def q_script_profile(spark, sf_dir):
         script_count,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     t = _script_text_col()
     return docs.select(
         "doc_id",
@@ -4730,7 +4770,7 @@ def q_c4_filters(spark, sf_dir):
         c4_line_stats,
     )
 
-    docs = _read(spark, sf_dir, "documents").withColumn(
+    docs = _spread(_read(spark, sf_dir, "documents")).withColumn(
         "text", _c4_text_col()
     )
     stats = c4_line_stats(F.col("text"))
@@ -5020,7 +5060,7 @@ def q_corpus_card(spark, sf_dir):
         corpus_card,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return corpus_card(docs, "text", "lang", **_CARD_BOUNDS)
 
 
@@ -5133,7 +5173,7 @@ def q_gopher_rules(spark, sf_dir):
         gopher_gate,
     )
 
-    docs = _read(spark, sf_dir, "documents").withColumn(
+    docs = _spread(_read(spark, sf_dir, "documents")).withColumn(
         "text", _gopher_text_col()
     )
     return gopher_gate(docs, "text", **_GOPHER_BOUNDS).select(
@@ -5157,7 +5197,9 @@ FROM src"""
 
 
 def _synth_urls(spark, sf_dir):
-    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # orders is a 2-row-group file: spread before the URL regex surface
+    # downstream so host parsing runs cluster-wide (guide §2.5).
+    o = _spread(_read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"))
     ck = (F.col("o_custkey") % 50).cast("string")
     tld = (F.col("o_custkey") % 7).cast("string")
     ok = F.col("o_orderkey")
@@ -6939,7 +6981,7 @@ def q_tfidf_topk(spark, sf_dir):
     """Top-3 tokens per doc by smoothed tf·idf."""
     from med_doi_feature_extraction_spark.operators.corpus_stats import tfidf_topk
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     out = tfidf_topk(docs, "doc_id", "text", k=3, min_df=2)
     return out.select(
         "doc_id", "token",
@@ -7952,7 +7994,7 @@ def q_cms_join_size(spark, sf_dir):
         cms_join_size,
     )
 
-    orders = _read(spark, sf_dir, "orders").select(
+    orders = _spread(_read(spark, sf_dir, "orders")).select(
         F.col("o_custkey").cast("long").alias("k"),
         F.col("o_orderkey").cast("long").alias("ok"),
     )
@@ -8332,7 +8374,7 @@ def q_kn_score(spark, sf_dir):
         train_kn_bigram_lm,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     bg, cx, co = train_kn_bigram_lm(docs, "text")
     out = kn_quality_score(docs, bg, cx, co, "doc_id", "text")
     return out.select(
@@ -8361,7 +8403,7 @@ def q_lm_quality(spark, sf_dir):
         train_unigram_lm,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     lm = train_unigram_lm(docs, "text")
     out = lm_quality_score(docs, lm, "doc_id", "text")
     return out.select(
@@ -9352,7 +9394,7 @@ def q_hard_negatives(spark, sf_dir):
         hard_negatives,
     )
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 8)
     pos = (
         queries.select(
@@ -9415,7 +9457,7 @@ def q_hybrid_rrf(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 8)
     sys_a = cosine_topk(emb, queries, k=10).select(
         "query_id", "neighbor_id", "rank"
@@ -9487,7 +9529,7 @@ def q_sq_topk(spark, sf_dir):
     scaling cancels in the cosine ratio and int8 dots/norms are small
     exact integers, so — unlike float ANN — the oracle can replicate
     quantize + score + rank hash-exact."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 8)
     out = similarity.sq_topk(emb, queries, k=5)
     return out.select(
@@ -9528,7 +9570,7 @@ def q_sq_rerank(spark, sf_dir):
     (similarity.sq_rerank_topk): pass 1 over int8 codes picks
     k·expand candidates, pass 2 rescores only those at full float
     precision. Oracle replicates both stages."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 8)
     out = similarity.sq_rerank_topk(emb, queries, k=5, expand=4)
     return out.select(
@@ -9684,7 +9726,7 @@ def q_bm25(spark, sf_dir):
         bm25_score,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return bm25_score(docs, "doc_id", "text", ["spark", "merge", "window", "batch"])
 
 
@@ -9744,7 +9786,7 @@ def q_nb_classify(spark, sf_dir):
         train_nb,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     model = train_nb(docs.filter(F.col("doc_id") % 5 != 0), "text", "lang")
     assert [c.label for c in model.classes] == _NB_LABELS
     out = nb_score(docs, model, "doc_id", "text")
@@ -9852,7 +9894,7 @@ def q_warc_roundtrip(spark, sf_dir):
         write_warc,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     pages = docs.select(
         F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias("url"),
         F.expr(
@@ -9896,7 +9938,7 @@ def q_readability(spark, sf_dir):
         readability_gate,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_read(spark, sf_dir, "documents")).select("doc_id", "text")
     return readability_gate(docs).select(
         "doc_id",
         "n_words",
@@ -10008,7 +10050,7 @@ def q_chi2_tokens(spark, sf_dir):
         chi2_tokens,
     )
 
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _spread(_read(spark, sf_dir, "documents")).select(
         "text", (F.col("lang") == "en").cast("int").alias("y")
     )
     return chi2_tokens(docs, "text", "y", top_k=50, min_df=5)
@@ -10205,7 +10247,7 @@ def q_bootstrap_ci(spark, sf_dir):
         bootstrap_ci,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return bootstrap_ci(
         docs, "doc_id", "n_chars", n_boot=40, alpha=0.1, salt="cq"
     )
