@@ -79,13 +79,39 @@ def _spread(df: DataFrame) -> DataFrame:
     yields ONE productive task no matter how small the split config
     makes maxSplitBytes — every downstream codegen/Arrow span then runs
     on 1 of N cores. One round-robin exchange of the (column-pruned)
-    input costs a few MB and unlocks the whole cluster. Scale-adaptive:
-    delegates to ``operators.dedup.spread_scan``, which is a no-op
-    whenever the scan already provides cluster-level parallelism (any
-    production-sized table at 100 TB has thousands of splits)."""
-    from med_doi_feature_extraction_spark.operators.dedup import spread_scan
+    input costs a few MB and unlocks the whole cluster.
 
-    return spread_scan(df)
+    Scale-adaptive via input BYTES, not split count: split count
+    over-reports parallelism for a file whose row groups are far
+    bigger than maxSplitBytes (only splits containing a row-group
+    midpoint produce rows — orders.parquet plans 25 splits but only 2
+    productive tasks). When the whole input is smaller than one
+    configured split per core the exchange is bounded by that same
+    small size, so it is cheap insurance; for anything bigger (any
+    production-sized table) the scan's own splits provide the
+    parallelism and this is a no-op."""
+    import os
+
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    try:
+        max_split = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:
+        max_split = 128 * 1024 * 1024
+    try:
+        total = 0
+        for f in df.inputFiles():
+            p = f[7:] if f.startswith("file:") else f
+            total += os.path.getsize(p)
+    except OSError:
+        from med_doi_feature_extraction_spark.operators.dedup import spread_scan
+
+        return spread_scan(df)
+    if total >= want * max_split:
+        return df
+    return df.repartition(want)
 
 
 # ---------------------------------------------------------------- events: windows
@@ -7994,7 +8020,7 @@ def q_cms_join_size(spark, sf_dir):
         cms_join_size,
     )
 
-    orders = _spread(_read(spark, sf_dir, "orders")).select(
+    orders = _read(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("long").alias("k"),
         F.col("o_orderkey").cast("long").alias("ok"),
     )
@@ -9904,7 +9930,11 @@ def q_warc_roundtrip(spark, sf_dir):
         F.encode("text", "utf-8").alias("html"),
     )
     out_dir = f"/tmp/spark_graft_warc_{_os.path.basename(sf_dir.rstrip('/'))}"
-    write_warc(pages, out_dir, n_files=8, compress=True)
+    # gzip members are unsplittable: file count IS the read-back
+    # parallelism ceiling (guide §6 "small files"/input-split sizing),
+    # so write one file per core instead of a fixed 8.
+    n_files = max(8, spark.sparkContext.defaultParallelism)
+    write_warc(pages, out_dir, n_files=n_files, compress=True)
     back = read_warc(spark, out_dir)
     return back.select(
         "url",
