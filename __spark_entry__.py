@@ -1979,7 +1979,7 @@ def q_doc_chunks(spark, sf_dir):
         chunk_documents,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return chunk_documents(
         docs, "doc_id", "text", chunk_tokens=40, overlap=10
     ).select("doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk_text")
@@ -6855,7 +6855,7 @@ def q_phrase_search(spark, sf_dir):
         phrase_search,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return phrase_search(docs, "doc_id", "text", "order fast")
 
 
@@ -6984,7 +6984,7 @@ def q_postings(spark, sf_dir):
         build_postings,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return build_postings(docs, "doc_id", "text", cap=7, n_salts=4)
 
 
@@ -8024,16 +8024,24 @@ def q_cms_join_size(spark, sf_dir):
         F.col("o_custkey").cast("long").alias("k"),
         F.col("o_orderkey").cast("long").alias("ok"),
     )
-    a = orders
-    b = orders.filter(F.col("ok") % 2 == 0)
+    # Aggregate BEFORE hashing (guide §2.3): one scan + one keyed agg
+    # yields per-key (na, nb); both sketches are then built weighted
+    # from ~|distinct k| rows instead of 4 full scans re-hashing every
+    # occurrence (the sha bucket hash is the expensive part), and the
+    # identical agg subtree is exchange-reused across all three
+    # consumers. n = sum(weight) is bit-identical to counting rows.
+    counts = orders.groupBy("k").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.count(F.when(F.col("ok") % 2 == 0, 1)).alias("nb"),
+    )
     est = cms_join_size(
-        cms_build(a, "k", depth=_CMS_DEPTH, width=_CMS_WIDTH),
-        cms_build(b, "k", depth=_CMS_DEPTH, width=_CMS_WIDTH),
+        cms_build(counts, "k", depth=_CMS_DEPTH, width=_CMS_WIDTH,
+                  weight_col="na"),
+        cms_build(counts.filter(F.col("nb") > 0), "k", depth=_CMS_DEPTH,
+                  width=_CMS_WIDTH, weight_col="nb"),
         depth=_CMS_DEPTH,
     )
-    fa = a.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
-    fb = b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
-    true_ip = fa.join(fb, "k").agg(
+    true_ip = counts.filter(F.col("nb") > 0).agg(
         F.sum(F.col("na") * F.col("nb")).cast("long").alias("true_ip")
     )
     return est.crossJoin(true_ip).select(
@@ -8097,7 +8105,7 @@ def q_encoding_quality(spark, sf_dir):
         encoding_features,
     )
 
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _spread(_read(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -8150,6 +8158,9 @@ def _hll_halves(spark, sf_dir):
     the Spark side builds per-half sketches and MERGES them, so the
     contract exercises ``hll_merge(build(A) ∪ build(B)) ==
     build(A ∪ B)`` against a DuckDB oracle that builds one-shot."""
+    # NOT spread: hll_build pre-aggregates before the register hash, so
+    # the scan-stage partial agg is already the cheap path — a spread
+    # exchange of the raw rows measured slower (0.75 -> 1.44 s sf1.0).
     orders = _read(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_custkey").cast("long").alias("v"),

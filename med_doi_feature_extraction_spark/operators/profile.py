@@ -142,14 +142,33 @@ def fd_violations(
     decontam attribution), so the report is bounded however hot the
     key and stays oracle-reproducible."""
     keys = [lhs] if isinstance(lhs, str) else list(lhs)
+    # n_values = size(collect_set(rhs)) instead of countDistinct: both
+    # count distinct non-null values, but countDistinct compiles to a
+    # second two-phase (Expand) aggregation — a whole extra exchange of
+    # the (lhs, rhs) pairs — while the collect_set needed for
+    # ``examples`` already carries the distinct values. examples keeps
+    # the cast-then-dedup order of the previous collect_set(cast) form
+    # (array_distinct over the cast strings).
+    vals = F.collect_set(F.col(rhs))
     return (
         df.groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct(F.col(rhs)).alias("n_values"),
+            vals.alias("_vals"),
+        )
+        .select(
+            *keys,
+            "n_rows",
+            F.size("_vals").cast("long").alias("n_values"),
             F.array_join(
                 F.slice(
-                    F.array_sort(F.collect_set(F.col(rhs).cast("string"))),
+                    F.array_sort(
+                        F.array_distinct(
+                            F.transform(
+                                F.col("_vals"), lambda x: x.cast("string")
+                            )
+                        )
+                    ),
                     1,
                     sample,
                 ),

@@ -121,7 +121,11 @@ def _cms_pos(key: F.Column, row: int, width: int) -> F.Column:
 
 
 def cms_build(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 1 << 12
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1 << 12,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch of ``key_col``'s frequency distribution as a
     SPARSE (row, pos, n) table — at most ``depth × width`` rows
@@ -129,7 +133,14 @@ def cms_build(
     map-side partials; mergeable by construction (union two sketch
     tables and re-sum). Estimates overcount only: for any key,
     ``true ≤ est ≤ true + εN`` with ε ≈ e/width at failure prob
-    e^-depth — the standard CMS guarantee."""
+    e^-depth — the standard CMS guarantee.
+
+    ``weight_col``: build from a PRE-AGGREGATED ``(key, weight)``
+    table instead of raw occurrences — ``n`` becomes ``sum(weight)``,
+    bit-identical to counting the raw rows, but the (sha-based,
+    engine-portable ⇒ expensive) bucket hash runs once per DISTINCT
+    key rather than once per occurrence. The cheap "aggregate before
+    you compute" form for callers that already need per-key counts."""
     coords = F.explode(
         F.array(
             *[
@@ -141,11 +152,13 @@ def cms_build(
             ]
         )
     ).alias("c")
+    w = F.lit(1) if weight_col is None else F.col("_w")
+    keep = [] if weight_col is None else [F.col(weight_col).alias("_w")]
     return (
-        df.select(coords)
-        .select(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        df.select(coords, *keep)
+        .select(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"), w.alias("_n1"))
         .groupBy("row", "pos")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("_n1").cast("long").alias("n"))
     )
 
 
