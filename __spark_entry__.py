@@ -912,7 +912,7 @@ def q_funnel_audit(spark, sf_dir):
         funnel_audit,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     stages = [(n, mk()) for n, mk, _ in _funnel_stages()]
     return funnel_audit(docs, stages).select(
         "doc_id", "first_failed", "kept"
@@ -936,7 +936,7 @@ def q_funnel_summary(spark, sf_dir):
         funnel_summary,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     stages = [(n, mk()) for n, mk, _ in _funnel_stages()]
     return funnel_summary(docs, stages)
 
@@ -1336,7 +1336,7 @@ def q_cdc_dedup(spark, sf_dir):
     )
 
     base = "/tmp/spark_graft_cdc_v1"
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents")  # not spread: A/B flat (0.7-1.2s band is box noise)
     fixture = docs.select(
         "doc_id",
         F.concat(
@@ -2281,7 +2281,7 @@ FROM c
 
 
 def q_exact_dedup(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     out = dedup.exact_dedup(docs, "doc_id", "text")
     return out.select(
         "text_hash",
@@ -4664,7 +4664,7 @@ def q_token_mixture(spark, sf_dir):
         token_budget_sample,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return token_budget_sample(
         docs, "doc_id", "lang", _ntok_col(), _MIX_BUDGETS
     ).select("doc_id", "lang")
@@ -4849,7 +4849,7 @@ def q_token_ids(spark, sf_dir):
     )
 
     base = _token_ids_base()
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     tok = tokenize_ids_udf(default_merges(120))
     docs.select("doc_id", tok("text").alias("ids")).write.mode(
         "overwrite"
@@ -5065,7 +5065,7 @@ def q_zipf_fit(spark, sf_dir):
         zipf_fit,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return zipf_fit(docs, "text", group_col="lang")
 
 
@@ -6946,7 +6946,7 @@ def q_trending(spark, sf_dir):
         trending_tokens,
     )
 
-    docs = _read(spark, sf_dir, "documents").withColumn(
+    docs = _spread(_read(spark, sf_dir, "documents")).withColumn(
         "day", F.col("doc_id") % 7
     )
     return trending_tokens(docs, "text", "day", trail=3, min_count=3)
@@ -10222,7 +10222,7 @@ def q_cohens_kappa(spark, sf_dir):
         cohens_kappa,
     )
 
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _spread(_read(spark, sf_dir, "documents")).select(
         (F.col("n_chars") > 300).cast("string").alias("rater_a"),
         (
             (

@@ -212,8 +212,15 @@ def lsh_topk(
     Hamming-1 neighbor buckets on the query side). Same output schema
     as ``cosine_topk`` → recall@k is directly measurable; recall rises
     with n_tables at the cost of candidate volume."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    from med_doi_feature_extraction_spark.operators.dedup import spread_scan
+
+    # corpus-side bucket assignment is an Arrow UDF over every vector:
+    # fan a few-partition scan out before it (no-op at corpus scale);
+    # exact-cosine rank downstream is partitioning-insensitive.
+    c = spread_scan(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
