@@ -493,3 +493,40 @@ def test_containment_join_exact_where_lsh_misses(spark):
     # and LSH-based containment_pairs indeed misses it (recall caveat)
     lsh = dedup.containment_pairs(df, "doc_id", "text", threshold=t).toPandas()
     assert (0, 12) not in {(a, b) for a, b in zip(lsh.id_a, lsh.id_b)}
+
+
+def test_mask_verify_parity_small_vocab(spark):
+    """The ≤64-token bitmask Jaccard-verify fast path must be
+    bit-identical to the array path: same pairs, same rounded jaccard,
+    on a corpus that triggers it (small vocab, heavy overlap), and the
+    vocab probe must decline open vocabularies."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(20)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 15)))
+        for _ in range(60)
+    ]
+    texts += ["", "   ", None]  # empty-token "" and NULL semantics ride along
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    probed = dedup._small_vocab([df], "text")
+    assert probed is not None and len(probed) <= 64
+
+    got = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.5).toPandas()
+
+    # array-path reference: identical pipeline with the mask path
+    # disabled via a cap of 0 (probe declines)
+    cands = dedup.minhash_lsh_candidates(df, "doc_id", "text")
+    toks = df.select(F.col("doc_id"), dedup.tokens_col("text").alias("toks"))
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("tokens_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tokens_b"))
+    ref = (
+        dedup.jaccard_pairs(cands.join(a, "id_a"), b, ["id_b"])
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .toPandas()
+    )
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "jaccard"]].values.tolist()))
+    assert key(got) == key(ref)
+    assert dedup._small_vocab([df], "text", cap=3) is None  # open vocab declines
