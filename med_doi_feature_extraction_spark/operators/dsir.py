@@ -48,7 +48,7 @@ scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from med_doi_feature_extraction_spark.operators.dedup import ngrams_all_col
@@ -107,6 +107,80 @@ def _floor_row(dist: DataFrame, name: str) -> DataFrame:
     return dist.agg(F.first("floor_logp").alias(name))
 
 
+def fit_hashed_dist_pair(
+    corpus: DataFrame,
+    text_col: str,
+    target_cond: Column,
+    dim: int = DEFAULT_DIM,
+    salt: str = "dsir",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(target_dist, raw_dist, floors) from ONE gram pass: bit-identical to
+    ``(fit_hashed_dist(corpus.filter(target_cond)),
+    fit_hashed_dist(corpus))`` — per-bucket counts come from one
+    explode+hash-agg with a conditional count for the target subset
+    (count_if ≡ count over the filtered frame), target buckets with
+    zero target occurrences are dropped to match the ABSENT-row
+    contract, and the logp algebra is the same expression tree. The
+    expensive part (one sha256 per gram occurrence, engine-portable by
+    design) runs once instead of twice; pinned by a parity test.
+    ``floors`` is the 1-row ``(_ft, _fq)`` floor-logp frame derived
+    straight from the totals — hand it to :func:`dsir_logweights` so
+    the scorer's OOV floors don't re-derive the whole dist lineage
+    twice more (a lazy diamond recomputes every consumer)."""
+    counts = (
+        hashed_grams(
+            corpus.select(target_cond.alias("_is_t"), F.col(text_col)),
+            text_col,
+            "_is_t",
+            dim=dim,
+            salt=salt,
+        )
+        .groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).alias("_cq"),
+            F.count(F.when(F.col("_is_t"), 1)).alias("_ct"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("_cq").alias("_totq"), F.sum("_ct").alias("_tott")
+    )
+    both = counts.crossJoin(F.broadcast(totals))
+
+    def dist(c: str, tot: str) -> DataFrame:
+        denom = (F.col(tot) + F.lit(dim)).cast("double")
+        return both.filter(F.col(c) > 0).select(
+            "idx",
+            F.round(
+                F.log((F.col(c) + 1).cast("double") / denom), 6
+            ).alias("logp"),
+            F.round(F.log(F.lit(1.0) / denom), 6).alias("floor_logp"),
+        )
+
+    # a side with zero gram occurrences has an EMPTY dist, whose
+    # _floor_row would be NULL — mirror that exactly
+    floors = totals.select(
+        F.when(
+            F.col("_tott") > 0,
+            F.round(
+                F.log(
+                    F.lit(1.0) / (F.col("_tott") + F.lit(dim)).cast("double")
+                ),
+                6,
+            ),
+        ).alias("_ft"),
+        F.when(
+            F.col("_totq") > 0,
+            F.round(
+                F.log(
+                    F.lit(1.0) / (F.col("_totq") + F.lit(dim)).cast("double")
+                ),
+                6,
+            ),
+        ).alias("_fq"),
+    )
+    return dist("_ct", "_tott"), dist("_cq", "_totq"), floors
+
+
 def dsir_logweights(
     raw: DataFrame,
     id_col: str,
@@ -115,6 +189,7 @@ def dsir_logweights(
     raw_dist: DataFrame,
     dim: int = DEFAULT_DIM,
     salt: str = "dsir",
+    floors: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_grams, logw): per-document importance log-weight
     Σ_grams (logp_target − logp_raw), 6 dp. Docs with no grams keep
@@ -129,9 +204,13 @@ def dsir_logweights(
         hashed_grams(raw, text_col, id_col, dim=dim, salt=salt)
         .join(F.broadcast(t), "idx", "left")
         .join(F.broadcast(q), "idx", "left")
-        .crossJoin(F.broadcast(_floor_row(target_dist, "_ft")))
-        .crossJoin(F.broadcast(_floor_row(raw_dist, "_fq")))
     )
+    if floors is not None:
+        ex = ex.crossJoin(F.broadcast(floors))
+    else:
+        ex = ex.crossJoin(
+            F.broadcast(_floor_row(target_dist, "_ft"))
+        ).crossJoin(F.broadcast(_floor_row(raw_dist, "_fq")))
     llr = F.coalesce(F.col("_lt"), F.col("_ft")) - F.coalesce(
         F.col("_lq"), F.col("_fq")
     )
