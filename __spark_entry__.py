@@ -4526,20 +4526,15 @@ _DSIR_DIM = 4096
 
 def _dsir_weights_df(spark, sf_dir):
     from med_doi_feature_extraction_spark.operators.dsir import (
-        dsir_logweights,
-        fit_hashed_dist_pair,
+        dsir_logweights_fused,
     )
 
     docs = _spread(_read(spark, sf_dir, "documents"))
-    # one gram pass fits BOTH distributions (count_if for the en
-    # target) and hands the scorer its OOV floors as a 1-row frame so
-    # the lazy diamond re-derives the gram pass 4x instead of 6x —
-    # bit-identical to two fit_hashed_dist calls (dsir parity test)
-    t, q, floors = fit_hashed_dist_pair(
-        docs, "text", F.col("lang") == "en", dim=_DSIR_DIM
-    )
-    return dsir_logweights(
-        docs, "doc_id", "text", t, q, dim=_DSIR_DIM, floors=floors
+    # fused fit+score: one combined per-bucket broadcast, 3 gram-pass
+    # derivations instead of 6 — bit-identical to the compositional
+    # fit+score path (dsir parity tests)
+    return dsir_logweights_fused(
+        docs, "doc_id", "text", F.col("lang") == "en", dim=_DSIR_DIM
     )
 
 

@@ -181,6 +181,78 @@ def fit_hashed_dist_pair(
     return dist("_ct", "_tott"), dist("_cq", "_totq"), floors
 
 
+def dsir_logweights_fused(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond: Column,
+    dim: int = DEFAULT_DIM,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Fused self-selection DSIR weights (target ⊆ scored corpus):
+    bit-identical to ``dsir_logweights(corpus, …,
+    *fit_hashed_dist_pair(corpus, …))`` — parity-pinned — but the
+    scorer joins ONE combined per-bucket broadcast instead of two
+    dists plus a floors frame.
+
+    Why this is the cheap shape: every gram the scorer emits was BY
+    CONSTRUCTION counted into the raw distribution (same corpus, same
+    hash), so the raw-side logp always joins and needs no OOV floor;
+    and the target-side floor is a function of the totals row that
+    already rides the combined table, so it folds into a ``when`` on
+    the target count. The lazy diamond then re-derives the gram pass
+    3× (scorer + combined counts + its 1-row totals) instead of 4-6×,
+    and the scoring stage runs one broadcast join instead of four
+    (t, q, 2 floor crossJoins). Empty-target edge: the target logp
+    column goes NULL exactly where the compositional path's
+    NULL-floor coalesce did, and the NULL propagates through the same
+    sum/round/coalesce ladder."""
+    grams = hashed_grams(
+        corpus.select(
+            F.col(id_col), target_cond.alias("_is_t"), F.col(text_col)
+        ),
+        text_col,
+        id_col,
+        "_is_t",
+        dim=dim,
+        salt=salt,
+    )
+    counts = grams.groupBy("idx").agg(
+        F.count(F.lit(1)).alias("_cq"),
+        F.count(F.when(F.col("_is_t"), 1)).alias("_ct"),
+    )
+    totals = counts.agg(
+        F.sum("_cq").alias("_totq"), F.sum("_ct").alias("_tott")
+    )
+    dt = (F.col("_tott") + F.lit(dim)).cast("double")
+    dq = (F.col("_totq") + F.lit(dim)).cast("double")
+    table = counts.crossJoin(F.broadcast(totals)).select(
+        "idx",
+        F.when(
+            F.col("_ct") > 0,
+            F.round(F.log((F.col("_ct") + 1).cast("double") / dt), 6),
+        )
+        .otherwise(
+            F.when(F.col("_tott") > 0, F.round(F.log(F.lit(1.0) / dt), 6))
+        )
+        .alias("_lt"),
+        F.round(F.log((F.col("_cq") + 1).cast("double") / dq), 6).alias(
+            "_lq"
+        ),
+    )
+    scored = grams.join(F.broadcast(table), "idx", "left")
+    scores = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(F.sum(F.col("_lt") - F.col("_lq")), 6).alias("logw"),
+    )
+    spine = corpus.select(id_col)
+    return spine.join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+    )
+
+
 def dsir_logweights(
     raw: DataFrame,
     id_col: str,

@@ -239,3 +239,35 @@ def test_fit_hashed_dist_pair_parity(spark):
     )
     assert r(got) == r(ref)
 
+
+
+def test_dsir_logweights_fused_parity(spark):
+    """dsir_logweights_fused == fit_hashed_dist_pair + dsir_logweights
+    == two fits + score, row-for-row, including the empty-target edge
+    (all-NULL llr -> logw coalesced to 0)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from med_doi_feature_extraction_spark.operators import dsir
+
+    texts = [
+        ("a b c a", "en"), ("b c d", "en"), ("x y z", "de"),
+        ("a x", "de"), ("", "en"), (None, "de"), ("c c c", "en"),
+        ("d a b", "fr"), ("y x z z", "en"),
+    ]
+    df = (
+        spark.createDataFrame(pd.DataFrame(texts, columns=["text", "lang"]))
+        .withColumn("doc_id", F.monotonically_increasing_id())
+    )
+    dim = 64
+    for cond in (F.col("lang") == "en", F.col("lang") == "xx"):
+        got = dsir.dsir_logweights_fused(
+            df, "doc_id", "text", cond, dim=dim
+        )
+        t = dsir.fit_hashed_dist(df.filter(cond), "text", dim=dim)
+        q = dsir.fit_hashed_dist(df, "text", dim=dim)
+        ref = dsir.dsir_logweights(df, "doc_id", "text", t, q, dim=dim)
+        r = lambda d: sorted(
+            (x["doc_id"], x["n_grams"], x["logw"]) for x in d.collect()
+        )
+        assert r(got) == r(ref)
