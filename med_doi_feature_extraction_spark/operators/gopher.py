@@ -94,12 +94,14 @@ def gopher_stats(text: Column) -> dict[str, Column]:
         F.lit(0),
     )
     lowered = F.transform(words, F.lower)
-    n_stop = sum(
-        (
-            F.array_contains(lowered, s).cast("int")
-            for s in GOPHER_STOPWORDS[1:]
-        ),
-        F.array_contains(lowered, GOPHER_STOPWORDS[0]).cast("int"),
+    # one set-intersect instead of |stopwords| array_contains passes:
+    # Σ contains(lowered, s) counts DISTINCT stopwords present, which
+    # is exactly |array_intersect(lowered, stopwords)| (intersect
+    # dedups); empty/NULL text yields [] → 0 on both forms
+    n_stop = F.size(
+        F.array_intersect(
+            lowered, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
     )
     return {
         "n_words": n_words,

@@ -87,28 +87,44 @@ def readability_features(
     NULL when ``n_words = 0``.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
+    # Whole-text regex counts instead of per-word higher-order
+    # aggregates: the HOF lambdas are CodegenFallback (interpreted per
+    # element) and each output column re-derived the word array, so
+    # the battery paid many interpreted passes per row. Equivalences
+    # (words are maximal ASCII [A-Za-z]+ runs, so every identity below
+    # is a per-word ⇄ whole-text rewrite across non-letter boundaries):
+    #  - n_words      = count of [A-Za-z]+ runs;
+    #  - Σ len(w)     = count of [A-Za-z] chars;
+    #  - Σ max(1, vowel-runs(lower w))
+    #                 = (vowel runs, case-insensitive) + (# all-consonant
+    #                   words): a vowel run cannot span a word boundary
+    #                   (the boundary char is a non-letter), and a word
+    #                   contributes the +1 floor iff it has no vowel at
+    #                   all. (?i) on the RAW text, never lower(text):
+    #                   Unicode lowering can mint new ASCII letters
+    #                   (e.g. Kelvin sign → 'k') and change the word
+    #                   decomposition; per-word lower() only ever saw
+    #                   pure-ASCII input.
+    #  - long words   = maximal runs of length ≥ 7 via lookarounds.
+    # Only the type-token ratio still needs the array (distinct set).
     words = F.regexp_extract_all(t, F.lit(_WORD), 0)
-    n_words = F.size(words).cast("long")
+    n_words = F.regexp_count(t, F.lit(_WORD)).cast("long")
     n_sent = F.greatest(
         F.regexp_count(t, F.lit(_SENT)), F.lit(1)
     ).cast("long")
-    n_syll = F.aggregate(
-        words,
-        F.lit(0).cast("long"),
-        lambda acc, w: acc
-        + F.greatest(
-            F.regexp_count(F.lower(w), F.lit(_VOWELS)), F.lit(1)
-        ).cast("long"),
-    )
+    n_syll = (
+        F.regexp_count(t, F.lit("(?i)" + _VOWELS))
+        + F.regexp_count(
+            t, F.lit(r"(?i)(?<![a-z])[b-df-hj-np-tv-xz]+(?![a-z])")
+        )
+    ).cast("long")
     wc = n_words.cast("double")
     wps = wc / n_sent.cast("double")
     spw = n_syll.cast("double") / wc
-    total_len = F.aggregate(
-        words,
-        F.lit(0).cast("long"),
-        lambda acc, w: acc + F.length(w).cast("long"),
+    total_len = F.regexp_count(t, F.lit("[A-Za-z]")).cast("long")
+    long_words = F.regexp_count(
+        t, F.lit(r"(?<![A-Za-z])[A-Za-z]{7,}(?![A-Za-z])")
     )
-    long_words = F.size(F.filter(words, lambda w: F.length(w) >= 7))
     ttr = (
         F.size(F.array_distinct(F.transform(words, F.lower))).cast("double")
         / wc

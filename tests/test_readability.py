@@ -187,3 +187,55 @@ def test_single_codegen_scan_no_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_whole_text_counts_match_per_word_reference(spark):
+    """The whole-text regex-count rewrite must equal the per-word
+    definition on adversarial inputs: all-consonant words, 7-letter
+    boundaries, and Unicode letters whose lower() would mint new
+    ASCII letters (Kelvin sign, dotted capital I) — the reason the
+    syllable counter uses (?i) on the raw text, never lower(text)."""
+    import re
+
+    import pandas as pd
+
+    from med_doi_feature_extraction_spark.operators.readability import (
+        readability_features,
+    )
+
+    texts = [
+        "nth rhythm myths b",            # all-consonant words
+        "Lengthy seventy-one letters",   # 7-letter boundary words
+        "café aéa xKx",   # é splits; K (Kelvin) lowers to 'k'
+        "xİx aIIoUY bcd",           # İ lowers to i + combining dot
+        "", "   ", None, "...", "A.b?C!d",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = {
+        r["text"]: r
+        for r in readability_features(df, "text").collect()
+    }
+
+    def ref(t):
+        t = t or ""
+        words = re.findall(r"[A-Za-z]+", t)
+        syll = sum(
+            max(1, len(re.findall(r"[aeiouy]+", w.lower()))) for w in words
+        )
+        return (
+            len(words),
+            syll,
+            sum(len(w) for w in words),
+            sum(1 for w in words if len(w) >= 7),
+        )
+
+    for t in texts:
+        r = got[t]
+        n_words, syll, tot, longw = ref(t)
+        assert r["n_words"] == n_words, t
+        assert r["n_syllables"] == syll, t
+        if n_words:
+            assert abs(r["mean_word_len"] - round(tot / n_words, 4)) < 1e-9, t
+            assert (
+                abs(r["long_word_frac"] - round(longw / n_words, 4)) < 1e-9
+            ), t
